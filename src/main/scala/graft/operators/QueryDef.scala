@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable engine query: a Spark implementation and (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL
+  * over the same parquet tables.
+  *
+  * Determinism contract (driver compare hashes values after sorting
+  * columns by name): every query must produce a fully deterministic
+  * result set — ORDER BY a unique key in BOTH implementations, identical
+  * column names, and floating-point outputs either exact-decimal
+  * (decimal-cast sums) or rounded well below the cross-engine error.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object QueryDef {
+  /** Decimal-cast sum pattern, Spark side. Per-row doubles are IEEE-exact
+    * across engines; casting to decimal before SUM makes the aggregation
+    * order-independent and therefore bit-identical to the DuckDB oracle.
+    */
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types.DecimalType
+
+  def dsum(c: Column, scale: Int): Column =
+    sum(c.cast(DecimalType(30, scale)))
+  /** Final decimal→double cast can differ by 1 ulp across engines once
+    * the scaled integer exceeds 2^53; round(.,4) absorbs that (margin
+    * 5e-5 ≫ ulp for any sum below ~1e11). Keep scales ≤ 6. */
+  def dsumd(c: Column, scale: Int): Column =
+    round(dsum(c, scale).cast("double"), 4)
+}

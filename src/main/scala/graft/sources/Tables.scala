@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-provided test tables (TESTDATA.md) and the
+  * reference's committed golden panel CSV (FIXTURES.md §A1).
+  *
+  * All reads go through `spark.read.parquet`/`.csv` so Catalyst gets
+  * column pruning + predicate pushdown into the scan for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    * (micros) refuses; read it as a nanos-since-epoch LONG instead. The
+    * DuckDB oracle mirrors this with `epoch_ns(ts)` — exact integer
+    * semantics on both sides, no sub-second precision loss.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Schema of the reference's committed `example_dat.csv`
+    * (reference: generate_data.R:77-93, example-analysis.R:34).
+    * Column 1 is R's unnamed 1-based row index; time order is encoded by
+    * row position (row k = user ((k-1) mod n)+1 at t = floor((k-1)/n)+1,
+    * SURVEY.md §1.1) — we surface it as an explicit `t` column.
+    */
+  private val exampleDatSchema = StructType(Seq(
+    StructField("_rowidx", LongType),
+    StructField("is_internal", BooleanType),
+    StructField("is_external", BooleanType),
+    StructField("x1", DoubleType),
+    StructField("x2", DoubleType),
+    StructField("x3", DoubleType),
+    StructField("p_h", DoubleType),
+    StructField("p_h_a", DoubleType),
+    StructField("a_logical", BooleanType),
+    StructField("a", DoubleType),
+    StructField("epsilon", DoubleType),
+    StructField("treatment_effect", DoubleType),
+    StructField("y", DoubleType),
+    StructField("user_id", LongType),
+    StructField("ones", DoubleType)))
+
+  /** Read a reference-format panel CSV, deriving the explicit `t` column
+    * from the row index (nUsers = number of distinct users; the R layout
+    * is column-major over an nUsers x tMax matrix).
+    */
+  def panelCsv(spark: SparkSession, path: String, nUsers: Int): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(exampleDatSchema)
+      .csv(path)
+      .withColumn("t", (((col("_rowidx") - 1L) / nUsers) + 1L).cast(IntegerType))
+}
