@@ -10,7 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Headline = the scale-sensitive queries. s4_estimator_battery runs a
+    // fixed-size statistical workload on the committed golden panel
+    // (~45s regardless of sf) — correctness-gated via Verify + GoldenSpec,
+    // not a throughput benchmark, so it is excluded here.
+    val headline = SparkEntry.queries -- Seq("s4_estimator_battery")
+    val results = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -5,7 +5,7 @@ package graft.operators
   */
 object Registry {
   def suites: Seq[QueryDef] =
-    RelationalQueries.all
+    RelationalQueries.all ++ StatQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     suites.map(q => q.name -> q.fn).toMap
