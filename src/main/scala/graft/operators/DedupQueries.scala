@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators for training-data pipelines over `documents`
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard). Scale design:
+  *  - candidate generation is always a hash-bucket join (never an O(n²)
+  *    cross join); the only all-pairs work happens inside LSH buckets,
+  *  - shingling/minhashing is pure codegen'd HOF expressions (no UDFs),
+  *  - at 100 TB the band-bucket groupBy shuffles by (band, hash) — skewed
+  *    buckets (boilerplate/near-empty docs) would get AQE skew handling.
+  */
+object DedupQueries {
+
+  private val toks = split(col("text"), " ")
+
+  /** Exact dedup: md5 content hash, canonical = min doc_id per text. */
+  val dExact = QueryDef(
+    "d1_dedup_exact",
+    (s, dir) => {
+      val w = Window.partitionBy(col("text"))
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("content_hash"),
+          count(lit(1)).over(w).as("n_copies"),
+          (col("doc_id") === min(col("doc_id")).over(w)).as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, md5(text) AS content_hash,
+             COUNT(*) OVER (PARTITION BY text) AS n_copies,
+             doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_canonical
+      FROM documents ORDER BY doc_id"""))
+
+  /** Word 3-shingles of a text column (deduped). */
+  private def shingles(tk: Column): Column =
+    array_distinct(
+      transform(sequence(lit(0), size(tk) - 3),
+        i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3))))
+
+  /** k seeded minhashes over shingles: min over xxhash64(seed_i, shingle). */
+  private def minhashes(sh: Column, k: Int): Column =
+    array((0 until k).map(i => array_min(transform(sh, x => xxhash64(lit(i), x)))): _*)
+
+  /** MinHash + LSH banding near-dup pairs, verified with exact shingle
+    * Jaccard. 16 hashes → 4 bands of 4; candidates share ≥1 band; kept
+    * when true Jaccard ≥ 0.5. Rows-only (the MinHash functions have no
+    * SQL analogue); deterministic. */
+  val dMinHash = QueryDef(
+    "d2_minhash_lsh_pairs",
+    (s, dir) => {
+      val k = 16; val bands = 4; val rowsPerBand = k / bands
+      val docs = Tables.documents(s, dir)
+        .filter(size(toks) >= 3)
+        .select(col("doc_id"), shingles(toks).as("sh"))
+        .withColumn("mh", minhashes(col("sh"), k))
+        .cache()
+      val banded = docs.select(
+        col("doc_id"), col("sh"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("mh"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bh"))
+      val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"), col("sh").as("sha"))
+      val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"), col("sh").as("shb"))
+      val pairs = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("sha"), col("shb")).distinct()
+      val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+        size(array_union(col("sha"), col("shb"))).cast("double")
+      val out = pairs
+        .withColumn("jaccard", round(jac, 6))
+        .filter(col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+        .distinct()
+        .orderBy("a", "b")
+      out
+    })
+
+  /** 64-bit SimHash fingerprint + banded Hamming-distance near-dup pairs
+    * (≤ 6 bits differ). Pure HOF expressions; rows-only. */
+  val dSimHash = QueryDef(
+    "d3_simhash_pairs",
+    (s, dir) => {
+      val bits = transform(sequence(lit(0), lit(63)), b =>
+        when(aggregate(toks, lit(0L),
+          (acc, t) => acc + when(
+            call_function("shiftright", xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+        ) > 0L, lit(1L)).otherwise(lit(0L)))
+      // assemble via shifts/OR — acc*2 would overflow signed long at bit 63
+      val shifted = zip_with(bits, sequence(lit(0), lit(63)),
+        (bit, p) => when(bit === 1L, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))
+      val sim = aggregate(shifted, lit(0L), (acc, x) => acc.bitwiseOR(x))
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), sim.as("simhash"))
+        .cache()
+      // 4 chunks of 16 bits: Hamming ≤ 6 pairs share ≥1 chunk by pigeonhole? (6/4 >1 —
+      // guaranteed only ≤3; chunks still give high recall for ≤6, standard practice)
+      val chunked = docs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map { c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ch"))
+        }: _*)).as("ck"))
+        .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.ch"))
+      val l = chunked.select(col("chunk"), col("ch"), col("doc_id").as("a"), col("simhash").as("ha"))
+      val r = chunked.select(col("chunk"), col("ch"), col("doc_id").as("b"), col("simhash").as("hb"))
+      l.join(r, Seq("chunk", "ch")).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy("a", "b")
+    })
+
+  /** Character 4-gram Jaccard near-dups within each `source` bucket —
+    * the n-gram Jaccard operator with a natural blocking key. Oracle-
+    * checked: both engines build the same 4-gram sets. */
+  val dNgramJaccard = QueryDef(
+    "d4_ngram_jaccard",
+    (s, dir) => {
+      val grams = array_distinct(
+        transform(sequence(lit(1), length(col("text")) - 3),
+          i => col("text").substr(i, lit(4))))
+      // Probe-set pattern: exact all-pairs Jaccard is O(n²) per block and
+      // exists here as the oracle-checked ground truth for a bounded probe
+      // set; the scalable full-corpus path is d2's MinHash-LSH candidates.
+      val docs = Tables.documents(s, dir)
+        .filter(length(col("text")) >= 4)
+        .select(col("doc_id"), col("source"), grams.as("g"))
+      val l = docs.filter(col("doc_id") < 250)
+        .select(col("source"), col("doc_id").as("a"), col("g").as("ga"))
+      val r = docs.select(col("source"), col("doc_id").as("b"), col("g").as("gb"))
+      val jac = size(array_intersect(col("ga"), col("gb"))).cast("double") /
+        size(array_union(col("ga"), col("gb"))).cast("double")
+      l.join(r, Seq("source")).filter(col("a") < col("b"))
+        .withColumn("__jac", jac)
+        .filter(col("__jac") >= 0.55)
+        .select(col("a"), col("b"), round(col("__jac"), 6).as("jaccard"))
+        .orderBy("a", "b")
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, length(text) - 2),
+                                            i -> substring(text, i, 4))) AS gr
+        FROM documents WHERE length(text) >= 4)
+      SELECT l.doc_id AS a, r.doc_id AS b,
+             ROUND(CAST(len(list_intersect(l.gr, r.gr)) AS DOUBLE)
+                   / len(list_distinct(list_concat(l.gr, r.gr))), 6) AS jaccard
+      FROM g l JOIN g r ON l.source = r.source AND l.doc_id < r.doc_id AND l.doc_id < 250
+      WHERE CAST(len(list_intersect(l.gr, r.gr)) AS DOUBLE)
+            / len(list_distinct(list_concat(l.gr, r.gr))) >= 0.55
+      ORDER BY a, b"""))
+
+  val all: Seq[QueryDef] = Seq(dExact, dMinHash, dSimHash, dNgramJaccard)
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: media as opaque BINARY payloads with a
+  * typed metadata struct, plus decode / feature-extract / frame-sample
+  * stages. The container has no image/audio codecs, so the DECODE STEP
+  * IS A DETERMINISTIC STUB (byte-level features standing in for pixel
+  * decoding — clearly marked below); the Spark-side plumbing (schema,
+  * typed Dataset batches, partition-level processing, struct metadata)
+  * is real and tested.
+  *
+  * Scale design: payloads never pass through a shuffle wider than their
+  * aggregated features; per-partition batch processing mirrors how a
+  * real codec (JNI/native) would be amortized across rows.
+  */
+object MultimodalQueries {
+
+  /** Synthesize the media table: documents' text bytes as the opaque
+    * payload + deterministic typed metadata (format/width/height/frames).
+    */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        when(col("doc_id") % 3 === 0, "png").when(col("doc_id") % 3 === 1, "jpeg")
+          .otherwise("webp").as("format"),
+        (lit(64) + (col("doc_id") % 32) * 16).cast("int").as("width"),
+        (lit(64) + (col("doc_id") % 24) * 16).cast("int").as("height"),
+        (col("n_chars") / 32 + 1).cast("int").as("n_frames")).as("meta"))
+
+  /** Metadata + payload-size stats per format — pure relational ops over
+    * the multimodal schema (oracle-checked; byte lengths are exact). */
+  val mMeta = QueryDef(
+    "mm1_media_metadata",
+    (s, dir) =>
+      media(s, dir)
+        .groupBy(col("meta.format").as("format"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(length(col("payload")).cast("long")).as("total_bytes"),
+          max(col("meta.width")).cast("long").as("max_width"),
+          sum(col("meta.n_frames").cast("long")).as("total_frames"))
+        .orderBy("format"),
+    Some("""
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'png' WHEN doc_id % 3 = 1 THEN 'jpeg'
+                  ELSE 'webp' END AS format,
+             COUNT(*) AS n_media,
+             CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+             CAST(MAX(64 + (doc_id % 32) * 16) AS BIGINT) AS max_width,
+             CAST(SUM(n_chars // 32 + 1) AS BIGINT) AS total_frames
+      FROM documents GROUP BY 1 ORDER BY 1"""))
+
+  /** Decode + feature-extract over typed partition batches.
+    * ??? REAL CODEC GOES HERE: `decodeStub` replaces pixel decoding with
+    * a deterministic 16-bin byte histogram (the plumbing — Dataset
+    * schema, partition batching, fixed-length feature vectors — is what
+    * this operator tests). Rows-only (no SQL analogue). */
+  val mDecode = QueryDef(
+    "mm2_decode_features",
+    (s, dir) => {
+      import s.implicits._
+      def decodeStub(payload: Array[Byte]): Array[Double] = {
+        val hist = new Array[Double](16)
+        var i = 0
+        while (i < payload.length) { hist((payload(i) & 0xFF) / 16) += 1.0; i += 1 }
+        if (payload.length > 0) { var j = 0; while (j < 16) { hist(j) /= payload.length; j += 1 } }
+        hist
+      }
+      val ds = media(s, dir).select(col("media_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+      ds.mapPartitions { batch =>
+        // partition-level loop = where a native codec handle would live
+        batch.map { case (id, bytes) =>
+          val f = decodeStub(bytes)
+          (id, f, math.sqrt(f.map(x => x * x).sum))
+        }
+      }.toDF("media_id", "features", "feature_norm")
+        .select(col("media_id"),
+          round(col("feature_norm"), 6).as("feature_norm"),
+          round(element_at(col("features"), 1), 6).as("bin0"),
+          round(element_at(col("features"), 8), 6).as("bin7"))
+        .orderBy("media_id")
+    })
+
+  /** Frame sampling: payload viewed as fixed 32-byte frames, every 4th
+    * frame sampled, per-frame checksum — binary slicing as expressions.
+    * Rows-only. */
+  val mFrames = QueryDef(
+    "mm3_frame_sample",
+    (s, dir) =>
+      media(s, dir)
+        .select(col("media_id"), col("payload"), col("meta.n_frames").as("n_frames"))
+        .withColumn("sampled_idx", sequence(lit(0), col("n_frames") - 1, lit(4)))
+        .withColumn("sampled_frames",
+          transform(col("sampled_idx"), i => col("payload").substr(i * 32 + 1, lit(32))))
+        .select(
+          col("media_id"), col("n_frames"),
+          size(col("sampled_idx")).cast("long").as("n_sampled"),
+          crc32(element_at(col("sampled_frames"), 1)).as("first_frame_crc"))
+        .orderBy("media_id"))
+
+  val all: Seq[QueryDef] = Seq(mMeta, mDecode, mFrames)
+}
