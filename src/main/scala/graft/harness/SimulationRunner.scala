@@ -1,0 +1,118 @@
+package graft.harness
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.gen.PanelGenerator
+import graft.stats.LocalBattery
+
+/** Monte-Carlo simulation harness (reference: simulation.R:116-243,
+  * SURVEY.md §2.11 H1-H5) — Spark-native replication parallelism:
+  *
+  *  1. every (cell, replication) panel is generated as one partitioned
+  *     DataFrame from the counter-based generator (no driver loop over
+  *     reps; generation is pure expressions),
+  *  2. the estimator battery runs INSIDE executors per (cell, rep) via
+  *     groupByKey.flatMapGroups + LocalBattery (52,000 small fits is
+  *     replication-parallel work, not row-parallel work — SURVEY §3.3),
+  *  3. the A5 metric reduction (bias / empirical SE / relative
+  *     efficiency / rMSE / coverage / warning counts) is a plain
+  *     groupBy().agg() + a window for the vs-baseline ratio (A8).
+  */
+object SimulationRunner {
+
+  final case class Cell(nInternal: Int, nExternal: Int)
+
+  val coefNames: Seq[String] = Seq("Intercept", "Slope")
+  val betaRTrue: Array[Double] = Array(-2.0, 5.0)
+
+  /** Per-replication long-format results:
+    * (n_internal, n_external, replication, method, coef, estimate, se,
+    *  covered, tilt_warning).
+    */
+  def perRepResults(spark: SparkSession, cells: Seq[Cell], nReps: Int,
+                    methods: Seq[String], cfg0: PanelGenerator.Config = PanelGenerator.Config(),
+                    baseSeed: Long = 2024L): DataFrame = {
+    import spark.implicits._
+    val unknown = methods.filterNot(LocalBattery.methodNames.contains)
+    require(unknown.isEmpty,
+      s"unknown method(s): ${unknown.mkString(", ")}; valid: ${LocalBattery.methodNames.mkString(", ")}")
+
+    val panels = cells.zipWithIndex.map { case (cell, ci) =>
+      val cfg = cfg0.copy(nInternal = cell.nInternal, nExternal = cell.nExternal)
+      (1 to nReps).map { rep =>
+        val seed = baseSeed + ci.toLong * 100000L + rep
+        PanelGenerator.panel(spark, seed, cfg)
+          .withColumn("n_internal", lit(cell.nInternal))
+          .withColumn("n_external", lit(cell.nExternal))
+          .withColumn("replication", lit(rep))
+      }.reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+
+    val slim = panels.select(
+      $"n_internal", $"n_external", $"replication",
+      $"y", $"a", $"x1", $"x2", $"x3", $"p_h", $"p_h_a", $"is_internal",
+      $"user_id", $"t")
+
+    val methodsB = spark.sparkContext.broadcast(methods)
+    val truth = betaRTrue
+
+    slim
+      .as[(Int, Int, Int, Double, Double, Double, Double, Double, Double, Double, Boolean, Long, Int)]
+      .groupByKey { case (ni, ne, rep, _, _, _, _, _, _, _, _, _, _) => (ni, ne, rep) }
+      .flatMapGroups { (key: (Int, Int, Int), it: Iterator[(Int, Int, Int, Double, Double, Double, Double, Double, Double, Double, Boolean, Long, Int)]) =>
+        val (ni, ne, rep) = key
+        // R layout order: user-fastest within each t (generate_data.R:77-93)
+        val rows = it.toArray.sortBy(r => (r._13, r._12))
+        val panel = LocalBattery.Panel(
+          rows.map(_._4), rows.map(_._5), rows.map(_._6), rows.map(_._7), rows.map(_._8),
+          rows.map(_._9), rows.map(_._10), rows.map(_._11), rows.map(_._12))
+        val n = rows.length
+        methodsB.value.iterator.flatMap { m =>
+          try {
+            val r = LocalBattery.run(m, panel)
+            val dof = n - r.betaR.length
+            val tCrit = new org.apache.commons.math3.distribution.TDistribution(dof.toDouble)
+              .inverseCumulativeProbability(0.975)
+            coefNames.indices.map { i =>
+              val covered = math.abs(r.betaR(i) - truth(i)) <= tCrit * r.seBetaR(i)
+              (ni, ne, rep, m, coefNames(i), r.betaR(i), r.seBetaR(i), covered, r.tiltWarning)
+            }
+          } catch {
+            case _: Throwable => // degenerate replication (singular fit): skip, like an R error rep
+              Seq.empty
+          }
+        }
+      }
+      .toDF("n_internal", "n_external", "replication", "method", "coef",
+        "estimate", "se", "covered", "tilt_warning")
+  }
+
+  /** A5/A8 metric table (simulation.R:124-136 + pretty-table schema). */
+  def metrics(perRep: DataFrame): DataFrame = {
+    val truthCol = when(col("coef") === "Intercept", betaRTrue(0)).otherwise(betaRTrue(1))
+    val agg = perRep
+      .withColumn("truth", truthCol)
+      .groupBy(col("n_internal"), col("n_external"), col("coef"), col("method"))
+      .agg(
+        first(col("truth")).as("true_value"),
+        avg(col("estimate")).as("avg_estimate"),
+        stddev_pop(col("estimate")).as("empirical_se"),
+        avg(col("se")).as("analytical_se"),
+        sqrt(avg(pow(col("estimate") - col("truth"), 2))).as("rmse"),
+        avg(col("covered").cast("double")).as("coverage"),
+        sum(col("tilt_warning").cast("long")).as("n_tilt_warnings"))
+    val wBase = Window.partitionBy("n_internal", "n_external", "coef")
+    val baseSe = max(when(col("method") === "WCLS-Internal", col("empirical_se"))).over(wBase)
+    val baseAse = max(when(col("method") === "WCLS-Internal", col("analytical_se"))).over(wBase)
+    // single-replication runs have zero empirical SE — ratio is undefined,
+    // surface NULL instead of erroring under ANSI mode
+    agg
+      .withColumn("empirical_rel_efficiency",
+        when(col("empirical_se") > 0.0, baseSe / col("empirical_se")))
+      .withColumn("analytical_rel_efficiency",
+        when(col("analytical_se") > 0.0, baseAse / col("analytical_se")))
+      .orderBy("n_internal", "n_external", "coef", "method")
+  }
+}

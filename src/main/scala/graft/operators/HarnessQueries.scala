@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.gen.PanelGenerator
+import graft.harness.SimulationRunner
+
+/** Driver-surface queries for the synthetic-panel generator (SURVEY.md
+  * §2.2 G1-G6) and the Monte-Carlo harness (§2.11 H1-H5). Rows-only
+  * (RNG streams have no SQL analogue) but fully deterministic — the
+  * generator is counter-based and partition-invariant.
+  */
+object HarnessQueries {
+
+  /** Panel generator summary: per-study moments of a seeded panel. */
+  val gPanel = QueryDef(
+    "g1_panel_summary",
+    (s, _) => {
+      val cfg = PanelGenerator.Config(nInternal = 100, nExternal = 100)
+      PanelGenerator.panel(s, seed = 1L, cfg)
+        .groupBy(col("is_internal"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(avg("x1"), 6).as("mean_x1"),
+          round(avg("p_h"), 6).as("mean_p_h"),
+          round(avg("a"), 6).as("treatment_rate"),
+          round(avg("y"), 6).as("mean_y"))
+        .orderBy("is_internal")
+    })
+
+  /** Mini Monte-Carlo: 1 cell × 3 reps × 3 methods, per-rep estimates +
+    * aggregated metrics — the full H1-H5 pipeline end to end. */
+  val hSimulation = QueryDef(
+    "h1_simulation_metrics",
+    (s, _) => {
+      val perRep = SimulationRunner.perRepResults(
+        s, Seq(SimulationRunner.Cell(30, 30)), nReps = 3,
+        methods = Seq("WCLS-Internal", "WCLS-Pooled", "P-WCLS-Pooled"))
+      SimulationRunner.metrics(perRep)
+        .select(
+          col("n_internal"), col("n_external"), col("coef"), col("method"),
+          round(col("avg_estimate"), 6).as("avg_estimate"),
+          round(col("empirical_se"), 6).as("empirical_se"),
+          round(col("rmse"), 6).as("rmse"),
+          round(col("coverage"), 6).as("coverage"),
+          col("n_tilt_warnings"))
+        .orderBy("coef", "method")
+    })
+
+  val all: Seq[QueryDef] = Seq(gPanel, hSimulation)
+}

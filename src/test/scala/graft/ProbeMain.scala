@@ -28,6 +28,33 @@ object ProbeMain {
     tryRun("WCLS_TINY_40ROWS") { Battery.run("WCLS-Internal", p.filter(col("user_id") <= 2)) }
     tryRun("DR_SMALL") { Battery.run("DR-WCLS",
       p.filter(col("user_id") <= 50 || (col("user_id") > 400 && col("user_id") <= 450))) }
+
+    if (args.contains("edge")) {
+      try {
+        val pr = graft.harness.SimulationRunner.perRepResults(
+          spark, Seq(graft.harness.SimulationRunner.Cell(20, 20)), nReps = 1,
+          methods = Seq("NOT-A-METHOD"))
+        println("EDGE_UNKNOWN_METHOD_ROWS=" + pr.count())
+      } catch { case e: Throwable => println("EDGE=" + e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120)) }
+      try {
+        val m = graft.harness.SimulationRunner.metrics(
+          graft.harness.SimulationRunner.perRepResults(
+            spark, Seq(graft.harness.SimulationRunner.Cell(20, 20)), nReps = 1,
+            methods = Seq("WCLS-Internal")))
+        m.select("method", "coef", "empirical_se", "empirical_rel_efficiency").show(4, false)
+      } catch { case e: Throwable => println("EDGE=" + e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120)) }
+    }
+
+    if (args.contains("sim")) {
+      val t0 = System.nanoTime()
+      val perRep = graft.harness.SimulationRunner.perRepResults(
+        spark, Seq(graft.harness.SimulationRunner.Cell(100, 100)), nReps = 20,
+        methods = Seq("WCLS-Internal", "WCLS-Pooled", "PET-WCLS"))
+      graft.harness.SimulationRunner.metrics(perRep)
+        .select("coef", "method", "avg_estimate", "empirical_se", "coverage", "empirical_rel_efficiency")
+        .show(20, false)
+      println(f"SIM_WALL=${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }
