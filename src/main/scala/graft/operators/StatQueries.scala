@@ -137,5 +137,37 @@ object StatQueries {
         .orderBy("method", "coef")
     })
 
-  val all: Seq[QueryDef] = Seq(qGramian, qWls, qLogistic, qBattery)
+  /** A-WCLS (extras-tier plug-in projection, methods/awcls.R) on the
+    * golden panel — 4 moderator coefficients with delta-method SEs. */
+  val qAwcls = QueryDef(
+    "s5_awcls",
+    (s, _) => {
+      val panel = LocalBattery.fromDataFrame(Battery.examplePanel(s), "_rowidx")
+      val r = LocalBattery.run("A-WCLS", panel)
+      val names = Seq("a_centered", "a_centered:x1", "x2_proj:1", "x2_proj:x1")
+      val rows = names.indices.map { i =>
+        Row(names(i),
+          BigDecimal(r.betaR(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal(r.seBetaR(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("coef", StringType), StructField("estimate", DoubleType),
+          StructField("se", DoubleType))))
+    })
+
+  /** AIC ladder for the tilt model (extras/et-model-selection.R, M9). */
+  val qAic = QueryDef(
+    "s6_aic_ladder",
+    (s, _) => {
+      val panel = LocalBattery.fromDataFrame(Battery.examplePanel(s), "_rowidx")
+      val rows = LocalBattery.aicLadder(panel).map { case (name, k, aic) =>
+        Row(name, k.toLong, BigDecimal(aic).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1),
+        StructType(Seq(StructField("model", StringType), StructField("k", LongType),
+          StructField("aic", DoubleType))))
+        .orderBy("aic")
+    })
+
+  val all: Seq[QueryDef] = Seq(qGramian, qWls, qLogistic, qBattery, qAwcls, qAic)
 }

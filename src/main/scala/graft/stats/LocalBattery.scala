@@ -541,6 +541,108 @@ object LocalBattery {
     Result("", b, se, warn)
   }
 
+  /** A-WCLS (methods/awcls.R — extras-tier, flagged "not checked
+    * thoroughly" upstream; SURVEY.md §7.4.5 keeps its quirks:
+    * n_users = max(user_id), dof scale n/(n-d) instead of
+    * n_users/(n_users-d)). Plug-in projection β_r = Γ β_s with Γ from a
+    * cubic regression of x2 on x1 (internal rows), delta-method variance.
+    */
+  private def awclsMethod(p: Panel): Result = {
+    val n = p.n
+    val prop = propensity(p, p.pHA)
+    val xh = xH(p)
+    val xs = cbind(prop.aC, mul(prop.aC, p.x1), mul(prop.aC, p.x2))
+    val xhs = DenseMatrix.horzcat(xh, xs)
+    val beta = wlsFit(xhs, p.y, prop.w)
+    val betaS = beta(4 until 7)
+    val xsRaw = rscale(xs, mapa(prop.aC)(1.0 / _))
+    val intIdx = p.isInternal.zipWithIndex.filter(_._1).map(_._2)
+    // Gamma: x2 ~ x1 + x1^2 + x1^3 on internal rows
+    val x1i = intIdx.map(p.x1)
+    val xg = cbind(intIdx.map(_ => 1.0), x1i, mapa(x1i)(v => v * v), mapa(x1i)(v => v * v * v))
+    val gamma = (xg.t * xg) \ (xg.t * DenseVector(intIdx.map(p.x2)))
+    val dR = 4
+    val bigGamma = DenseMatrix.zeros[Double](dR, 3)
+    bigGamma(0, 0) = 1.0; bigGamma(1, 1) = 1.0
+    for (i <- 0 until dR) bigGamma(i, 2) = gamma(i)
+    val betaR = bigGamma * betaS
+    // sandwich
+    val d = 1 + 4 + 3 + dR
+    val s = DenseMatrix.zeros[Double](n, d)
+    val h = DenseMatrix.zeros[Double](d, d)
+    s(::, 0) := DenseVector(sub(p.a, prop.pHat))
+    h(0, 0) = suma(mapa(prop.pHat)(v => v * (1.0 - v)))
+    val resid = sub(p.y, mv(xhs, beta))
+    val wres = mul(prop.w, resid)
+    s(::, 1 until 8) := rscale(xhs, wres)
+    h(1 until 8, 1 until 8) := rscale(xhs, prop.w).t * xhs
+    val fitS = mv(xs, betaS)
+    h(1 until 8, 0) := chainRuleBlock(xhs, xsRaw, 4, wres, fitS, prop, p.a, prop.w)
+    val sG = 8
+    val gresid = sub(intIdx.map(p.x2), mv(xg, gamma))
+    for ((gi, li) <- intIdx.zipWithIndex; j <- 0 until dR)
+      s(gi, sG + j) = gresid(li) * xg(li, j)
+    h(sG until d, sG until d) := xg.t * xg
+    // reference quirks: users counted as max(user_id); dof uses n, not n_users
+    val nUsers = p.userId.max.toInt
+    val meatAgg = {
+      val tMax = n / nUsers
+      val agg = DenseMatrix.zeros[Double](nUsers, d)
+      var g = 0
+      while (g < nUsers) {
+        var r = g * tMax; val end = r + tMax
+        while (r < end) { var c = 0; while (c < d) { agg(g, c) += s(r, c); c += 1 }; r += 1 }
+        g += 1
+      }
+      agg
+    }
+    val meat = meatAgg.t * meatAgg
+    val half = h \ cholesky(meat)
+    val sand = (half * half.t) * (n.toDouble / (n - d))
+    val posTheta = 5 until d
+    val vTheta = DenseMatrix.tabulate(3 + dR, 3 + dR)((i, j) => sand(posTheta(i), posTheta(j)))
+    val jTheta = DenseMatrix.horzcat(bigGamma, DenseMatrix.eye[Double](dR) * betaS(2))
+    val vBetaR = jTheta * vTheta * jTheta.t
+    Result("", betaR.toArray, bsqrt(diag(vBetaR)).toArray, tiltWarning = false)
+  }
+
+  /** AIC ladder for the tilt model (extras/et-model-selection.R, M9):
+    * AIC = deviance + 2k for a set of candidate designs. */
+  def aicLadder(p: Panel): Seq[(String, Int, Double)] = {
+    def dev(x: DenseMatrix[Double]): Double = {
+      val (b, _) = logistic(x, p.isI)
+      val mu = mapa(mv(x, b))(e => 1.0 / (1.0 + math.exp(-e)))
+      var s = 0.0; var i = 0
+      while (i < p.n) {
+        val mc = math.min(math.max(mu(i), 1e-300), 1.0 - 1e-16)
+        s += -2.0 * (p.isI(i) * math.log(mc) + (1.0 - p.isI(i)) * math.log(1.0 - mc)); i += 1
+      }
+      s
+    }
+    val one = Array.fill(p.n)(1.0)
+    def splineX(dfP: Int, deg: Int, interact: Boolean): DenseMatrix[Double] = {
+      val b1 = bs(p.x1, dfP, deg); val b2 = bs(p.x2, dfP, deg)
+      val base = Seq(one) ++ (0 until b1.cols).map(colOf(b1, _)) ++
+        (0 until b2.cols).map(colOf(b2, _))
+      val inter = if (interact)
+        for (k <- 0 until b2.cols; j <- 0 until b1.cols)
+          yield mul(colOf(b1, j), colOf(b2, k))
+      else Seq.empty
+      cbind(base ++ inter: _*)
+    }
+    val candidates = Seq(
+      ("intercept", cbind(one)),
+      ("x1", cbind(one, p.x1)),
+      ("x2", cbind(one, p.x2)),
+      ("x1+x2", cbind(one, p.x1, p.x2)),
+      ("x1*x2", cbind(one, p.x1, p.x2, mul(p.x1, p.x2))),
+      ("bs2+bs2", splineX(2, 2, interact = false)),
+      ("bs3+bs3", splineX(3, 2, interact = false)),
+      ("bs3*bs3", splineX(3, 2, interact = true)),
+      ("bs4*bs4", splineX(4, 2, interact = true)))
+    candidates.map { case (name, x) => (name, x.cols, dev(x) + 2.0 * x.cols) }
+  }
+
   private def filterInternal(p: Panel): Panel = {
     val idx = p.isInternal.zipWithIndex.filter(_._1).map(_._2)
     Panel(idx.map(p.y), idx.map(p.a), idx.map(p.x1), idx.map(p.x2), idx.map(p.x3),
@@ -548,6 +650,20 @@ object LocalBattery {
   }
 
   val methodNames: Seq[String] = Battery.methodNames
+
+  /** Collect a panel DataFrame into local arrays in the reference's row
+    * order (user-fastest within t — pass the ordering columns that
+    * realize it, e.g. "_rowidx" for the golden CSV or t, user_id for
+    * generated panels). */
+  def fromDataFrame(df: org.apache.spark.sql.DataFrame, orderCols: String*): Panel = {
+    val rows = df.orderBy(orderCols.map(org.apache.spark.sql.functions.col): _*)
+      .select("y", "a", "x1", "x2", "x3", "p_h", "p_h_a", "is_internal", "user_id")
+      .collect()
+    Panel(
+      rows.map(_.getDouble(0)), rows.map(_.getDouble(1)), rows.map(_.getDouble(2)),
+      rows.map(_.getDouble(3)), rows.map(_.getDouble(4)), rows.map(_.getDouble(5)),
+      rows.map(_.getDouble(6)), rows.map(_.getBoolean(7)), rows.map(_.getLong(8)))
+  }
 
   def run(method: String, full: Panel): Result = (method match {
     case "WCLS-Internal"     => wclsMethod(filterInternal(full))
@@ -560,5 +676,6 @@ object LocalBattery {
     case "ET-WCLS"           => etwclsMethod(full, "full")
     case "DR-WCLS"           => drwclsMethod(full)
     case "PET-WCLS"          => petwclsMethod(full)
+    case "A-WCLS"            => awclsMethod(full)
   }).copy(method = method)
 }

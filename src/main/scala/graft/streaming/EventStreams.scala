@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.12 — green-field
+  * capability; the reference is batch-only). Three canonical shapes over
+  * the events schema:
+  *
+  *  - watermarked tumbling-window aggregation (decision-point bucketing),
+  *  - sliding-window rates,
+  *  - per-user sessionization with custom state via mapGroupsWithState
+  *    (processing-time timeout closes idle sessions).
+  *
+  * All transforms are source-agnostic: tests drive them with
+  * MemoryStream; production would swap in kafka/files readStream. The
+  * same column logic runs identically in batch mode (Spark's unified
+  * Dataset semantics), which is how the batch q20_sessionize oracle
+  * cross-checks the logic.
+  */
+object EventStreams {
+
+  final case class Event(eventId: Long, ts: java.sql.Timestamp, userId: Long,
+                         eventType: String, value: Double)
+
+  /** Tumbling 10-minute window counts per event type, 30-minute
+    * watermark: late events beyond the watermark are dropped, window
+    * state is bounded — the knob that keeps state finite at 100 TB/day.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("eventType"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("eventType"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding 10-minute windows every 5 minutes: per-window event rate. */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_events"))
+
+  final case class SessionState(nEvents: Long, lastTs: Long, nSessions: Long)
+  final case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)
+
+  /** Per-user session counting with explicit state: a new session starts
+    * after a 30-minute gap. State per user is O(1). With
+    * `evictIdle = true` a processing-time timeout evicts idle users, so
+    * state size tracks ACTIVE users, not all users ever seen — the
+    * production setting. (Timeout-driven batches make
+    * `processAllAvailable` spin forever, so deterministic tests and
+    * bounded runs use `evictIdle = false`.)
+    */
+  def sessionize(events: Dataset[Event], evictIdle: Boolean = false): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    val timeoutMode =
+      if (evictIdle) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[SessionState, SessionUpdate](timeoutMode) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (evictIdle && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            SessionUpdate(userId, s.nSessions, s.nEvents)
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.eventId))
+            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+            for (e <- sorted) {
+              val newSession = s.lastTs == Long.MinValue || e.ts.getTime - s.lastTs > gapMs
+              s = SessionState(s.nEvents + 1, e.ts.getTime,
+                s.nSessions + (if (newSession) 1 else 0))
+            }
+            state.update(s)
+            if (evictIdle) state.setTimeoutDuration("1 hour")
+            SessionUpdate(userId, s.nSessions, s.nEvents)
+          }
+      }
+  }
+}

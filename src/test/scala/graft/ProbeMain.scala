@@ -45,6 +45,51 @@ object ProbeMain {
       } catch { case e: Throwable => println("EDGE=" + e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(120)) }
     }
 
+    if (args.contains("stream")) {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.streaming.Trigger
+      // end-to-end: real parquet file source -> streaming engine -> memory sink
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      // file stream sources need a directory
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        srcDir.resolve("events.parquet"))
+      val src = spark.readStream.schema(schema)
+        .parquet(srcDir.toString)
+        .select(
+          timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+          col("event_type").as("eventType"), col("value"))
+      val q = graft.streaming.EventStreams.windowedCounts(src)
+        .writeStream.format("memory").queryName("file_stream_counts")
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val n = spark.table("file_stream_counts")
+        .agg(org.apache.spark.sql.functions.sum("n_events")).head().getLong(0)
+      println(s"STREAM_FILE_SOURCE_EVENTS=$n (expect 1000)")
+
+      // probe: late event beyond the 30-min watermark is dropped
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import graft.streaming.EventStreams.Event
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Event]
+      val q2 = graft.streaming.EventStreams.windowedCounts(mem.toDF())
+        .writeStream.format("memory").queryName("late_probe")
+        .outputMode("update").start()
+      def T(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      mem.addData(Event(1, T(0), 1, "click", 1.0), Event(2, T(120), 1, "click", 1.0))
+      q2.processAllAvailable()
+      mem.addData(Event(3, T(1), 1, "click", 100.0)) // 119 min late > 30 min watermark
+      q2.processAllAvailable()
+      q2.stop()
+      println("STREAM_LATE_PROBE_TABLE:")
+      spark.table("late_probe").orderBy("window_start").show(10, false)
+    }
+
     if (args.contains("sim")) {
       val t0 = System.nanoTime()
       val perRep = graft.harness.SimulationRunner.perRepResults(

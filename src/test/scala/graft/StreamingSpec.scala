@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("watermarked tumbling-window counts over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Event]
+    val q = EventStreams.windowedCounts(src.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      src.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(3), 1, "click", 2.0),
+        Event(3, ts(12), 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts").collect()
+      assert(rows.length == 2)
+      val clicks = rows.find(_.getString(1) == "click").get
+      assert(clicks.getLong(2) == 2 && clicks.getDouble(3) == 3.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization counts sessions across gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Event]
+    val q = EventStreams.sessionize(src.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // user 1: two events 5 min apart (1 session), then a 60-min gap (2nd session)
+      src.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 1.0),
+        Event(3, ts(70), 1, "click", 1.0),
+        Event(4, ts(0), 2, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(rows(1L) == (2L, 3L), s"user 1: $rows")
+      assert(rows(2L) == (1L, 1L))
+    } finally q.stop()
+  }
+
+  test("streaming logic matches batch execution of the same transform") {
+    import spark.implicits._
+    val batch = Seq(
+      Event(1, ts(0), 1, "click", 1.0), Event(2, ts(3), 1, "click", 2.0),
+      Event(3, ts(12), 2, "view", 5.0)).toDF()
+    val out = EventStreams.windowedCounts(batch).collect()
+    assert(out.map(_.getLong(2)).sum == 3)
+  }
+}
