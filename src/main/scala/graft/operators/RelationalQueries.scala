@@ -479,10 +479,66 @@ object RelationalQueries {
       SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM g GROUP BY user_id ORDER BY user_id"""))
 
+  /** As-of join: each event paired with the customer's most recent prior
+    * order. Spark lacks a native ASOF operator; the scalable pattern is
+    * union-both-sides + one window pass (`last(..., ignoreNulls)` over
+    * time order) — a single shuffle on the join key, no per-key range
+    * explosion, O(n log n) regardless of orders-per-customer skew.
+    * Ties are pre-collapsed with max_by on both sides so the DuckDB
+    * ASOF JOIN oracle is unambiguous.
+    */
+  val q21AsofJoin = QueryDef(
+    "q21_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir) // ts is nanos-since-epoch LONG
+      val od = T(s, dir, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+             max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+        .select(
+          col("o_custkey").as("key"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("t_ns"),
+          col("o_orderkey"), col("o_totalprice"),
+          lit(null).cast("long").as("event_id"), lit(0).as("is_event"))
+      val el = ev.select(
+        col("user_id").as("key"), col("ts").as("t_ns"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"),
+        col("event_id"), lit(1).as("is_event"))
+      // orders sort before events at the same instant => '>=' asof semantics
+      val w = Window.partitionBy(col("key"))
+        .orderBy(col("t_ns"), col("is_event"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      od.unionByName(el)
+        .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .withColumn("last_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+        .withColumn("last_order_tns", last(when(col("is_event") === 0, col("t_ns")), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1)
+        .select(
+          col("event_id"), col("key").as("user_id"),
+          col("last_orderkey").as("o_orderkey"),
+          col("last_totalprice").as("o_totalprice"),
+          round((col("t_ns") - col("last_order_tns")).cast("double") / lit(86400e9), 4)
+            .as("order_age_days"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH od AS (
+        SELECT o_custkey, o_orderdate,
+               MAX(o_orderkey) AS o_orderkey,
+               ARG_MAX(o_totalprice, o_orderkey) AS o_totalprice
+        FROM orders GROUP BY o_custkey, o_orderdate)
+      SELECT e.event_id, e.user_id, od.o_orderkey, od.o_totalprice,
+             ROUND(CAST(EPOCH_NS(e.ts) - EPOCH_NS(od.o_orderdate) AS DOUBLE) / 86400e9, 4)
+               AS order_age_days
+      FROM events e ASOF JOIN od
+        ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
+      ORDER BY e.event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q2FilterRevenue, q3CustPerRegion, q4RevenueByPriority,
     q5SemiJoin, q6AntiJoin, q7UnionTagged, q8DistinctCounts, q9WindowTopN,
     q10WindowLag, q11TopOrders, q12StringOps, q13CaseBucket, q14GroupedExtremes,
     q15RatioVsBaseline, q16PivotStatus, q17GroupedOls, q18Moments,
-    q19MonthlyOrders, q20Sessionize)
+    q19MonthlyOrders, q20Sessionize, q21AsofJoin)
 }
