@@ -60,26 +60,29 @@ object DedupQueries {
         .select(col("doc_id"), shingles(toks).as("sh"))
         .withColumn("mh", minhashes(col("sh"), k))
         .cache()
+      // band join carries only (band, hash, doc_id) — candidate pairs are
+      // deduped BEFORE the wide shingle arrays are joined back for exact
+      // verification, so the heavy payload never rides the bucket shuffle.
       val banded = docs.select(
-        col("doc_id"), col("sh"),
+        col("doc_id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"),
             xxhash64(slice(col("mh"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
         }: _*)).as("bk"))
-        .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bh"))
-      val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"), col("sh").as("sha"))
-      val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"), col("sh").as("shb"))
+        .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+      val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
+      val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
       val pairs = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("sha"), col("shb")).distinct()
+        .select("a", "b").distinct()
+      val sha = docs.select(col("doc_id").as("a"), col("sh").as("sha"))
+      val shb = docs.select(col("doc_id").as("b"), col("sh").as("shb"))
       val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
         size(array_union(col("sha"), col("shb"))).cast("double")
-      val out = pairs
-        .withColumn("jaccard", round(jac, 6))
-        .filter(col("jaccard") >= 0.5)
-        .select("a", "b", "jaccard")
-        .distinct()
+      pairs.join(sha, "a").join(shb, "b")
+        .withColumn("__jac", jac)
+        .filter(col("__jac") >= 0.5)
+        .select(col("a"), col("b"), round(col("__jac"), 6).as("jaccard"))
         .orderBy("a", "b")
-      out
     })
 
   /** 64-bit SimHash fingerprint + banded Hamming-distance near-dup pairs

@@ -90,6 +90,16 @@ object ProbeMain {
       spark.table("late_probe").orderBy("window_start").show(10, false)
     }
 
+    if (args.contains("explain")) {
+      val dir = "/root/testdata/sf0.01"
+      for (q <- Seq("q2_filter_revenue", "q1_pricing_summary", "q3_cust_per_region",
+                    "v1_cosine_topk", "q21_asof_join")) {
+        println(s"===== $q =====")
+        println(graft.SparkEntry.queries(q)(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+    }
+
     if (args.contains("sim")) {
       val t0 = System.nanoTime()
       val perRep = graft.harness.SimulationRunner.perRepResults(
