@@ -15,6 +15,11 @@ object Bench {
     // (~45s regardless of sf) — correctness-gated via Verify + GoldenSpec,
     // not a throughput benchmark, so it is excluded here.
     val headline = SparkEntry.queries -- Seq("s4_estimator_battery")
+    // JVM/codegen warm-up so the first timed query isn't charged for it
+    try {
+      SparkEntry.queries("q13_case_bucket")(spark, sfDir).count()
+      SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -48,5 +48,29 @@ object HarnessQueries {
         .orderBy("coef", "method")
     })
 
-  val all: Seq[QueryDef] = Seq(gPanel, hSimulation)
+  /** Sensitivity scenarios (sensitivity.R:23,53,368-370, H10): rerun the
+    * harness under perturbed data-generating processes
+    * (x2_coef, x21sq_coef) ∈ {(0,0), (2,0), (-3,0.3)}. */
+  val hSensitivity = QueryDef(
+    "h2_sensitivity_scenarios",
+    (s, _) => {
+      val scenarios = Seq(
+        ("no_x2_effect", 0.0, 0.0),
+        ("positive_x2", 2.0, 0.0),
+        ("quadratic", -3.0, 0.3))
+      scenarios.map { case (name, x2c, x21sq) =>
+        val perRep = SimulationRunner.perRepResults(
+          s, Seq(SimulationRunner.Cell(30, 30)), nReps = 2,
+          methods = Seq("WCLS-Internal"),
+          cfg0 = graft.gen.PanelGenerator.Config(x2Coef = x2c, x21sqCoef = x21sq))
+        SimulationRunner.metrics(perRep)
+          .select(
+            org.apache.spark.sql.functions.lit(name).as("scenario"),
+            col("coef"), col("method"),
+            org.apache.spark.sql.functions.round(col("avg_estimate"), 6).as("avg_estimate"),
+            org.apache.spark.sql.functions.round(col("analytical_se"), 6).as("analytical_se"))
+      }.reduce(_ unionByName _).orderBy("scenario", "coef")
+    })
+
+  val all: Seq[QueryDef] = Seq(gPanel, hSimulation, hSensitivity)
 }

@@ -19,11 +19,12 @@ import graft.sources.Tables
   */
 object VectorQueries {
 
-  /** Σ a[i]·b[i] with explicit double casts, left-to-right — identical
-    * IEEE result in Spark and DuckDB. */
+  /** Σ a[i]·b[i], ascending index — identical IEEE result to the HOF
+    * `aggregate(zip_with(...))` form and the DuckDB oracle, but emitted
+    * as a native codegen'd Catalyst expression (a tight primitive loop;
+    * graft.functions.DotProduct). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.fdot(a, b)
 
   /** Exact brute-force cosine top-5 for probe vectors (vec_id < 50):
     * broadcast probes × corpus, window rank. Oracle-checked. */

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorExpressions.fdot
+
+/** The native codegen'd DotProduct must be bit-identical to the HOF
+  * aggregate(zip_with(...)) formulation (same ascending-index order) —
+  * the property the DuckDB oracle comparison relies on.
+  */
+class DotProductSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("codegen DotProduct is bit-identical to the HOF formulation") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val hof = aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = emb.select((fdot(col("embedding"), col("embedding")) - hof).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff == 0.0, s"max |native - hof| = $diff")
+  }
+
+  test("DotProduct handles double-literal arrays and nulls") {
+    val df = spark.range(1).select(
+      fdot(array(lit(1.0f), lit(2.0f)), array(lit(3.0), lit(4.0))).as("mixed"),
+      fdot(lit(null).cast("array<float>"), array(lit(1.0f))).as("n"))
+    val r = df.head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1))
+  }
+
+  test("DotProduct rejects non-numeric-array inputs with a clear error") {
+    val e = intercept[Exception] {
+      spark.range(1).select(fdot(array(lit("a")), array(lit("b")))).head()
+    }
+    assert(e.getMessage.contains("dot_product") || e.getMessage.contains("DATATYPE"),
+      e.getMessage)
+  }
+}

@@ -100,6 +100,16 @@ object ProbeMain {
       }
     }
 
+    if (args.contains("cg")) {
+      // codegen_probe: does the generated java contain our primitive loop?
+      val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      val df = emb.select(graft.functions.VectorExpressions.fdot(col("embedding"), col("embedding")).as("d"))
+      val gen = org.apache.spark.sql.execution.debug.codegenString(df.queryExecution.executedPlan)
+      println("CG_HAS_LOOP=" + gen.contains(".getFloat("))
+      println("CG_WHOLESTAGE=" + gen.contains("Found 1 WholeStageCodegen subtrees"))
+      println("CG_VALUE=" + df.agg(min("d"), max("d")).head())
+    }
+
     if (args.contains("sim")) {
       val t0 = System.nanoTime()
       val perRep = graft.harness.SimulationRunner.perRepResults(
