@@ -1,6 +1,6 @@
 package graft.harness
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,5 +114,36 @@ object SimulationRunner {
       .withColumn("analytical_rel_efficiency",
         when(col("analytical_se") > 0.0, baseAse / col("analytical_se")))
       .orderBy("n_internal", "n_external", "coef", "method")
+  }
+
+  /** H5-H8: the reference's pretty result table (simulation.R:157-197,
+    * 181-195 column names) — rounding, "est (se)" strings, percent
+    * formatting, conditional relabel (WCLS-Pooled has no meaningful
+    * relative efficiency: "N/A", simulation.R:471-474).
+    */
+  def prettyTable(metricsDf: DataFrame): DataFrame = {
+    def fmt3(c: Column): Column = format_number(round(c, 3), 3)
+    metricsDf.select(
+      col("n_internal").as("Internal Sample Size"),
+      col("n_external").as("External Sample Size"),
+      col("coef").as("Coefficient Name"),
+      col("method").as("Method"),
+      round(col("true_value"), 3).as("True Value"),
+      round(col("avg_estimate"), 3).as("Avg Estimate"),
+      concat(fmt3(col("avg_estimate")), lit(" ("), fmt3(col("analytical_se")), lit(")"))
+        .as("Estimate (SE)"),
+      round(col("empirical_se"), 3).as("Empirical Standard Error"),
+      when(col("method") === "WCLS-Pooled", "N/A")
+        .otherwise(format_number(round(col("empirical_rel_efficiency"), 3), 3))
+        .as("Empirical Relative Efficiency"),
+      round(col("analytical_se"), 3).as("Analytical Standard Error"),
+      when(col("method") === "WCLS-Pooled", "N/A")
+        .otherwise(format_number(round(col("analytical_rel_efficiency"), 3), 3))
+        .as("Analytical Relative Efficiency"),
+      round(col("rmse"), 3).as("rMSE"),
+      concat(format_number(round(col("coverage") * 100.0, 1), 1), lit("%"))
+        .as("Coverage (95% Nominal)"),
+      col("n_tilt_warnings").as("# Tilt Warnings"))
+      .orderBy("Internal Sample Size", "External Sample Size", "Coefficient Name", "Method")
   }
 }

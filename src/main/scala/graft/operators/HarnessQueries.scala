@@ -72,5 +72,16 @@ object HarnessQueries {
       }.reduce(_ unionByName _).orderBy("scenario", "coef")
     })
 
-  val all: Seq[QueryDef] = Seq(gPanel, hSimulation, hSensitivity)
+  /** H5-H8 pretty-table emission over a mini grid (the reference's
+    * 13-column result schema with formatted cells). */
+  val hPrettyTable = QueryDef(
+    "h3_pretty_table",
+    (s, _) => {
+      val perRep = SimulationRunner.perRepResults(
+        s, Seq(SimulationRunner.Cell(30, 30)), nReps = 2,
+        methods = Seq("WCLS-Internal", "WCLS-Pooled"))
+      SimulationRunner.prettyTable(SimulationRunner.metrics(perRep))
+    })
+
+  val all: Seq[QueryDef] = Seq(gPanel, hSimulation, hSensitivity, hPrettyTable)
 }

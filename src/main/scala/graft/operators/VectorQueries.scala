@@ -166,5 +166,53 @@ object VectorQueries {
              ROUND(CAST(SUM(CAST(nrm AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 8) AS avg_norm
       FROM b GROUP BY label ORDER BY label"""))
 
-  val all: Seq[QueryDef] = Seq(vCosineTopK, vLshAnn, vEmbedDedup, vNormStats)
+  /** IVF (inverted-file) approximate NN — the coarse-quantizer scale
+    * path: k-means(16) over the corpus (spark.ml, fixed seed), vectors
+    * bucketed by nearest centroid, probes search their nprobe=4 nearest
+    * centroid lists with exact cosine re-rank. At 100 TB the centroid
+    * table stays driver-sized while each probe touches ~nprobe/k of the
+    * corpus. Rows-only (k-means has no SQL analogue); recall vs the
+    * exact v1 baseline is bounded in LshRecallSpec.
+    */
+  val vIvfAnn = QueryDef(
+    "v5_ivf_ann",
+    (s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          array_to_vector(col("embedding")).as("features"))
+        .cache()
+      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10).fit(emb)
+      val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+      emb.unpersist()
+
+      // distance ranks via array_min/array_sort over (dist, idx) structs
+      def distStructs(e: Column): Column = array(centers.indices.map { i =>
+        val c = array(centers(i).map(lit): _*)
+        // unit-norm corpus: ||x-c||^2 = ||x||^2 - 2 x·c + ||c||^2 ranks like -x·c + ||c||^2/2
+        struct((lit(centers(i).map(v => v * v).sum / 2.0) - dot(e, c)).as("d"),
+          lit(i).as("idx"))
+      }: _*)
+      val assigned = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          array_min(distStructs(col("embedding"))).getField("idx").as("list_id"))
+      val probes = assigned.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q"), col("embedding").as("qe"),
+          slice(transform(array_sort(distStructs(col("embedding"))), x => x.getField("idx")),
+            1, 4).as("probe_lists"))
+        .select(col("q"), col("qe"), explode(col("probe_lists")).as("list_id"))
+      val cands = assigned.select(col("list_id"), col("vec_id").as("nb"), col("embedding").as("ne"))
+      val w = Window.partitionBy(col("q")).orderBy(col("__sim").desc, col("nb").asc)
+      broadcast(probes).join(cands, Seq("list_id")).filter(col("q") =!= col("nb"))
+        .select(col("q"), col("nb"), col("qe"), col("ne")).distinct()
+        .withColumn("__sim", dot(col("qe"), col("ne")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q"), col("nb"), round(col("__sim"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q", "rank")
+    })
+
+  val all: Seq[QueryDef] = Seq(vCosineTopK, vLshAnn, vEmbedDedup, vNormStats, vIvfAnn)
 }

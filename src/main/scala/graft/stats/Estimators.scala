@@ -218,10 +218,19 @@ object Estimators {
   // =====================================================================
   // P-WCLS (pwcls.R). Battery variants: internal_only / pooled / pooled-obs.
   // =====================================================================
+  /** `dividerIdx` (pwcls.R beta_s_formula_divider_idx): 1-based start
+    * indices of the 2nd..kth treatment-level blocks inside beta_s. Each
+    * block is de-centered by ITS OWN first column (pwcls.R:200 "Assume
+    * first column is intercept") and gets its own second-stage
+    * regression — multi-response OLS via ONE shared Gramian with
+    * multiple right-hand sides (M4). Default: single block (the
+    * reference battery's configuration, golden-tested).
+    */
   def pwcls(dfAll: DataFrame, betaRTrue: DenseVector[Double],
             betaH: Design, betaSOf: Column => Design, betaROf: DataFrame => Design,
             pSDesign: Design, internalOnly: Boolean = false,
-            pHDesign: Option[Design] = None): EstimateResult = {
+            pHDesign: Option[Design] = None,
+            dividerIdx: Seq[Int] = Nil): EstimateResult = {
     val df1 = if (internalOnly) dfAll.filter(col("is_internal")) else dfAll
     val info = panelInfo(df1)
 
@@ -252,20 +261,43 @@ object Estimators {
       val dH = betaH.width; val dS = xS.width
       val betaHv = beta(0 until dH); val betaSv = beta(dH until dH + dS)
 
-      // causal effects (single treatment level): (Xs/a_c)·β_s
-      val xSraw = xS.scale(lit(1.0) / col("a_centered"))
-      val ce = xSraw.dot(betaSv.toArray.toSeq)
-      val dfCe = df.withColumn("__ce", ce)
+      // treatment-level blocks of beta_s; each de-centered by its own
+      // first RAW column (pwcls.R:192-209)
+      val bounds = (Seq(1) ++ dividerIdx :+ (dS + 1)).distinct.sorted
+      val blocks: Seq[Range] = bounds.sliding(2).map { p => (p.head - 1) until (p(1) - 1) }.toSeq
+      val nLevels = blocks.size
+      val xSrawBlocks = blocks.map { b =>
+        val firstCol = xS.terms(b.head)._2
+        // pow(x,-1) not `/`: R yields Inf on zero divisors (then NaN in
+        // downstream scores); ANSI division would error instead
+        Design(b.map(i => xS.terms(i))).scale(pow(firstCol, -1.0))
+      }
+      val ceCols = blocks.zip(xSrawBlocks).map { case (b, raw) =>
+        raw.dot(b.map(i => betaSv(i)))
+      }
+      var dfCe = df
+      for ((c, j) <- ceCols.zipWithIndex) dfCe = dfCe.withColumn(s"__ce$j", c)
 
-      // second stage: OLS ce ~ Xr on internal rows (pwcls.R:212-215)
+      // second stage: multi-response OLS over internal rows — ONE shared
+      // Gramian of [Xr | ce_1..ce_L], multiple RHS solves (M4)
       val xRr = betaROf(dfCe)
       val dR = xRr.width
       val dfInt = dfCe.filter(col("is_internal"))
-      val betaRv = Glm.wls(dfInt, xRr, col("__ce"), lit(1.0))
+      val aug = xRr ++ Design(ceCols.indices.map(j => (s"__ce$j", col(s"__ce$j"))))
+      val p2 = new MomentPass(dfInt)
+      val g2 = p2.gram(aug, lit(1.0))
+      p2.run()
+      val g2m = p2.matrix(g2)
+      val xtx = g2m(0 until dR, 0 until dR).toDenseMatrix
+      val betaRBlocks = ceCols.indices.map { j =>
+        LinAlg.solveVec(xtx, DenseVector((0 until dR).map(i => g2m(i, dR + j)).toArray))
+      }
+      val betaRv = DenseVector.vertcat(betaRBlocks: _*)
 
       val dAh = pHDesign.map(_.width).getOrElse(0)
       val dAs = pSDesign.width
-      val d = dAh + dAs + dH + dS + dR
+      val d = dAh + dAs + dH + dS + dR * nLevels
+      val xSraw = xSrawBlocks.reduce(_ ++ _) // block-wise raw (order preserved)
 
       val resid = col("y") - xHs.dot(beta.toArray.toSeq)
       val wres = col("w") * resid
@@ -279,7 +311,11 @@ object Estimators {
       }
       scores = scores ++ pSDesign.scale(col("a") - col("p_s_hat"))
       scores = scores ++ xHs.scale(wres)
-      scores = scores ++ xRr.scale(isI * (col("__ce") - xRr.dot(betaRv.toArray.toSeq)))
+      for (j <- 0 until nLevels) {
+        val betaRj = betaRBlocks(j)
+        scores = scores ++ xRr.scale(
+          isI * (col(s"__ce$j") - xRr.dot(betaRj.toArray.toSeq)))
+      }
 
       // Hessian
       val pHatS = col("p_s_hat"); val pHatSA = col("p_s_hat_a")
@@ -302,7 +338,7 @@ object Estimators {
         case _ => None
       }
       val gR = pass.gram(xRr, isI)
-      val cRS = pass.cross(xRr, xSraw, isI)
+      val cRSBlocks = xSrawBlocks.map(raw => pass.cross(xRr, raw, isI))
       pass.run()
 
       val h = DenseMatrix.zeros[Double](d, d)
@@ -317,8 +353,14 @@ object Estimators {
         h(sHs until sHs + dH + dS, 0 until dAh) := pass.matrix(c)
       }
       val sR = sHs + dH + dS
-      h(sR until d, sR until d) := pass.matrix(gR)
-      h(sR until d, sHs + dH until sR) := -pass.matrix(cRS)
+      for (j <- 0 until nLevels) {
+        val rj = (sR + j * dR) until (sR + (j + 1) * dR)
+        h(rj, rj) := pass.matrix(gR)
+        val sCols = blocks(j).map(sHs + dH + _)
+        val cm = pass.matrix(cRSBlocks(j))
+        for ((sc, k) <- sCols.zipWithIndex; ri <- 0 until dR)
+          h(rj(ri), sc) = -cm(ri, k)
+      }
 
       val meat = Sandwich.meat(dfCe, scores, col("__cluster"))
       val sand = LinAlg.sandwichStep(h, meat, info.nUsers, d)

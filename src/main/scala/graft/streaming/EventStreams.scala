@@ -44,6 +44,18 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("n_events"))
 
+  /** Native session windows (30-minute gap): Spark's built-in
+    * session_window aggregation — the declarative sibling of
+    * `sessionize` (which keeps custom per-user state instead). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("userId"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("userId"), col("n_events"), col("total_value"))
+
   final case class SessionState(nEvents: Long, lastTs: Long, nSessions: Long)
   final case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)
 

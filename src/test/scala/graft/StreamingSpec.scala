@@ -61,6 +61,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session windows split on the 30-minute gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Event]
+    val q = EventStreams.sessionWindows(src.toDF())
+      .writeStream.format("memory").queryName("session_windows")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      src.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(70), 1, "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_windows").collect()
+      assert(rows.length == 2, rows.mkString(";"))
+      assert(rows.map(_.getLong(3)).sorted.sameElements(Array(1L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming logic matches batch execution of the same transform") {
     import spark.implicits._
     val batch = Seq(
