@@ -73,10 +73,67 @@ case class DotProduct(left: Expression, right: Expression)
     })
 }
 
+/** 64-bit SimHash over a token array: per-token xxhash64 (seed 42,
+  * matching Spark's xxhash64 function), sign-sum per bit, bits packed
+  * into a long. Replaces a 64-lambda nested-HOF formulation with one
+  * native expression; codegen emits a single static call so the row
+  * stays inside whole-stage codegen.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"simhash64 expects array<string>, got $t")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+
+  override def nullSafeEval(a: Any): Any =
+    SimHash64.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.SimHash64.compute($x)")
+}
+
+object SimHash64 {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        s, org.apache.spark.sql.types.StringType, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 object VectorExpressions {
   /** Column-level dot product over array<float> columns. */
   def fdot(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.toColumn(
       DotProduct(org.apache.spark.sql.graft.Bridge.toExpression(a),
         org.apache.spark.sql.graft.Bridge.toExpression(b)))
+
+  /** Column-level 64-bit SimHash over an array<string> token column. */
+  def simhash64(tokens: Column): Column =
+    org.apache.spark.sql.graft.Bridge.toColumn(
+      SimHash64(org.apache.spark.sql.graft.Bridge.toExpression(tokens)))
 }

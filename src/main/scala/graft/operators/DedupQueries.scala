@@ -90,15 +90,9 @@ object DedupQueries {
   val dSimHash = QueryDef(
     "d3_simhash_pairs",
     (s, dir) => {
-      val bits = transform(sequence(lit(0), lit(63)), b =>
-        when(aggregate(toks, lit(0L),
-          (acc, t) => acc + when(
-            call_function("shiftright", xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
-        ) > 0L, lit(1L)).otherwise(lit(0L)))
-      // assemble via shifts/OR — acc*2 would overflow signed long at bit 63
-      val shifted = zip_with(bits, sequence(lit(0), lit(63)),
-        (bit, p) => when(bit === 1L, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L)))
-      val sim = aggregate(shifted, lit(0L), (acc, x) => acc.bitwiseOR(x))
+      // native expression (graft.functions.SimHash64): per-token xxhash64
+      // sign-sums, bit-identical to the former 64-lambda HOF formulation
+      val sim = graft.functions.VectorExpressions.simhash64(toks)
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), sim.as("simhash"))
         .cache()

@@ -110,6 +110,17 @@ object ProbeMain {
       println("CG_VALUE=" + df.agg(min("d"), max("d")).head())
     }
 
+    if (args.contains("sh")) {
+      // simhash_probe
+      import graft.functions.VectorExpressions.simhash64
+      val r = spark.range(1).select(
+        simhash64(array(lit("a"), lit("b"), lit("a"))).as("h"),
+        simhash64(array().cast("array<string>")).as("empty"))
+      println("SH_VALUES=" + r.head())
+      try { spark.range(1).select(simhash64(array(lit(1), lit(2)))).head() }
+      catch { case e: Throwable => println("SH_TYPEERR=" + String.valueOf(e.getMessage).take(100)) }
+    }
+
     if (args.contains("sim")) {
       val t0 = System.nanoTime()
       val perRep = graft.harness.SimulationRunner.perRepResults(
