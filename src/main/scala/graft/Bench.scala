@@ -10,11 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Headline = the scale-sensitive queries. s4_estimator_battery runs a
-    // fixed-size statistical workload on the committed golden panel
-    // (~45s regardless of sf) — correctness-gated via Verify + GoldenSpec,
-    // not a throughput benchmark, so it is excluded here.
-    val headline = SparkEntry.queries -- Seq("s4_estimator_battery")
+    // Headline = the scale-sensitive queries. s4/s5/s6 run fixed-size
+    // statistical workloads on the committed golden panel (constant time
+    // regardless of sf) — correctness-gated via Verify + GoldenSpec, not
+    // throughput benchmarks, so they are excluded here.
+    val headline = SparkEntry.queries -- Seq(
+      "s4_estimator_battery", "s5_awcls", "s6_aic_ladder")
     // JVM/codegen warm-up so the first timed query isn't charged for it
     try {
       SparkEntry.queries("q13_case_bucket")(spark, sfDir).count()

@@ -80,8 +80,9 @@ object SimulationRunner {
               (ni, ne, rep, m, coefNames(i), r.betaR(i), r.seBetaR(i), covered, r.tiltWarning)
             }
           } catch {
-            case _: Throwable => // degenerate replication (singular fit): skip, like an R error rep
-              Seq.empty
+            // degenerate replication (singular fit): skip, like an errored
+            // R rep — but NEVER swallow fatal errors (OOM, interrupts)
+            case scala.util.control.NonFatal(_) => Seq.empty
           }
         }
       }

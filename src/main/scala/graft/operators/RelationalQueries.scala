@@ -513,7 +513,9 @@ object RelationalQueries {
         .withColumn("last_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
         .withColumn("last_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
         .withColumn("last_order_tns", last(when(col("is_event") === 0, col("t_ns")), ignoreNulls = true).over(w))
-        .filter(col("is_event") === 1)
+        // inner-asof semantics (match DuckDB ASOF JOIN): drop events with
+        // no prior order rather than emitting them with nulls
+        .filter(col("is_event") === 1 && col("last_orderkey").isNotNull)
         .select(
           col("event_id"), col("key").as("user_id"),
           col("last_orderkey").as("o_orderkey"),

@@ -34,7 +34,9 @@ object Estimators {
       count(lit(1)),
       countDistinct(col("user_id")),
       avg(col("is_internal").cast("double"))).head()
-    val n = r.getLong(0); val nU = r.getLong(1).toInt
+    val n = r.getLong(0)
+    require(n > 0, "empty panel: no rows to fit an estimator on")
+    val nU = r.getLong(1).toInt
     PanelInfo(n, nU, math.round(n.toDouble / nU).toInt, r.getDouble(2))
   }
 

@@ -43,8 +43,11 @@ object Glm {
     *    (R's "fitted probabilities numerically 0 or 1" — drives the
     *    spline-df fallback ladder, etwcls.R:112-130).
     *
-    * Each iteration = one distributed pass: fused Gramian over [X|z] with
-    * weight W, plus the deviance and separation indicators in the same scan.
+    * Each loop step is ONE distributed pass: the fused Gramian over [X|z]
+    * with working weight W, plus the deviance and separation indicators
+    * of the CURRENT μ in the same scan — so a fit converging after N
+    * updates costs N+1 scans total. The deviance sequence (μ at mustart,
+    * then μ after each update) matches R's glm.fit exactly.
     */
   def logistic(df: DataFrame, x: Design, y: Column,
                maxIter: Int = 25, tol: Double = 1e-8): LogisticFit = {
@@ -53,11 +56,11 @@ object Glm {
     var dev = Double.NaN
     var converged = false
     var sep = false
-    var it = 0
+    var updates = 0
     val sepEps = 10.0 * 2.220446049250313e-16 // 10 * .Machine$double.eps
 
-    while (it < maxIter && !converged) {
-      // eta under current beta; first iteration uses R's mustart
+    while (updates < maxIter && !converged) {
+      // eta under current beta; the first pass uses R's mustart
       val eta: Column =
         if (beta == null) {
           val mu0 = (y.cast("double") + lit(0.5)) / lit(2.0)
@@ -67,33 +70,30 @@ object Glm {
       val mu = lit(1.0) / (lit(1.0) + exp(-eta))
       val wCol = mu * (lit(1.0) - mu)
       val z = eta + (y.cast("double") - mu) / wCol
+      val yd = y.cast("double")
+      val devTerm = lit(-2.0) * (yd * log(greatest(mu, lit(1e-300))) +
+        (lit(1.0) - yd) * log(greatest(lit(1.0) - mu, lit(1e-300))))
 
       val aug = x ++ Design(Seq(("__z", z)))
       val pass = new MomentPass(df)
       val g = pass.gram(aug, wCol)
+      val dSlot = pass.scalar(devTerm)
+      val sepSlot = pass.scalar(
+        when(mu < lit(sepEps) || mu > lit(1.0) - lit(sepEps), 1.0).otherwise(0.0))
       pass.run()
-      val G = pass.matrix(g)
-      val xtwx = G(0 until p, 0 until p).toDenseMatrix
-      val xtwz = DenseVector((0 until p).map(i => G(i, p)).toArray)
-      beta = LinAlg.solveVec(xtwx, xtwz)
 
-      // deviance + separation under the NEW beta (one more scan)
-      val etaN = x.dot(beta.toArray.toSeq)
-      val muN = lit(1.0) / (lit(1.0) + exp(-etaN))
-      val yd = y.cast("double")
-      val devTerm = lit(-2.0) * (yd * log(greatest(muN, lit(1e-300))) +
-        (lit(1.0) - yd) * log(greatest(lit(1.0) - muN, lit(1e-300))))
-      val dpass = new MomentPass(df)
-      val dSlot = dpass.scalar(devTerm)
-      val sepSlot = dpass.scalar(
-        when(muN < lit(sepEps) || muN > lit(1.0) - lit(sepEps), 1.0).otherwise(0.0))
-      dpass.run()
-      val devNew = dpass.value(dSlot)
-      sep = dpass.value(sepSlot) > 0.0
-      if (!dev.isNaN && math.abs(devNew - dev) / (math.abs(devNew) + 0.1) < tol)
-        converged = true
-      dev = devNew
-      it += 1
+      val devNow = pass.value(dSlot)
+      sep = pass.value(sepSlot) > 0.0
+      if (beta != null && math.abs(devNow - dev) / (math.abs(devNow) + 0.1) < tol) {
+        converged = true // current beta accepted; its own μ was just measured
+      } else {
+        dev = devNow
+        val G = pass.matrix(g)
+        val xtwx = G(0 until p, 0 until p).toDenseMatrix
+        val xtwz = DenseVector((0 until p).map(i => G(i, p)).toArray)
+        beta = LinAlg.solveVec(xtwx, xtwz)
+        updates += 1
+      }
     }
     LogisticFit(beta, converged, !converged || sep)
   }

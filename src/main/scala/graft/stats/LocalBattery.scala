@@ -207,20 +207,12 @@ object LocalBattery {
     (pi, omega, raw, tilt)
   }
 
+  /** Delegates to the single shared pooling implementation
+    * (Estimators.Pooling) so the distributed and executor-local paths
+    * cannot drift. */
   private def inferencePooledFull(stacked: A, v: DenseMatrix[Double], dR: Int, k: Int)
       : (A, A) = {
-    val lam = LinAlg.cholInv(v)
-    val lamSum = DenseMatrix.zeros[Double](dR, dR)
-    for (j <- 0 until k; l <- 0 until k)
-      lamSum += lam(j * dR until (j + 1) * dR, l * dR until (l + 1) * dR)
-    val lamSumInv = LinAlg.cholInv(lamSum)
-    val z = lam * DenseVector(stacked)
-    val zSum = DenseVector.zeros[Double](dR)
-    for (j <- 0 until k) zSum += z(j * dR until (j + 1) * dR)
-    val pooled = lamSumInv * zSum
-    val lamHoriz = DenseMatrix.zeros[Double](dR, k * dR)
-    for (j <- 0 until k) lamHoriz += lam(j * dR until (j + 1) * dR, ::)
-    val vp = lamSumInv * lamHoriz * v * lamHoriz.t * lamSumInv
+    val (pooled, vp) = Estimators.Pooling.full(DenseVector(stacked), v, dR, k)
     (pooled.toArray, bsqrt(diag(vp)).toArray)
   }
 
@@ -364,15 +356,8 @@ object LocalBattery {
           if (pooling == "kronecker")
             DenseMatrix((lam(0, 0), lam(0, 2)), (lam(2, 0), lam(2, 2)))
           else DenseMatrix.eye[Double](2) * 0.5
-        val w1 = lt(0, 0) + lt(1, 0); val w2 = lt(0, 1) + lt(1, 1); val ws = w1 + w2
-        val pooled = Array(
-          (w1 * betaR(0) + w2 * betaR(2)) / ws,
-          (w1 * betaR(1) + w2 * betaR(3)) / ws)
-        val eye = DenseMatrix.eye[Double](2)
-        val kr = breeze.linalg.kron(lt(0, ::).t.toDenseMatrix, eye) +
-          breeze.linalg.kron(lt(1, ::).t.toDenseMatrix, eye)
-        val vp = (kr * v * kr.t) / (ws * ws)
-        Result("", pooled, bsqrt(diag(vp)).toArray, warn)
+        val (pooled, vp) = Estimators.Pooling.kroneckerLike(betaR, v, lt)
+        Result("", pooled.toArray, bsqrt(diag(vp)).toArray, warn)
     }
   }
 

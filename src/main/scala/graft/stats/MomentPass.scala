@@ -45,8 +45,16 @@ final class MomentPass(df: DataFrame) {
     this
   }
 
-  private def flat(i: Int): Seq[Double] =
-    if (isScalar(i)) Seq(results.getDouble(i)) else results.getSeq[Double](i)
+  private def flat(i: Int): Seq[Double] = {
+    if (results.isNullAt(i))
+      throw new IllegalArgumentException(
+        "MomentPass over an empty DataFrame — no rows to aggregate")
+    val s = if (isScalar(i)) Seq(results.getDouble(i)) else results.getSeq[Double](i)
+    if (s.isEmpty)
+      throw new IllegalArgumentException(
+        "MomentPass over an empty DataFrame — no rows to aggregate")
+    s
+  }
 
   def matrix(i: Int): DenseMatrix[Double] = {
     val (p, q) = shapes(i)

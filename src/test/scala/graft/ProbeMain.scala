@@ -121,6 +121,17 @@ object ProbeMain {
       catch { case e: Throwable => println("SH_TYPEERR=" + String.valueOf(e.getMessage).take(100)) }
     }
 
+    if (args.contains("rfx")) {
+      // rfx_probe: review-fix error paths
+      try { Battery.run("WCLS-Internal", p.filter(lit(false))) }
+      catch { case e: Throwable => println("RFX_EMPTY=" + e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage).take(80)) }
+      import graft.functions.VectorExpressions.fdot
+      val r = spark.range(1).select(
+        fdot(array(lit(1.0f), lit(2.0f)), array(lit(3.0f))).as("mismatch"),
+        fdot(array(lit(1.0f), lit(null).cast("float")), array(lit(1.0f), lit(2.0f))).as("nullel"))
+      println("RFX_DOT=" + r.head())
+    }
+
     if (args.contains("sim")) {
       val t0 = System.nanoTime()
       val perRep = graft.harness.SimulationRunner.perRepResults(
