@@ -537,10 +537,69 @@ object RelationalQueries {
         ON e.user_id = od.o_custkey AND e.ts >= od.o_orderdate
       ORDER BY e.event_id"""))
 
+  /** Grouping sets: ROLLUP over (priority, status) — subtotal rows with
+    * NULL group keys, ordered NULLS FIRST on both engines. */
+  val q22Rollup = QueryDef(
+    "q22_rollup",
+    (s, dir) =>
+      T(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsumd(col("o_totalprice"), 2).as("total"))
+        .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first),
+    Some("""
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 4) AS total
+      FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+      ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""))
+
+  /** Semi-structured extraction: pull `k` out of the JSON `props` column
+    * and aggregate it per event type. */
+  val q23JsonExtract = QueryDef(
+    "q23_json_extract",
+    (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(col("k").isNull.cast("long")).as("n_null"))
+        .orderBy("event_type"),
+    Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+             CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+             CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Value-range window frame: per-user sum of `value` over events whose
+    * event_id lies within 100 of the current row (RANGE frame, not ROWS). */
+  val q24RangeFrame = QueryDef(
+    "q24_range_frame",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rangeBetween(-100L, 0L)
+      Tables.events(s, dir)
+        .withColumn("range_sum",
+          sum(col("value").cast(DecimalType(30, 2))).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("range_sum"))
+        .orderBy("event_id")
+    },
+    Some("""
+      SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum
+      FROM events ORDER BY event_id"""))
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, q2FilterRevenue, q3CustPerRegion, q4RevenueByPriority,
     q5SemiJoin, q6AntiJoin, q7UnionTagged, q8DistinctCounts, q9WindowTopN,
     q10WindowLag, q11TopOrders, q12StringOps, q13CaseBucket, q14GroupedExtremes,
     q15RatioVsBaseline, q16PivotStatus, q17GroupedOls, q18Moments,
-    q19MonthlyOrders, q20Sessionize, q21AsofJoin)
+    q19MonthlyOrders, q20Sessionize, q21AsofJoin, q22Rollup, q23JsonExtract,
+    q24RangeFrame)
 }

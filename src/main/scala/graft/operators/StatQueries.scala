@@ -138,12 +138,13 @@ object StatQueries {
     })
 
   /** A-WCLS (extras-tier plug-in projection, methods/awcls.R) on the
-    * golden panel — 4 moderator coefficients with delta-method SEs. */
+    * golden panel — 4 moderator coefficients with delta-method SEs.
+    * Runs the DISTRIBUTED path (equivalence with the executor-local one
+    * is pinned by AwclsEquivalenceSpec). */
   val qAwcls = QueryDef(
     "s5_awcls",
     (s, _) => {
-      val panel = LocalBattery.fromDataFrame(Battery.examplePanel(s), "_rowidx")
-      val r = LocalBattery.run("A-WCLS", panel)
+      val r = Estimators.awcls(Battery.examplePanel(s))
       val names = Seq("a_centered", "a_centered:x1", "x2_proj:1", "x2_proj:x1")
       val rows = names.indices.map { i =>
         Row(names(i),

@@ -450,6 +450,91 @@ object Estimators {
   }
 
   // =====================================================================
+  // A-WCLS (methods/awcls.R — extras-tier): plug-in projection
+  // β_r = Γ β_s, Γ from a cubic regression of x2 on x1 (internal rows),
+  // delta-method variance. Reference quirks kept: n_users = max(user_id),
+  // dof scale n/(n-d). Distributed mirror of LocalBattery.awclsMethod
+  // (equivalence-tested in AwclsEquivalenceSpec).
+  // =====================================================================
+  def awcls(df0: DataFrame): EstimateResult = {
+    val betaRTrue = DenseVector(-5.0, -1.0, 0.9, 0.3) // awcls.R:104
+    val info0 = panelInfo(df0)
+    val maxUser = df0.agg(max(col("user_id"))).head().getLong(0).toInt
+    val info = info0.copy(nUsers = maxUser,
+      tMax = (info0.n / maxUser).toInt) // floor, awcls.R:80
+    val prop = fitPropensity(df0, Battery.aIntercept, "p_s_hat", "a_centered", "p_s_hat_a", "w")
+    val df = withBlockCluster(prop.dfEnriched, info).cache()
+    try {
+      val xH = Battery.betaH
+      val xS = Battery.betaS(col("a_centered"))
+      val xHs = xH ++ xS
+      val beta = Glm.wls(df, xHs, col("y"), col("w"))
+      val dH = xH.width; val dS = xS.width
+      val betaSv = beta(dH until dH + dS)
+
+      // Gamma: x2 ~ x1 + x1^2 + x1^3 on internal rows (awcls.R:126)
+      val xG = Design(Design.intercept, ("x1", col("x1")),
+        ("x1^2", col("x1") * col("x1")), ("x1^3", col("x1") * col("x1") * col("x1")))
+      val dR = xG.width
+      val gamma = Glm.wls(df.filter(col("is_internal")), xG, col("x2"), lit(1.0))
+      val bigGamma = DenseMatrix.zeros[Double](dR, dS)
+      bigGamma(0, 0) = 1.0; bigGamma(1, 1) = 1.0
+      for (i <- 0 until dR) bigGamma(i, 2) = gamma(i)
+      val betaR = bigGamma * betaSv
+
+      val dA = 1; val d = dA + dH + dS + dR
+      val pHat = col("p_s_hat"); val pHatA = col("p_s_hat_a")
+      val resid = col("y") - xHs.dot(beta.toArray.toSeq)
+      val wres = col("w") * resid
+      val fitS = xS.dot(betaSv.toArray.toSeq)
+      val isI = col("is_internal").cast("double")
+      val xSraw = xS.scale(lit(1.0) / col("a_centered"))
+
+      val scores = Battery.aIntercept.scale(col("a") - pHat) ++
+        xHs.scale(wres) ++
+        xG.scale(isI * (col("x2") - xG.dot(gamma.toArray.toSeq)))
+
+      val logd = (-(lit(2.0) * col("a") - 1.0) * pHat * (lit(1.0) - pHat)) / pHatA
+      val lpd = -(lit(1.0) - pHat)
+      val blkNeg = Design(Design.zeros(dH).map(("z", _))) ++ xSraw.scale(-pHat)
+
+      val pass = new MomentPass(df)
+      val gA = pass.gram(Battery.aIntercept, pHat * (lit(1.0) - pHat))
+      val gHs = pass.gram(xHs, col("w"))
+      val c1 = pass.cross(xHs, Battery.aIntercept, wres * logd)
+      val c2 = pass.cross(blkNeg, Battery.aIntercept, wres * lpd)
+      val c3 = pass.cross(xHs, Battery.aIntercept,
+        pHat * fitS / col("a_centered") * col("w") * lpd)
+      val gG = pass.gram(xG, isI)
+      pass.run()
+
+      val h = DenseMatrix.zeros[Double](d, d)
+      h(0, 0) = pass.matrix(gA)(0, 0)
+      h(dA until dA + dH + dS, dA until dA + dH + dS) := pass.matrix(gHs)
+      h(dA until dA + dH + dS, 0 until dA) :=
+        pass.matrix(c1) + pass.matrix(c2) + pass.matrix(c3)
+      val sG = dA + dH + dS
+      h(sG until d, sG until d) := pass.matrix(gG)
+
+      val meat = Sandwich.meat(df, scores, col("__cluster"))
+      // awcls.R:84: dof scale uses n/(n-d), not n_users/(n_users-d)
+      val lower = breeze.linalg.cholesky(meat)
+      val half = h \ lower
+      val sand = (half * half.t) * (info.n.toDouble / (info.n - d).toDouble)
+
+      val posTheta = (dA + dH) until d
+      val vTheta = DenseMatrix.tabulate(dS + dR, dS + dR)((i, j) =>
+        sand(posTheta(i), posTheta(j)))
+      val jTheta = DenseMatrix.horzcat(bigGamma, DenseMatrix.eye[Double](dR) * betaSv(2))
+      val vBetaR = jTheta * vTheta * jTheta.t
+      val se = LinAlg.diagSqrt(vBetaR)
+      val err = betaR - betaRTrue
+      EstimateResult(betaR, se, vBetaR, err.t * LinAlg.solveVec(vBetaR, err), err /:/ se,
+        info.n, d, tiltWarning = false)
+    } finally df.unpersist()
+  }
+
+  // =====================================================================
   // DR-WCLS (drwcls.R): pseudo-outcome + closed-form DRET + 2-block pool.
   // =====================================================================
   def drwcls(df0: DataFrame, betaRTrue: DenseVector[Double],
