@@ -61,11 +61,34 @@ object PanelGenerator {
     * matching FIXTURES.md §A1 plus explicit `t` (+ seed for lineage). */
   def panel(spark: SparkSession, seed: Long, cfg: Config): DataFrame = {
     val n = cfg.nInternal + cfg.nExternal
-    val sc = lit(seed)
     val base = spark.range(n.toLong * cfg.tMax)
       .withColumn("user_id", (col("id") % n) + 1)       // user-fastest, like the
       .withColumn("t", (col("id") / n + 1).cast("int")) // reference's layout
       .drop("id")
+    withPanelColumns(base, lit(seed), cfg)
+  }
+
+  /** All replications of a cell as ONE range — a `replication` column
+    * (1..nReps) and per-row seed `seedBase + replication`. Draws are
+    * bit-identical to nReps separate `panel(spark, seedBase + rep, cfg)`
+    * calls (the RNG only sees the seed VALUE), but the plan carries a
+    * single generator expression tree instead of nReps unioned copies —
+    * at 400 reps that is the difference between a ~100 KB and a ~40 MB
+    * task binary, and between one and 400 codegen compilations.
+    */
+  def panelReps(spark: SparkSession, seedBase: Long, cfg: Config, nReps: Int): DataFrame = {
+    val n = cfg.nInternal + cfg.nExternal
+    val perRep = n.toLong * cfg.tMax
+    val base = spark.range(perRep * nReps)
+      .withColumn("replication", (col("id") / perRep + 1).cast("int"))
+      .withColumn("rid", col("id") % perRep)
+      .withColumn("user_id", (col("rid") % n) + 1)
+      .withColumn("t", (col("rid") / n + 1).cast("int"))
+      .drop("id", "rid")
+    withPanelColumns(base, lit(seedBase) + col("replication").cast("long"), cfg)
+  }
+
+  private def withPanelColumns(base: DataFrame, sc: Column, cfg: Config): DataFrame = {
     val u = col("user_id"); val t = col("t")
 
     val isInt = u <= cfg.nInternal

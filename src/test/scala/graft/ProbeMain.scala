@@ -132,6 +132,31 @@ object ProbeMain {
       println("RFX_DOT=" + r.head())
     }
 
+    if (args.contains("htime")) {
+      for (q <- Seq("h1_simulation_metrics", "h2_sensitivity_scenarios", "h3_pretty_table",
+                    "g1_panel_summary")) {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01").count()
+        println(f"HTIME $q rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
+
+    if (args.contains("genparity")) {
+      // panelReps must be bit-identical to the per-rep union it replaced
+      import graft.gen.PanelGenerator
+      val cfg = PanelGenerator.Config(nInternal = 7, nExternal = 5, tMax = 4)
+      val base = 9100000L
+      val old = (1 to 3).map { rep =>
+        PanelGenerator.panel(spark, base + rep, cfg)
+          .withColumn("replication", lit(rep))
+      }.reduce(_ unionByName _)
+      val neu = PanelGenerator.panelReps(spark, base, cfg, 3)
+      val cols = old.columns.sorted.map(col(_))
+      val diff = old.select(cols: _*).exceptAll(neu.select(cols: _*)).count() +
+        neu.select(cols: _*).exceptAll(old.select(cols: _*)).count()
+      println(s"GENPARITY_DIFF=$diff (expect 0), n=${neu.count()} (expect ${old.count()})")
+    }
+
     if (args.contains("sim")) {
       val t0 = System.nanoTime()
       val perRep = graft.harness.SimulationRunner.perRepResults(
