@@ -136,6 +136,79 @@ object SimHash64 {
   }
 }
 
+/** k seeded MinHash values over a token array in ONE pass (reference
+  * operator: MinHash signature for LSH dedup). Replaces k independent
+  * `array_min(transform(sh, x => xxhash64(lit(i), x)))` scans — k full
+  * traversals of the shingle array per row — with a single traversal
+  * maintaining all k running minima. Byte-identical to the HOF form:
+  * slot i is min over tokens of xxhash64(lit(i), token) with Spark's
+  * seed-chaining (seed 42 → int i → string token).
+  */
+case class MinHashK(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k > 0, s"minhash_k needs k > 0, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_k expects array<string>, got $t")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+
+  override protected def withNewChildInternal(c: Expression): MinHashK = copy(child = c)
+
+  override def nullSafeEval(a: Any): Any =
+    MinHashK.compute(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.MinHashK.compute($x, $k)")
+}
+
+object MinHashK {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  /** Static kernel shared by interpreted eval and generated code.
+    * Matches xxhash64(lit(i), token) exactly: per-slot seed is the hash
+    * of the int literal i chained from Spark's default seed 42; a null
+    * token contributes its slot seed (xxhash64 skips null children);
+    * an empty token array yields k null slots (array_min of empty).
+    */
+  def compute(tokens: ArrayData, k: Int): ArrayData = {
+    val seeds = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      seeds(i) = XxHash64Function.hash(i, IntegerType, 42L)
+      i += 1
+    }
+    val n = tokens.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](k)) // k nulls
+    val mins = java.util.Arrays.copyOf(seeds, k) // placeholder, overwritten below
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      if (tokens.isNullAt(t)) {
+        var j = 0
+        while (j < k) { if (seeds(j) < mins(j)) mins(j) = seeds(j); j += 1 }
+      } else {
+        val s = tokens.getUTF8String(t)
+        var j = 0
+        while (j < k) {
+          val h = XxHash64Function.hash(s, StringType, seeds(j))
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
 object VectorExpressions {
   /** Column-level dot product over array<float> columns. */
   def fdot(a: Column, b: Column): Column =
@@ -147,4 +220,9 @@ object VectorExpressions {
   def simhash64(tokens: Column): Column =
     org.apache.spark.sql.graft.Bridge.toColumn(
       SimHash64(org.apache.spark.sql.graft.Bridge.toExpression(tokens)))
+
+  /** Column-level k-slot MinHash signature over an array<string> column. */
+  def minhashK(tokens: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.toColumn(
+      MinHashK(org.apache.spark.sql.graft.Bridge.toExpression(tokens), k))
 }

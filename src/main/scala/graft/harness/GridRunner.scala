@@ -1,0 +1,57 @@
+package graft.harness
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.gen.PanelGenerator
+
+/** Per-cell checkpoint-and-resume for the simulation grid (reference:
+  * simulation.R:251-275 — each cell's results are written to disk as soon
+  * as they complete and reloaded on a rerun, so a partially-finished grid
+  * never recomputes finished cells).
+  *
+  * Each cell's per-replication results are written to
+  * `checkpointDir/cell_<nInternal>_<nExternal>` as parquet; a rerun (or a
+  * grid extended with new cells) loads finished cells from disk and only
+  * computes the missing ones. Seeds are keyed by the CELL, not its
+  * position in the grid list, so resuming with a reordered or extended
+  * grid reproduces identical draws per cell.
+  */
+object GridRunner {
+
+  import SimulationRunner.Cell
+
+  final case class CellStatus(cell: Cell, loadedFromCheckpoint: Boolean)
+
+  /** Deterministic per-cell seed base — a function of the cell only. */
+  def cellSeed(baseSeed: Long, cell: Cell): Long =
+    baseSeed + cell.nInternal.toLong * 1000003L + cell.nExternal.toLong * 733L
+
+  /** Run (or resume) the grid; returns the unioned per-rep results plus
+    * which cells were computed vs loaded.
+    */
+  def runGrid(spark: SparkSession, cells: Seq[Cell], nReps: Int,
+              methods: Seq[String], checkpointDir: Option[String],
+              cfg0: PanelGenerator.Config = PanelGenerator.Config(),
+              baseSeed: Long = 2024L): (DataFrame, Seq[CellStatus]) = {
+    val runs = cells.map { cell =>
+      def compute(): DataFrame = SimulationRunner.perRepResults(
+        spark, Seq(cell), nReps, methods, cfg0, cellSeed(baseSeed, cell))
+      checkpointDir match {
+        case None => (compute(), CellStatus(cell, loadedFromCheckpoint = false))
+        case Some(dir) =>
+          val path = s"$dir/cell_${cell.nInternal}_${cell.nExternal}"
+          val hPath = new Path(path)
+          val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(new Path(hPath, "_SUCCESS")))
+            (spark.read.parquet(path), CellStatus(cell, loadedFromCheckpoint = true))
+          else {
+            // coalesce(1): a cell is ≤ nReps×methods×2 tiny rows — one file
+            compute().coalesce(1).write.mode("overwrite").parquet(path)
+            (spark.read.parquet(path), CellStatus(cell, loadedFromCheckpoint = false))
+          }
+      }
+    }
+    (runs.map(_._1).reduce(_ unionByName _), runs.map(_._2))
+  }
+}

@@ -108,7 +108,11 @@ object SimulationRunner {
         avg(col("se")).as("analytical_se"),
         sqrt(avg(pow(col("estimate") - col("truth"), 2))).as("rmse"),
         avg(col("covered").cast("double")).as("coverage"),
-        sum(col("tilt_warning").cast("long")).as("n_tilt_warnings"))
+        sum(col("tilt_warning").cast("long")).as("n_tilt_warnings"),
+        // completeness guard: failed replications are skipped upstream
+        // (singular fits), so surface how many reps actually contributed —
+        // acceptance gates on n_reps_used == nReps per (cell, method)
+        count(lit(1)).as("n_reps_used"))
     val wBase = Window.partitionBy("n_internal", "n_external", "coef")
     val baseSe = max(when(col("method") === "WCLS-Internal", col("empirical_se"))).over(wBase)
     val baseAse = max(when(col("method") === "WCLS-Internal", col("analytical_se"))).over(wBase)

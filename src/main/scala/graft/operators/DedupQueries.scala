@@ -43,9 +43,14 @@ object DedupQueries {
       transform(sequence(lit(0), size(tk) - 3),
         i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3))))
 
-  /** k seeded minhashes over shingles: min over xxhash64(seed_i, shingle). */
+  /** k seeded minhashes over shingles: min over xxhash64(seed_i, shingle).
+    * ONE native-expression pass maintaining all k minima (MinHashK) —
+    * the equivalent HOF form `array_min(transform(sh, xxhash64(lit(i),_)))`
+    * per slot re-scans the shingle array k times per row and dominated
+    * the round-1 bench (61.9 s of 202.7 s). Byte-identical outputs.
+    */
   private def minhashes(sh: Column, k: Int): Column =
-    array((0 until k).map(i => array_min(transform(sh, x => xxhash64(lit(i), x)))): _*)
+    graft.functions.VectorExpressions.minhashK(sh, k)
 
   /** MinHash + LSH banding near-dup pairs, verified with exact shingle
     * Jaccard. 16 hashes → 4 bands of 4; candidates share ≥1 band; kept

@@ -132,6 +132,29 @@ object ProbeMain {
       println("RFX_DOT=" + r.head())
     }
 
+    if (args.contains("mh")) {
+      // MinHashK parity vs the 16-scan HOF form, on real corpus shingles
+      val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          array_distinct(transform(sequence(lit(0), size(split(col("text"), " ")) - 3),
+            i => concat_ws(" ",
+              element_at(split(col("text"), " "), i + 1),
+              element_at(split(col("text"), " "), i + 2),
+              element_at(split(col("text"), " "), i + 3)))).as("sh"))
+      val hof = array((0 until 16).map(i =>
+        array_min(transform(col("sh"), x => xxhash64(lit(i), x)))): _*)
+      val diff = docs.select(col("doc_id"),
+          graft.functions.VectorExpressions.minhashK(col("sh"), 16).as("a"), hof.as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      println(s"MH_PARITY_DIFF=$diff (expect 0)")
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries("d2_minhash_lsh_pairs")(spark, "/root/testdata/sf0.1").count()
+        println(f"MH_D2 rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
+
     if (args.contains("htime")) {
       for (q <- Seq("h1_simulation_metrics", "h2_sensitivity_scenarios", "h3_pretty_table",
                     "g1_panel_summary")) {
