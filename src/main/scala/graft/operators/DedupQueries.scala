@@ -52,43 +52,60 @@ object DedupQueries {
   private def minhashes(sh: Column, k: Int): Column =
     graft.functions.VectorExpressions.minhashK(sh, k)
 
+  /** MinHash + LSH banding near-dup pairs over any (doc_id, text) frame.
+    * 16 hashes → `bands` bands; candidates share ≥1 band; kept when true
+    * shingle Jaccard ≥ `threshold`.
+    *
+    * Skew: a boilerplate-heavy corpus puts thousands of docs in ONE
+    * band bucket, making that bucket's pair generation a single O(w²)
+    * task. The self-join is salted: the left side hashes into `nSalts`
+    * sub-buckets, the right side (ids only — 8 bytes/row) replicates
+    * across them, so a hot bucket's work spreads over nSalts tasks.
+    * Every in-bucket pair still meets exactly once per salt of its left
+    * doc, so the pair set is unchanged (DedupSkewSpec pins this on a
+    * skewed corpus); AQE skew-join remains as a second line of defense.
+    */
+  def minHashPairs(docsIn: DataFrame, bands: Int = 4, nSalts: Int = 8,
+                   threshold: Double = 0.5): DataFrame = {
+    val k = 16; val rowsPerBand = k / bands
+    val docs = docsIn
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), shingles(toks).as("sh"))
+      .withColumn("mh", minhashes(col("sh"), k))
+      .cache()
+    // band join carries only (band, hash, doc_id) — candidate pairs are
+    // deduped BEFORE the wide shingle arrays are joined back for exact
+    // verification, so the heavy payload never rides the bucket shuffle.
+    val banded = docs.select(
+      col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("mh"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
+      .withColumn("salt", pmod(xxhash64(col("a")), lit(nSalts.toLong)))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
+      .withColumn("salt", explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
+    val pairs = l.join(r, Seq("band", "bh", "salt")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sha = docs.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val shb = docs.select(col("doc_id").as("b"), col("sh").as("shb"))
+    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+      size(array_union(col("sha"), col("shb"))).cast("double")
+    pairs.join(sha, "a").join(shb, "b")
+      .withColumn("__jac", jac)
+      .filter(col("__jac") >= threshold)
+      .select(col("a"), col("b"), round(col("__jac"), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
   /** MinHash + LSH banding near-dup pairs, verified with exact shingle
-    * Jaccard. 16 hashes → 4 bands of 4; candidates share ≥1 band; kept
-    * when true Jaccard ≥ 0.5. Rows-only (the MinHash functions have no
-    * SQL analogue); deterministic. */
+    * Jaccard. Rows-only (the MinHash functions have no SQL analogue);
+    * deterministic. */
   val dMinHash = QueryDef(
     "d2_minhash_lsh_pairs",
-    (s, dir) => {
-      val k = 16; val bands = 4; val rowsPerBand = k / bands
-      val docs = Tables.documents(s, dir)
-        .filter(size(toks) >= 3)
-        .select(col("doc_id"), shingles(toks).as("sh"))
-        .withColumn("mh", minhashes(col("sh"), k))
-        .cache()
-      // band join carries only (band, hash, doc_id) — candidate pairs are
-      // deduped BEFORE the wide shingle arrays are joined back for exact
-      // verification, so the heavy payload never rides the bucket shuffle.
-      val banded = docs.select(
-        col("doc_id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("mh"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
-        }: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.bh"))
-      val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
-      val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
-      val pairs = l.join(r, Seq("band", "bh")).filter(col("a") < col("b"))
-        .select("a", "b").distinct()
-      val sha = docs.select(col("doc_id").as("a"), col("sh").as("sha"))
-      val shb = docs.select(col("doc_id").as("b"), col("sh").as("shb"))
-      val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
-        size(array_union(col("sha"), col("shb"))).cast("double")
-      pairs.join(sha, "a").join(shb, "b")
-        .withColumn("__jac", jac)
-        .filter(col("__jac") >= 0.5)
-        .select(col("a"), col("b"), round(col("__jac"), 6).as("jaccard"))
-        .orderBy("a", "b")
-    })
+    (s, dir) => minHashPairs(Tables.documents(s, dir)))
 
   /** 64-bit SimHash fingerprint + banded Hamming-distance near-dup pairs
     * (≤ 6 bits differ). Pure HOF expressions; rows-only. */

@@ -87,17 +87,25 @@ object VectorQueries {
           when(dot(e, lits) >= 0.0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val tabled = emb.select(col("vec_id"), col("embedding"),
+      // candidate generation and dedup carry IDS ONLY — the 64-dim
+      // embeddings would otherwise ride the bucket join and the distinct
+      // shuffle ~64× wider (VERDICT r1); they are joined back just for
+      // the exact re-rank.
+      val tabled = emb.select(col("vec_id"),
         explode(array((0 until nTables).map { t =>
           struct(lit(t).as("tbl"), tableSig(t)(col("embedding")).as("sig"))
         }: _*)).as("ts"))
-        .select(col("vec_id"), col("embedding"), col("ts.tbl"), col("ts.sig"))
+        .select(col("vec_id"), col("ts.tbl"), col("ts.sig"))
       val probes = tabled.filter(col("vec_id") < 50)
-        .select(col("tbl"), col("sig"), col("vec_id").as("q"), col("embedding").as("qe"))
-      val cands = tabled.select(col("tbl"), col("sig"), col("vec_id").as("nb"),
-        col("embedding").as("ne"))
-      val uniq = probes.join(cands, Seq("tbl", "sig")).filter(col("q") =!= col("nb"))
-        .select(col("q"), col("qe"), col("nb"), col("ne")).distinct()
+        .select(col("tbl"), col("sig"), col("vec_id").as("q"))
+      val cands = tabled.select(col("tbl"), col("sig"), col("vec_id").as("nb"))
+      val pairIds = broadcast(probes).join(cands, Seq("tbl", "sig"))
+        .filter(col("q") =!= col("nb"))
+        .select(col("q"), col("nb")).distinct()
+      val qe = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q"), col("embedding").as("qe"))
+      val ne = emb.select(col("vec_id").as("nb"), col("embedding").as("ne"))
+      val uniq = pairIds.join(broadcast(qe), "q").join(ne, "nb")
       val w = Window.partitionBy(col("q")).orderBy(col("__sim").desc, col("nb").asc)
       uniq
         .withColumn("__sim", dot(col("qe"), col("ne")))
@@ -197,15 +205,23 @@ object VectorQueries {
       val assigned = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"),
           array_min(distStructs(col("embedding"))).getField("idx").as("list_id"))
+      // ids-only candidate generation + dedup; embeddings join back only
+      // for the exact re-rank (same rationale as v2)
       val probes = assigned.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("q"), col("embedding").as("qe"),
+        .select(col("vec_id").as("q"),
           slice(transform(array_sort(distStructs(col("embedding"))), x => x.getField("idx")),
             1, 4).as("probe_lists"))
-        .select(col("q"), col("qe"), explode(col("probe_lists")).as("list_id"))
-      val cands = assigned.select(col("list_id"), col("vec_id").as("nb"), col("embedding").as("ne"))
+        .select(col("q"), explode(col("probe_lists")).as("list_id"))
+      val cands = assigned.select(col("list_id"), col("vec_id").as("nb"))
+      val pairIds = broadcast(probes).join(cands, Seq("list_id"))
+        .filter(col("q") =!= col("nb"))
+        .select(col("q"), col("nb")).distinct()
+      val qe = Tables.embeddings(s, dir).filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q"), col("embedding").as("qe"))
+      val ne = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("nb"), col("embedding").as("ne"))
       val w = Window.partitionBy(col("q")).orderBy(col("__sim").desc, col("nb").asc)
-      broadcast(probes).join(cands, Seq("list_id")).filter(col("q") =!= col("nb"))
-        .select(col("q"), col("nb"), col("qe"), col("ne")).distinct()
+      pairIds.join(broadcast(qe), "q").join(ne, "nb")
         .withColumn("__sim", dot(col("qe"), col("ne")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3)

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupQueries
+
+/** LSH band-bucket salting: on a skewed corpus (one boilerplate bucket
+  * holding most docs) the salted self-join must produce EXACTLY the same
+  * near-dup pairs as the unsalted form — salting spreads a hot bucket's
+  * O(w²) pair generation across tasks, it must never change the output.
+  */
+class DedupSkewSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def skewedCorpus = {
+    import spark.implicits._
+    val boiler = "terms of service apply to all users of this site please read carefully"
+    val hot = (1L to 120L).map(i => (i, boiler)) // one hot bucket: 120 identical docs
+    val near = Seq(
+      (200L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (201L, "the quick brown fox jumps over the lazy dog near the river bend"))
+    val rng = new scala.util.Random(7)
+    val cold = (300L until 330L).map { i =>
+      (i, Seq.fill(12)("w" + rng.nextInt(100000)).mkString(" "))
+    }
+    (hot ++ near ++ cold).toDF("doc_id", "text")
+  }
+
+  test("salted and unsalted LSH produce identical pairs on a skewed corpus") {
+    val salted = DedupQueries.minHashPairs(skewedCorpus, nSalts = 8)
+    val unsalted = DedupQueries.minHashPairs(skewedCorpus, nSalts = 1)
+    val cols = salted.columns.sorted.map(col(_))
+    val diff = salted.select(cols: _*).exceptAll(unsalted.select(cols: _*)).count() +
+      unsalted.select(cols: _*).exceptAll(salted.select(cols: _*)).count()
+    assert(diff == 0L)
+    // sanity: the hot component and the near-dup pair are both found
+    val n = salted.count()
+    assert(n >= 120L * 119L / 2 + 1, s"expected hot-bucket pairs + near pair, got $n")
+    assert(salted.filter(col("a") === 200L && col("b") === 201L).count() == 1L)
+  }
+}

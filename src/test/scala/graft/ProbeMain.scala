@@ -132,6 +132,19 @@ object ProbeMain {
       println("RFX_DOT=" + r.head())
     }
 
+    if (args.contains("annparity")) {
+      // v2/v5 after the ids-only-shuffle rewrite vs the pre-change dumps
+      for (q <- Seq("v2_lsh_ann", "v5_ivf_ann", "v3_embed_neardup",
+                    "d2_minhash_lsh_pairs", "d5_dedup_clusters")) {
+        val neu = graft.SparkEntry.queries(q)(spark, "/root/testdata/sf0.01")
+        val old = spark.read.parquet(s"/tmp/verify_out/$q")
+        val cols = old.columns.sorted.map(col(_))
+        val diff = neu.select(cols: _*).exceptAll(old.select(cols: _*)).count() +
+          old.select(cols: _*).exceptAll(neu.select(cols: _*)).count()
+        println(s"ANNPARITY $q diff=$diff (expect 0) rows=${neu.count()}")
+      }
+    }
+
     if (args.contains("mh")) {
       // MinHashK parity vs the 16-scan HOF form, on real corpus shingles
       val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
