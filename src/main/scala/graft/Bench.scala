@@ -20,10 +20,11 @@ object Bench {
     try {
       SparkEntry.queries("q13_case_bucket")(spark, sfDir).count()
       SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     val results = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case scala.util.control.NonFatal(_) => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -30,20 +30,43 @@ object SimulationRunner {
   /** Per-replication long-format results:
     * (n_internal, n_external, replication, method, coef, estimate, se,
     *  covered, tilt_warning).
+    *
+    * Scale guard: cells whose per-rep panel fits comfortably in one
+    * executor task (≤ maxLocalRows rows) run replication-parallel via
+    * flatMapGroups + LocalBattery; bigger cells would OOM a task
+    * materializing the panel, so they route rep-by-rep through the
+    * DISTRIBUTED Estimators battery (rows-parallel — the same math, the
+    * other execution path; ScaleRoutingSpec pins route equivalence).
     */
   def perRepResults(spark: SparkSession, cells: Seq[Cell], nReps: Int,
                     methods: Seq[String], cfg0: PanelGenerator.Config = PanelGenerator.Config(),
-                    baseSeed: Long = 2024L): DataFrame = {
+                    baseSeed: Long = 2024L, maxLocalRows: Long = 500000L): DataFrame = {
     import spark.implicits._
     val unknown = methods.filterNot(LocalBattery.methodNames.contains)
     require(unknown.isEmpty,
       s"unknown method(s): ${unknown.mkString(", ")}; valid: ${LocalBattery.methodNames.mkString(", ")}")
 
+    val (smallCells, bigCells) = cells.zipWithIndex.partition { case (c, _) =>
+      (c.nInternal + c.nExternal).toLong * cfg0.tMax <= maxLocalRows
+    }
+    val small = if (smallCells.isEmpty) None
+      else Some(localRoute(spark, smallCells, nReps, methods, cfg0, baseSeed))
+    val big = if (bigCells.isEmpty) None
+      else Some(distributedRoute(spark, bigCells, nReps, methods, cfg0, baseSeed))
+    (small.toSeq ++ big.toSeq).reduce(_ unionByName _)
+  }
+
+  /** Replication-parallel route: every (cell, rep) battery inside one
+    * executor task via LocalBattery. */
+  private def localRoute(spark: SparkSession, cells: Seq[(Cell, Int)], nReps: Int,
+                         methods: Seq[String], cfg0: PanelGenerator.Config,
+                         baseSeed: Long): DataFrame = {
+    import spark.implicits._
     // ONE generator tree per cell (not per rep): panelReps folds the rep
     // dimension into the range with seed = base + replication, giving
     // draws bit-identical to the per-rep union but a plan that stays a
     // few hundred KB at any nReps.
-    val panels = cells.zipWithIndex.map { case (cell, ci) =>
+    val panels = cells.map { case (cell, ci) =>
       val cfg = cfg0.copy(nInternal = cell.nInternal, nExternal = cell.nExternal)
       PanelGenerator.panelReps(spark, baseSeed + ci.toLong * 100000L, cfg, nReps)
         .withColumn("n_internal", lit(cell.nInternal))
@@ -93,6 +116,48 @@ object SimulationRunner {
       }
       .toDF("n_internal", "n_external", "replication", "method", "coef",
         "estimate", "se", "covered", "tilt_warning")
+  }
+
+  /** Rows-parallel route for oversized cells: each replication's panel is
+    * generated and cached once, then every method's fused-MomentPass
+    * distributed battery (stats.Estimators) runs over it — the panel is
+    * never materialized on a single task, so per-rep size is bounded by
+    * cluster memory, not task memory. Same dof/coverage conventions as
+    * the local route.
+    */
+  private def distributedRoute(spark: SparkSession, cells: Seq[(Cell, Int)], nReps: Int,
+                               methods: Seq[String], cfg0: PanelGenerator.Config,
+                               baseSeed: Long): DataFrame = {
+    import spark.implicits._
+    val truth = betaRTrue
+    val rows = cells.flatMap { case (cell, ci) =>
+      val cfg = cfg0.copy(nInternal = cell.nInternal, nExternal = cell.nExternal)
+      val nRows = (cell.nInternal + cell.nExternal).toLong * cfg.tMax
+      (1 to nReps).flatMap { rep =>
+        val panel = PanelGenerator
+          .panel(spark, baseSeed + ci.toLong * 100000L + rep, cfg).cache()
+        try {
+          methods.flatMap { m =>
+            try {
+              val r = graft.stats.Battery.run(m, panel)
+              // dof convention matches the local route: full panel rows
+              val dof = nRows - r.betaR.length
+              val tCrit = new org.apache.commons.math3.distribution.TDistribution(dof.toDouble)
+                .inverseCumulativeProbability(0.975)
+              coefNames.indices.map { i =>
+                val covered = math.abs(r.betaR(i) - truth(i)) <= tCrit * r.seBetaR(i)
+                (cell.nInternal, cell.nExternal, rep, m, coefNames(i),
+                  r.betaR(i), r.seBetaR(i), covered, r.tiltWarning)
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => Seq.empty // degenerate rep, as local route
+            }
+          }
+        } finally panel.unpersist()
+      }
+    }
+    rows.toDF("n_internal", "n_external", "replication", "method", "coef",
+      "estimate", "se", "covered", "tilt_warning")
   }
 
   /** A5/A8 metric table (simulation.R:124-136 + pretty-table schema). */

@@ -55,11 +55,14 @@ final case class BSpline(knots: Array[Double], degree: Int, nBasis: Int) {
     out
   }
 
-  /** Basis as nBasis named Catalyst columns via a scalar UDF over x. */
+  /** Basis as nBasis named Catalyst columns via the native codegen'd
+    * expression (graft.functions.BSplineBasisExpr — same kernel, no UDF
+    * boxing; subexpression elimination collapses the per-item extracts
+    * to one basis evaluation per row). */
   def designOf(prefix: String, x: Column): Design = {
-    val self = this
-    val f = udf((v: Double) => self.basis(v))
-    val arrCol = f(x.cast("double"))
+    val arrCol = org.apache.spark.sql.graft.Bridge.toColumn(
+      graft.functions.BSplineBasisExpr(
+        org.apache.spark.sql.graft.Bridge.toExpression(x.cast("double")), this))
     Design((0 until nBasis).map(j => (s"$prefix$j", arrCol.getItem(j))))
   }
 }

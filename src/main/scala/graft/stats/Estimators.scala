@@ -431,15 +431,23 @@ object Estimators {
 
         val posR = (sHr + dH) until d
         val v = DenseMatrix.tabulate(dR, dR)((i, j) => sand(posR(i), posR(j)))
+        require(dR % 2 == 0,
+          s"ET pooling expects two stacked study blocks (even dR), got dR=$dR")
         val (pooled, vp) = poolingMethod match {
           case "full" =>
             Pooling.full(betaRv, v, dR / 2, 2)
           case "kronecker" =>
+            // 2 study blocks of dR/2 coefs: the Kronecker weight reads the
+            // per-study precision at each block's leading coefficient
+            val b = dR / 2
             val lam = LinAlg.cholInv(v)
-            val lt = DenseMatrix((lam(0, 0), lam(0, 2)), (lam(2, 0), lam(2, 2)))
+            val lt = DenseMatrix((lam(0, 0), lam(0, b)), (lam(b, 0), lam(b, b)))
             Pooling.kroneckerLike(betaRv, v, lt)
           case "equal" =>
             Pooling.kroneckerLike(betaRv, v, DenseMatrix.eye[Double](2) * 0.5)
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown ET pooling method '$other'; valid: full, kronecker, equal")
         }
         val se = LinAlg.diagSqrt(vp)
         val err = pooled - betaRTrue

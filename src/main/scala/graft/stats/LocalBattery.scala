@@ -148,11 +148,17 @@ object LocalBattery {
   private def sandwichBlocked(scores: DenseMatrix[Double], h: DenseMatrix[Double],
                               nUsers: Int, d: Int): DenseMatrix[Double] = {
     val n = scores.rows
-    val tMax = math.round(n.toDouble / nUsers).toInt
-    val agg = DenseMatrix.zeros[Double](nUsers, d)
+    // balanced panels (the reference's only case): exact tMax-row blocks,
+    // nBlocks == nUsers — byte-identical to the R reshape quirk the
+    // goldens pin. Unbalanced input: ceil-sized blocks clamped at n so no
+    // row is dropped and no index overruns (the distributed path clusters
+    // every row; round-up/round-down here used to crash/drop silently).
+    val tMax = math.max(1, math.ceil(n.toDouble / nUsers).toInt)
+    val nBlocks = (n + tMax - 1) / tMax
+    val agg = DenseMatrix.zeros[Double](nBlocks, d)
     var g = 0
-    while (g < nUsers) {
-      var r = g * tMax; val end = r + tMax
+    while (g < nBlocks) {
+      var r = g * tMax; val end = math.min(r + tMax, n)
       while (r < end) {
         var c = 0
         while (c < d) { agg(g, c) += scores(r, c); c += 1 }

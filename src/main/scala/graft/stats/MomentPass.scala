@@ -61,5 +61,5 @@ final class MomentPass(df: DataFrame) {
     LinAlg.fromFlat(flat(i), p, q)
   }
   def vector(i: Int): DenseVector[Double] = DenseVector(flat(i).toArray)
-  def value(i: Int): Double = results.getDouble(i)
+  def value(i: Int): Double = flat(i).head
 }
