@@ -176,18 +176,23 @@ object MinHashK {
     * token contributes its slot seed (xxhash64 skips null children);
     * an empty token array yields k null slots (array_min of empty).
     */
+  // per-slot seeds depend only on (k): memoize per executor JVM
+  private val seedCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Long]]()
+  private def seedsFor(k: Int): Array[Long] =
+    seedCache.computeIfAbsent(k, k2 => {
+      val s = new Array[Long](k2)
+      var i = 0
+      while (i < k2) { s(i) = XxHash64Function.hash(i, IntegerType, 42L); i += 1 }
+      s
+    })
+
   def compute(tokens: ArrayData, k: Int): ArrayData = {
-    val seeds = new Array[Long](k)
-    var i = 0
-    while (i < k) {
-      seeds(i) = XxHash64Function.hash(i, IntegerType, 42L)
-      i += 1
-    }
+    val seeds = seedsFor(k)
     val n = tokens.numElements()
     if (n == 0)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         new Array[Any](k)) // k nulls
-    val mins = java.util.Arrays.copyOf(seeds, k) // placeholder, overwritten below
+    val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     var t = 0
     while (t < n) {

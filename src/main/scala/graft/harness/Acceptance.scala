@@ -105,14 +105,19 @@ object AcceptanceChecks {
       }.mkString(", ")))
 
     // 6. PET-WCLS highest empirical relative efficiency among valid methods
+    // NaN would win Scala's Double ordering — only defined ratios compete
+    def validEff(rs: Seq[MetricRow]): Seq[MetricRow] =
+      rs.filter(r => r.method != "WCLS-Pooled" && r.relEff.exists(e => !e.isNaN))
     val petBestEff = byCoef.forall { case (_, rs) =>
-      rs.filter(_.method != "WCLS-Pooled").maxBy(_.relEff.getOrElse(Double.NaN)).method == "PET-WCLS"
+      validEff(rs).maxByOption(_.relEff.get).exists(_.method == "PET-WCLS")
     }
     checks += (("pet_wcls_best_rel_efficiency",
       petBestEff,
       byCoef.map { case (c, rs) =>
-        val best = rs.filter(_.method != "WCLS-Pooled").maxBy(_.relEff.getOrElse(Double.NaN))
-        f"$c: best=${best.method} (${best.relEff.getOrElse(Double.NaN)}%.3f)"
+        validEff(rs).maxByOption(_.relEff.get) match {
+          case Some(best) => f"$c: best=${best.method} (${best.relEff.get}%.3f)"
+          case None => s"$c: no method with a defined efficiency ratio"
+        }
       }.mkString(", ")))
 
     // 7. tilt-warning parity: equal counts across all five tilt methods

@@ -34,6 +34,12 @@ object GridRunner {
               methods: Seq[String], checkpointDir: Option[String],
               cfg0: PanelGenerator.Config = PanelGenerator.Config(),
               baseSeed: Long = 2024L): (DataFrame, Seq[CellStatus]) = {
+    // a checkpoint is only valid for the run configuration that wrote it —
+    // resuming with different reps/methods/DGP/seed must recompute, not
+    // silently serve stale data
+    def metaString(cell: Cell): String =
+      s"v1|nReps=$nReps|methods=${methods.mkString(",")}|cfg=$cfg0|seed=${cellSeed(baseSeed, cell)}"
+
     val runs = cells.map { cell =>
       def compute(): DataFrame = SimulationRunner.perRepResults(
         spark, Seq(cell), nReps, methods, cfg0, cellSeed(baseSeed, cell))
@@ -42,12 +48,23 @@ object GridRunner {
         case Some(dir) =>
           val path = s"$dir/cell_${cell.nInternal}_${cell.nExternal}"
           val hPath = new Path(path)
+          val metaPath = new Path(hPath, "_graft_meta")
           val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(new Path(hPath, "_SUCCESS")))
+          val metaMatches = fs.exists(new Path(hPath, "_SUCCESS")) &&
+            fs.exists(metaPath) && {
+              val in = fs.open(metaPath)
+              try new String(in.readAllBytes(), "UTF-8") == metaString(cell)
+              finally in.close()
+            }
+          if (metaMatches)
             (spark.read.parquet(path), CellStatus(cell, loadedFromCheckpoint = true))
           else {
-            // coalesce(1): a cell is ≤ nReps×methods×2 tiny rows — one file
-            compute().coalesce(1).write.mode("overwrite").parquet(path)
+            // repartition(1) — NOT coalesce(1), which would lazily collapse
+            // the whole battery stage onto one task; the shuffle here moves
+            // only the ≤ nReps×methods×2 tiny result rows into one file
+            compute().repartition(1).write.mode("overwrite").parquet(path)
+            val out = fs.create(metaPath, true)
+            try out.write(metaString(cell).getBytes("UTF-8")) finally out.close()
             (spark.read.parquet(path), CellStatus(cell, loadedFromCheckpoint = false))
           }
       }

@@ -130,32 +130,46 @@ object SimulationRunner {
                                baseSeed: Long): DataFrame = {
     import spark.implicits._
     val truth = betaRTrue
-    val rows = cells.flatMap { case (cell, ci) =>
-      val cfg = cfg0.copy(nInternal = cell.nInternal, nExternal = cell.nExternal)
-      val nRows = (cell.nInternal + cell.nExternal).toLong * cfg.tMax
-      (1 to nReps).flatMap { rep =>
-        val panel = PanelGenerator
-          .panel(spark, baseSeed + ci.toLong * 100000L + rep, cfg).cache()
-        try {
-          methods.flatMap { m =>
+    // a strictly sequential driver loop would leave executors idle between
+    // the small jobs of each fit — run a bounded number of replications
+    // concurrently (Spark's scheduler interleaves their jobs); results are
+    // independent per rep so values are unchanged.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val rows = try {
+      cells.flatMap { case (cell, ci) =>
+        val cfg = cfg0.copy(nInternal = cell.nInternal, nExternal = cell.nExternal)
+        val nRows = (cell.nInternal + cell.nExternal).toLong * cfg.tMax
+        val futures = (1 to nReps).map { rep =>
+          scala.concurrent.Future {
+            val panel = PanelGenerator
+              .panel(spark, baseSeed + ci.toLong * 100000L + rep, cfg).cache()
             try {
-              val r = graft.stats.Battery.run(m, panel)
-              // dof convention matches the local route: full panel rows
-              val dof = nRows - r.betaR.length
-              val tCrit = new org.apache.commons.math3.distribution.TDistribution(dof.toDouble)
-                .inverseCumulativeProbability(0.975)
-              coefNames.indices.map { i =>
-                val covered = math.abs(r.betaR(i) - truth(i)) <= tCrit * r.seBetaR(i)
-                (cell.nInternal, cell.nExternal, rep, m, coefNames(i),
-                  r.betaR(i), r.seBetaR(i), covered, r.tiltWarning)
+              methods.flatMap { m =>
+                try {
+                  val r = graft.stats.Battery.run(m, panel)
+                  // dof convention matches the local route: full panel rows
+                  val dof = nRows - r.betaR.length
+                  val tCrit = new org.apache.commons.math3.distribution.TDistribution(dof.toDouble)
+                    .inverseCumulativeProbability(0.975)
+                  coefNames.indices.map { i =>
+                    val covered = math.abs(r.betaR(i) - truth(i)) <= tCrit * r.seBetaR(i)
+                    (cell.nInternal, cell.nExternal, rep, m, coefNames(i),
+                      r.betaR(i), r.seBetaR(i), covered, r.tiltWarning)
+                  }
+                } catch {
+                  case scala.util.control.NonFatal(_) => Seq.empty // degenerate rep, as local route
+                }
               }
-            } catch {
-              case scala.util.control.NonFatal(_) => Seq.empty // degenerate rep, as local route
-            }
+            } finally panel.unpersist()
           }
-        } finally panel.unpersist()
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futures),
+          scala.concurrent.duration.Duration.Inf).flatten
       }
-    }
+    } finally pool.shutdown()
     rows.toDF("n_internal", "n_external", "replication", "method", "coef",
       "estimate", "se", "covered", "tilt_warning")
   }

@@ -148,13 +148,17 @@ object LocalBattery {
   private def sandwichBlocked(scores: DenseMatrix[Double], h: DenseMatrix[Double],
                               nUsers: Int, d: Int): DenseMatrix[Double] = {
     val n = scores.rows
-    // balanced panels (the reference's only case): exact tMax-row blocks,
-    // nBlocks == nUsers — byte-identical to the R reshape quirk the
-    // goldens pin. Unbalanced input: ceil-sized blocks clamped at n so no
-    // row is dropped and no index overruns (the distributed path clusters
-    // every row; round-up/round-down here used to crash/drop silently).
-    val tMax = math.max(1, math.ceil(n.toDouble / nUsers).toInt)
-    val nBlocks = (n + tMax - 1) / tMax
+    // The R reshape quirk the goldens pin (block clustering) is only
+    // DEFINED on balanced panels; on unbalanced input blocks would mix
+    // users and the nUsers-based dof correction would be wrong — refuse
+    // loudly rather than return plausible-but-wrong clustered SEs (the
+    // distributed Estimators path clusters true users and handles any
+    // shape; SimulationRunner's big-cell route uses it).
+    require(n % nUsers == 0,
+      s"blocked sandwich needs a balanced panel (n=$n not a multiple of nUsers=$nUsers); " +
+        "use the distributed Estimators path for unbalanced data")
+    val tMax = n / nUsers
+    val nBlocks = nUsers
     val agg = DenseMatrix.zeros[Double](nBlocks, d)
     var g = 0
     while (g < nBlocks) {
