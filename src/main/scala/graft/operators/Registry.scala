@@ -7,7 +7,8 @@ object Registry {
   def suites: Seq[QueryDef] =
     RelationalQueries.all ++ StatQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ Seq(DedupClusters.dClusters) ++
-      VectorQueries.all ++ MultimodalQueries.all ++ HarnessQueries.all
+      VectorQueries.all ++ MultimodalQueries.all ++ HarnessQueries.all ++
+      SampleQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     suites.map(q => q.name -> q.fn).toMap

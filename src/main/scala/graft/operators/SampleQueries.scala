@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic corpus sampling / mixing — the reproducibility-critical
+  * step of assembling a pretraining mix: each source gets a target keep
+  * rate and membership is decided by a CONTENT-KEYED hash of the doc id,
+  * never by `rand()` (partition-order-dependent) or reservoir state.
+  * Rerunning on any cluster layout, or on yesterday's corpus plus new
+  * docs, keeps exactly the same docs — the property training-data
+  * pipelines need for ablations and incremental rebuilds.
+  *
+  * Mechanism: md5(doc_id) is identical in every engine; the first two
+  * hex chars partition docs into 256 stable buckets and a per-source
+  * lexicographic threshold keeps ~rate·256/256 of them. Pure codegen'd
+  * expressions; linear scan, no shuffle at all for the sample itself.
+  */
+object SampleQueries {
+
+  /** (source → keep threshold over the 256 md5 buckets): src0 80%,
+    * src1 60%, src2 40%, src3 20%, everything else 10%. */
+  private val thresholds = Seq(
+    "src0" -> "cc", // 204/256 ≈ 79.7%
+    "src1" -> "99", // 153/256 ≈ 59.8%
+    "src2" -> "66", // 102/256 ≈ 39.8%
+    "src3" -> "33") // 51/256  ≈ 19.9%
+  private val defaultThreshold = "1a" // 26/256 ≈ 10.2%
+
+  val cSample = QueryDef(
+    "c1_corpus_sample",
+    (s, dir) => {
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val cut = thresholds.foldRight(lit(defaultThreshold): org.apache.spark.sql.Column) {
+        case ((src, thr), acc) => when(col("source") === src, thr).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .withColumn("bucket", bucket)
+        .filter(col("bucket") < cut)
+        .select(col("doc_id"), col("source"), col("bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, source, substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+      FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+            CASE source WHEN 'src0' THEN 'cc' WHEN 'src1' THEN '99'
+                        WHEN 'src2' THEN '66' WHEN 'src3' THEN '33' ELSE '1a' END
+      ORDER BY doc_id"""))
+
+  /** Realized mix audit: per-source kept/total/rate — the check every
+    * mixing job runs before shipping a corpus. */
+  val cMixAudit = QueryDef(
+    "c2_mix_audit",
+    (s, dir) => {
+      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+      val cut = thresholds.foldRight(lit(defaultThreshold): org.apache.spark.sql.Column) {
+        case ((src, thr), acc) => when(col("source") === src, thr).otherwise(acc)
+      }
+      Tables.documents(s, dir)
+        .withColumn("kept", (bucket < cut).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"),
+          round(sum(col("kept")).cast("double") / count(lit(1)), 6).as("realized_rate"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH k AS (
+        SELECT source,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                         CASE source WHEN 'src0' THEN 'cc' WHEN 'src1' THEN '99'
+                                     WHEN 'src2' THEN '66' WHEN 'src3' THEN '33' ELSE '1a' END
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents)
+      SELECT source, COUNT(*) AS n_total, CAST(SUM(kept) AS BIGINT) AS n_kept,
+             ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS realized_rate
+      FROM k GROUP BY source ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(cSample, cMixAudit)
+}

@@ -153,5 +153,68 @@ object TextQueries {
              COUNT(DISTINCT source) AS n_sources
       FROM documents GROUP BY lang ORDER BY lang"""))
 
-  val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint, tLangStats)
+  /** Repetition metrics (the repeated-n-gram family of pretraining
+    * quality filters): per-doc repeated-bigram fraction and the
+    * most-frequent-token mass. The top-token pass is explode → two-level
+    * aggregate — partial aggregation keeps the shuffle bounded by
+    * (doc, distinct token), never by corpus size. */
+  val tRepetition = QueryDef(
+    "t6_repetition",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).filter(size(toks) >= 2)
+      val bigrams = transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))
+      val bi = docs.select(col("doc_id"), bigrams.as("bg"), size(toks).cast("double").as("nt"))
+        .select(col("doc_id"), col("nt"),
+          size(col("bg")).cast("long").as("n_bigrams"),
+          round(lit(1.0) - size(array_distinct(col("bg"))).cast("double") /
+            size(col("bg")).cast("double"), 6).as("repeated_bigram_frac"))
+      val top = docs.select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("max_c"))
+      bi.join(top, "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("repeated_bigram_frac"),
+          round(col("max_c").cast("double") / col("nt"), 6).as("top_token_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (
+        SELECT doc_id,
+               list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS g,
+               CAST(len(tk) AS DOUBLE) AS nt
+        FROM b),
+      bm AS (
+        SELECT doc_id, nt, CAST(len(g) AS BIGINT) AS n_bigrams,
+               ROUND(1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE), 6) AS repeated_bigram_frac
+        FROM bg),
+      tc AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
+      tp AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id)
+      SELECT bm.doc_id, bm.n_bigrams, bm.repeated_bigram_frac,
+             ROUND(CAST(tp.max_c AS DOUBLE) / bm.nt, 6) AS top_token_frac
+      FROM bm JOIN tp USING (doc_id) ORDER BY doc_id"""))
+
+  /** Corpus vocabulary: top-20 tokens by term frequency with document
+    * frequency — explode → token-keyed aggregate (map-side combine) →
+    * TakeOrdered; the canonical vocabulary-building scan. */
+  val tVocab = QueryDef(
+    "t7_vocab_topk",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("tf").desc, col("tok").asc)
+        .limit(20),
+    Some("""
+      SELECT t AS tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+      GROUP BY t ORDER BY tf DESC, tok ASC LIMIT 20"""))
+
+  val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
+    tLangStats, tRepetition, tVocab)
 }

@@ -56,6 +56,18 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("userId"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup — the streaming sibling of the batch d1
+    * operator: duplicate deliveries of the same event id are dropped as
+    * long as they arrive within the watermark horizon. State is a
+    * per-key marker EVICTED once the watermark passes, so it tracks the
+    * dedup window, not the full history — the only shape that survives
+    * an unbounded 100 TB/day stream (an unwindowed dropDuplicates would
+    * grow state forever). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("eventId")
+
   final case class SessionState(nEvents: Long, lastTs: Long, nSessions: Long)
   final case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)
 

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression net: the properties that make the headline
+  * queries scale are pinned here so a refactor cannot silently trade
+  * them away — filters reaching the parquet scan, small dimensions
+  * broadcast, top-k as TakeOrderedAndProject, and NO cartesian product
+  * anywhere in the relational/text/dedup/vector surface.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filter pushdown reaches the parquet scan (q2)") {
+    val p = plan("q2_filter_revenue")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(!p.replaceAll("PushedFilters: \\[\\]", "").contains("PushedFilters: []")
+      || p.contains("PushedFilters: [Is"), "expected non-empty pushed filters\n" + p.take(2000))
+  }
+
+  test("small dimension joins broadcast (q3 region/nation)") {
+    assert(plan("q3_cust_per_region").contains("BroadcastHashJoin"))
+  }
+
+  test("exact ANN probes broadcast against the corpus (v1)") {
+    assert(plan("v1_cosine_topk").contains("BroadcastNestedLoopJoin") ||
+      plan("v1_cosine_topk").contains("BroadcastHashJoin"))
+  }
+
+  test("top-k sorts use TakeOrderedAndProject, not a global sort (q11)") {
+    assert(plan("q11_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("no cartesian product anywhere in the static query surface") {
+    // harness/clustering queries run eager jobs at build time; the static
+    // suites below cover every join-bearing query shape
+    val static = SparkEntry.queries.keys.filter(q =>
+      q.startsWith("q") || q.startsWith("t") || q.startsWith("c") ||
+        q.startsWith("d1") || q.startsWith("d2") || q.startsWith("d3") ||
+        q.startsWith("d4") || q.startsWith("v") || q.startsWith("mm"))
+    static.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product")
+    }
+  }
+
+  test("window functions never fall back to a single partition (q9/q10)") {
+    for (q <- Seq("q9_window_topn", "q10_window_lag", "q24_range_frame")) {
+      val p = plan(q)
+      // a Window over an empty partition spec would force all rows into
+      // one task — every window here must be keyed
+      assert(!p.contains("Window [") || !p.contains("SinglePartition"),
+        s"$q has an unkeyed window\n" + p.take(1500))
+    }
+  }
+}

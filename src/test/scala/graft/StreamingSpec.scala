@@ -80,6 +80,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup drops redelivered event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(src.toDF())
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "click", 2.0),
+        Event(1, ts(0), 1, "click", 1.0)) // duplicate delivery, same batch
+      q.processAllAvailable()
+      src.addData(Event(2, ts(2), 1, "click", 2.0)) // duplicate, later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_events").collect().map(_.getLong(0)).sorted
+      assert(ids.sameElements(Array(1L, 2L)), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming logic matches batch execution of the same transform") {
     import spark.implicits._
     val batch = Seq(
