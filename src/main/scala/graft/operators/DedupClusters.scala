@@ -78,4 +78,45 @@ object DedupClusters {
       pairs.unpersist()
       out
     })
+
+  /** The same connected-components operator fed by SQL-expressible edges
+    * (d4's n-gram Jaccard pairs), so the ITERATIVE clustering itself is
+    * oracle-checked: DuckDB computes ground truth as a recursive-CTE
+    * transitive closure with cluster_id = min reachable doc_id. (d5 stays
+    * the production LSH-fed variant — MinHash has no SQL analogue.) */
+  val dClustersOracle = QueryDef(
+    "d6_cluster_components",
+    (s, dir) => {
+      // threshold 0.4 yields multi-hop components (size-3 chains) on the
+      // test corpus, so the closure is non-trivially exercised
+      val pairs = DedupQueries.ngramPairs(s, dir, threshold = 0.4)
+        .select("a", "b").cache()
+      val cc = connectedComponents(pairs)
+      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      val out = cc.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+      pairs.unpersist()
+      out
+    },
+    Some("""
+      WITH RECURSIVE g AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, length(text) - 2),
+                                            i -> substring(text, i, 4))) AS gr
+        FROM documents WHERE length(text) >= 4),
+      e AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM g l JOIN g r ON l.source = r.source AND l.doc_id < r.doc_id AND l.doc_id < 250
+        WHERE CAST(len(list_intersect(l.gr, r.gr)) AS DOUBLE)
+              / len(list_distinct(list_concat(l.gr, r.gr))) >= 0.4),
+      ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      nodes AS (SELECT DISTINCT a AS id FROM ed),
+      reach AS (
+        SELECT id AS src, id AS dst FROM nodes
+        UNION
+        SELECT r.src, ed.b AS dst FROM reach r JOIN ed ON ed.a = r.dst)
+      SELECT src AS doc_id, MIN(dst) AS cluster_id,
+             COUNT(*) OVER (PARTITION BY MIN(dst)) AS cluster_size
+      FROM reach GROUP BY src ORDER BY doc_id"""))
 }

@@ -136,32 +136,35 @@ object DedupQueries {
         .orderBy("a", "b")
     })
 
+  /** Character 4-gram Jaccard pairs within each `source` bucket over a
+    * bounded probe set (a < probeBound) — exact all-pairs ground truth;
+    * the scalable full-corpus path is d2's MinHash-LSH candidates. */
+  def ngramPairs(s: org.apache.spark.sql.SparkSession, dir: String,
+                 threshold: Double, probeBound: Long = 250L): DataFrame = {
+    val grams = array_distinct(
+      transform(sequence(lit(1), length(col("text")) - 3),
+        i => col("text").substr(i, lit(4))))
+    val docs = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 4)
+      .select(col("doc_id"), col("source"), grams.as("g"))
+    val l = docs.filter(col("doc_id") < probeBound)
+      .select(col("source"), col("doc_id").as("a"), col("g").as("ga"))
+    val r = docs.select(col("source"), col("doc_id").as("b"), col("g").as("gb"))
+    val jac = size(array_intersect(col("ga"), col("gb"))).cast("double") /
+      size(array_union(col("ga"), col("gb"))).cast("double")
+    l.join(r, Seq("source")).filter(col("a") < col("b"))
+      .withColumn("__jac", jac)
+      .filter(col("__jac") >= threshold)
+      .select(col("a"), col("b"), round(col("__jac"), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
   /** Character 4-gram Jaccard near-dups within each `source` bucket —
     * the n-gram Jaccard operator with a natural blocking key. Oracle-
     * checked: both engines build the same 4-gram sets. */
   val dNgramJaccard = QueryDef(
     "d4_ngram_jaccard",
-    (s, dir) => {
-      val grams = array_distinct(
-        transform(sequence(lit(1), length(col("text")) - 3),
-          i => col("text").substr(i, lit(4))))
-      // Probe-set pattern: exact all-pairs Jaccard is O(n²) per block and
-      // exists here as the oracle-checked ground truth for a bounded probe
-      // set; the scalable full-corpus path is d2's MinHash-LSH candidates.
-      val docs = Tables.documents(s, dir)
-        .filter(length(col("text")) >= 4)
-        .select(col("doc_id"), col("source"), grams.as("g"))
-      val l = docs.filter(col("doc_id") < 250)
-        .select(col("source"), col("doc_id").as("a"), col("g").as("ga"))
-      val r = docs.select(col("source"), col("doc_id").as("b"), col("g").as("gb"))
-      val jac = size(array_intersect(col("ga"), col("gb"))).cast("double") /
-        size(array_union(col("ga"), col("gb"))).cast("double")
-      l.join(r, Seq("source")).filter(col("a") < col("b"))
-        .withColumn("__jac", jac)
-        .filter(col("__jac") >= 0.55)
-        .select(col("a"), col("b"), round(col("__jac"), 6).as("jaccard"))
-        .orderBy("a", "b")
-    },
+    (s, dir) => ngramPairs(s, dir, threshold = 0.55),
     Some("""
       WITH g AS (
         SELECT doc_id, source,

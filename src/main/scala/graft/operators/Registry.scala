@@ -6,7 +6,8 @@ package graft.operators
 object Registry {
   def suites: Seq[QueryDef] =
     RelationalQueries.all ++ StatQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ Seq(DedupClusters.dClusters) ++
+      TextQueries.all ++ DedupQueries.all ++
+      Seq(DedupClusters.dClusters, DedupClusters.dClustersOracle) ++
       VectorQueries.all ++ MultimodalQueries.all ++ HarnessQueries.all ++
       SampleQueries.all
 
