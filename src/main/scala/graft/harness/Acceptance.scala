@@ -143,6 +143,23 @@ object AcceptanceChecks {
       bigTilt <= bigBound && smallOk,
       s"largest cell: $bigTilt (≤ $bigBound), smallest cell: $smallTilt (≥1 when nReps ≥ 100)"))
 
+    // 9. pooled bias scales with the external fraction (reference:
+    //    WCLS-Pooled coverage 0.218 at 100/400 < 0.610 at 400/400 <
+    //    0.945 at 400/100): naive pooling collapses exactly when the
+    //    biased external study dominates. Runs when the asymmetric
+    //    cells are in the grid.
+    val povCov = Seq((100, 400), (400, 400), (400, 100)).map { case (ni, ne) =>
+      at(ni, ne)(r => r.method == "WCLS-Pooled" && r.coef == "Slope")
+        .map(_.coverage).headOption
+    }
+    povCov match {
+      case Seq(Some(extDom), Some(bal), Some(intDom)) =>
+        checks += (("pooled_bias_scales_with_external_fraction",
+          extDom < bal && bal < intDom && extDom < 0.4 && intDom > 0.85,
+          f"slope coverage: 100/400=$extDom%.3f < 400/400=$bal%.3f < 400/100=$intDom%.3f"))
+      case _ => () // asymmetric cells not in this grid
+    }
+
     checks.result()
   }
 }
@@ -168,7 +185,8 @@ object Acceptance {
     spark.sparkContext.setLogLevel("WARN")
 
     val cells = Seq(SimulationRunner.Cell(25, 25), SimulationRunner.Cell(100, 100),
-      SimulationRunner.Cell(400, 400))
+      SimulationRunner.Cell(400, 400), SimulationRunner.Cell(100, 400),
+      SimulationRunner.Cell(400, 100))
     val t0 = System.nanoTime()
     val (perRep, statuses) = GridRunner.runGrid(
       spark, cells, nReps, Battery.methodNames, Some(checkpointDir))

@@ -26,12 +26,14 @@ class AcceptanceSpec extends AnyFunSuite {
   private val dir = "results/acceptance"
 
   test("committed 400-rep grid passes every statistical acceptance check") {
-    val perRep = spark.read.parquet(s"$dir/cell_25_25", s"$dir/cell_100_100", s"$dir/cell_400_400")
+    val perRep = spark.read.parquet(
+      s"$dir/cell_25_25", s"$dir/cell_100_100", s"$dir/cell_400_400",
+      s"$dir/cell_100_400", s"$dir/cell_400_100")
     assert(perRep.select(max("replication")).head().getInt(0) == 400)
     val checks = AcceptanceChecks.check(SimulationRunner.metrics(perRep), nReps = 400)
     val failed = checks.filter(c => !c._2)
     assert(failed.isEmpty, failed.map(c => s"${c._1}: ${c._3}").mkString("\n"))
-    assert(checks.size == 9)
+    assert(checks.size == 10) // incl. the pooled-bias-vs-external-fraction gradient
   }
 
   test("committed per-rep results are reproducible from the engine (spot check)") {

@@ -46,6 +46,25 @@ class MinHashSpec extends AnyFunSuite {
     assert(r.isNullAt(2))
   }
 
+  test("MinHashK parity property on random token arrays, several k") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 300).map { i =>
+      val n = rng.nextInt(30)
+      (i.toLong, Seq.fill(n)(
+        if (rng.nextInt(20) == 0) null
+        else rng.alphanumeric.take(1 + rng.nextInt(8)).mkString))
+    }
+    val df = rows.toDF("id", "sh")
+    for (k <- Seq(1, 4, 16)) {
+      val hof = array((0 until k).map(i =>
+        array_min(transform(col("sh"), x => xxhash64(lit(i), x)))): _*)
+      val diff = df.select(minhashK(col("sh"), k).as("a"), hof.as("b"))
+        .filter(not(col("a") <=> col("b"))).count()
+      assert(diff == 0L, s"k=$k")
+    }
+  }
+
   test("MinHashK rejects non-string-array input with a clear error") {
     val e = intercept[Exception] {
       spark.range(1).select(minhashK(array(lit(1), lit(2)), 4)).head()
