@@ -88,8 +88,13 @@ object DedupClusters {
     "d6_cluster_components",
     (s, dir) => {
       // threshold 0.4 yields multi-hop components (size-3 chains) on the
-      // test corpus, so the closure is non-trivially exercised
-      val pairs = DedupQueries.ngramPairs(s, dir, threshold = 0.4)
+      // test corpus, so the closure is non-trivially exercised; the probe
+      // universe is bounded (doc_id < 500 both engines) because this is
+      // the ORACLE-CHECK variant — correctness evidence at fixed cost —
+      // while d5 is the LSH-fed production path that scales with the
+      // corpus
+      val pairs = DedupQueries
+        .ngramPairs(s, dir, threshold = 0.4, corpusBound = 500L)
         .select("a", "b").cache()
       val cc = connectedComponents(pairs)
       val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
@@ -104,7 +109,7 @@ object DedupClusters {
         SELECT doc_id, source,
                list_distinct(list_transform(range(1, length(text) - 2),
                                             i -> substring(text, i, 4))) AS gr
-        FROM documents WHERE length(text) >= 4),
+        FROM documents WHERE length(text) >= 4 AND doc_id < 500),
       e AS (
         SELECT l.doc_id AS a, r.doc_id AS b
         FROM g l JOIN g r ON l.source = r.source AND l.doc_id < r.doc_id AND l.doc_id < 250

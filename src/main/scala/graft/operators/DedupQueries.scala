@@ -140,12 +140,13 @@ object DedupQueries {
     * bounded probe set (a < probeBound) — exact all-pairs ground truth;
     * the scalable full-corpus path is d2's MinHash-LSH candidates. */
   def ngramPairs(s: org.apache.spark.sql.SparkSession, dir: String,
-                 threshold: Double, probeBound: Long = 250L): DataFrame = {
+                 threshold: Double, probeBound: Long = 250L,
+                 corpusBound: Long = Long.MaxValue): DataFrame = {
     val grams = array_distinct(
       transform(sequence(lit(1), length(col("text")) - 3),
         i => col("text").substr(i, lit(4))))
     val docs = Tables.documents(s, dir)
-      .filter(length(col("text")) >= 4)
+      .filter(length(col("text")) >= 4 && col("doc_id") < corpusBound)
       .select(col("doc_id"), col("source"), grams.as("g"))
     val l = docs.filter(col("doc_id") < probeBound)
       .select(col("source"), col("doc_id").as("a"), col("g").as("ga"))
