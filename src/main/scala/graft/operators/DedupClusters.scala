@@ -66,18 +66,22 @@ object DedupClusters {
     * with its canonical id and cluster size. Rows-only (iterative — no
     * SQL analogue); ground-truthed against driver-side union-find in
     * DedupClusterSpec. */
+  /** Shared cluster assembly: CC labels + per-cluster size, one row per
+    * clustered doc. */
+  private def clustersOf(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.select("a", "b").cache()
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val out = cc.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+    pairs.unpersist()
+    out
+  }
+
   val dClusters = QueryDef(
     "d5_dedup_clusters",
-    (s, dir) => {
-      val pairs = DedupQueries.dMinHash.fn(s, dir).select("a", "b").cache()
-      val cc = connectedComponents(pairs)
-      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      val out = cc.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-        .orderBy("doc_id")
-      pairs.unpersist()
-      out
-    })
+    (s, dir) => clustersOf(DedupQueries.dMinHash.fn(s, dir)))
 
   /** The same connected-components operator fed by SQL-expressible edges
     * (d4's n-gram Jaccard pairs), so the ITERATIVE clustering itself is
@@ -86,24 +90,13 @@ object DedupClusters {
     * the production LSH-fed variant — MinHash has no SQL analogue.) */
   val dClustersOracle = QueryDef(
     "d6_cluster_components",
-    (s, dir) => {
-      // threshold 0.4 yields multi-hop components (size-3 chains) on the
-      // test corpus, so the closure is non-trivially exercised; the probe
-      // universe is bounded (doc_id < 500 both engines) because this is
-      // the ORACLE-CHECK variant — correctness evidence at fixed cost —
-      // while d5 is the LSH-fed production path that scales with the
-      // corpus
-      val pairs = DedupQueries
-        .ngramPairs(s, dir, threshold = 0.4, corpusBound = 500L)
-        .select("a", "b").cache()
-      val cc = connectedComponents(pairs)
-      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-      val out = cc.join(sizes, "cluster_id")
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-        .orderBy("doc_id")
-      pairs.unpersist()
-      out
-    },
+    // threshold 0.4 yields multi-hop components (size-3 chains) on the
+    // test corpus, so the closure is non-trivially exercised; the probe
+    // universe is bounded (doc_id < 500 both engines) because this is
+    // the ORACLE-CHECK variant — correctness evidence at fixed cost —
+    // while d5 is the LSH-fed production path that scales with the corpus
+    (s, dir) => clustersOf(
+      DedupQueries.ngramPairs(s, dir, threshold = 0.4, corpusBound = 500L)),
     Some("""
       WITH RECURSIVE g AS (
         SELECT doc_id, source,

@@ -28,13 +28,16 @@ object SampleQueries {
     "src3" -> "33") // 51/256  ≈ 19.9%
   private val defaultThreshold = "1a" // 26/256 ≈ 10.2%
 
+  // shared by c1 (sample) and c2 (audit) so the two can never disagree
+  // on the bucketing scheme
+  private val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+  private val cut = thresholds.foldRight(lit(defaultThreshold): org.apache.spark.sql.Column) {
+    case ((src, thr), acc) => when(col("source") === src, thr).otherwise(acc)
+  }
+
   val cSample = QueryDef(
     "c1_corpus_sample",
     (s, dir) => {
-      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
-      val cut = thresholds.foldRight(lit(defaultThreshold): org.apache.spark.sql.Column) {
-        case ((src, thr), acc) => when(col("source") === src, thr).otherwise(acc)
-      }
       Tables.documents(s, dir)
         .withColumn("bucket", bucket)
         .filter(col("bucket") < cut)
@@ -54,10 +57,6 @@ object SampleQueries {
   val cMixAudit = QueryDef(
     "c2_mix_audit",
     (s, dir) => {
-      val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
-      val cut = thresholds.foldRight(lit(defaultThreshold): org.apache.spark.sql.Column) {
-        case ((src, thr), acc) => when(col("source") === src, thr).otherwise(acc)
-      }
       Tables.documents(s, dir)
         .withColumn("kept", (bucket < cut).cast("long"))
         .groupBy(col("source"))

@@ -24,9 +24,9 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("filter pushdown reaches the parquet scan (q2)") {
     val p = plan("q2_filter_revenue")
-    assert(p.contains("PushedFilters: ["), p.take(2000))
-    assert(!p.replaceAll("PushedFilters: \\[\\]", "").contains("PushedFilters: []")
-      || p.contains("PushedFilters: [Is"), "expected non-empty pushed filters\n" + p.take(2000))
+    // strip empty PushedFilters lines; a NON-empty one must remain
+    assert(p.replaceAll("PushedFilters: \\[\\]", "").contains("PushedFilters: ["),
+      "expected non-empty pushed filters\n" + p.take(2000))
   }
 
   test("small dimension joins broadcast (q3 region/nation)") {
@@ -34,8 +34,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("exact ANN probes broadcast against the corpus (v1)") {
-    assert(plan("v1_cosine_topk").contains("BroadcastNestedLoopJoin") ||
-      plan("v1_cosine_topk").contains("BroadcastHashJoin"))
+    val p = plan("v1_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
   test("top-k sorts use TakeOrderedAndProject, not a global sort (q11)") {
