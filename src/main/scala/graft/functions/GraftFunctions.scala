@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.types.IntegerType
 
 /** SQL registration for the engine's native expressions, so
@@ -34,10 +34,17 @@ object GraftFunctions {
     (FunctionIdentifier("minhash_k"), info(classOf[MinHashK], "minhash_k"),
       (args: Seq[Expression]) => {
         require(args.size == 2, s"minhash_k expects 2 arguments, got ${args.size}")
+        // accept any foldable int expression (e.g. `2 + 2`), not just an
+        // already-folded Literal — fold it here
         args(1) match {
-          case Literal(k: Int, IntegerType) => MinHashK(args.head, k)
+          case e if e.foldable && e.dataType == IntegerType =>
+            e.eval() match {
+              case k: Int => MinHashK(args.head, k)
+              case _ => throw new IllegalArgumentException(
+                "minhash_k expects a non-null constant int k")
+            }
           case other => throw new IllegalArgumentException(
-            s"minhash_k expects a literal int k, got $other")
+            s"minhash_k expects a constant int k, got $other")
         }
       }))
 

@@ -47,9 +47,13 @@ object AcceptanceChecks {
           r.getLong(10))
       }
 
-  /** Run every acceptance assertion; returns (name, passed, detail). */
+  /** Run every acceptance assertion; returns (name, passed, detail).
+    * Every filtered subset is asserted nonEmpty before its forall so a
+    * method rename fails loudly instead of passing vacuously. */
   def check(metrics: DataFrame, nReps: Int): Seq[(String, Boolean, String)] = {
     val rows = collectRows(metrics)
+    if (rows.isEmpty)
+      return Seq(("metrics_table_nonempty", false, "metrics table has 0 rows"))
     val mcErr = 3.0 * math.sqrt(0.05 * 0.95 / nReps)
     val cells = rows.map(r => (r.nInternal, r.nExternal)).distinct.sorted
     def at(ni: Int, ne: Int)(p: MetricRow => Boolean): Seq[MetricRow] =
@@ -68,19 +72,19 @@ object AcceptanceChecks {
     // 1. WCLS-Internal coverage within MC error of 0.95 in EVERY cell
     val wi = rows.filter(_.method == "WCLS-Internal")
     checks += (("coverage_wcls_internal_all_cells",
-      wi.forall(r => math.abs(r.coverage - 0.95) < mcErr),
+      wi.nonEmpty && wi.forall(r => math.abs(r.coverage - 0.95) < mcErr),
       wi.map(r => f"${r.nInternal}/${r.nExternal} ${r.coef}: ${r.coverage}%.3f").mkString(", ") +
         f" (tol ±$mcErr%.3f)"))
 
     // 2. all unbiased methods: coverage within MC error at the largest cell
     val ub = at(big._1, big._2)(r => unbiasedMethods.contains(r.method))
     checks += (("coverage_unbiased_at_largest_cell",
-      ub.forall(r => math.abs(r.coverage - 0.95) < mcErr),
+      ub.nonEmpty && ub.forall(r => math.abs(r.coverage - 0.95) < mcErr),
       ub.map(r => f"${r.method} ${r.coef}: ${r.coverage}%.3f").mkString(", ")))
 
     // 3. unbiasedness z-test (simulation.R:522-528 rule) at the largest cell
     checks += (("unbiased_z_test_at_largest_cell",
-      ub.forall(r => math.abs(r.avgEstimate - truth(r.coef)) < 3.0 * r.empiricalSe / math.sqrt(nReps.toDouble)),
+      ub.nonEmpty && ub.forall(r => math.abs(r.avgEstimate - truth(r.coef)) < 3.0 * r.empiricalSe / math.sqrt(nReps.toDouble)),
       ub.map(r => f"${r.method} ${r.coef}: est ${r.avgEstimate}%.3f vs ${truth(r.coef)}%.0f ±${3.0 * r.empiricalSe / math.sqrt(nReps.toDouble)}%.3f").mkString(", ")))
 
     // 4. WCLS-Pooled is the biased-by-design negative control
@@ -125,7 +129,7 @@ object AcceptanceChecks {
     val parityOk = cells.forall { case (ni, ne) =>
       val tiltCounts = at(ni, ne)(r => tiltMethods.contains(r.method)).map(_.nTiltWarnings).distinct
       val nonTilt = at(ni, ne)(r => !tiltMethods.contains(r.method))
-      tiltCounts.size == 1 && nonTilt.forall(_.nTiltWarnings == 0L)
+      tiltCounts.size == 1 && nonTilt.nonEmpty && nonTilt.forall(_.nTiltWarnings == 0L)
     }
     checks += (("tilt_warning_parity", parityOk,
       cells.map { case (ni, ne) =>
@@ -165,7 +169,8 @@ object AcceptanceChecks {
 }
 
 /** Reduced-grid Monte-Carlo acceptance run (BASELINE.md target 2):
-  * 3 cells × 400 reps × all 10 methods, per-cell checkpointed under
+  * 5 cells (3 symmetric + 2 asymmetric) × 400 reps × all 10 methods,
+  * per-cell checkpointed under
   * `results/acceptance`, metric table written alongside, assertions
   * printed and reflected in the exit code.
   *

@@ -68,11 +68,17 @@ object DedupQueries {
   def minHashPairs(docsIn: DataFrame, bands: Int = 4, nSalts: Int = 8,
                    threshold: Double = 0.5): DataFrame = {
     val k = 16; val rowsPerBand = k / bands
+    // localCheckpoint, not cache(): docs feeds three downstream branches
+    // (banding + both sides of the verify join), so it must be
+    // materialized once — but a .cache() here leaks a session-lifetime
+    // CacheManager entry per invocation (d2/d5 both call this). An eager
+    // localCheckpoint is reclaimed by the ContextCleaner as soon as the
+    // returned frame is unreferenced, and cuts lineage for free.
     val docs = docsIn
       .filter(size(toks) >= 3)
       .select(col("doc_id"), shingles(toks).as("sh"))
       .withColumn("mh", minhashes(col("sh"), k))
-      .cache()
+      .localCheckpoint(true)
     // band join carries only (band, hash, doc_id) — candidate pairs are
     // deduped BEFORE the wide shingle arrays are joined back for exact
     // verification, so the heavy payload never rides the bucket shuffle.
@@ -138,23 +144,41 @@ object DedupQueries {
 
   /** Character 4-gram Jaccard pairs within each `source` bucket over a
     * bounded probe set (a < probeBound) — exact all-pairs ground truth;
-    * the scalable full-corpus path is d2's MinHash-LSH candidates. */
+    * the scalable full-corpus path is d2's MinHash-LSH candidates.
+    *
+    * Formulated as an INVERTED-INDEX join, not per-pair array set-ops:
+    * explode distinct grams, broadcast the (bounded) probe postings,
+    * count shared grams per (a, b), and recover |union| = na + nb −
+    * |inter|. Bit-identical Jaccard (same integers divided), but the
+    * join carries only (source, gram, id, n) rows — the round-2 form
+    * shipped two ~300-element string arrays through every joined row
+    * and its cost exploded under memory pressure (79.8 s in the r2
+    * driver bench vs 7.2 s local). Pairs sharing zero grams never
+    * materialize, which is correct for any threshold > 0.
+    */
   def ngramPairs(s: org.apache.spark.sql.SparkSession, dir: String,
                  threshold: Double, probeBound: Long = 250L,
                  corpusBound: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0, "inverted-index Jaccard requires threshold > 0")
     val grams = array_distinct(
       transform(sequence(lit(1), length(col("text")) - 3),
         i => col("text").substr(i, lit(4))))
     val docs = Tables.documents(s, dir)
       .filter(length(col("text")) >= 4 && col("doc_id") < corpusBound)
       .select(col("doc_id"), col("source"), grams.as("g"))
-    val l = docs.filter(col("doc_id") < probeBound)
-      .select(col("source"), col("doc_id").as("a"), col("g").as("ga"))
-    val r = docs.select(col("source"), col("doc_id").as("b"), col("g").as("gb"))
-    val jac = size(array_intersect(col("ga"), col("gb"))).cast("double") /
-      size(array_union(col("ga"), col("gb"))).cast("double")
-    l.join(r, Seq("source")).filter(col("a") < col("b"))
-      .withColumn("__jac", jac)
+      .withColumn("n", size(col("g")))
+    val corpus = docs.select(col("source"), col("doc_id").as("b"),
+      col("n").as("nb"), explode(col("g")).as("gram"))
+    val probes = docs.filter(col("doc_id") < probeBound)
+      .select(col("source"), col("doc_id").as("a"),
+        col("n").as("na"), explode(col("g")).as("gram"))
+    val inter = corpus.join(broadcast(probes), Seq("source", "gram"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("na").cast("long") + col("nb") - col("inter")).cast("double")
+    inter.withColumn("__jac", jac)
       .filter(col("__jac") >= threshold)
       .select(col("a"), col("b"), round(col("__jac"), 6).as("jaccard"))
       .orderBy("a", "b")

@@ -36,10 +36,16 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(r.getSeq[Long](2) == viaCol.getSeq[Long](1))
   }
 
-  test("minhash_k rejects a non-literal k with a clear error") {
+  test("minhash_k accepts any foldable int k (e.g. 2 + 2)") {
+    val folded = spark.sql("SELECT minhash_k(array('a', 'b'), 2 + 2) AS mh").head()
+    val direct = spark.sql("SELECT minhash_k(array('a', 'b'), 4) AS mh").head()
+    assert(folded.getSeq[Long](0) == direct.getSeq[Long](0))
+  }
+
+  test("minhash_k rejects a non-constant k with a clear error") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_k(array('a'), CAST(id AS INT)) FROM range(1)").head()
     }
-    assert(e.getMessage.contains("literal int k"))
+    assert(e.getMessage.contains("constant int k"))
   }
 }
