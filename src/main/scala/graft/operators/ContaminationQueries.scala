@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Train/test DECONTAMINATION — the benchmark-leakage check every
+  * large-scale training pipeline runs before a data release: for each
+  * held-out (eval) document, what fraction of its word n-grams also
+  * appears in the training corpus, and which training document overlaps
+  * it most.
+  *
+  * Scale design (the standard decontamination shape):
+  *  - the eval set is tiny relative to training data, so its exploded
+  *    n-gram postings are BROADCAST — the 100 TB training side streams
+  *    through a map-side hash join and never shuffles its postings,
+  *  - per-pair overlap counts and per-doc containment both come from the
+  *    same joined frame via partial (map-side) aggregation keyed by
+  *    (eval_doc, train_doc) / eval_doc — shuffle bounded by the number
+  *    of OVERLAPPING pairs, never by corpus size,
+  *  - eval membership is a deterministic id predicate here; in
+  *    production it would be the benchmark table itself.
+  */
+object ContaminationQueries {
+
+  private val toks = split(col("text"), " ")
+
+  /** Distinct word n-grams of the whitespace tokenization. */
+  private def wordNgrams(n: Int) =
+    array_distinct(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
+
+  /** Eval-set predicate: deterministic ~2.7% of documents. */
+  private val isEval = col("doc_id") % 37 === 0
+
+  /** Per-eval-doc 5-gram containment against the training split:
+    * n_contaminated = how many of the doc's distinct 5-grams occur
+    * anywhere in training data; top_train_doc = the training document
+    * sharing the most 5-grams (ties: lowest doc_id). Eval docs with no
+    * overlap are kept with containment 0 / top_train_doc -1. */
+  val xDecontamination = QueryDef(
+    "x1_decontamination",
+    (s, dir) => {
+      val n = 5
+      val docs = Tables.documents(s, dir)
+        .filter(size(toks) >= n)
+        .select(col("doc_id"), wordNgrams(n).as("g"))
+      val evalDocs = docs.filter(isEval)
+        .select(col("doc_id").as("a"), size(col("g")).cast("long").as("na"), col("g"))
+      val evalPost = evalDocs.select(col("a"), col("na"), explode(col("g")).as("gram"))
+      val trainPost = docs.filter(!isEval)
+        .select(col("doc_id").as("b"), explode(col("g")).as("gram"))
+      // training postings stream through a broadcast hash join against the
+      // (small) eval postings; hits are unique per (a, b, gram)
+      val hits = trainPost.join(broadcast(evalPost), "gram")
+      val perDoc = hits.groupBy("a").agg(countDistinct(col("gram")).as("n_contaminated"))
+      val perPair = hits.groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      val top = perPair
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("a").orderBy(col("shared").desc, col("b").asc)))
+        .filter(col("rn") === 1)
+        .select(col("a"), col("b").as("top_train_doc"), col("shared").as("top_shared"))
+      evalDocs.select(col("a"), col("na"))
+        .join(perDoc, Seq("a"), "left")
+        .join(top, Seq("a"), "left")
+        .select(
+          col("a").as("doc_id"),
+          col("na").as("n_grams"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("na"), 6)
+            .as("containment"),
+          coalesce(col("top_train_doc"), lit(-1L)).as("top_train_doc"),
+          coalesce(col("top_shared"), lit(0L)).as("top_shared"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 3),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                      tk[i+3] || ' ' || tk[i+4])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        WHERE len(tk) >= 5),
+      e AS (SELECT doc_id AS a, CAST(len(g) AS BIGINT) AS na, u.t AS gram
+            FROM d, UNNEST(d.g) AS u(t) WHERE doc_id % 37 = 0),
+      tr AS (SELECT doc_id AS b, u.t AS gram
+             FROM d, UNNEST(d.g) AS u(t) WHERE doc_id % 37 <> 0),
+      h AS (SELECT e.a, tr.b, e.gram FROM e JOIN tr USING (gram)),
+      pd AS (SELECT a, COUNT(DISTINCT gram) AS n_contaminated FROM h GROUP BY a),
+      pp AS (SELECT a, b, COUNT(*) AS shared FROM h GROUP BY a, b),
+      tp AS (SELECT a, b, shared,
+                    ROW_NUMBER() OVER (PARTITION BY a ORDER BY shared DESC, b ASC) AS rn
+             FROM pp),
+      ev AS (SELECT doc_id AS a, CAST(len(g) AS BIGINT) AS na FROM d WHERE doc_id % 37 = 0)
+      SELECT ev.a AS doc_id, ev.na AS n_grams,
+             CAST(COALESCE(pd.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+             ROUND(CAST(COALESCE(pd.n_contaminated, 0) AS DOUBLE) / ev.na, 6) AS containment,
+             CAST(COALESCE(tp.b, -1) AS BIGINT) AS top_train_doc,
+             CAST(COALESCE(tp.shared, 0) AS BIGINT) AS top_shared
+      FROM ev LEFT JOIN pd USING (a) LEFT JOIN (SELECT * FROM tp WHERE rn = 1) tp USING (a)
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(xDecontamination)
+}

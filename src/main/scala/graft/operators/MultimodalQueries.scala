@@ -59,7 +59,10 @@ object MultimodalQueries {
     * ??? REAL CODEC GOES HERE: `decodeStub` replaces pixel decoding with
     * a deterministic 16-bin byte histogram (the plumbing — Dataset
     * schema, partition batching, fixed-length feature vectors — is what
-    * this operator tests). Rows-only (no SQL analogue). */
+    * this operator tests). Oracle-checked: the corpus is pure ASCII, so
+    * DuckDB reproduces the byte histogram from codepoints (byte ==
+    * unicode(char)); the norm is a left-fold sum on both engines for
+    * bit-identical doubles. */
   val mDecode = QueryDef(
     "mm2_decode_features",
     (s, dir) => {
@@ -85,11 +88,30 @@ object MultimodalQueries {
           round(element_at(col("features"), 1), 6).as("bin0"),
           round(element_at(col("features"), 8), 6).as("bin7"))
         .orderBy("media_id")
-    })
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id,
+               list_transform(range(1, length(text) + 1),
+                              i -> unicode(substring(text, i, 1)) // 16) AS bins,
+               CAST(length(text) AS DOUBLE) AS n
+        FROM documents),
+      h AS (
+        SELECT doc_id, n,
+               list_transform(range(0, 16),
+                              k -> len(list_filter(bins, x -> x = k)) / n) AS hist
+        FROM b)
+      SELECT doc_id AS media_id,
+             ROUND(sqrt(list_reduce(list_prepend(0.0, list_transform(hist, x -> x * x)),
+                                    (a, x) -> a + x)), 6) AS feature_norm,
+             ROUND(hist[1], 6) AS bin0,
+             ROUND(hist[8], 6) AS bin7
+      FROM h ORDER BY media_id"""))
 
   /** Frame sampling: payload viewed as fixed 32-byte frames, every 4th
-    * frame sampled, per-frame checksum — binary slicing as expressions.
-    * Rows-only. */
+    * frame sampled, per-frame digest — binary slicing as expressions.
+    * Oracle-checked: md5 of the first sampled frame's bytes matches
+    * DuckDB's md5 of the same (ASCII) substring. */
   val mFrames = QueryDef(
     "mm3_frame_sample",
     (s, dir) =>
@@ -101,8 +123,14 @@ object MultimodalQueries {
         .select(
           col("media_id"), col("n_frames"),
           size(col("sampled_idx")).cast("long").as("n_sampled"),
-          crc32(element_at(col("sampled_frames"), 1)).as("first_frame_crc"))
-        .orderBy("media_id"))
+          md5(element_at(col("sampled_frames"), 1)).as("first_frame_md5"))
+        .orderBy("media_id"),
+    Some("""
+      SELECT doc_id AS media_id,
+             CAST(n_chars // 32 + 1 AS INT) AS n_frames,
+             CAST((n_chars // 32) // 4 + 1 AS BIGINT) AS n_sampled,
+             md5(substring(text, 1, 32)) AS first_frame_md5
+      FROM documents ORDER BY media_id"""))
 
   val all: Seq[QueryDef] = Seq(mMeta, mDecode, mFrames)
 }

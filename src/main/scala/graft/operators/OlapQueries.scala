@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import QueryDef.dsumd
+
+/** OLAP operator shapes beyond the round-1/2 relational suite: CUBE with
+  * grouping ids, correlated scalar subqueries (Catalyst decorrelates to
+  * an aggregate + join automatically), the rank-family window functions,
+  * and exact interpolated percentiles. All oracle-checked.
+  */
+object OlapQueries {
+
+  /** CUBE over (priority, status) with the grouping-id bitmask — the
+    * full 2^k aggregation lattice in ONE pass (Spark expands grouping
+    * sets inside a single shuffle; no per-cell re-scan). */
+  val qCube = QueryDef(
+    "q25_cube_grouping",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsumd(col("o_totalprice"), 2).as("total"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+    Some("""
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE), 4) AS total,
+             CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+      FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""))
+
+  /** Correlated scalar subquery: customers above their nation's average
+    * balance. Written as SQL so Catalyst's decorrelation kicks in — the
+    * plan becomes ONE aggregate over customer + a join back, never a
+    * per-row subquery execution. The average is decimal-exact so the
+    * comparison is deterministic across engines. */
+  val qCorrelated = QueryDef(
+    "q26_correlated_scalar",
+    (s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("graft_q26_customer")
+      s.sql("""
+        SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+        FROM graft_q26_customer c
+        WHERE CAST(c_acctbal AS DECIMAL(30,6)) > (
+          SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(30,6)))
+          FROM graft_q26_customer c2
+          WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")
+    },
+    Some("""
+      SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+      FROM customer c
+      WHERE CAST(c_acctbal AS DECIMAL(30,6)) > (
+        SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(30,6)))
+        FROM customer c2
+        WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey"""))
+
+  /** Rank-family window functions (percent_rank / cume_dist / ntile)
+    * over a unique ordering key — one shuffle on the partition key, one
+    * sort, all four ranks from the same window pass. percent_rank and
+    * cume_dist are exact rationals of row counts, so they are
+    * bit-deterministic across engines. */
+  val qRanks = QueryDef(
+    "q27_window_ranks",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(
+          col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("totalprice"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderpriority,
+             ROUND(o_totalprice, 2) AS totalprice,
+             ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             ROUND(CUME_DIST() OVER w, 6) AS cume,
+             CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+      FROM orders WHERE o_orderstatus = 'F'
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice ASC, o_orderkey ASC)
+      ORDER BY o_orderkey"""))
+
+  /** Exact interpolated percentiles (type-7, the R default) of order
+    * value per priority — Spark's `percentile` is the exact sort-based
+    * aggregate, matching DuckDB's quantile_cont interpolation. */
+  val qPercentiles = QueryDef(
+    "q28_exact_percentiles",
+    (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"))
+        .orderBy("o_orderpriority"),
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+             ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val all: Seq[QueryDef] = Seq(qCube, qCorrelated, qRanks, qPercentiles)
+}

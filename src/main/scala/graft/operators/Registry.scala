@@ -5,11 +5,11 @@ package graft.operators
   */
 object Registry {
   def suites: Seq[QueryDef] =
-    RelationalQueries.all ++ StatQueries.all ++
+    RelationalQueries.all ++ OlapQueries.all ++ StatQueries.all ++
       TextQueries.all ++ DedupQueries.all ++
       Seq(DedupClusters.dClusters, DedupClusters.dClustersOracle) ++
       VectorQueries.all ++ MultimodalQueries.all ++ HarnessQueries.all ++
-      SampleQueries.all
+      SampleQueries.all ++ ContaminationQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     suites.map(q => q.name -> q.fn).toMap

@@ -215,6 +215,49 @@ object TextQueries {
       FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
       GROUP BY t ORDER BY tf DESC, tok ASC LIMIT 20"""))
 
+  /** TF-IDF top-3 distinctive terms per document. Two-level aggregate
+    * (doc×term TF with map-side combine, then term-keyed DF), a
+    * vocabulary join on the term key, and a per-doc top-k window — the
+    * canonical keyword-extraction scan. The RANKING key is integer-exact
+    * (tf desc, df asc, term asc) so the row set is bit-deterministic
+    * across engines; the reported tf·ln(N/df) score is display-rounded.
+    */
+  val tTfidf = QueryDef(
+    "t8_tfidf_terms",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+      val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // tf rows are unique per (doc, tok), so DF is a plain count
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(df, "tok").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("tf").desc, col("df").asc, col("tok").asc)))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("tok"), col("tf"), col("df"), col("tfidf"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, u.t AS tok, COUNT(*) AS tf
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(t)
+        GROUP BY doc_id, u.t),
+      df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      sc AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+               ROUND(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf DESC, df.df ASC, tf.tok ASC) AS rnk
+        FROM tf JOIN df USING (tok), n)
+      SELECT doc_id, rnk, tok, tf, df, tfidf
+      FROM sc WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
-    tLangStats, tRepetition, tVocab)
+    tLangStats, tRepetition, tVocab, tTfidf)
 }
