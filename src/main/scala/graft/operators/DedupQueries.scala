@@ -121,9 +121,11 @@ object DedupQueries {
       // native expression (graft.functions.SimHash64): per-token xxhash64
       // sign-sums, bit-identical to the former 64-lambda HOF formulation
       val sim = graft.functions.VectorExpressions.simhash64(toks)
+      // localCheckpoint, not cache(): same leak rationale as minHashPairs —
+      // reclaimed by the ContextCleaner when the frame is unreferenced
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), sim.as("simhash"))
-        .cache()
+        .localCheckpoint(true)
       // 4 chunks of 16 bits: Hamming ≤ 6 pairs share ≥1 chunk by pigeonhole? (6/4 >1 —
       // guaranteed only ≤3; chunks still give high recall for ≤6, standard practice)
       val chunked = docs.select(col("doc_id"), col("simhash"),
