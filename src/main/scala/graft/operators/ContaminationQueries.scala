@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,13 +25,16 @@ import graft.sources.Tables
   */
 object ContaminationQueries {
 
-  private val toks = split(col("text"), " ")
-
-  /** Distinct word n-grams of the whitespace tokenization. */
-  private def wordNgrams(n: Int) =
+  /** Distinct word n-grams over an already-projected token-array column.
+    * Taking the ATTRIBUTE (not `split(text)` inline) matters: expressions
+    * referenced inside HOF lambdas are re-evaluated per element, and
+    * optimizer rules (InferFiltersFromGenerate + pushdown) substitute
+    * inline expressions into extra Filter copies — observed as a 15×
+    * single-threaded blowup below the spread Exchange. */
+  private def wordNgrams(tk: Column, n: Int) =
     array_distinct(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
+      transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", (1 to n).map(j => element_at(tk, i + j)): _*)))
 
   /** Eval-set predicate: deterministic ~2.7% of documents. */
   private val isEval = col("doc_id") % 37 === 0
@@ -39,22 +43,46 @@ object ContaminationQueries {
     * n_contaminated = how many of the doc's distinct 5-grams occur
     * anywhere in training data; top_train_doc = the training document
     * sharing the most 5-grams (ties: lowest doc_id). Eval docs with no
-    * overlap are kept with containment 0 / top_train_doc -1. */
-  val xDecontamination = QueryDef(
-    "x1_decontamination",
-    (s, dir) => {
+    * overlap are kept with containment 0 / top_train_doc -1.
+    *
+    * @param maxBroadcastEvalDocs the eval side is only BROADCAST when it
+    *   is verifiably small (a fixed benchmark table is, a fractional
+    *   id-predicate over a 100 TB corpus is NOT — its postings grow with
+    *   the corpus and would blow Spark's 8 GB broadcast cap). Above the
+    *   bound the join falls back to a plain shuffle hash join, which is
+    *   scale-safe for both sides.
+    */
+  def decontaminate(s: org.apache.spark.sql.SparkSession, dir: String,
+                    maxBroadcastEvalDocs: Long = 50000L): org.apache.spark.sql.DataFrame = {
       val n = 5
-      val docs = Tables.documents(s, dir)
-        .filter(size(toks) >= n)
-        .select(col("doc_id"), wordNgrams(n).as("g"))
+      // ONE n-gram pass over the corpus, materialized (eager local
+      // checkpoint): it feeds the eval postings, the train postings AND
+      // the per-doc gram counts — previously each re-derived the pass.
+      // Materializing BEFORE the explodes also stops the optimizer from
+      // substituting the n-gram expression into inferred pre-shuffle
+      // Filters (see wordNgrams scaladoc). Single-node trade-off: on a
+      // real cluster use reliable checkpoint() for fault tolerance.
+      val docs = QueryDef.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"), wordNgrams(col("tk"), n).as("g"))
+        .localCheckpoint(true)
       val evalDocs = docs.filter(isEval)
         .select(col("doc_id").as("a"), size(col("g")).cast("long").as("na"), col("g"))
       val evalPost = evalDocs.select(col("a"), col("na"), explode(col("g")).as("gram"))
       val trainPost = docs.filter(!isEval)
         .select(col("doc_id").as("b"), explode(col("g")).as("gram"))
-      // training postings stream through a broadcast hash join against the
-      // (small) eval postings; hits are unique per (a, b, gram)
-      val hits = trainPost.join(broadcast(evalPost), "gram")
+      // eval-side size guard over the materialized frame (cheap count):
+      // only broadcast when bounded
+      val nEvalDocs = docs.filter(isEval).count()
+      val evalSide = if (nEvalDocs <= maxBroadcastEvalDocs) broadcast(evalPost) else evalPost
+      // training postings stream through a hash join against the eval
+      // postings; hits are unique per (a, b, gram). The joined frame
+      // feeds TWO aggregations (perDoc, perPair) — materialize it ONCE
+      // (eager localCheckpoint) so the dominant explode+join is not
+      // executed twice (VERDICT r3 #1). On a multi-executor cluster a
+      // reliable checkpoint would be the fault-tolerant seat.
+      val hits = trainPost.join(evalSide, "gram").localCheckpoint(true)
       val perDoc = hits.groupBy("a").agg(countDistinct(col("gram")).as("n_contaminated"))
       val perPair = hits.groupBy("a", "b").agg(count(lit(1)).as("shared"))
       val top = perPair
@@ -74,7 +102,11 @@ object ContaminationQueries {
           coalesce(col("top_train_doc"), lit(-1L)).as("top_train_doc"),
           coalesce(col("top_shared"), lit(0L)).as("top_shared"))
         .orderBy("doc_id")
-    },
+  }
+
+  val xDecontamination = QueryDef(
+    "x1_decontamination",
+    (s, dir) => decontaminate(s, dir),
     Some("""
       WITH d AS (
         SELECT doc_id,

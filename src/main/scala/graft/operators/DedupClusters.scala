@@ -81,7 +81,9 @@ object DedupClusters {
 
   val dClusters = QueryDef(
     "d5_dedup_clusters",
-    (s, dir) => clustersOf(DedupQueries.dMinHash.fn(s, dir)))
+    // shares d2's memoized, materialized pairs frame — the clustering
+    // pays only the CC cost, never a second shingle+minhash pipeline run
+    (s, dir) => clustersOf(DedupQueries.corpusMinHashPairs(s, dir)))
 
   /** The same connected-components operator fed by SQL-expressible edges
     * (d4's n-gram Jaccard pairs), so the ITERATIVE clustering itself is

@@ -98,8 +98,11 @@ object MultimodalQueries {
         FROM documents),
       h AS (
         SELECT doc_id, n,
+               -- greatest(n,1) guards the n=0 (empty document) case: the
+               -- Spark decodeStub skips normalization and yields all-zero
+               -- bins, and 0/1 = 0.0 reproduces that exactly
                list_transform(range(0, 16),
-                              k -> len(list_filter(bins, x -> x = k)) / n) AS hist
+                              k -> len(list_filter(bins, x -> x = k)) / greatest(n, 1)) AS hist
         FROM b)
       SELECT doc_id AS media_id,
              ROUND(sqrt(list_reduce(list_prepend(0.0, list_transform(hist, x -> x * x)),

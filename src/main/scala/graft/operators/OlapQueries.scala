@@ -40,8 +40,11 @@ object OlapQueries {
   val qCorrelated = QueryDef(
     "q26_correlated_scalar",
     (s, dir) => {
+      // the temp view exists only for the (eager) analysis of the SQL
+      // text; the resolved plan no longer references it, so it is dropped
+      // immediately — no session-global state survives the call
       Tables.customer(s, dir).createOrReplaceTempView("graft_q26_customer")
-      s.sql("""
+      try s.sql("""
         SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
         FROM graft_q26_customer c
         WHERE CAST(c_acctbal AS DECIMAL(30,6)) > (
@@ -49,6 +52,7 @@ object OlapQueries {
           FROM graft_q26_customer c2
           WHERE c2.c_nationkey = c.c_nationkey)
         ORDER BY c_custkey""")
+      finally s.catalog.dropTempView("graft_q26_customer")
     },
     Some("""
       SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal

@@ -33,4 +33,17 @@ object QueryDef {
     * 5e-5 ≫ ulp for any sum below ~1e11). Keep scales ≤ 6. */
   def dsumd(c: Column, scale: Int): Column =
     round(dsum(c, scale).cast("double"), 4)
+
+  /** Spread a small-file scan across all cores before CPU-heavy per-row
+    * expression work (shingling, n-gram explode, hashing). The sf test
+    * parquets arrive as ONE split, which would serialize the whole
+    * pipeline onto a single task; at production scale the input already
+    * has ≥ defaultParallelism splits and this is a no-op — so the
+    * round-trip shuffle is only ever paid when the input is tiny.
+    */
+  import org.apache.spark.sql.DataFrame
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

@@ -187,11 +187,18 @@ object VectorQueries {
     (s, dir) => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
+      // SAMPLE-FIT the coarse quantizer (the standard 100 TB IVF recipe):
+      // k-means never needs the full corpus, only a representative sample.
+      // The sample is a deterministic, partition-invariant id stride
+      // (vec_id % step == 0, ids uncorrelated with geometry) targeting
+      // ~1k fit vectors — constant fit cost at ANY corpus size.
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"),
           array_to_vector(col("embedding")).as("features"))
         .cache()
-      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10).fit(emb)
+      val step = math.max(1L, emb.count() / 1000L)
+      val fitSet = if (step == 1L) emb else emb.filter(col("vec_id") % step === 0)
+      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10).fit(fitSet)
       val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
       emb.unpersist()
 

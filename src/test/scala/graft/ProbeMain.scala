@@ -9,8 +9,9 @@ import graft.stats.Battery
   */
 object ProbeMain {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("PROBE_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val p = Battery.examplePanel(spark)
@@ -166,6 +167,123 @@ object ProbeMain {
         val n = graft.SparkEntry.queries("d2_minhash_lsh_pairs")(spark, "/root/testdata/sf0.1").count()
         println(f"MH_D2 rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
+    }
+
+    if (args.contains("r4")) {
+      // round-4 baseline/after timing for the bench-dominant queries
+      val sf = sys.env.getOrElse("PROBE_SF", "/root/testdata/sf0.1")
+      println("DOC_PARTS=" + graft.sources.Tables.documents(spark, sf).rdd.getNumPartitions)
+      for (q <- Seq("x1_decontamination", "d2_minhash_lsh_pairs",
+                    "d5_dedup_clusters", "d6_cluster_components", "v5_ivf_ann")) {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, sf).count()
+        println(f"R4 $q rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
+
+    if (args.contains("x1b")) {
+      // x1 phase breakdown at sf0.1
+      val sf = sys.env.getOrElse("PROBE_SF", "/root/testdata/sf0.1")
+      val toks = split(col("text"), " ")
+      def wordNgrams(n: Int) = array_distinct(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*)))
+      val isEval = col("doc_id") % 37 === 0
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"X1B $label wall=${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+      }
+      val docs = graft.operators.QueryDef.spread(graft.sources.Tables.documents(spark, sf))
+        .filter(size(toks) >= 5).select(col("doc_id"), wordNgrams(5).as("g"))
+      val evalPost = docs.filter(isEval)
+        .select(col("doc_id").as("a"), explode(col("g")).as("gram"))
+      val trainPost = docs.filter(!isEval)
+        .select(col("doc_id").as("b"), explode(col("g")).as("gram"))
+      t("trainPost_count") { println("  n=" + trainPost.count()) }
+      t("evalPost_count") { println("  n=" + evalPost.count()) }
+      val hits = t("hits_checkpoint") {
+        trainPost.join(broadcast(evalPost), "gram").localCheckpoint(true) }
+      t("hits_count") { println("  n=" + hits.count()) }
+      t("perDoc") { hits.groupBy("a").agg(countDistinct(col("gram"))).count() }
+      t("perPair") { hits.groupBy("a", "b").agg(count(lit(1))).count() }
+    }
+
+    if (args.contains("x1c")) {
+      // does projecting tokens into a column first kill the re-split cost?
+      val sf = sys.env.getOrElse("PROBE_SF", "/root/testdata/sf0.1")
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"X1C $label wall=${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+      }
+      val tk = col("tk")
+      val docs2 = graft.operators.QueryDef.spread(graft.sources.Tables.documents(spark, sf))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(tk) >= 5)
+        .select(col("doc_id"), array_distinct(
+          transform(sequence(lit(0), size(tk) - 5),
+            i => concat_ws(" ", (1 to 5).map(j => element_at(tk, i + j)): _*))).as("g"))
+      val trainPost2 = docs2.filter(!(col("doc_id") % 37 === 0))
+        .select(col("doc_id").as("b"), explode(col("g")).as("gram"))
+      t("trainPost_tkcol") { println("  n=" + trainPost2.count()) }
+      t("trainPost_tkcol_again") { println("  n=" + trainPost2.count()) }
+    }
+
+    if (args.contains("x1d")) {
+      // bisect the n-gram construction cost
+      val sf = sys.env.getOrElse("PROBE_SF", "/root/testdata/sf0.1")
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"X1D $label wall=${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+      }
+      val base = graft.operators.QueryDef.spread(graft.sources.Tables.documents(spark, sf))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 5)
+      val tk = col("tk")
+      t("scan_tokens") { println("  n=" + base.select(explode(tk)).count()) }
+      t("transform_identity") { println("  n=" + base.select(explode(
+        transform(sequence(lit(0), size(tk) - 5), i => element_at(tk, i + 1)))).count()) }
+      t("transform_concat5") { println("  n=" + base.select(explode(
+        transform(sequence(lit(0), size(tk) - 5),
+          i => concat_ws(" ", (1 to 5).map(j => element_at(tk, i + j)): _*)))).count()) }
+      t("plus_distinct") { println("  n=" + base.select(explode(array_distinct(
+        transform(sequence(lit(0), size(tk) - 5),
+          i => concat_ws(" ", (1 to 5).map(j => element_at(tk, i + j)): _*))))).count()) }
+      t("no_spread_concat5") { println("  n=" + graft.sources.Tables.documents(spark, sf)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(explode(transform(sequence(lit(0), size(tk) - 5),
+          i => concat_ws(" ", (1 to 5).map(j => element_at(tk, i + j)): _*)))).count()) }
+    }
+
+    if (args.contains("x1e")) {
+      val sf = sys.env.getOrElse("PROBE_SF", "/root/testdata/sf0.1")
+      def t[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"X1E $label wall=${(System.nanoTime() - t0) / 1e9}%.1f s"); r
+      }
+      val tk = col("tk")
+      def ngrams = array_distinct(transform(sequence(lit(0), size(tk) - 5),
+        i => concat_ws(" ", (1 to 5).map(j => element_at(tk, i + j)): _*)))
+      val base = graft.operators.QueryDef.spread(graft.sources.Tables.documents(spark, sf))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 5)
+      t("warm") { base.select(explode(ngrams)).count() }
+      t("a_with_docid") { base.select(col("doc_id"), explode(ngrams).as("gram")).count() }
+      t("b_two_step") { base.select(col("doc_id"), ngrams.as("g"))
+        .select(col("doc_id"), explode(col("g")).as("gram")).count() }
+      t("c_filtered") { base.filter(!(col("doc_id") % 37 === 0))
+        .select(col("doc_id").as("b"), explode(ngrams).as("gram")).count() }
+      t("d_x1c_exact") {
+        val docs2 = base.select(col("doc_id"), ngrams.as("g"))
+        docs2.filter(!(col("doc_id") % 37 === 0))
+          .select(col("doc_id").as("b"), explode(col("g")).as("gram")).count() }
+      println("=== PLAN b_two_step ===")
+      println(base.select(col("doc_id"), ngrams.as("g"))
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      println("=== PLAN a_inline ===")
+      println(base.select(col("doc_id"), explode(ngrams).as("gram"))
+        .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     }
 
     if (args.contains("htime")) {
