@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Committed-hash pins for every driver query with no DuckDB oracle
+  * (`no_oracle` in CORRECTNESS_r*.json): the 14 operators whose semantics
+  * DuckDB cannot express (iterative MinHash/LSH/k-means/IRLS, the MC
+  * harness). Each is fully deterministic by construction (counter-based
+  * RNG, seeded hyperplanes/k-means, fixed convergence rules), so its
+  * sf0.01 result set is pinned to a canonical hash — the same
+  * column-sorted value compare the driver applies to oracle-checked
+  * queries, upgrading these rows from "rows-only" to machine-checked.
+  *
+  * Regenerate after an INTENTIONAL semantic change with:
+  * `sbt 'Test/runMain graft.ProbeMain pins'` (prints STABLE/UNSTABLE per
+  * query; only commit STABLE hashes).
+  */
+class FixturePinSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private val pins = Map(
+    "d2_minhash_lsh_pairs"     -> "396c7e47dbca408d6f2d5f53f97504c8",
+    "d3_simhash_pairs"         -> "b90c32d2109e20dd85da66f566187e20",
+    "d5_dedup_clusters"        -> "329f0ddcd222f8650213c75d1bcd870b",
+    "g1_panel_summary"         -> "ec263564355c1e5a81565545027cba56",
+    "h1_simulation_metrics"    -> "b1b35e5caf03e4b3df9015f888ad93ce",
+    "h2_sensitivity_scenarios" -> "8e1c175495776e94475d3d716c82199c",
+    "h3_pretty_table"          -> "d1dd6e00c8a60f70d35474272363da73",
+    "s3_logistic_irls"         -> "3142949dbddbd4c5163a2c857e2cb0c4",
+    "s4_estimator_battery"     -> "8b19ad4c5625f65276c52f5f8ba42128",
+    "s5_awcls"                 -> "dd305b961e07996c4b4fed4b5e84cb64",
+    "s6_aic_ladder"            -> "a47246fafb616d117be73e04f0eac926",
+    "v2_lsh_ann"               -> "a1f492db02277657e295c661c74e3eaa",
+    "v3_embed_neardup"         -> "73b19f18c790733cac4ead62c2fd7327",
+    "v5_ivf_ann"               -> "4fe4409824a873b1f829c84f8eaaa45e")
+
+  test("every no_oracle driver query is hash-pinned") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == pins.keySet,
+      s"pin set out of date: missing ${noOracle -- pins.keySet}, stale ${pins.keySet -- noOracle}")
+  }
+
+  pins.foreach { case (name, expected) =>
+    test(s"$name matches its committed sf0.01 hash") {
+      val got = CanonicalHash(SparkEntry.queries(name)(spark, dir))
+      assert(got == expected,
+        s"$name canonical hash drifted: got $got, pinned $expected — if the " +
+          "change is intentional, regenerate via ProbeMain pins")
+    }
+  }
+
+  test("documents fixture is pure ASCII (mm2 oracle byte==codepoint invariant)") {
+    // the mm2 DuckDB oracle reproduces the Spark byte histogram from
+    // CODEPOINTS, which is only valid while every document is ASCII
+    val nonAscii = graft.sources.Tables.documents(spark, dir)
+      .filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()
+    assert(nonAscii == 0L, s"$nonAscii non-ASCII documents — mm2 oracle assumption broken")
+  }
+}

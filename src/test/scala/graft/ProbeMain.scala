@@ -286,6 +286,22 @@ object ProbeMain {
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     }
 
+    if (args.contains("pins")) {
+      // print fixture hashes for every no_oracle query at sf0.01
+      // (run twice in-JVM to confirm determinism before committing)
+      val names = Seq(
+        "d2_minhash_lsh_pairs", "d3_simhash_pairs", "d5_dedup_clusters",
+        "g1_panel_summary", "h1_simulation_metrics", "h2_sensitivity_scenarios",
+        "h3_pretty_table", "s3_logistic_irls", "s4_estimator_battery",
+        "s5_awcls", "s6_aic_ladder", "v2_lsh_ann", "v3_embed_neardup",
+        "v5_ivf_ann")
+      for (n <- names) {
+        val h1 = CanonicalHash(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01"))
+        val h2 = CanonicalHash(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01"))
+        println(s"""PIN "$n" -> "$h1", ${if (h1 == h2) "STABLE" else "UNSTABLE " + h2}""")
+      }
+    }
+
     if (args.contains("htime")) {
       for (q <- Seq("h1_simulation_metrics", "h2_sensitivity_scenarios", "h3_pretty_table",
                     "g1_panel_summary")) {
