@@ -82,8 +82,12 @@ object ScaleCell {
     // different orders (fused task-local loop vs distributed MomentPass
     // tree), so agreement scales with n·ulp — observed ~1e-8 at this
     // size, asserted with margin; both are exact to ~8 significant
-    // digits on O(1) estimates
-    val ok = agg.getLong(0) > 0 && agg.getDouble(1) < 1e-6 && agg.getDouble(2) < 1e-6
+    // digits on O(1) estimates. The row count must be EXACT — a
+    // silently-dropped (singular) replication in either route would
+    // otherwise shrink the comparison without failing the gate.
+    val expectRows = nDistReps.toLong * methods.size * SimulationRunner.coefNames.size
+    val ok = agg.getLong(0) == expectRows && incomplete == 0L &&
+      agg.getDouble(1) < 1e-6 && agg.getDouble(2) < 1e-6
     println(s"[scale-cell] ${if (ok) "PASS" else "FAIL"} route equivalence at (6400,6400)")
     spark.stop()
     if (!ok) sys.exit(1)

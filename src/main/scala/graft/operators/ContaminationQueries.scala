@@ -45,15 +45,19 @@ object ContaminationQueries {
     * sharing the most 5-grams (ties: lowest doc_id). Eval docs with no
     * overlap are kept with containment 0 / top_train_doc -1.
     *
-    * @param maxBroadcastEvalDocs the eval side is only BROADCAST when it
-    *   is verifiably small (a fixed benchmark table is, a fractional
-    *   id-predicate over a 100 TB corpus is NOT — its postings grow with
-    *   the corpus and would blow Spark's 8 GB broadcast cap). Above the
-    *   bound the join falls back to a plain shuffle hash join, which is
-    *   scale-safe for both sides.
+    * @param maxBroadcastEvalPostings the eval side is only BROADCAST
+    *   when it is verifiably small (a fixed benchmark table is, a
+    *   fractional id-predicate over a 100 TB corpus is NOT — its
+    *   postings grow with the corpus and would blow Spark's 8 GB
+    *   broadcast cap). The guard bounds the exploded POSTING count —
+    *   the actual broadcast payload, not a doc-count proxy (a few
+    *   thousand long documents can carry millions of distinct 5-grams).
+    *   Above the bound the join falls back to a plain shuffle hash
+    *   join, which is scale-safe for both sides. Default ~10M postings
+    *   ≈ low hundreds of MB broadcast.
     */
   def decontaminate(s: org.apache.spark.sql.SparkSession, dir: String,
-                    maxBroadcastEvalDocs: Long = 50000L): org.apache.spark.sql.DataFrame = {
+                    maxBroadcastEvalPostings: Long = 10000000L): org.apache.spark.sql.DataFrame = {
       val n = 5
       // ONE n-gram pass over the corpus, materialized (eager local
       // checkpoint): it feeds the eval postings, the train postings AND
@@ -72,10 +76,11 @@ object ContaminationQueries {
       val evalPost = evalDocs.select(col("a"), col("na"), explode(col("g")).as("gram"))
       val trainPost = docs.filter(!isEval)
         .select(col("doc_id").as("b"), explode(col("g")).as("gram"))
-      // eval-side size guard over the materialized frame (cheap count):
-      // only broadcast when bounded
-      val nEvalDocs = docs.filter(isEval).count()
-      val evalSide = if (nEvalDocs <= maxBroadcastEvalDocs) broadcast(evalPost) else evalPost
+      // eval-side size guard over the materialized frame (cheap sum of
+      // array sizes): only broadcast when the POSTING count is bounded
+      val nEvalPostings = docs.filter(isEval)
+        .agg(coalesce(sum(size(col("g")).cast("long")), lit(0L))).head().getLong(0)
+      val evalSide = if (nEvalPostings <= maxBroadcastEvalPostings) broadcast(evalPost) else evalPost
       // training postings stream through a hash join against the eval
       // postings; hits are unique per (a, b, gram). The joined frame
       // feeds TWO aggregations (perDoc, perPair) — materialize it ONCE

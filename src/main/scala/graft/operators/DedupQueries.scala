@@ -123,13 +123,19 @@ object DedupQueries {
     * is bounded by #distinct sf dirs per JVM — scoped reuse, not a
     * CacheManager leak. Entries keyed by a stopped context are inert. */
   private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  /** The corpus MinHash-LSH pairs, computed once per (context, dir). */
+  /** The corpus MinHash-LSH pairs, computed once per (context, dir).
+    * Keyed by applicationId — unique per SparkContext lifetime, so a
+    * later context can never collide with a stopped one's entry. */
   def corpusMinHashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     pairsMemo.computeIfAbsent(
-      (System.identityHashCode(s.sparkContext), dir),
+      (s.sparkContext.applicationId, dir),
       _ => minHashPairs(Tables.documents(s, dir)).localCheckpoint(true))
+
+  /** Test hook: drop memoized pairs so determinism probes re-execute the
+    * full pipeline instead of re-hashing the same materialized frame. */
+  private[graft] def clearPairsMemo(): Unit = pairsMemo.clear()
 
   /** MinHash + LSH banding near-dup pairs, verified with exact shingle
     * Jaccard. Rows-only (the MinHash functions have no SQL analogue);

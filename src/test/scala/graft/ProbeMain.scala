@@ -287,8 +287,14 @@ object ProbeMain {
     }
 
     if (args.contains("pins")) {
-      // print fixture hashes for every no_oracle query at sf0.01
-      // (run twice in-JVM to confirm determinism before committing)
+      // print fixture hashes for every no_oracle query at sf0.01, run
+      // twice to confirm determinism — the memoized pairs frame is
+      // cleared between runs so d2/d5 genuinely RE-EXECUTE the pipeline
+      // (hashing the same materialized frame twice proves nothing).
+      // Session config must match FixturePinSpec's (local[4], shuffle 4):
+      // v5's k-means|| init is partition-layout sensitive.
+      require(cpus == "4",
+        s"pins must run with PROBE_CPUS=4 to match FixturePinSpec's session (got $cpus)")
       val names = Seq(
         "d2_minhash_lsh_pairs", "d3_simhash_pairs", "d5_dedup_clusters",
         "g1_panel_summary", "h1_simulation_metrics", "h2_sensitivity_scenarios",
@@ -296,7 +302,9 @@ object ProbeMain {
         "s5_awcls", "s6_aic_ladder", "v2_lsh_ann", "v3_embed_neardup",
         "v5_ivf_ann")
       for (n <- names) {
+        graft.operators.DedupQueries.clearPairsMemo()
         val h1 = CanonicalHash(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01"))
+        graft.operators.DedupQueries.clearPairsMemo()
         val h2 = CanonicalHash(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01"))
         println(s"""PIN "$n" -> "$h1", ${if (h1 == h2) "STABLE" else "UNSTABLE " + h2}""")
       }
