@@ -185,22 +185,22 @@ object VectorQueries {
   val vIvfAnn = QueryDef(
     "v5_ivf_ann",
     (s, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       // SAMPLE-FIT the coarse quantizer (the standard 100 TB IVF recipe):
-      // k-means never needs the full corpus, only a representative sample.
-      // The sample is a deterministic, partition-invariant id stride
-      // (vec_id % step == 0, ids uncorrelated with geometry) targeting
-      // ~1k fit vectors — constant fit cost at ANY corpus size.
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          array_to_vector(col("embedding")).as("features"))
-        .cache()
+      // k-means never needs the full corpus, only a representative
+      // sample. The sample is a deterministic, partition-invariant id
+      // stride (vec_id % step == 0, ids uncorrelated with geometry)
+      // targeting ~1k vectors, COLLECTED and fit DRIVER-SIDE — the
+      // sample is bounded by construction, so Lloyd iterations are a
+      // microsecond-scale local loop instead of 10 Spark jobs, and the
+      // corpus only ever runs the single distributed assign pass below.
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val step = math.max(1L, emb.count() / 1000L)
-      val fitSet = if (step == 1L) emb else emb.filter(col("vec_id") % step === 0)
-      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10).fit(fitSet)
-      val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-      emb.unpersist()
+      val sample: Array[Array[Double]] = emb
+        .filter(col("vec_id") % step === 0)
+        .orderBy("vec_id") // deterministic init regardless of partitioning
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val centers: Array[Array[Double]] = LocalKMeans.fit(sample, k = 16, iters = 10, seed = 42L)
 
       // distance ranks via array_min/array_sort over (dist, idx) structs
       def distStructs(e: Column): Column = array(centers.indices.map { i =>
