@@ -189,15 +189,19 @@ object VectorQueries {
       // k-means never needs the full corpus, only a representative
       // sample. The sample is a deterministic, partition-invariant id
       // stride (vec_id % step == 0, ids uncorrelated with geometry)
-      // targeting ~1k vectors, COLLECTED and fit DRIVER-SIDE — the
-      // sample is bounded by construction, so Lloyd iterations are a
-      // microsecond-scale local loop instead of 10 Spark jobs, and the
-      // corpus only ever runs the single distributed assign pass below.
+      // targeting ~1k vectors with a HARD limit(2000) (structured id
+      // spaces can defeat a modulo stride — e.g. every id a multiple of
+      // step — and the limit caps the driver collect regardless),
+      // COLLECTED and fit DRIVER-SIDE: Lloyd iterations become a
+      // microsecond local loop instead of 10 Spark jobs. Corpus-side
+      // cost: the count() is row-group-metadata only, the sampling scan
+      // and the assign pass below are each one linear pass.
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val step = math.max(1L, emb.count() / 1000L)
       val sample: Array[Array[Double]] = emb
         .filter(col("vec_id") % step === 0)
         .orderBy("vec_id") // deterministic init regardless of partitioning
+        .limit(2000)
         .select(col("embedding")).collect()
         .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       val centers: Array[Array[Double]] = LocalKMeans.fit(sample, k = 16, iters = 10, seed = 42L)
