@@ -36,9 +36,13 @@ object DedupClusters {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val hopped = labels.join(neighborLabels, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // the previous label rides along as `old` so the convergence check
+      // below is a filter on the ALREADY-materialized frame instead of
+      // an extra join against the previous round
+      val hopped = labels.withColumnRenamed("label", "old")
+        .join(neighborLabels, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nlabel"), col("old"))).as("label"))
       // pointer jumping: follow label -> label-of-label, halving component
       // diameter each round (O(log d) convergence instead of O(d))
       val byId = hopped.select(col("id").as("lid"), col("label").as("llabel"))
@@ -48,13 +52,12 @@ object DedupClusters {
       // reliable checkpointing for fault tolerance.
       val updated = hopped
         .join(byId, hopped("label") === byId("lid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("old"),
           least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val changed = updated.filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
-      labels = updated
+      labels = updated.select(col("id"), col("label"))
       converged = changed == 0
       it += 1
     }
