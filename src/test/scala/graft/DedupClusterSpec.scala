@@ -29,22 +29,29 @@ class DedupClusterSpec extends AnyFunSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  test("clusters from real minhash pairs match union-find") {
+  test("both CC routes match union-find on real minhash pairs") {
     val pairs = DedupQueries.dMinHash.fn(spark, "/root/testdata/sf0.001")
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pairs.nonEmpty)
     val want = unionFind(pairs)
-    val got = DedupClusters.connectedComponents(
-      spark.createDataFrame(pairs).toDF("a", "b"))
+    val df = spark.createDataFrame(pairs).toDF("a", "b")
+    // default gate → driver union-find route
+    val local = DedupClusters.connectedComponents(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == want, s"diff: ${got.toSet.diff(want.toSet).take(5)}")
+    // gate 0 → forced distributed label-propagation route
+    val dist = DedupClusters.connectedComponents(df, maxLocalEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == want, s"local diff: ${local.toSet.diff(want.toSet).take(5)}")
+    assert(dist == want, s"dist diff: ${dist.toSet.diff(want.toSet).take(5)}")
   }
 
-  test("long chain converges to a single component") {
+  test("long chain converges to a single component on both routes") {
     val chain = (0L until 30L).map(i => (i, i + 1))
-    val got = DedupClusters.connectedComponents(
-      spark.createDataFrame(chain).toDF("a", "b"))
-      .collect().map(r => r.getLong(1)).distinct
-    assert(got.sameElements(Array(0L)), s"labels: ${got.mkString(",")}")
+    val df = spark.createDataFrame(chain).toDF("a", "b")
+    for (gate <- Seq(0L, Long.MaxValue)) {
+      val got = DedupClusters.connectedComponents(df, maxLocalEdges = gate)
+        .collect().map(r => r.getLong(1)).distinct
+      assert(got.sameElements(Array(0L)), s"gate=$gate labels: ${got.mkString(",")}")
+    }
   }
 }
