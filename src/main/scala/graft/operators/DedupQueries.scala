@@ -243,5 +243,63 @@ object DedupQueries {
             / len(list_distinct(list_concat(l.gr, r.gr))) >= 0.55
       ORDER BY a, b"""))
 
-  val all: Seq[QueryDef] = Seq(dExact, dMinHash, dSimHash, dNgramJaccard)
+  /** Cross-document duplicate-span detection (the duplicated-passage
+    * filter of the CCNet/RefinedWeb playbook): every 8-token window of a
+    * doc is a span; a span that also occurs in ANOTHER doc marks
+    * boilerplate/copied text. Per doc: total spans, spans shared with
+    * ≥1 other doc, and the duplicated fraction.
+    *
+    * Scale shape: explode → two-level aggregate — the per-span document
+    * frequency uses a (doc, span)-distinct then span-keyed count, both
+    * with map-side combine; the join back is span-keyed and carries only
+    * (doc_id, span). At 100 TB the span string would be replaced by a
+    * 128-bit content hash as the join/shuffle key (md5 on both engines)
+    * — same plan, 16-byte keys; the string form is kept here so the
+    * DuckDB oracle reproduces it verbatim. */
+  val dDupSpans = QueryDef(
+    "d7_duplicate_spans",
+    (s, dir) => {
+      val spans = transform(sequence(lit(0), size(col("tk")) - 8),
+        i => concat_ws(" ", slice(col("tk"), i + 1, lit(8))))
+      // spans is a computed heavy array: materialize BEFORE the explode
+      // (InferFiltersFromGenerate would duplicate it into a pre-shuffle
+      // filter otherwise — see ngramPairs)
+      val docs = QueryDef.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), spans.as("sp"))
+        .localCheckpoint(true)
+      val ex = docs.select(col("doc_id"), explode(col("sp")).as("span"))
+      val spanDocs = ex.select("doc_id", "span").distinct()
+        .groupBy("span").agg(count(lit(1)).as("n_docs_with_span"))
+      ex.join(spanDocs, "span")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("n_docs_with_span") >= 2, 1L).otherwise(0L)).as("n_dup_spans"),
+          round(sum(when(col("n_docs_with_span") >= 2, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE len(string_split(text, ' ')) >= 8),
+      ex AS (
+        SELECT doc_id, sp AS span
+        FROM (SELECT doc_id, list_transform(range(1, len(tk) - 6),
+                       i -> array_to_string(tk[i:i+7], ' ')) AS sps FROM b),
+             UNNEST(sps) AS u(sp)),
+      d AS (
+        SELECT span, COUNT(*) AS n_docs_with_span
+        FROM (SELECT DISTINCT doc_id, span FROM ex) GROUP BY span)
+      SELECT ex.doc_id,
+             COUNT(*) AS n_spans,
+             CAST(SUM(CASE WHEN d.n_docs_with_span >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_spans,
+             ROUND(SUM(CASE WHEN d.n_docs_with_span >= 2 THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+      FROM ex JOIN d USING (span) GROUP BY ex.doc_id ORDER BY ex.doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(dExact, dMinHash, dSimHash, dNgramJaccard, dDupSpans)
 }

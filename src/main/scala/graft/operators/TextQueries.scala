@@ -258,6 +258,121 @@ object TextQueries {
       SELECT doc_id, rnk, tok, tf, df, tfidf
       FROM sc WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
 
+  /** Gopher-style rule-battery quality filter: the hard keep/drop gates
+    * of the pretraining-data playbook (word-count bounds, mean-word-length
+    * bounds, minimum stopword evidence, top-token mass cap, repeated-
+    * bigram cap) evaluated per document with the per-rule verdicts
+    * exposed — the form a pipeline needs to audit WHY a doc was dropped.
+    * One linear scan, all pure codegen expressions (rule thresholds
+    * adapted to the synthetic corpus so both outcomes occur). */
+  val tQualityFilter = QueryDef(
+    "t9_quality_filter",
+    (s, dir) => {
+      val stop = Seq("the", "a", "and", "of", "to", "in")
+      val stopArr = array(stop.map(lit): _*)
+      val docs = Tables.documents(s, dir).filter(size(toks) >= 2)
+        .select(col("doc_id"), col("n_chars"), toks.as("tk"))
+      val tokCol = col("tk")
+      val ntA = size(tokCol)
+      val topCnt = array_max(transform(array_distinct(tokCol),
+        t => size(filter(tokCol, x => x === t))))
+      docs
+        .select(
+          col("doc_id"),
+          (ntA >= 30 && ntA <= 1000).as("r_word_count"),
+          ((col("n_chars") - (ntA - 1).cast("double")) / ntA.cast("double"))
+            .between(3.0, 10.0).as("r_mean_word_len"),
+          (size(filter(tokCol, t => array_contains(stopArr, t))) >= 2).as("r_stopwords"),
+          (topCnt.cast("double") / ntA.cast("double") <= 0.2).as("r_top_token"),
+          (lit(1.0) - size(array_distinct(transform(sequence(lit(0), ntA - 2),
+            i => concat_ws(" ", element_at(tokCol, i + 1), element_at(tokCol, i + 2)))))
+            .cast("double") /
+            (ntA - 1).cast("double") <= 0.3).as("r_repeated_bigrams"))
+        .withColumn("n_rules_passed",
+          (0 until 5).map(i => col(Seq("r_word_count", "r_mean_word_len", "r_stopwords",
+            "r_top_token", "r_repeated_bigrams")(i)).cast("long")).reduce(_ + _))
+        .withColumn("keep", col("n_rules_passed") === 5)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      r AS (
+        SELECT doc_id,
+               len(tk) BETWEEN 30 AND 1000 AS r_word_count,
+               ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
+                 AS r_mean_word_len,
+               len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
+                 AS r_stopwords,
+               CAST(list_max(list_transform(list_distinct(tk),
+                      t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE)
+                 / len(tk) <= 0.2 AS r_top_token,
+               1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE)
+                 / (len(tk) - 1) <= 0.3 AS r_repeated_bigrams
+        FROM b)
+      SELECT doc_id, r_word_count, r_mean_word_len, r_stopwords, r_top_token,
+             r_repeated_bigrams,
+             CAST(r_word_count AS BIGINT) + CAST(r_mean_word_len AS BIGINT)
+               + CAST(r_stopwords AS BIGINT) + CAST(r_top_token AS BIGINT)
+               + CAST(r_repeated_bigrams AS BIGINT) AS n_rules_passed,
+             (CAST(r_word_count AS BIGINT) + CAST(r_mean_word_len AS BIGINT)
+               + CAST(r_stopwords AS BIGINT) + CAST(r_top_token AS BIGINT)
+               + CAST(r_repeated_bigrams AS BIGINT)) = 5 AS keep
+      FROM r ORDER BY doc_id"""))
+
+  /** Corpus-bigram novelty per document: how SURPRISING a doc's word
+    * transitions are relative to the whole corpus — the integer-exact
+    * core of an n-gram LM quality score (kept in count space, not
+    * log-prob space, so the cross-engine comparison is exact). Two-level
+    * aggregate (doc×bigram with map-side combine, then corpus counts),
+    * a bigram-keyed join back, and a per-doc aggregate: per doc, the
+    * number of corpus-unique bigrams, the fraction they make up, and
+    * the exact interpolated median corpus frequency of its bigrams. */
+  val tBigramNovelty = QueryDef(
+    "t10_bigram_novelty",
+    (s, dir) => {
+      // bigram array is a computed heavy expression: materialize BEFORE
+      // the explode or InferFiltersFromGenerate duplicates it into a
+      // pre-shuffle filter (see ngramPairs)
+      val bigrams = transform(sequence(lit(0), size(col("tk")) - 2),
+        i => concat_ws(" ", element_at(col("tk"), i + 1), element_at(col("tk"), i + 2)))
+      val docs = QueryDef.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), toks.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), bigrams.as("bg"))
+        .localCheckpoint(true)
+      val ex = docs.select(col("doc_id"), explode(col("bg")).as("bigram"))
+      val corpus = ex.groupBy("bigram").agg(count(lit(1)).as("cfreq"))
+      ex.join(corpus, "bigram")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum(when(col("cfreq") === 1, 1L).otherwise(0L)).as("n_corpus_unique"),
+          round(sum(when(col("cfreq") === 1, 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double"), 6).as("unique_frac"),
+          round(expr("percentile(cfreq, 0.5)"), 6).as("median_cfreq"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      ex AS (
+        SELECT doc_id, g AS bigram
+        FROM (SELECT doc_id, list_transform(range(1, len(tk)),
+                       i -> tk[i] || ' ' || tk[i+1]) AS gs FROM b),
+             UNNEST(gs) AS u(g)),
+      c AS (SELECT bigram, COUNT(*) AS cfreq FROM ex GROUP BY bigram)
+      SELECT ex.doc_id,
+             COUNT(*) AS n_bigrams,
+             CAST(SUM(CASE WHEN c.cfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus_unique,
+             ROUND(SUM(CASE WHEN c.cfreq = 1 THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS unique_frac,
+             ROUND(MEDIAN(c.cfreq), 6) AS median_cfreq
+      FROM ex JOIN c USING (bigram) GROUP BY ex.doc_id ORDER BY ex.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
-    tLangStats, tRepetition, tVocab, tTfidf)
+    tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty)
 }
