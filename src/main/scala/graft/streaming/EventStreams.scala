@@ -68,6 +68,16 @@ object EventStreams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("eventId")
 
+  /** Stream-static enrichment join — the canonical "decorate the event
+    * stream with dimension attributes" shape. The static side is
+    * broadcast, so the streaming side keeps its partitioning and the
+    * join is STATELESS (no watermark, no state store): each micro-batch
+    * joins against the dimension as-of that batch, which is also how
+    * slowly-changing dims pick up refreshes. At 100 TB/day the stream
+    * never shuffles for this join; only the (small) dim moves. */
+  def enrichEvents(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("userId"), "left")
+
   final case class SessionState(nEvents: Long, lastTs: Long, nSessions: Long)
   final case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)
 

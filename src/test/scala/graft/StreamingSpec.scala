@@ -100,6 +100,26 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins dim attributes without state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val src = MemoryStream[Event]
+    val dim = Seq((1L, "premium"), (2L, "free")).toDF("userId", "segment")
+    val q = EventStreams.enrichEvents(src.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      src.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 2, "view", 2.0),
+        Event(3, ts(2), 3, "click", 3.0)) // no dim row -> left join null
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("eventId") -> r.getAs[String]("segment")).toMap
+      assert(rows == Map(1L -> "premium", 2L -> "free", 3L -> null))
+    } finally q.stop()
+  }
+
   test("streaming logic matches batch execution of the same transform") {
     import spark.implicits._
     val batch = Seq(
