@@ -300,7 +300,7 @@ object ProbeMain {
         "g1_panel_summary", "h1_simulation_metrics", "h2_sensitivity_scenarios",
         "h3_pretty_table", "s3_logistic_irls", "s4_estimator_battery",
         "s5_awcls", "s6_aic_ladder", "v2_lsh_ann", "v3_embed_neardup",
-        "v5_ivf_ann")
+        "v5_ivf_ann", "v6_pq_ann")
       for (n <- names) {
         graft.operators.DedupQueries.clearPairsMemo()
         val h1 = CanonicalHash(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01"))
@@ -308,6 +308,20 @@ object ProbeMain {
         val h2 = CanonicalHash(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01"))
         println(s"""PIN "$n" -> "$h1", ${if (h1 == h2) "STABLE" else "UNSTABLE " + h2}""")
       }
+    }
+
+    if (args.contains("latex")) {
+      // regenerate the committed S4 LaTeX fixture from the committed
+      // acceptance metrics (LatexReportSpec asserts byte equality)
+      val metrics = spark.read.option("header", "true").option("inferSchema", "true")
+        .csv("results/acceptance/metrics_csv")
+      val table = graft.harness.LatexReport.simulationTable(
+        metrics, sampleSize = 400, nReplications = 400,
+        methods = Seq("WCLS-Internal", "WCLS-Pooled", "P-WCLS-Internal",
+          "P-WCLS-Pooled", "ET-WCLS", "DR-WCLS", "PET-WCLS"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("results/acceptance/latex_table_400.tex"), table)
+      println("LATEX_WRITTEN bytes=" + table.length)
     }
 
     if (args.contains("htime")) {
