@@ -241,5 +241,73 @@ object VectorQueries {
         .orderBy("q", "rank")
     })
 
-  val all: Seq[QueryDef] = Seq(vCosineTopK, vLshAnn, vEmbedDedup, vNormStats, vIvfAnn)
+  /** Product-quantization ANN (ADC flat scan + exact re-rank) — the
+    * memory-bound scale path: each corpus vector is compressed to m=8
+    * 4-bit codes (one per 8-dim subspace, 16-centroid codebook), so the
+    * candidate scan reads 4-byte codes instead of 256-byte embeddings —
+    * a 64× smaller index, which at 100 TB is the difference between an
+    * in-memory scan and an I/O-bound one. Codebooks are fit DRIVER-SIDE
+    * per subspace on the same deterministic id-stride sample as v5 (the
+    * FAISS recipe: PQ training never needs the corpus). Query = ADC
+    * (asymmetric distance): the full-precision probe scores codes via
+    * codebook lookups, takes a shortlist, and only the shortlist joins
+    * back to full embeddings for the exact top-3 re-rank. Composable
+    * with v5's IVF lists for sub-linear scan (IVFADC); kept flat here so
+    * the PQ contribution is measured in isolation. Rows-only
+    * (deterministic; recall vs exact v1 bounded in LshRecallSpec). */
+  val vPqAnn = QueryDef(
+    "v6_pq_ann",
+    (s, dir) => {
+      val m = 8; val subDim = 8; val kSub = 16; val shortlistN = 32
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val step = math.max(1L, emb.count() / 1000L)
+      val sample: Array[Array[Double]] = emb
+        .filter(col("vec_id") % step === 0)
+        .orderBy("vec_id")
+        .limit(2000)
+        .select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+        LocalKMeans.fit(sample.map(v => v.slice(j * subDim, (j + 1) * subDim)),
+          k = kSub, iters = 10, seed = 42L + j)
+      }
+      // encode: code_j = argmin_c ||x_j - c||²; ranks like ||c||²/2 - x_j·c
+      def subCode(e: Column, j: Int): Column =
+        array_min(array(books(j).indices.map { c =>
+          val cl = array(books(j)(c).map(lit): _*)
+          struct((lit(books(j)(c).map(v => v * v).sum / 2.0) -
+            dot(slice(e, j * subDim + 1, subDim), cl)).as("d"), lit(c).as("idx"))
+        }: _*)).getField("idx")
+      val codes = emb.select(col("vec_id").as("nb"),
+        array((0 until m).map(j => subCode(col("embedding"), j)): _*).as("code"))
+      // ADC score: Σ_j q_j · centroid_{j, code_j} — codebooks are literal
+      // 2D arrays, the lookup is element_at by code (all codegen)
+      def adcSim(qe: Column, code: Column): Column =
+        (0 until m).map { j =>
+          val bookLit = array(books(j).map(cArr => array(cArr.map(lit): _*)): _*)
+          dot(slice(qe, j * subDim + 1, subDim),
+            element_at(bookLit, element_at(code, j + 1) + 1))
+        }.reduce(_ + _)
+      val probes = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q"), col("embedding").as("qe"))
+      val wA = Window.partitionBy(col("q")).orderBy(col("__asim").desc, col("nb").asc)
+      val shortlist = broadcast(probes).join(codes, col("q") =!= col("nb"))
+        .withColumn("__asim", adcSim(col("qe"), col("code")))
+        .withColumn("arn", row_number().over(wA))
+        .filter(col("arn") <= shortlistN)
+        .select(col("q"), col("nb"))
+      // exact re-rank: only the shortlist touches full embeddings
+      val ne = emb.select(col("vec_id").as("nb"), col("embedding").as("ne"))
+      val w = Window.partitionBy(col("q")).orderBy(col("__sim").desc, col("nb").asc)
+      shortlist.join(broadcast(probes), "q").join(ne, "nb")
+        .withColumn("__sim", dot(col("qe"), col("ne")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q"), col("nb"), round(col("__sim"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q", "rank")
+    })
+
+  val all: Seq[QueryDef] = Seq(vCosineTopK, vLshAnn, vEmbedDedup, vNormStats,
+    vIvfAnn, vPqAnn)
 }

@@ -41,7 +41,8 @@ class FixturePinSpec extends AnyFunSuite {
     "s6_aic_ladder"            -> "a47246fafb616d117be73e04f0eac926",
     "v2_lsh_ann"               -> "a1f492db02277657e295c661c74e3eaa",
     "v3_embed_neardup"         -> "73b19f18c790733cac4ead62c2fd7327",
-    "v5_ivf_ann"               -> "afd848323e99e775dd15dee6070bd772")
+    "v5_ivf_ann"               -> "afd848323e99e775dd15dee6070bd772",
+    "v6_pq_ann"                -> "50532f52321dc7716dfdf087e3d62e2c")
 
   test("every no_oracle driver query is hash-pinned") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -38,6 +38,16 @@ class LshRecallSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF ANN recall@3 = $recall")
   }
 
+  test("PQ ANN recall@3 >= 0.5 vs exact top-k") {
+    val exact = VectorQueries.vCosineTopK.fn(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("rank") <= 3)
+      .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorQueries.vPqAnn.fn(spark, dir)
+      .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ ANN recall@3 = $recall")
+  }
+
   test("minhash-LSH pairs are all true >= 0.5-Jaccard pairs (no false positives)") {
     val pairs = DedupQueries.dMinHash.fn(spark, dir).collect()
     assert(pairs.nonEmpty)
