@@ -1,7 +1,5 @@
 package graft.harness
 
-import java.util.Locale
-
 import org.apache.spark.sql.DataFrame
 
 /** S4 report sink: the reference's LaTeX simulation-results table
@@ -41,21 +39,29 @@ import org.apache.spark.sql.DataFrame
   */
 object LatexReport {
 
+  /** Round like R/C do: on the EXACT binary value of the double
+    * (`new java.math.BigDecimal(d)` — not the shortest decimal string),
+    * half-even at exact ties. R's `round(0.35, 1)` is 0.3 because the
+    * stored double is 0.34999…; a shortest-string path would say 0.4. */
+  private def rRound(x: Double, scale: Int): java.math.BigDecimal =
+    new java.math.BigDecimal(x).setScale(scale, java.math.RoundingMode.HALF_EVEN)
+
   /** `simulation.R:445-453`: integers print bare, everything else with
-    * one decimal (R `round` half-even; trailing ".0" dropped by
-    * `as.character`). */
+    * one decimal (trailing ".0" dropped by `as.character`). */
   def printExactNumberNicely(x: Double): String = {
     val r = math.rint(x)
     if (math.abs(x - r) < 1e-6) r.toLong.toString
     else {
-      val v = BigDecimal(x).setScale(1, BigDecimal.RoundingMode.HALF_EVEN)
-      if (v.isWhole) v.toLong.toString else v.toString
+      val v = rRound(x, 1)
+      if (v.stripTrailingZeros.scale <= 0) v.toBigInteger.toString else v.toString
     }
   }
 
-  private def f2(x: Double): String = String.format(Locale.ROOT, "%.2f", Double.box(x))
-  private def pct1(x: Double): String =
-    String.format(Locale.ROOT, "%.1f", Double.box(x * 100.0)) + "%"
+  /** `sprintf("%.2f")` parity: C printf rounds the exact binary value
+    * (half-even only at true dyadic ties) — Java's `%.2f` would instead
+    * round HALF_UP (1.125 → "1.13" where C prints "1.12"). */
+  private def f2(x: Double): String = rRound(x, 2).toPlainString
+  private def pct1(x: Double): String = rRound(x * 100.0, 1).toPlainString + "%"
   private def bold(s: String): String = s"\\textbf{$s}"
   private def sanitize(s: String): String = s.replace("%", "\\%")
 
@@ -100,6 +106,8 @@ object LatexReport {
 
     val body = coefs.flatMap { c =>
       val block = rows.filter(_.coef == c)
+      require(block.nonEmpty,
+        s"no metrics rows for coefficient '$c' at sample size $sampleSize")
       val bestEff = block.map(effNum).max
       val bestRmse = block.map(_.rmse).min
       block.zipWithIndex.map { case (r, i) =>

@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * harness's local/distributed battery routing):
   *  - edge lists under `maxLocalEdges` are collected and solved with
   *    driver-side union-find (path compression + union-by-min). A
-  *    near-dup edge list is orders of magnitude smaller than the corpus
-  *    (16 bytes/edge — the default gate ≈ 80 MB on the driver), and a
-  *    single union-find pass replaces 3-6 rounds of join+aggregate jobs
-  *    whose fixed overhead dominates at this size.
+  *    near-dup edge list is orders of magnitude smaller than the corpus;
+  *    at the 1M-edge default gate the collected Rows + tuple array +
+  *    union-find map peak around 100-200 MB of driver heap (JVM object
+  *    overhead is ~10× the 16 raw bytes/edge — size the gate to the
+  *    driver, not to the raw data), and a single union-find pass
+  *    replaces 3-6 rounds of join+aggregate jobs whose fixed overhead
+  *    dominates at this size.
   *  - above the gate, iterative label propagation to the neighborhood
   *    minimum with pointer jumping (label <- label-of-label), converging
   *    in O(log diameter) rounds. Each round is shuffle-bounded by the
@@ -31,13 +34,14 @@ object DedupClusters {
 
   /** pairs: (a, b) undirected edges. Returns (doc_id, cluster_id). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          maxLocalEdges: Long = 5000000L): DataFrame = {
+                          maxLocalEdges: Long = 1000000L): DataFrame = {
     // canonical undirected form (min, max): doubling below cannot create
-    // duplicates even if the input carries both orientations of an edge
+    // duplicates even if the input carries both orientations of an edge.
+    // Self-pairs (a, a) are KEPT — both routes resolve them to singleton
+    // clusters; filtering them out would drop the doc from the labeling.
     val undirected = pairs
       .select(least(col("a"), col("b")).cast("long").as("src"),
         greatest(col("a"), col("b")).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
       .distinct()
       .cache()
     val nEdges = undirected.count() // also materializes the cache

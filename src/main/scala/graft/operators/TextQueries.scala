@@ -263,34 +263,39 @@ object TextQueries {
     * bounds, minimum stopword evidence, top-token mass cap, repeated-
     * bigram cap) evaluated per document with the per-rule verdicts
     * exposed — the form a pipeline needs to audit WHY a doc was dropped.
-    * One linear scan, all pure codegen expressions (rule thresholds
-    * adapted to the synthetic corpus so both outcomes occur). */
+    * Array rules are per-row codegen expressions; the top-token mass
+    * uses t6's LINEAR explode → two-level-aggregate shape (a nested
+    * count-per-distinct-token HOF would be quadratic in document
+    * length). Rule thresholds adapted to the synthetic corpus so both
+    * outcomes occur. */
   val tQualityFilter = QueryDef(
     "t9_quality_filter",
     (s, dir) => {
       val stop = Seq("the", "a", "and", "of", "to", "in")
       val stopArr = array(stop.map(lit): _*)
+      val ruleNames = Seq("r_word_count", "r_mean_word_len", "r_stopwords",
+        "r_top_token", "r_repeated_bigrams")
       val docs = Tables.documents(s, dir).filter(size(toks) >= 2)
         .select(col("doc_id"), col("n_chars"), toks.as("tk"))
+      val top = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("max_c"))
       val tokCol = col("tk")
       val ntA = size(tokCol)
-      val topCnt = array_max(transform(array_distinct(tokCol),
-        t => size(filter(tokCol, x => x === t))))
-      docs
+      docs.join(top, "doc_id")
         .select(
           col("doc_id"),
           (ntA >= 30 && ntA <= 1000).as("r_word_count"),
           ((col("n_chars") - (ntA - 1).cast("double")) / ntA.cast("double"))
             .between(3.0, 10.0).as("r_mean_word_len"),
           (size(filter(tokCol, t => array_contains(stopArr, t))) >= 2).as("r_stopwords"),
-          (topCnt.cast("double") / ntA.cast("double") <= 0.2).as("r_top_token"),
+          (col("max_c").cast("double") / ntA.cast("double") <= 0.2).as("r_top_token"),
           (lit(1.0) - size(array_distinct(transform(sequence(lit(0), ntA - 2),
             i => concat_ws(" ", element_at(tokCol, i + 1), element_at(tokCol, i + 2)))))
             .cast("double") /
             (ntA - 1).cast("double") <= 0.3).as("r_repeated_bigrams"))
         .withColumn("n_rules_passed",
-          (0 until 5).map(i => col(Seq("r_word_count", "r_mean_word_len", "r_stopwords",
-            "r_top_token", "r_repeated_bigrams")(i)).cast("long")).reduce(_ + _))
+          ruleNames.map(n => col(n).cast("long")).reduce(_ + _))
         .withColumn("keep", col("n_rules_passed") === 5)
         .orderBy("doc_id")
     },
@@ -298,20 +303,22 @@ object TextQueries {
       WITH b AS (
         SELECT doc_id, n_chars, string_split(text, ' ') AS tk
         FROM documents WHERE len(string_split(text, ' ')) >= 2),
+      tc AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
+      tp AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id),
       r AS (
-        SELECT doc_id,
+        SELECT b.doc_id,
                len(tk) BETWEEN 30 AND 1000 AS r_word_count,
                ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
                  AS r_mean_word_len,
                len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
                  AS r_stopwords,
-               CAST(list_max(list_transform(list_distinct(tk),
-                      t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE)
-                 / len(tk) <= 0.2 AS r_top_token,
+               CAST(tp.max_c AS DOUBLE) / len(tk) <= 0.2 AS r_top_token,
                1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
                         i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE)
                  / (len(tk) - 1) <= 0.3 AS r_repeated_bigrams
-        FROM b)
+        FROM b JOIN tp USING (doc_id))
       SELECT doc_id, r_word_count, r_mean_word_len, r_stopwords, r_top_token,
              r_repeated_bigrams,
              CAST(r_word_count AS BIGINT) + CAST(r_mean_word_len AS BIGINT)

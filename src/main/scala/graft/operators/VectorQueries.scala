@@ -182,28 +182,31 @@ object VectorQueries {
     * corpus. Rows-only (k-means has no SQL analogue); recall vs the
     * exact v1 baseline is bounded in LshRecallSpec.
     */
+  /** SAMPLE-FIT recipe shared by the v5/v6 quantizers (the standard
+    * 100 TB pattern: k-means/PQ training never needs the full corpus,
+    * only a representative sample). Deterministic, partition-invariant
+    * id stride (vec_id % step == 0, ids uncorrelated with geometry)
+    * targeting ~1k vectors with a HARD limit(2000) (structured id
+    * spaces can defeat a modulo stride — e.g. every id a multiple of
+    * step — and the limit caps the driver collect regardless),
+    * COLLECTED and fit DRIVER-SIDE: Lloyd iterations become a
+    * microsecond local loop instead of 10 Spark jobs. Corpus-side cost:
+    * the count() is row-group-metadata only; the sampling scan is one
+    * linear pass. */
+  private def strideSample(emb: DataFrame): Array[Array[Double]] = {
+    val step = math.max(1L, emb.count() / 1000L)
+    emb.filter(col("vec_id") % step === 0)
+      .orderBy("vec_id") // deterministic regardless of partitioning
+      .limit(2000)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+  }
+
   val vIvfAnn = QueryDef(
     "v5_ivf_ann",
     (s, dir) => {
-      // SAMPLE-FIT the coarse quantizer (the standard 100 TB IVF recipe):
-      // k-means never needs the full corpus, only a representative
-      // sample. The sample is a deterministic, partition-invariant id
-      // stride (vec_id % step == 0, ids uncorrelated with geometry)
-      // targeting ~1k vectors with a HARD limit(2000) (structured id
-      // spaces can defeat a modulo stride — e.g. every id a multiple of
-      // step — and the limit caps the driver collect regardless),
-      // COLLECTED and fit DRIVER-SIDE: Lloyd iterations become a
-      // microsecond local loop instead of 10 Spark jobs. Corpus-side
-      // cost: the count() is row-group-metadata only, the sampling scan
-      // and the assign pass below are each one linear pass.
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val step = math.max(1L, emb.count() / 1000L)
-      val sample: Array[Array[Double]] = emb
-        .filter(col("vec_id") % step === 0)
-        .orderBy("vec_id") // deterministic init regardless of partitioning
-        .limit(2000)
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val sample = strideSample(emb)
       val centers: Array[Array[Double]] = LocalKMeans.fit(sample, k = 16, iters = 10, seed = 42L)
 
       // distance ranks via array_min/array_sort over (dist, idx) structs
@@ -260,13 +263,7 @@ object VectorQueries {
     (s, dir) => {
       val m = 8; val subDim = 8; val kSub = 16; val shortlistN = 32
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val step = math.max(1L, emb.count() / 1000L)
-      val sample: Array[Array[Double]] = emb
-        .filter(col("vec_id") % step === 0)
-        .orderBy("vec_id")
-        .limit(2000)
-        .select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val sample = strideSample(emb)
       val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
         LocalKMeans.fit(sample.map(v => v.slice(j * subDim, (j + 1) * subDim)),
           k = kSub, iters = 10, seed = 42L + j)

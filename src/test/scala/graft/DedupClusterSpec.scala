@@ -45,6 +45,15 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(dist == want, s"dist diff: ${dist.toSet.diff(want.toSet).take(5)}")
   }
 
+  test("self-pairs become singleton clusters on both routes") {
+    val df = spark.createDataFrame(Seq((7L, 7L), (1L, 2L))).toDF("a", "b")
+    for (gate <- Seq(0L, Long.MaxValue)) {
+      val got = DedupClusters.connectedComponents(df, maxLocalEdges = gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(7L -> 7L, 1L -> 1L, 2L -> 1L), s"gate=$gate: $got")
+    }
+  }
+
   test("long chain converges to a single component on both routes") {
     val chain = (0L until 30L).map(i => (i, i + 1))
     val df = spark.createDataFrame(chain).toDF("a", "b")

@@ -20,8 +20,11 @@ class LatexReportSpec extends AnyFunSuite {
     assert(LatexReport.printExactNumberNicely(5.0) == "5")
     assert(LatexReport.printExactNumberNicely(-2.0) == "-2")
     assert(LatexReport.printExactNumberNicely(-2.0000001) == "-2")
-    assert(LatexReport.printExactNumberNicely(0.25) == "0.2") // R round half-even
-    assert(LatexReport.printExactNumberNicely(0.35) == "0.4")
+    // R rounds the BINARY value: 0.25 is exact -> half-even tie -> 0.2;
+    // 0.35 is stored as 0.34999... -> 0.3 (a shortest-decimal-string
+    // rounder would wrongly say 0.4)
+    assert(LatexReport.printExactNumberNicely(0.25) == "0.2")
+    assert(LatexReport.printExactNumberNicely(0.35) == "0.3")
     assert(LatexReport.printExactNumberNicely(1.96) == "2")   // 1-dp round lands integral
     assert(LatexReport.printExactNumberNicely(1.24) == "1.2")
   }
