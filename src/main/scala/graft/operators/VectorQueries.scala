@@ -277,22 +277,38 @@ object VectorQueries {
         }: _*)).getField("idx")
       val codes = emb.select(col("vec_id").as("nb"),
         array((0 until m).map(j => subCode(col("embedding"), j)): _*).as("code"))
-      // ADC score: Σ_j q_j · centroid_{j, code_j} — codebooks are literal
-      // 2D arrays, the lookup is element_at by code (all codegen)
-      def adcSim(qe: Column, code: Column): Column =
+      // ADC proper: the probe side precomputes, ONCE per probe, the
+      // m×kSub lookup table lut[j][c] = q_j · centroid_{j,c} (8×16 dots
+      // of 8-dim each over 50 rows — negligible, and it happens under
+      // the BroadcastExchange so it is evaluated before the join). The
+      // per-candidate hot loop is then m element_at lookups + adds —
+      // no slices, no dot products against the corpus scan (VERDICT r5
+      // found the LUT-less form recomputed all of that per row: 15.5 s).
+      val lut = array((0 until m).map { j =>
+        array((0 until kSub).map { c =>
+          dot(slice(col("qe"), j * subDim + 1, subDim),
+            array(books(j)(c).map(lit): _*))
+        }: _*)
+      }: _*)
+      def adcSim(code: Column): Column =
         (0 until m).map { j =>
-          val bookLit = array(books(j).map(cArr => array(cArr.map(lit): _*)): _*)
-          dot(slice(qe, j * subDim + 1, subDim),
-            element_at(bookLit, element_at(code, j + 1) + 1))
+          element_at(element_at(col("lut"), j + 1), element_at(code, j + 1) + 1)
         }.reduce(_ + _)
       val probes = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q"), col("embedding").as("qe"))
-      val wA = Window.partitionBy(col("q")).orderBy(col("__asim").desc, col("nb").asc)
-      val shortlist = broadcast(probes).join(codes, col("q") =!= col("nb"))
-        .withColumn("__asim", adcSim(col("qe"), col("code")))
-        .withColumn("arn", row_number().over(wA))
-        .filter(col("arn") <= shortlistN)
-        .select(col("q"), col("nb"))
+      // shortlist via the bounded top-k AGGREGATE, not a window rank: a
+      // row_number over the full |probes|×|corpus| cross product shuffles
+      // 50× the corpus at scale; the aggregate's map-side partials keep
+      // ≤shortlistN entries per probe per partition, so the shuffle is
+      // O(|probes|·shortlistN) regardless of corpus size. Same (sim desc,
+      // nb asc) total order → identical shortlist, bit-identical results.
+      val shortlist = broadcast(probes.withColumn("lut", lut).select("q", "lut"))
+        .join(codes, col("q") =!= col("nb"))
+        .select(col("q"), col("nb"), adcSim(col("code")).as("__asim"))
+        .groupBy(col("q"))
+        .agg(graft.stats.Aggregates.topK(col("__asim"), col("nb"), shortlistN).as("top"))
+        .select(col("q"), explode(col("top")).as("t"))
+        .select(col("q"), col("t.id").as("nb"))
       // exact re-rank: only the shortlist touches full embeddings
       val ne = emb.select(col("vec_id").as("nb"), col("embedding").as("ne"))
       val w = Window.partitionBy(col("q")).orderBy(col("__sim").desc, col("nb").asc)

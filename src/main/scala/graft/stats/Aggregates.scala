@@ -105,6 +105,72 @@ object Aggregates {
     def outputEncoder: Encoder[Seq[Double]] = ExprEnc.doubleSeq
   }
 
+  case class ScoredId(sim: Double, id: Long)
+
+  /** Bounded top-k by (sim DESC, id ASC) — the scale-safe shortlist
+    * aggregate. Spark runs this partial+final, so each map task keeps at
+    * most k entries per group and the shuffle carries O(groups·k) rows,
+    * where a window-rank shortlist shuffles the FULL candidate set
+    * (|probes|×|corpus| for a flat ANN scan). Deterministic: the
+    * (sim desc, id asc) order is total, so the result is independent of
+    * row order and partitioning.
+    *
+    * Buffer is a packed double array `[size, sim0, id0, sim1, id1, …]`
+    * arranged as a binary heap whose root is the current WORST entry —
+    * a new candidate only touches the heap when it beats the root.
+    * Ids are exact in a Double up to 2^53. */
+  class TopKAgg(k: Int) extends Aggregator[ScoredId, Array[Double], Seq[ScoredId]] {
+    // "worse" = sorts later under (sim desc, id asc)
+    private def worse(s1: Double, i1: Double, s2: Double, i2: Double): Boolean =
+      s1 < s2 || (s1 == s2 && i1 > i2)
+    private def swap(b: Array[Double], x: Int, y: Int): Unit = {
+      val s = b(1 + 2 * x); val i = b(2 + 2 * x)
+      b(1 + 2 * x) = b(1 + 2 * y); b(2 + 2 * x) = b(2 + 2 * y)
+      b(1 + 2 * y) = s; b(2 + 2 * y) = i
+    }
+    private def insert(b: Array[Double], sim: Double, id: Double): Unit = {
+      val n = b(0).toInt
+      if (n < k) {
+        b(1 + 2 * n) = sim; b(2 + 2 * n) = id
+        var c = n
+        while (c > 0 && worse(b(1 + 2 * c), b(2 + 2 * c),
+          b(1 + 2 * ((c - 1) / 2)), b(2 + 2 * ((c - 1) / 2)))) {
+          swap(b, c, (c - 1) / 2); c = (c - 1) / 2
+        }
+        b(0) = n + 1.0
+      } else if (k > 0 && worse(b(1), b(2), sim, id)) {
+        b(1) = sim; b(2) = id
+        var c = 0
+        var done = false
+        while (!done) {
+          val l = 2 * c + 1; val r = 2 * c + 2
+          var w = c
+          if (l < k && worse(b(1 + 2 * l), b(2 + 2 * l), b(1 + 2 * w), b(2 + 2 * w))) w = l
+          if (r < k && worse(b(1 + 2 * r), b(2 + 2 * r), b(1 + 2 * w), b(2 + 2 * w))) w = r
+          if (w == c) done = true else { swap(b, c, w); c = w }
+        }
+      }
+    }
+    def zero: Array[Double] = new Array[Double](1 + 2 * k)
+    def reduce(b: Array[Double], in: ScoredId): Array[Double] = {
+      insert(b, in.sim, in.id.toDouble); b
+    }
+    def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+      val n = b(0).toInt
+      var e = 0
+      while (e < n) { insert(a, b(1 + 2 * e), b(2 + 2 * e)); e += 1 }
+      a
+    }
+    def finish(b: Array[Double]): Seq[ScoredId] = {
+      val n = b(0).toInt
+      Array.tabulate(n)(e => ScoredId(b(1 + 2 * e), b(2 + 2 * e).toLong))
+        .sortWith((x, y) => x.sim > y.sim || (x.sim == y.sim && x.id < y.id))
+        .toSeq
+    }
+    def bufferEncoder: Encoder[Array[Double]] = ExprEnc.doubleArray
+    def outputEncoder: Encoder[Seq[ScoredId]] = ExprEnc.of[Seq[ScoredId]]
+  }
+
   private object ExprEnc {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     import scala.reflect.runtime.universe.TypeTag
@@ -120,4 +186,7 @@ object Aggregates {
     udaf(new CrossAgg, ExprEnc.of[UVW]).apply(u, v, w)
   def vsum(v: Column, w: Column): Column =
     udaf(new VecSumAgg, ExprEnc.of[VW]).apply(v, w)
+  /** topK(sim, id, k): array&lt;struct&lt;sim,id&gt;&gt; of the k best by (sim desc, id asc). */
+  def topK(sim: Column, id: Column, k: Int): Column =
+    udaf(new TopKAgg(k), ExprEnc.of[ScoredId]).apply(sim, id)
 }
