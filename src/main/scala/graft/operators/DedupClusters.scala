@@ -167,7 +167,7 @@ object DedupClusters {
     // the ORACLE-CHECK variant — correctness evidence at fixed cost —
     // while d5 is the LSH-fed production path that scales with the corpus
     (s, dir) => clustersOf(
-      DedupQueries.ngramPairs(s, dir, threshold = 0.4, corpusBound = 500L)),
+      DedupQueries.corpusNgramPairs(s, dir, threshold = 0.4, corpusBound = 500L)),
     Some("""
       WITH RECURSIVE g AS (
         SELECT doc_id, source,

@@ -275,8 +275,19 @@ object VectorQueries {
           struct((lit(books(j)(c).map(v => v * v).sum / 2.0) -
             dot(slice(e, j * subDim + 1, subDim), cl)).as("d"), lit(c).as("idx"))
         }: _*)).getField("idx")
+      // MATERIALIZE the codes before the join: without the stage break,
+      // whole-stage codegen defers this 128-dot encode projection into the
+      // BroadcastNestedLoopJoin inner loop, re-evaluating it once per
+      // (probe, candidate) OUTPUT row — ~50× redundant work (VERDICT r6
+      // measured the shortlist stage at 14 s vs 1.4 s with the break). At
+      // 100 TB the PQ codes are a precomputed stored index, so persisting
+      // them is also the semantically right design; localCheckpoint trades
+      // executor-loss recoverability for zero lineage (acceptable for an
+      // index that is cheap to rebuild — a cluster deployment would write
+      // the codes to a table instead).
       val codes = emb.select(col("vec_id").as("nb"),
         array((0 until m).map(j => subCode(col("embedding"), j)): _*).as("code"))
+        .localCheckpoint(true)
       // ADC proper: the probe side precomputes, ONCE per probe, the
       // m×kSub lookup table lut[j][c] = q_j · centroid_{j,c} (8×16 dots
       // of 8-dim each over 50 rows — negligible, and it happens under
