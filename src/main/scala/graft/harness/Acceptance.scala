@@ -59,6 +59,14 @@ object AcceptanceChecks {
     def at(ni: Int, ne: Int)(p: MetricRow => Boolean): Seq[MetricRow] =
       rows.filter(r => r.nInternal == ni && r.nExternal == ne && p(r))
     val big = cells.last // the largest cell carries the sharpest assertions
+    // The PET-supremacy RANKING checks (5/6) are pinned to the paper's
+    // headline cell (400,400) when the grid contains it: method rankings
+    // are MC-noisy, and the reference's own 13-cell results
+    // (results/simulation_results.csv) flip the best-rMSE method at
+    // 25/25 (WCLS-Pooled) and 6400/6400 (P-WCLS-Pooled), so "PET best at
+    // whatever cell happens to be largest" is not a reference property —
+    // "PET best at 400/400" (the printed table, simulation.R:471-530) is.
+    val petCell = if (cells.contains((400, 400))) (400, 400) else big
 
     val checks = Seq.newBuilder[(String, Boolean, String)]
 
@@ -96,8 +104,8 @@ object AcceptanceChecks {
           math.abs(r.avgEstimate) < math.abs(truth(r.coef))), // shrunk toward 0
       pooled.map(r => f"${r.coef}: est ${r.avgEstimate}%.3f cov ${r.coverage}%.3f").mkString(", ")))
 
-    // 5. PET-WCLS best rMSE of ALL methods at the largest cell
-    val byCoef = at(big._1, big._2)(_ => true).groupBy(_.coef)
+    // 5. PET-WCLS best rMSE of ALL methods at the headline cell
+    val byCoef = at(petCell._1, petCell._2)(_ => true).groupBy(_.coef)
     val petBestRmse = byCoef.forall { case (_, rs) =>
       rs.minBy(_.rmse).method == "PET-WCLS"
     }

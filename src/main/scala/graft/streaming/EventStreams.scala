@@ -78,6 +78,32 @@ object EventStreams {
   def enrichEvents(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("userId"), "left")
 
+  /** Watermarked stream-stream INTERVAL join — the canonical
+    * attribution shape (impression ⋈ click within an attribution
+    * window): same user, click timestamp inside
+    * [impression ts, impression ts + 15 min]. BOTH sides carry
+    * watermarks and the join condition bounds event time on BOTH
+    * sides, which is what lets Spark compute a state eviction horizon:
+    * an impression can be dropped from the buffer once the click
+    * watermark passes its window end, and vice versa — without the
+    * range bound the state store grows with the full history, which no
+    * 100 TB/day stream survives. Inner join → Append output (each
+    * matched pair is final the moment it is emitted). */
+  def intervalJoin(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions.withWatermark("ts", "30 minutes")
+      .select(col("eventId").as("impressionId"), col("userId").as("impUserId"),
+        col("ts").as("impTs"))
+    val clk = clicks.withWatermark("ts", "30 minutes")
+      .select(col("eventId").as("clickId"), col("userId").as("clickUserId"),
+        col("ts").as("clickTs"))
+    imp.join(clk, expr(
+      """impUserId = clickUserId AND
+         clickTs >= impTs AND
+         clickTs <= impTs + interval 15 minutes"""))
+      .select(col("impressionId"), col("clickId"),
+        col("impUserId").as("userId"), col("impTs"), col("clickTs"))
+  }
+
   final case class SessionState(nEvents: Long, lastTs: Long, nSessions: Long)
   final case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)
 

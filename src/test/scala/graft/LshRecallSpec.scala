@@ -7,6 +7,10 @@ import graft.operators.{DedupQueries, VectorQueries}
 /** Quality bounds for the approximate operators: LSH candidate
   * generation must stay close to the exact brute-force ground truth
   * (measured, not assumed — the single-table variant scored 0.01).
+  * Gates are the MEASURED floors on the sf0.001 fixture (VERDICT r6 #4:
+  * a 0.5 gate on everything hides regressions): LSH 0.72 and IVF 0.767
+  * gate at 0.7; PQ re-ranks a 32-deep exact shortlist so its recall@3
+  * is near-perfect and gates at 0.9.
   */
 class LshRecallSpec extends AnyFunSuite {
 
@@ -18,34 +22,30 @@ class LshRecallSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("multi-table LSH ANN recall@3 >= 0.5 vs exact top-k") {
-    val exact = VectorQueries.vCosineTopK.fn(spark, dir)
+  private lazy val exactTop3: Set[(Long, Long)] =
+    VectorQueries.vCosineTopK.fn(spark, dir)
       .filter(org.apache.spark.sql.functions.col("rank") <= 3)
       .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = VectorQueries.vLshAnn.fn(spark, dir)
+
+  private def recallOf(q: graft.operators.QueryDef): Double = {
+    val approx = q.fn(spark, dir)
       .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"LSH ANN recall@3 = $recall")
+    (exactTop3 & approx).size.toDouble / exactTop3.size
   }
 
-  test("IVF ANN recall@3 >= 0.5 vs exact top-k") {
-    val exact = VectorQueries.vCosineTopK.fn(spark, dir)
-      .filter(org.apache.spark.sql.functions.col("rank") <= 3)
-      .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = VectorQueries.vIvfAnn.fn(spark, dir)
-      .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF ANN recall@3 = $recall")
+  test("multi-table LSH ANN recall@3 >= 0.7 vs exact top-k (measured 0.72)") {
+    val recall = recallOf(VectorQueries.vLshAnn)
+    assert(recall >= 0.7, s"LSH ANN recall@3 = $recall")
   }
 
-  test("PQ ANN recall@3 >= 0.5 vs exact top-k") {
-    val exact = VectorQueries.vCosineTopK.fn(spark, dir)
-      .filter(org.apache.spark.sql.functions.col("rank") <= 3)
-      .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = VectorQueries.vPqAnn.fn(spark, dir)
-      .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"PQ ANN recall@3 = $recall")
+  test("IVF ANN recall@3 >= 0.7 vs exact top-k (measured 0.767)") {
+    val recall = recallOf(VectorQueries.vIvfAnn)
+    assert(recall >= 0.7, s"IVF ANN recall@3 = $recall")
+  }
+
+  test("PQ ANN recall@3 >= 0.9 vs exact top-k (128-deep exact re-rank, measured 0.96)") {
+    val recall = recallOf(VectorQueries.vPqAnn)
+    assert(recall >= 0.9, s"PQ ANN recall@3 = $recall")
   }
 
   test("minhash-LSH pairs are all true >= 0.5-Jaccard pairs (no false positives)") {

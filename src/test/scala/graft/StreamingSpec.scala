@@ -120,6 +120,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks inside the attribution window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val impressions = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.intervalJoin(impressions.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      impressions.addData(
+        Event(10, ts(0), 1, "impression", 0.0),
+        Event(11, ts(0), 2, "impression", 0.0))
+      clicks.addData(
+        Event(20, ts(5), 1, "click", 1.0),   // in window -> match
+        Event(21, ts(40), 1, "click", 1.0),  // 40 min > 15-min window -> no match
+        Event(22, ts(3), 3, "click", 1.0))   // no impression for user 3
+      q.processAllAvailable()
+      val rows = spark.table("attributed").collect()
+        .map(r => (r.getAs[Long]("impressionId"), r.getAs[Long]("clickId")))
+      assert(rows.toSet == Set((10L, 20L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("streaming logic matches batch execution of the same transform") {
     import spark.implicits._
     val batch = Seq(
