@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Stage.StageOps
 import graft.sources.Tables
 
 /** Train/test DECONTAMINATION — the benchmark-leakage check every
@@ -70,7 +71,7 @@ object ContaminationQueries {
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .filter(size(col("tk")) >= n)
         .select(col("doc_id"), wordNgrams(col("tk"), n).as("g"))
-        .localCheckpoint(true)
+        .staged
       val evalDocs = docs.filter(isEval)
         .select(col("doc_id").as("a"), size(col("g")).cast("long").as("na"), col("g"))
       val evalPost = evalDocs.select(col("a"), col("na"), explode(col("g")).as("gram"))
@@ -87,7 +88,7 @@ object ContaminationQueries {
       // (eager localCheckpoint) so the dominant explode+join is not
       // executed twice (VERDICT r3 #1). On a multi-executor cluster a
       // reliable checkpoint would be the fault-tolerant seat.
-      val hits = trainPost.join(evalSide, "gram").localCheckpoint(true)
+      val hits = trainPost.join(evalSide, "gram").staged
       val perDoc = hits.groupBy("a").agg(countDistinct(col("gram")).as("n_contaminated"))
       val perPair = hits.groupBy("a", "b").agg(count(lit(1)).as("shared"))
       val top = perPair

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.plans.Stage.StageOps
+
 /** Connected components over a near-duplicate pair list: turns pairwise
   * matches into canonical DEDUP CLUSTERS (each doc labeled with the
   * minimum doc_id of its component) — the step after candidate
@@ -112,15 +114,15 @@ object DedupClusters {
       // pointer jumping: follow label -> label-of-label, halving component
       // diameter each round (O(log d) convergence instead of O(d))
       val byId = hopped.select(col("id").as("lid"), col("label").as("llabel"))
-      // localCheckpoint truncates lineage — without it every round's plan
-      // embeds all previous rounds' joins and long chains blow up the
-      // optimizer (observed OOM at ~16 rounds). On a real cluster use
-      // reliable checkpointing for fault tolerance.
+      // Stage truncates lineage — without it every round's plan embeds
+      // all previous rounds' joins and long chains blow up the optimizer
+      // (observed OOM at ~16 rounds). Per-round reliable checkpointing
+      // on a cluster comes free via Stage's conf switch.
       val updated = hopped
         .join(byId, hopped("label") === byId("lid"), "left")
         .select(col("id"), col("old"),
           least(col("label"), coalesce(col("llabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .staged
       val changed = updated.filter(col("label") =!= col("old")).limit(1).count()
       labels.unpersist()
       labels = updated.select(col("id"), col("label"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Stage.StageOps
 import graft.sources.Tables
 
 /** Deduplication operators for training-data pipelines over `documents`
@@ -68,17 +69,14 @@ object DedupQueries {
   def minHashPairs(docsIn: DataFrame, bands: Int = 4, nSalts: Int = 8,
                    threshold: Double = 0.5): DataFrame = {
     val k = 16; val rowsPerBand = k / bands
-    // localCheckpoint, not cache(): docs feeds three downstream branches
+    // .staged (Stage), not cache(): docs feeds three downstream branches
     // (banding + both sides of the verify join), so it must be
     // materialized once — but a .cache() here leaks a session-lifetime
-    // CacheManager entry per invocation (d2/d5 both call this). An eager
-    // localCheckpoint is reclaimed by the ContextCleaner as soon as the
-    // returned frame is unreferenced, and cuts lineage for free.
-    // Fault-tolerance trade-off (deliberate): localCheckpoint truncates
-    // lineage WITHOUT replication, so an executor loss mid-job makes the
-    // run fail non-recoverably. Right for single-node local mode; on a
-    // real cluster (dynamic allocation, preemption) substitute reliable
-    // `checkpoint()` to HDFS/S3 — same plan shape, recoverable blocks.
+    // CacheManager entry per invocation (d2/d5 both call this). The
+    // default localCheckpoint mode is reclaimed by the ContextCleaner as
+    // soon as the returned frame is unreferenced and cuts lineage for
+    // free; the fault-tolerance trade-off and the cluster-mode reliable
+    // switch live in ONE place — graft.plans.Stage.
     // tokens are projected to an attribute FIRST: `shingles` references
     // its input inside a HOF lambda, and an inline `split(text)` there is
     // re-evaluated per element (quadratic in document length)
@@ -87,7 +85,7 @@ object DedupQueries {
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), shingles(col("tk")).as("sh"))
       .withColumn("mh", minhashes(col("sh"), k))
-      .localCheckpoint(true)
+      .staged
     // band join carries only (band, hash, doc_id) — candidate pairs are
     // deduped BEFORE the wide shingle arrays are joined back for exact
     // verification, so the heavy payload never rides the bucket shuffle.
@@ -131,7 +129,7 @@ object DedupQueries {
   def corpusMinHashPairs(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     pairsMemo.computeIfAbsent(
       (s.sparkContext.applicationId, dir),
-      _ => minHashPairs(Tables.documents(s, dir)).localCheckpoint(true))
+      _ => minHashPairs(Tables.documents(s, dir)).staged)
 
   /** Memo for ngramPairs results. Unlike the d2/d5 pairs memo this one
     * must be keyed by the FULL parameter tuple, not just (context, dir):
@@ -151,7 +149,7 @@ object DedupQueries {
                        corpusBound: Long = Long.MaxValue): DataFrame =
     ngramMemo.computeIfAbsent(
       (s.sparkContext.applicationId, dir, threshold, probeBound, corpusBound),
-      _ => ngramPairs(s, dir, threshold, probeBound, corpusBound).localCheckpoint(true))
+      _ => ngramPairs(s, dir, threshold, probeBound, corpusBound).staged)
 
   /** Test hook: drop memoized pairs so determinism probes re-execute the
     * full pipeline instead of re-hashing the same materialized frame. */
@@ -172,12 +170,12 @@ object DedupQueries {
       // native expression (graft.functions.SimHash64): per-token xxhash64
       // sign-sums, bit-identical to the former 64-lambda HOF formulation
       val sim = graft.functions.VectorExpressions.simhash64(toks)
-      // localCheckpoint, not cache(): same leak rationale as minHashPairs —
+      // Stage (.staged), not cache(): same leak rationale as minHashPairs —
       // reclaimed by the ContextCleaner when the frame is unreferenced
       // (and the same single-node fault-tolerance trade-off applies)
       val docs = QueryDef.spread(Tables.documents(s, dir))
         .select(col("doc_id"), sim.as("simhash"))
-        .localCheckpoint(true)
+        .staged
       // 4 chunks of 16 bits: Hamming ≤ 6 pairs share ≥1 chunk by pigeonhole? (6/4 >1 —
       // guaranteed only ≤3; chunks still give high recall for ≤6, standard practice)
       val chunked = docs.select(col("doc_id"), col("simhash"),
@@ -225,7 +223,7 @@ object DedupQueries {
       .filter(length(col("text")) >= 4 && col("doc_id") < corpusBound)
       .select(col("doc_id"), col("source"), grams.as("g"))
       .withColumn("n", size(col("g")))
-      .localCheckpoint(true)
+      .staged
     val corpus = docs.select(col("source"), col("doc_id").as("b"),
       col("n").as("nb"), explode(col("g")).as("gram"))
     val probes = docs.filter(col("doc_id") < probeBound)
@@ -288,7 +286,7 @@ object DedupQueries {
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
         .filter(size(col("tk")) >= 8)
         .select(col("doc_id"), spans.as("sp"))
-        .localCheckpoint(true)
+        .staged
       val ex = docs.select(col("doc_id"), explode(col("sp")).as("span"))
       val spanDocs = ex.select("doc_id", "span").distinct()
         .groupBy("span").agg(count(lit(1)).as("n_docs_with_span"))

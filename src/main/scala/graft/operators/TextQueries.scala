@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
+import graft.plans.Stage.StageOps
 import graft.sources.Tables
 
 /** Text-analysis operators for training-data pipelines over `documents`:
@@ -349,7 +350,7 @@ object TextQueries {
         .select(col("doc_id"), toks.as("tk"))
         .filter(size(col("tk")) >= 2)
         .select(col("doc_id"), bigrams.as("bg"))
-        .localCheckpoint(true)
+        .staged
       val ex = docs.select(col("doc_id"), explode(col("bg")).as("bigram"))
       val corpus = ex.groupBy("bigram").agg(count(lit(1)).as("cfreq"))
       ex.join(corpus, "bigram")

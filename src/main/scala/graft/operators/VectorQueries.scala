@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Stage.StageOps
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (64-dim unit-norm
@@ -290,13 +291,12 @@ object VectorQueries {
       // (probe, candidate) OUTPUT row — ~50× redundant work (VERDICT r6
       // measured the shortlist stage at 14 s vs 1.4 s with the break). At
       // 100 TB the PQ codes are a precomputed stored index, so persisting
-      // them is also the semantically right design; localCheckpoint trades
-      // executor-loss recoverability for zero lineage (acceptable for an
-      // index that is cheap to rebuild — a cluster deployment would write
-      // the codes to a table instead).
+      // them is also the semantically right design (a cluster deployment
+      // would write the codes to a table; Stage's reliable-checkpoint
+      // switch is the in-job approximation).
       val codes = emb.select(col("vec_id").as("nb"),
         array((0 until m).map(j => subCode(col("embedding"), j)): _*).as("code"))
-        .localCheckpoint(true)
+        .staged
       // ADC proper: the probe side precomputes, ONCE per probe, the
       // m×kSub lookup table lut[j][c] = q_j · centroid_{j,c} (8×16 dots
       // of 8-dim each over 50 rows — negligible, and it happens under

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupQueries
+
+/** graft.plans.Stage mode equivalence: the cluster-mode reliable
+  * checkpoint (spark.graft.reliableCheckpoint=true + a checkpoint dir)
+  * must produce exactly the same results as the default localCheckpoint
+  * mode through a real multi-Stage pipeline (d2's minhash pairs runs
+  * .staged three times: gram frame, memo entry, and — via clustering —
+  * the CC rounds).
+  */
+class StageSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("reliable-checkpoint mode produces identical results to localCheckpoint mode") {
+    DedupQueries.clearPairsMemo()
+    val localMode = DedupQueries.dMinHash.fn(spark, dir).collect().toSeq
+
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      DedupQueries.clearPairsMemo()
+      val reliableMode = DedupQueries.dMinHash.fn(spark, dir).collect().toSeq
+      assert(reliableMode == localMode)
+      // the reliable path actually wrote checkpoint data (i.e. the switch
+      // really changed the mechanism, not just the results)
+      val wrote = new java.io.File(ckptDir).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint data written")
+    } finally {
+      spark.conf.unset("spark.graft.reliableCheckpoint")
+      DedupQueries.clearPairsMemo()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    }
+  }
+}
