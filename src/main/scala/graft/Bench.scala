@@ -30,18 +30,25 @@ object Bench {
     // Deterministic measurement (VERDICT r6 finding #2): queries run in
     // sorted-name order (Map iteration order varied run-to-run, so JIT /
     // page-cache warm-up landed on different queries each round), each
-    // timed over `reps` runs keeping the MIN — the min is the stable
-    // estimator of the query's intrinsic cost under one-off GC/JIT noise.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // timed over `reps` runs keeping the MIN of the SUCCESSFUL reps —
+    // the min is the stable estimator of the query's intrinsic cost
+    // under one-off GC/JIT noise; a failed rep must never become the
+    // min (a fast crash is not a fast query), and all-failed reports -1.
+    // Memo state is restored between reps so a rep that populated the
+    // dedup pairs memos does not turn the next rep into a cached scan;
+    // cross-query reuse (d5/d6 reading d2/d4's pairs) stays exactly as
+    // a single sequential run would see it.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results: Seq[(String, Double)] =
       headline.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val times = (1 to reps).map { _ =>
+        val memoBefore = graft.operators.DedupQueries.memoState()
+        val times = (1 to reps).flatMap { i =>
+          if (i > 1) graft.operators.DedupQueries.restoreMemoState(memoBefore)
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() }
-          catch { case scala.util.control.NonFatal(_) => -1L }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case scala.util.control.NonFatal(_) => None }
         }
-        name -> times.min
+        name -> times.minOption.getOrElse(-1.0)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

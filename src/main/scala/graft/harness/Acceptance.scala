@@ -34,7 +34,42 @@ object AcceptanceChecks {
   val tiltMethods: Set[String] =
     Set("ET-WCLS-Equal", "ET-WCLS-Kron", "ET-WCLS", "DR-WCLS", "PET-WCLS")
 
-  private def truth(coef: String): Double = if (coef == "Intercept") -2.0 else 5.0
+  private[harness] def truth(coef: String): Double = if (coef == "Intercept") -2.0 else 5.0
+
+  /** Reduced-precision battery for low-rep tiers (e.g. the 6400-scale
+    * grid cells at 50 reps): completeness, WCLS-Internal coverage at a
+    * tolerance that widens as 1/√nReps, the unbiasedness z-test and the
+    * pooled-bias negative control at `bigCell`. Ranking assertions
+    * (PET supremacy) are deliberately absent — too MC-noisy at low reps.
+    * Shares truth()/collectRows with the full battery so the tiers
+    * cannot drift apart. */
+  def scaleChecks(metrics: DataFrame, nReps: Int,
+                  bigCell: (Int, Int)): Seq[(String, Boolean, String)] = {
+    val rows = collectRows(metrics)
+    val mcErr = 3.0 * math.sqrt(0.05 * 0.95 / nReps)
+    val incomplete = rows.filter(_.nRepsUsed != nReps)
+    val wi = rows.filter(_.method == "WCLS-Internal")
+    val ub = rows.filter(r => r.nInternal == bigCell._1 && r.nExternal == bigCell._2 &&
+      unbiasedMethods.contains(r.method))
+    val pooled = rows.filter(r => r.nInternal == bigCell._1 && r.nExternal == bigCell._2 &&
+      r.method == "WCLS-Pooled")
+    Seq(
+      ("scale_completeness_all_reps_used", incomplete.isEmpty,
+        if (incomplete.isEmpty) s"all groups used $nReps/$nReps reps"
+        else incomplete.map(r => s"${r.nInternal}/${r.nExternal} ${r.method} ${r.coef}: ${r.nRepsUsed}").mkString("; ")),
+      ("scale_coverage_wcls_internal_all_cells",
+        wi.nonEmpty && wi.forall(r => math.abs(r.coverage - 0.95) < mcErr),
+        wi.map(r => f"${r.nInternal}/${r.nExternal} ${r.coef}: ${r.coverage}%.3f").mkString(", ") +
+          f" (tol ±$mcErr%.3f)"),
+      (s"scale_unbiased_z_test_at_${bigCell._1}_${bigCell._2}",
+        ub.nonEmpty && ub.forall(r =>
+          math.abs(r.avgEstimate - truth(r.coef)) < 3.0 * r.empiricalSe / math.sqrt(nReps.toDouble)),
+        ub.map(r => f"${r.method} ${r.coef}: est ${r.avgEstimate}%.3f").mkString(", ")),
+      (s"scale_wcls_pooled_biased_at_${bigCell._1}_${bigCell._2}",
+        pooled.nonEmpty && pooled.forall(r =>
+          r.coverage < 0.5 && math.abs(r.avgEstimate) < math.abs(truth(r.coef))),
+        pooled.map(r => f"${r.coef}: est ${r.avgEstimate}%.3f cov ${r.coverage}%.3f").mkString(", ")))
+  }
 
   def collectRows(metrics: DataFrame): Seq[MetricRow] =
     metrics.select("n_internal", "n_external", "coef", "method", "avg_estimate",

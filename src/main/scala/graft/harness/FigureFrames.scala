@@ -53,8 +53,6 @@ object FigureFrames {
     * assigned over the FULL method list before ET-WCLS-Equal is
     * dropped, so ET-WCLS-Kron stays 7 etc. */
   def boxplotFrame(perRep: DataFrame): DataFrame = {
-    val truthCol = when(col("coef") === "Intercept", SimulationRunner.betaRTrue(0))
-      .otherwise(SimulationRunner.betaRTrue(1))
     val methodNumber = Battery.methodNames.zipWithIndex
       .foldLeft(lit(-1)) { case (acc, (m, i)) =>
         when(col("method") === m, i + 1).otherwise(acc)
@@ -69,7 +67,7 @@ object FigureFrames {
         col("coef").as("coefficient"),
         when(col("coef") === "Intercept", 1).otherwise(2).as("coefficient_number"),
         round(col("estimate"), 6).as("estimate"),
-        round(col("estimate") - truthCol, 6).as("estimation_error"))
+        round(col("estimate") - SimulationRunner.truthCol, 6).as("estimation_error"))
       .orderBy("coefficient_number", "method_number", "replication")
   }
 }

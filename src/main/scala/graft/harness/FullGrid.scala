@@ -64,32 +64,9 @@ object FullGrid {
     val checksFull = AcceptanceChecks.check(metricsFull, nReps)
       .map { case (n, ok, d) => (s"full400_$n", ok, d) }
 
-    // tier 2: reduced-precision checks at `scaleReps` reps
-    val rows = AcceptanceChecks.collectRows(metricsScale)
-    val mcErr = 3.0 * math.sqrt(0.05 * 0.95 / scaleReps)
-    def truth(coef: String): Double = if (coef == "Intercept") -2.0 else 5.0
-    val incomplete = rows.filter(_.nRepsUsed != scaleReps)
-    val wi = rows.filter(_.method == "WCLS-Internal")
-    val ub = rows.filter(r => r.nInternal == 6400 && r.nExternal == 6400 &&
-      AcceptanceChecks.unbiasedMethods.contains(r.method))
-    val pooled = rows.filter(r => r.nInternal == 6400 && r.nExternal == 6400 &&
-      r.method == "WCLS-Pooled")
-    val checksScale = Seq(
-      ("scale_completeness_all_reps_used", incomplete.isEmpty,
-        if (incomplete.isEmpty) s"all groups used $scaleReps/$scaleReps reps"
-        else incomplete.map(r => s"${r.nInternal}/${r.nExternal} ${r.method} ${r.coef}: ${r.nRepsUsed}").mkString("; ")),
-      ("scale_coverage_wcls_internal_all_cells",
-        wi.nonEmpty && wi.forall(r => math.abs(r.coverage - 0.95) < mcErr),
-        wi.map(r => f"${r.nInternal}/${r.nExternal} ${r.coef}: ${r.coverage}%.3f").mkString(", ") +
-          f" (tol ±$mcErr%.3f)"),
-      ("scale_unbiased_z_test_at_6400_6400",
-        ub.nonEmpty && ub.forall(r =>
-          math.abs(r.avgEstimate - truth(r.coef)) < 3.0 * r.empiricalSe / math.sqrt(scaleReps.toDouble)),
-        ub.map(r => f"${r.method} ${r.coef}: est ${r.avgEstimate}%.3f").mkString(", ")),
-      ("scale_wcls_pooled_biased_at_6400_6400",
-        pooled.nonEmpty && pooled.forall(r =>
-          r.coverage < 0.5 && math.abs(r.avgEstimate) < math.abs(truth(r.coef))),
-        pooled.map(r => f"${r.coef}: est ${r.avgEstimate}%.3f cov ${r.coverage}%.3f").mkString(", ")))
+    // tier 2: reduced-precision battery (shared with AcceptanceChecks —
+    // same truth/row plumbing, low-rep tolerances, no ranking checks)
+    val checksScale = AcceptanceChecks.scaleChecks(metricsScale, scaleReps, (6400, 6400))
 
     // full-grid artifacts: metrics CSV + the two S4 figure-input frames
     val metricsAll = metricsFull.unionByName(metricsScale)

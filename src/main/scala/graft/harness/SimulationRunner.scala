@@ -174,9 +174,14 @@ object SimulationRunner {
       "estimate", "se", "covered", "tilt_warning")
   }
 
+  /** β_true as a Column keyed by the `coef` name column — the ONE
+    * mapping from coefficient labels to true values (metrics and the
+    * figure frames must agree on it). */
+  def truthCol: Column =
+    when(col("coef") === "Intercept", betaRTrue(0)).otherwise(betaRTrue(1))
+
   /** A5/A8 metric table (simulation.R:124-136 + pretty-table schema). */
   def metrics(perRep: DataFrame): DataFrame = {
-    val truthCol = when(col("coef") === "Intercept", betaRTrue(0)).otherwise(betaRTrue(1))
     val agg = perRep
       .withColumn("truth", truthCol)
       .groupBy(col("n_internal"), col("n_external"), col("coef"), col("method"))

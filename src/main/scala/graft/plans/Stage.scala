@@ -20,7 +20,12 @@ import org.apache.spark.sql.DataFrame
   *    `checkpoint` — blocks survive executor loss, dynamic-allocation
   *    decommissions and preemption. The setting for multi-executor
   *    clusters, where a lost localCheckpoint block kills the job
-  *    non-recoverably.
+  *    non-recoverably. IMPORTANT: reliable checkpoint files are only
+  *    garbage-collected when the SparkContext was CREATED with
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+  *    SparkConf setting, not settable per-session) — set it in the
+  *    cluster deployment or the checkpoint dir grows for the
+  *    application's lifetime (one frame copy per staged call).
   *
   * Both modes produce identical data and the same downstream plan shape
   * (a scan over materialized blocks); StageSpec pins the equivalence.

@@ -9,8 +9,9 @@ import graft.operators.{DedupQueries, VectorQueries}
   * (measured, not assumed — the single-table variant scored 0.01).
   * Gates are the MEASURED floors on the sf0.001 fixture (VERDICT r6 #4:
   * a 0.5 gate on everything hides regressions): LSH 0.72 and IVF 0.767
-  * gate at 0.7; PQ re-ranks a 32-deep exact shortlist so its recall@3
-  * is near-perfect and gates at 0.9.
+  * gate at 0.7; PQ exact-re-ranks a 128-deep ADC shortlist (recall is
+  * shortlist-depth-bound: measured 0.65 at depth 32, 0.96 at 128) and
+  * gates at 0.9.
   */
 class LshRecallSpec extends AnyFunSuite {
 
