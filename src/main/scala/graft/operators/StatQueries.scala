@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.plans.Stage.StageOps
 import graft.sources.Tables
 import graft.stats._
 import QueryDef.dsumd
@@ -99,7 +100,13 @@ object StatQueries {
   val qLogistic = QueryDef(
     "s3_logistic_irls",
     (s, dir) => {
+      // IRLS costs N+1 full scans over the SAME design — materialize the
+      // three needed columns once (Stage) so iterations read compact
+      // in-memory blocks instead of re-scanning the parquet per pass.
+      // Same layout ⇒ same partial-sum order ⇒ bit-identical fit.
       val li = Tables.lineitem(s, dir)
+        .select(col("l_quantity"), col("l_discount"), col("l_returnflag"))
+        .staged
       val x = Design(Design.intercept, ("q", col("l_quantity")), ("d", col("l_discount")))
       val fit = Glm.logistic(li, x, when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
       val rows = x.names.zipWithIndex.map { case (n, i) =>

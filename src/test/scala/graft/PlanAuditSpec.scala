@@ -64,4 +64,18 @@ class PlanAuditSpec extends AnyFunSuite {
         s"$q has an unkeyed window\n" + p.take(1500))
     }
   }
+
+  test("PQ codes are materialized before the ADC join (v6 regression guard)") {
+    // VERDICT r6: whole-stage codegen deferred the argmin encode into
+    // the broadcast join's inner loop (re-evaluated per candidate row —
+    // 10× the stage cost). The codes frame is Stage-materialized, so
+    // the executed plan must contain NO encode expression (array_min)
+    // anywhere — the join side must scan the checkpointed RDD.
+    val p = plan("v6_pq_ann")
+    assert(!p.contains("array_min"),
+      "PQ encode leaked into the join-side plan — codes no longer materialized\n" +
+        p.take(2000))
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      "expected a scan over the materialized codes RDD\n" + p.take(2000))
+  }
 }
