@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ContaminationQueries, DedupClusters, DedupQueries}
+
+/** Degenerate-input behavior: a production pipeline hits empty shards,
+  * single-document partitions and trivial corpora long before it hits
+  * 100 TB — every operator must return the right EMPTY/minimal answer,
+  * not crash (array-HOF expressions on empty/short inputs are the usual
+  * trap: negative-length sequence(), array_min of an empty array...).
+  */
+class DegenerateInputSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("minHashPairs: empty corpus, one doc, and all-short docs yield no pairs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DedupQueries.minHashPairs(empty).count() == 0L)
+    val one = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    assert(DedupQueries.minHashPairs(one).count() == 0L)
+    // docs under the 3-token shingle window are filtered, not crashed
+    val short = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    assert(DedupQueries.minHashPairs(short).count() == 0L)
+  }
+
+  test("minHashPairs: identical docs pair up with Jaccard 1.0") {
+    val twin = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again")).toDF("doc_id", "text")
+    val pairs = DedupQueries.minHashPairs(twin).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("connectedComponents: empty edge list yields empty labeling on both routes") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(DedupClusters.connectedComponents(empty).count() == 0L)
+    assert(DedupClusters.connectedComponents(empty, maxLocalEdges = -1L).count() == 0L)
+  }
+
+  test("connectedComponents: forced distributed route matches local on a tiny graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 7L), (10L, 9L)).toDF("a", "b")
+    val local = DedupClusters.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dist = DedupClusters.connectedComponents(edges, maxLocalEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(local == dist)
+    assert(local == Set((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 9L), (10L, 9L)))
+  }
+
+  test("x1 broadcast guard: forced shuffle-join fallback returns identical results") {
+    val dir = "/root/testdata/sf0.001"
+    val broadcastPlan = ContaminationQueries.decontaminate(spark, dir).collect().toSeq
+    // a 0-posting cap forces the eval side OFF the broadcast path
+    val shufflePlan = ContaminationQueries
+      .decontaminate(spark, dir, maxBroadcastEvalPostings = 0L).collect().toSeq
+    assert(shufflePlan == broadcastPlan)
+    assert(broadcastPlan.nonEmpty)
+  }
+
+  test("topK aggregate: empty input group yields no rows, k=1 keeps the max") {
+    val empty = Seq.empty[(Long, Double, Long)].toDF("g", "score", "id")
+    val aggEmpty = empty.groupBy("g")
+      .agg(graft.stats.Aggregates.topK(col("score"), col("id"), 3).as("top"))
+    assert(aggEmpty.count() == 0L)
+    val one = Seq((1L, 5.0, 10L), (1L, 7.0, 11L)).toDF("g", "score", "id")
+    val top1 = one.groupBy("g")
+      .agg(graft.stats.Aggregates.topK(col("score"), col("id"), 1).as("top"))
+      .select(explode(col("top")).as("t")).select("t.id").as[Long].collect()
+    assert(top1.toSeq == Seq(11L))
+  }
+}
