@@ -33,16 +33,23 @@ object GridRunner {
   def runGrid(spark: SparkSession, cells: Seq[Cell], nReps: Int,
               methods: Seq[String], checkpointDir: Option[String],
               cfg0: PanelGenerator.Config = PanelGenerator.Config(),
-              baseSeed: Long = 2024L): (DataFrame, Seq[CellStatus]) = {
+              baseSeed: Long = 2024L,
+              truth: Array[Double] = SimulationRunner.betaRTrue): (DataFrame, Seq[CellStatus]) = {
     // a checkpoint is only valid for the run configuration that wrote it —
-    // resuming with different reps/methods/DGP/seed must recompute, not
-    // silently serve stale data
-    def metaString(cell: Cell): String =
-      s"v1|nReps=$nReps|methods=${methods.mkString(",")}|cfg=$cfg0|seed=${cellSeed(baseSeed, cell)}"
+    // resuming with different reps/methods/DGP/seed/truth must recompute,
+    // not silently serve stale data. Truth affects the stored `covered`
+    // column, so it is part of the key (sensitivity scenarios override it).
+    def metaString(cell: Cell): String = {
+      val truthTag =
+        if (truth.sameElements(SimulationRunner.betaRTrue)) ""
+        else s"|truth=${truth.mkString(",")}"
+      s"v1|nReps=$nReps|methods=${methods.mkString(",")}|cfg=$cfg0|seed=${cellSeed(baseSeed, cell)}$truthTag"
+    }
 
     val runs = cells.map { cell =>
       def compute(): DataFrame = SimulationRunner.perRepResults(
-        spark, Seq(cell), nReps, methods, cfg0, cellSeed(baseSeed, cell))
+        spark, Seq(cell), nReps, methods, cfg0, cellSeed(baseSeed, cell),
+        truth = truth)
       checkpointDir match {
         case None => (compute(), CellStatus(cell, loadedFromCheckpoint = false))
         case Some(dir) =>

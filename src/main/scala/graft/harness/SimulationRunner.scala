@@ -40,7 +40,8 @@ object SimulationRunner {
     */
   def perRepResults(spark: SparkSession, cells: Seq[Cell], nReps: Int,
                     methods: Seq[String], cfg0: PanelGenerator.Config = PanelGenerator.Config(),
-                    baseSeed: Long = 2024L, maxLocalRows: Long = 500000L): DataFrame = {
+                    baseSeed: Long = 2024L, maxLocalRows: Long = 500000L,
+                    truth: Array[Double] = betaRTrue): DataFrame = {
     import spark.implicits._
     val unknown = methods.filterNot(LocalBattery.methodNames.contains)
     require(unknown.isEmpty,
@@ -50,9 +51,9 @@ object SimulationRunner {
       (c.nInternal + c.nExternal).toLong * cfg0.tMax <= maxLocalRows
     }
     val small = if (smallCells.isEmpty) None
-      else Some(localRoute(spark, smallCells, nReps, methods, cfg0, baseSeed))
+      else Some(localRoute(spark, smallCells, nReps, methods, cfg0, baseSeed, truth))
     val big = if (bigCells.isEmpty) None
-      else Some(distributedRoute(spark, bigCells, nReps, methods, cfg0, baseSeed))
+      else Some(distributedRoute(spark, bigCells, nReps, methods, cfg0, baseSeed, truth))
     (small.toSeq ++ big.toSeq).reduce(_ unionByName _)
   }
 
@@ -60,7 +61,7 @@ object SimulationRunner {
     * executor task via LocalBattery. */
   private def localRoute(spark: SparkSession, cells: Seq[(Cell, Int)], nReps: Int,
                          methods: Seq[String], cfg0: PanelGenerator.Config,
-                         baseSeed: Long): DataFrame = {
+                         baseSeed: Long, truthVals: Array[Double] = betaRTrue): DataFrame = {
     import spark.implicits._
     // ONE generator tree per cell (not per rep): panelReps folds the rep
     // dimension into the range with seed = base + replication, giving
@@ -84,7 +85,7 @@ object SimulationRunner {
       .localCheckpoint()
 
     val methodsB = spark.sparkContext.broadcast(methods)
-    val truth = betaRTrue
+    val truth = truthVals
 
     slim
       .as[(Int, Int, Int, Double, Double, Double, Double, Double, Double, Double, Boolean, Long, Int)]
@@ -127,9 +128,9 @@ object SimulationRunner {
     */
   private def distributedRoute(spark: SparkSession, cells: Seq[(Cell, Int)], nReps: Int,
                                methods: Seq[String], cfg0: PanelGenerator.Config,
-                               baseSeed: Long): DataFrame = {
+                               baseSeed: Long, truthVals: Array[Double] = betaRTrue): DataFrame = {
     import spark.implicits._
-    val truth = betaRTrue
+    val truth = truthVals
     // a strictly sequential driver loop would leave executors idle between
     // the small jobs of each fit — run a bounded number of replications
     // concurrently (Spark's scheduler interleaves their jobs); results are
@@ -176,14 +177,18 @@ object SimulationRunner {
 
   /** β_true as a Column keyed by the `coef` name column — the ONE
     * mapping from coefficient labels to true values (metrics and the
-    * figure frames must agree on it). */
-  def truthCol: Column =
-    when(col("coef") === "Intercept", betaRTrue(0)).otherwise(betaRTrue(1))
+    * figure frames must agree on it). Sensitivity scenarios override
+    * `truthVals` (each perturbed DGP has its own marginal β_r,
+    * sensitivity.R:368-370). */
+  def truthCol(truthVals: Array[Double]): Column =
+    when(col("coef") === "Intercept", truthVals(0)).otherwise(truthVals(1))
+
+  def truthCol: Column = truthCol(betaRTrue)
 
   /** A5/A8 metric table (simulation.R:124-136 + pretty-table schema). */
-  def metrics(perRep: DataFrame): DataFrame = {
+  def metrics(perRep: DataFrame, truthVals: Array[Double] = betaRTrue): DataFrame = {
     val agg = perRep
-      .withColumn("truth", truthCol)
+      .withColumn("truth", truthCol(truthVals))
       .groupBy(col("n_internal"), col("n_external"), col("coef"), col("method"))
       .agg(
         first(col("truth")).as("true_value"),
