@@ -66,36 +66,47 @@ object DedupQueries {
     * doc, so the pair set is unchanged (DedupSkewSpec pins this on a
     * skewed corpus); AQE skew-join remains as a second line of defense.
     */
-  def minHashPairs(docsIn: DataFrame, bands: Int = 4, nSalts: Int = 8,
-                   threshold: Double = 0.5): DataFrame = {
-    val k = 16; val rowsPerBand = k / bands
-    // .staged (Stage), not cache(): docs feeds three downstream branches
-    // (banding + both sides of the verify join), so it must be
-    // materialized once — but a .cache() here leaks a session-lifetime
-    // CacheManager entry per invocation (d2/d5 both call this). The
-    // default localCheckpoint mode is reclaimed by the ContextCleaner as
-    // soon as the returned frame is unreferenced and cuts lineage for
-    // free; the fault-tolerance trade-off and the cluster-mode reliable
-    // switch live in ONE place — graft.plans.Stage.
+  /** The per-doc MinHash signature frame (doc_id, sh, mh) — shingles +
+    * k minhashes, eagerly materialized (Stage). At 100 TB this IS the
+    * stored dedup index: computed once per corpus snapshot, probed by
+    * every subsequent near-dup query and by each incremental batch. */
+  private def signatures(docsIn: DataFrame, k: Int): DataFrame =
     // tokens are projected to an attribute FIRST: `shingles` references
     // its input inside a HOF lambda, and an inline `split(text)` there is
     // re-evaluated per element (quadratic in document length)
-    val docs = QueryDef.spread(docsIn)
+    QueryDef.spread(docsIn)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), shingles(col("tk")).as("sh"))
       .withColumn("mh", minhashes(col("sh"), k))
       .staged
-    // band join carries only (band, hash, doc_id) — candidate pairs are
-    // deduped BEFORE the wide shingle arrays are joined back for exact
-    // verification, so the heavy payload never rides the bucket shuffle.
-    val banded = docs.select(
+
+  /** The banded (doc_id, band, bh) bucket keys of a signature frame. */
+  private def bandKeys(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(
       col("doc_id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("mh"), b * rowsPerBand + 1, rowsPerBand)).as("bh"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+
+  def minHashPairs(docsIn: DataFrame, bands: Int = 4, nSalts: Int = 8,
+                   threshold: Double = 0.5): DataFrame = {
+    val k = 16; val rowsPerBand = k / bands
+    // Stage (in signatures), not cache(): docs feeds three downstream
+    // branches (banding + both sides of the verify join), so it must be
+    // materialized once — but a .cache() here leaks a session-lifetime
+    // CacheManager entry per invocation (d2/d5 both call this). The
+    // default localCheckpoint mode is reclaimed by the ContextCleaner as
+    // soon as the returned frame is unreferenced and cuts lineage for
+    // free; the fault-tolerance trade-off and the cluster-mode reliable
+    // switch live in ONE place — graft.plans.Stage.
+    val docs = signatures(docsIn, k)
+    // band join carries only (band, hash, doc_id) — candidate pairs are
+    // deduped BEFORE the wide shingle arrays are joined back for exact
+    // verification, so the heavy payload never rides the bucket shuffle.
+    val banded = bandKeys(docs, bands, rowsPerBand)
     val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
       .withColumn("salt", pmod(xxhash64(col("a")), lit(nSalts.toLong)))
     val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
@@ -104,6 +115,60 @@ object DedupQueries {
       .select("a", "b").distinct()
     val sha = docs.select(col("doc_id").as("a"), col("sh").as("sha"))
     val shb = docs.select(col("doc_id").as("b"), col("sh").as("shb"))
+    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
+      size(array_union(col("sha"), col("shb"))).cast("double")
+    pairs.join(sha, "a").join(shb, "b")
+      .withColumn("__jac", jac)
+      .filter(col("__jac") >= threshold)
+      .select(col("a"), col("b"), round(col("__jac"), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** INCREMENTAL MinHash-LSH dedup — the production daily-batch shape:
+    * match a batch of NEW documents against an existing corpus (and
+    * against each other) WITHOUT re-mining corpus-internal pairs. At
+    * 100 TB the corpus signature/band index is a stored table computed
+    * once per snapshot; each increment only shingles+hashes ITS OWN
+    * docs and probes the index with a band-bucket join, so incremental
+    * cost is O(|increment| + matched buckets) instead of O(|corpus|).
+    *
+    * Returns exactly the pairs of a full minHashPairs run over
+    * corpus ∪ increment that TOUCH the increment (canonical a < b
+    * orientation, same threshold semantics) — IncrementalDedupSpec pins
+    * that equality. Requires disjoint doc_ids (checked).
+    *
+    * Skew: the probe (increment) side salts by `a` exactly like the
+    * full run's left side; the index side replicates across salts —
+    * a boilerplate bucket shared by many corpus docs spreads over
+    * nSalts tasks.
+    */
+  def minHashPairsIncremental(corpusIn: DataFrame, incrementIn: DataFrame,
+                              bands: Int = 4, nSalts: Int = 8,
+                              threshold: Double = 0.5): DataFrame = {
+    val k = 16; val rowsPerBand = k / bands
+    val corpusSig = signatures(corpusIn, k)   // production: spark.read.table(index)
+    val incSig = signatures(incrementIn, k)
+    val overlap = corpusSig.select(col("doc_id"))
+      .join(incSig.select(col("doc_id")), "doc_id").limit(1).count()
+    require(overlap == 0L, "corpus and increment doc_ids must be disjoint")
+    // probe side = increment only; index side = corpus ∪ increment, so
+    // (new, old) and (new, new) candidates are both found, and every
+    // pair meets at least once with the increment doc on the left
+    val probe = bandKeys(incSig, bands, rowsPerBand)
+      .select(col("band"), col("bh"), col("doc_id").as("a"))
+      .withColumn("salt", pmod(xxhash64(col("a")), lit(nSalts.toLong)))
+    val index = bandKeys(corpusSig.unionByName(incSig), bands, rowsPerBand)
+      .select(col("band"), col("bh"), col("doc_id").as("b"))
+      .withColumn("salt", explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
+    val pairs = probe.join(index, Seq("band", "bh", "salt"))
+      .filter(col("a") =!= col("b"))
+      // canonical a < b orientation (an increment-increment pair meets
+      // twice, once per orientation; a cross pair once — normalize both)
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val allSig = corpusSig.unionByName(incSig)
+    val sha = allSig.select(col("doc_id").as("a"), col("sh").as("sha"))
+    val shb = allSig.select(col("doc_id").as("b"), col("sh").as("shb"))
     val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
       size(array_union(col("sha"), col("shb"))).cast("double")
     pairs.join(sha, "a").join(shb, "b")
@@ -178,6 +243,19 @@ object DedupQueries {
   val dMinHash = QueryDef(
     "d2_minhash_lsh_pairs",
     (s, dir) => corpusMinHashPairs(s, dir).orderBy("a", "b"))
+
+  /** Incremental dedup driver query: documents with doc_id < 100 arrive
+    * as the new batch and are matched against the rest of the corpus —
+    * the daily-increment shape. Rows-only (MinHash has no SQL
+    * analogue); IncrementalDedupSpec pins equality with the full run's
+    * increment-touching pairs. */
+  val dIncremental = QueryDef(
+    "d8_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      minHashPairsIncremental(
+        docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100))
+    })
 
   /** 64-bit SimHash fingerprint + banded Hamming-distance near-dup pairs
     * (≤ 6 bits differ). Pure HOF expressions; rows-only. */
@@ -336,5 +414,6 @@ object DedupQueries {
                    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
       FROM ex JOIN d USING (span) GROUP BY ex.doc_id ORDER BY ex.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(dExact, dMinHash, dSimHash, dNgramJaccard, dDupSpans)
+  val all: Seq[QueryDef] = Seq(dExact, dMinHash, dIncremental, dSimHash,
+    dNgramJaccard, dDupSpans)
 }

@@ -31,6 +31,7 @@ class FixturePinSpec extends AnyFunSuite {
     "d2_minhash_lsh_pairs"     -> "396c7e47dbca408d6f2d5f53f97504c8",
     "d3_simhash_pairs"         -> "b90c32d2109e20dd85da66f566187e20",
     "d5_dedup_clusters"        -> "329f0ddcd222f8650213c75d1bcd870b",
+    "d8_incremental_dedup"     -> "f89d5243e5b53a68087bd2969f1a3907",
     "g1_panel_summary"         -> "ec263564355c1e5a81565545027cba56",
     "h1_simulation_metrics"    -> "b1b35e5caf03e4b3df9015f888ad93ce",
     "h2_sensitivity_scenarios" -> "8e1c175495776e94475d3d716c82199c",

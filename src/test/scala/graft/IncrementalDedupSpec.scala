@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupQueries
+import graft.sources.Tables
+
+/** Incremental dedup correctness: matching an increment against a
+  * corpus index must find EXACTLY the pairs of a full re-mine over
+  * corpus ∪ increment that touch the increment — same candidates, same
+  * exact-Jaccard verdicts, same canonical orientation. (Signatures are
+  * per-doc deterministic, so the index-probe path and the full-run path
+  * must agree bit-for-bit.)
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("incremental run equals the full run's increment-touching pairs") {
+    val docs = Tables.documents(spark, dir)
+    val full = DedupQueries.minHashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    val expected = full.filter { case (a, b, _) => a < 100 || b < 100 }.toSeq
+    val incremental = DedupQueries.minHashPairsIncremental(
+        docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSeq
+    assert(incremental == expected)
+    assert(incremental.nonEmpty, "fixture produced no increment-touching pairs — test is vacuous")
+    // the full set must be strictly larger (corpus-internal pairs exist
+    // and are correctly NOT re-mined by the incremental path)
+    assert(full.length > expected.size,
+      "no corpus-internal pairs in fixture — split point needs adjusting")
+  }
+
+  test("disjointness violation fails loudly") {
+    val docs = Tables.documents(spark, dir)
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.minHashPairsIncremental(docs, docs.filter(col("doc_id") < 5))
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+}
