@@ -76,5 +76,39 @@ object SampleQueries {
              ROUND(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS realized_rate
       FROM k GROUP BY source ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(cSample, cMixAudit)
+  /** Deterministic train/val/test assignment — the split every dataset
+    * build needs: content-keyed (same doc → same split on any cluster
+    * layout, any corpus increment), leakage-safe (a doc can never land
+    * in two splits), and auditable. A SECOND hash octet (chars 3-4)
+    * decides the split, independent of the c1 KEEP octet (chars 1-2) —
+    * sampling rate and split assignment must not correlate. 80/10/10 by
+    * hex thresholds: < 'cc' → train (204/256), < 'e6' → val (26/256),
+    * else test (26/256). Pure expressions; the audit groupBy is the
+    * only shuffle. */
+  val cSplit = QueryDef(
+    "c3_train_split",
+    (s, dir) => {
+      val splitBucket = substring(md5(col("doc_id").cast("string")), 3, 2)
+      val split = when(splitBucket < "cc", "train")
+        .when(splitBucket < "e6", "val").otherwise("test")
+      Tables.documents(s, dir)
+        .withColumn("split", split)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc_id"),
+          sum(col("n_chars").cast("long")).as("total_chars"))
+        .orderBy("source", "split")
+    },
+    Some("""
+      WITH a AS (
+        SELECT source, doc_id, n_chars,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+      SELECT source, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM a GROUP BY source, split ORDER BY source, split"""))
+
+  val all: Seq[QueryDef] = Seq(cSample, cMixAudit, cSplit)
 }
