@@ -129,38 +129,43 @@ object DedupQueries {
     * against each other) WITHOUT re-mining corpus-internal pairs. At
     * 100 TB the corpus signature/band index is a stored table computed
     * once per snapshot; each increment only shingles+hashes ITS OWN
-    * docs and probes the index with a band-bucket join, so incremental
-    * cost is O(|increment| + matched buckets) instead of O(|corpus|).
+    * docs and probes the index with a BROADCAST band-bucket join, so
+    * incremental cost is one index scan + O(matched buckets) with no
+    * shuffle — never a corpus re-mine.
     *
     * Returns exactly the pairs of a full minHashPairs run over
     * corpus ∪ increment that TOUCH the increment (canonical a < b
     * orientation, same threshold semantics) — IncrementalDedupSpec pins
-    * that equality. Requires disjoint doc_ids (checked).
-    *
-    * Skew: the probe (increment) side salts by `a` exactly like the
-    * full run's left side; the index side replicates across salts —
-    * a boilerplate bucket shared by many corpus docs spreads over
-    * nSalts tasks.
+    * that equality. Requires disjoint doc_ids (checked on the raw
+    * inputs, before any signature work).
     */
   def minHashPairsIncremental(corpusIn: DataFrame, incrementIn: DataFrame,
-                              bands: Int = 4, nSalts: Int = 8,
+                              bands: Int = 4,
                               threshold: Double = 0.5): DataFrame = {
     val k = 16; val rowsPerBand = k / bands
+    // disjointness is a contract on the RAW inputs (checked before any
+    // signature work): checking post-tokenization would let an id whose
+    // text is under the 3-token shingle window in one input slip past
+    val overlap = corpusIn.select(col("doc_id"))
+      .join(incrementIn.select(col("doc_id")), "doc_id").limit(1).count()
+    require(overlap == 0L, "corpus and increment doc_ids must be disjoint")
     val corpusSig = signatures(corpusIn, k)   // production: spark.read.table(index)
     val incSig = signatures(incrementIn, k)
-    val overlap = corpusSig.select(col("doc_id"))
-      .join(incSig.select(col("doc_id")), "doc_id").limit(1).count()
-    require(overlap == 0L, "corpus and increment doc_ids must be disjoint")
     // probe side = increment only; index side = corpus ∪ increment, so
-    // (new, old) and (new, new) candidates are both found, and every
-    // pair meets at least once with the increment doc on the left
+    // (new, old) and (new, new) candidates are both found. The probe's
+    // band keys are BROADCAST (a daily increment is small by contract —
+    // its band-key frame is |inc|·bands rows of 24 bytes), so the index
+    // side streams through a broadcast hash join with NO shuffle and no
+    // salt replication: per-batch cost is one corpus index scan +
+    // O(matched buckets), and a hot (boilerplate) bucket's matches are
+    // produced across the corpus partitions that hold them rather than
+    // funneling into one shuffle task. An increment too big to
+    // broadcast is not an increment — re-mine with minHashPairs.
     val probe = bandKeys(incSig, bands, rowsPerBand)
       .select(col("band"), col("bh"), col("doc_id").as("a"))
-      .withColumn("salt", pmod(xxhash64(col("a")), lit(nSalts.toLong)))
     val index = bandKeys(corpusSig.unionByName(incSig), bands, rowsPerBand)
       .select(col("band"), col("bh"), col("doc_id").as("b"))
-      .withColumn("salt", explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
-    val pairs = probe.join(index, Seq("band", "bh", "salt"))
+    val pairs = index.join(broadcast(probe), Seq("band", "bh"))
       .filter(col("a") =!= col("b"))
       // canonical a < b orientation (an increment-increment pair meets
       // twice, once per orientation; a cross pair once — normalize both)

@@ -54,15 +54,19 @@ object HarnessQueries {
   val hSensitivity = QueryDef(
     "h2_sensitivity_scenarios",
     (s, _) => {
-      val scenarios = Seq(
-        ("no_x2_effect", 0.0, 0.0),
-        ("positive_x2", 2.0, 0.0),
-        ("quadratic", -3.0, 0.3))
-      scenarios.map { case (name, x2c, x21sq) =>
+      // the (x2Coef, x21sqCoef) perturbation tuples are OWNED by
+      // SensitivityGrid.scenarios (sensitivity.R:368-370) — h2 keeps its
+      // original pinned display labels but can never drift from the DGPs
+      // the full sensitivity gate runs
+      val labels = Map(
+        "x2_0" -> "no_x2_effect", "x2_2" -> "positive_x2", "x12sq" -> "quadratic")
+      graft.harness.SensitivityGrid.scenarios.map { sc =>
+        val name = labels(sc.label)
         val perRep = SimulationRunner.perRepResults(
           s, Seq(SimulationRunner.Cell(30, 30)), nReps = 2,
           methods = Seq("WCLS-Internal"),
-          cfg0 = graft.gen.PanelGenerator.Config(x2Coef = x2c, x21sqCoef = x21sq))
+          cfg0 = graft.gen.PanelGenerator.Config(
+            x2Coef = sc.x2Coef, x21sqCoef = sc.x21sqCoef))
         SimulationRunner.metrics(perRep)
           .select(
             org.apache.spark.sql.functions.lit(name).as("scenario"),
