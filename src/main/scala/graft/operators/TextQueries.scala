@@ -381,6 +381,42 @@ object TextQueries {
              ROUND(MEDIAN(c.cfreq), 6) AS median_cfreq
       FROM ex JOIN c USING (bigram) GROUP BY ex.doc_id ORDER BY ex.doc_id"""))
 
+  /** Compression-ratio quality signal — the classic cheap detector of
+    * repetitive/templated/low-entropy text (boilerplate compresses far
+    * better than natural prose; a near-zero ratio flags machine-
+    * generated spam, a near-1.0 ratio flags binary junk). Runs zlib
+    * (java.util.zip.Deflater, fixed level + strategy → deterministic
+    * output length) over typed PARTITION batches with one reused
+    * Deflater per partition — the same native-resource-amortization
+    * shape as a real codec (cf. mm2); at 100 TB this is a linear scan
+    * whose only shuffle is the final tiny ORDER BY. Rows-only (DuckDB
+    * has no zlib surface); pinned. */
+  val tCompression = QueryDef(
+    "t11_compression_ratio",
+    (s, dir) => {
+      import s.implicits._
+      val ds = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      ds.mapPartitions { batch =>
+        val buf = new Array[Byte](1 << 16)
+        batch.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val d = new java.util.zip.Deflater(6, false)
+          try {
+            d.setInput(bytes); d.finish()
+            var clen = 0L
+            while (!d.finished()) clen += d.deflate(buf)
+            (id, bytes.length.toLong, clen,
+              if (bytes.length > 0) clen.toDouble / bytes.length else 1.0)
+          } finally d.end()
+        }
+      }.toDF("doc_id", "n_bytes", "n_compressed", "ratio")
+        .select(col("doc_id"), col("n_bytes"), col("n_compressed"),
+          round(col("ratio"), 6).as("compression_ratio"))
+        .orderBy("doc_id")
+    })
+
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
-    tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty)
+    tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
+    tCompression)
 }

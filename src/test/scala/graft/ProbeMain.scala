@@ -297,6 +297,7 @@ object ProbeMain {
         s"pins must run with PROBE_CPUS=4 to match FixturePinSpec's session (got $cpus)")
       val names = Seq(
         "d2_minhash_lsh_pairs", "d3_simhash_pairs", "d5_dedup_clusters", "d8_incremental_dedup",
+        "t11_compression_ratio",
         "g1_panel_summary", "h1_simulation_metrics", "h2_sensitivity_scenarios",
         "h3_pretty_table", "s3_logistic_irls", "s4_estimator_battery",
         "s5_awcls", "s6_aic_ladder", "v2_lsh_ann", "v3_embed_neardup",
