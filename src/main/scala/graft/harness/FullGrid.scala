@@ -17,9 +17,10 @@ import graft.stats.Battery
   *    ALSO at 400 reps by default (the committed round-7 state: the
   *    COMPLETE published workload, 52,000 fits), gated by the
   *    scaleChecks battery whose tolerances derive from the rep count.
-  *    GRAFT_GRID_SCALE_REPS can lower this for a quick pass, but note
-  *    the checkpoint meta is rep-keyed: a lower setting RECOMPUTES and
-  *    OVERWRITES the committed 400-rep scale-cell checkpoints.
+  *    GRAFT_GRID_SCALE_REPS can lower this for a quick pass; quick
+  *    passes write to a sibling `*_quickpass_*` directory (and
+  *    GridRunner refuses lower-rep overwrites outright), so the
+  *    committed 400-rep checkpoints and pinned figure frames are safe.
   *
   * Afterwards emits the full-grid metrics CSV and the two S4
   * figure-input frames (FigureFrames) alongside the checkpoints.
@@ -51,10 +52,16 @@ object FullGrid {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
 
+    // quick passes (non-default rep counts) go to a sibling directory so
+    // they can never overwrite the committed 400-rep checkpoints that
+    // AcceptanceSpec/FigureFramesSpec pin (GridRunner additionally
+    // refuses lower-rep overwrites outright)
+    def tierDir(reps: Int): String =
+      if (reps == 400) checkpointDir else s"${checkpointDir}_quickpass_$reps"
     val (perRepFull, stFull) = GridRunner.runGrid(
-      spark, fullRepCells, nReps, Battery.methodNames, Some(checkpointDir))
+      spark, fullRepCells, nReps, Battery.methodNames, Some(tierDir(nReps)))
     val (perRepScale, stScale) = GridRunner.runGrid(
-      spark, scaleCells, scaleReps, Battery.methodNames, Some(checkpointDir))
+      spark, scaleCells, scaleReps, Battery.methodNames, Some(tierDir(scaleReps)))
     (stFull ++ stScale).foreach(s => println(
       s"[full-grid] cell ${s.cell.nInternal}/${s.cell.nExternal}: " +
         (if (s.loadedFromCheckpoint) "loaded from checkpoint" else "computed")))
@@ -70,17 +77,22 @@ object FullGrid {
     // same truth/row plumbing, low-rep tolerances, no ranking checks)
     val checksScale = AcceptanceChecks.scaleChecks(metricsScale, scaleReps, (6400, 6400))
 
-    // full-grid artifacts: metrics CSV + the two S4 figure-input frames
+    // full-grid artifacts: metrics CSV + the two S4 figure-input frames.
+    // Same quick-pass protection: the committed fig_* frames are
+    // byte-pinned, so a non-default-rep run must not overwrite them.
+    val artifactDir =
+      if (nReps == 400 && scaleReps == 400) checkpointDir
+      else s"${checkpointDir}_quickpass_${nReps}_$scaleReps"
     val metricsAll = metricsFull.unionByName(metricsScale)
       .orderBy("n_internal", "n_external", "coef", "method")
     metricsAll.coalesce(1).write.mode("overwrite").option("header", "true")
-      .csv(s"$checkpointDir/metrics_csv_full")
+      .csv(s"$artifactDir/metrics_csv_full")
     FigureFrames.seCurveFrame(metricsAll).coalesce(1)
       .write.mode("overwrite").option("header", "true")
-      .csv(s"$checkpointDir/fig_se_curve")
+      .csv(s"$artifactDir/fig_se_curve")
     FigureFrames.boxplotFrame(perRepFull).coalesce(1)
       .write.mode("overwrite").option("header", "true")
-      .csv(s"$checkpointDir/fig_boxplot_400_400")
+      .csv(s"$artifactDir/fig_boxplot_400_400")
 
     val checks = checksFull ++ checksScale
     checks.foreach { case (name, ok, detail) =>

@@ -66,6 +66,25 @@ object GridRunner {
           if (metaMatches)
             (spark.read.parquet(path), CellStatus(cell, loadedFromCheckpoint = true))
           else {
+            // refuse to clobber a HIGHER-rep checkpoint with a lower-rep
+            // run (e.g. a quick pass with GRAFT_GRID_SCALE_REPS=10 over
+            // the committed 400-rep cells) — that silently breaks every
+            // pin that re-asserts from the checkpoint. Override with
+            // GRAFT_GRID_FORCE=1 or point the run at a fresh directory.
+            if (fs.exists(metaPath)) {
+              val in = fs.open(metaPath)
+              val existing = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+              val repsRe = """nReps=(\d+)""".r
+              (repsRe.findFirstMatchIn(existing), nReps) match {
+                case (Some(m), newReps) if m.group(1).toInt > newReps &&
+                    !sys.env.get("GRAFT_GRID_FORCE").contains("1") =>
+                  throw new IllegalStateException(
+                    s"checkpoint $path holds ${m.group(1)} reps; refusing to " +
+                    s"overwrite with a $newReps-rep run. Use a separate " +
+                    "checkpoint dir for quick passes, or set GRAFT_GRID_FORCE=1.")
+                case _ => ()
+              }
+            }
             // repartition(1) — NOT coalesce(1), which would lazily collapse
             // the whole battery stage onto one task; the shuffle here moves
             // only the ≤ nReps×methods×2 tiny result rows into one file

@@ -154,13 +154,15 @@ object DedupQueries {
     // probe side = increment only; index side = corpus ∪ increment, so
     // (new, old) and (new, new) candidates are both found. The probe's
     // band keys are BROADCAST (a daily increment is small by contract —
-    // its band-key frame is |inc|·bands rows of 24 bytes), so the index
-    // side streams through a broadcast hash join with NO shuffle and no
-    // salt replication: per-batch cost is one corpus index scan +
-    // O(matched buckets), and a hot (boilerplate) bucket's matches are
-    // produced across the corpus partitions that hold them rather than
-    // funneling into one shuffle task. An increment too big to
-    // broadcast is not an increment — re-mine with minHashPairs.
+    // its band-key frame is |inc|·bands rows of 24 bytes), so CANDIDATE
+    // GENERATION is shuffle-free: the index side streams through a
+    // broadcast hash join with no salt replication, and a hot
+    // (boilerplate) bucket's matches are produced across the corpus
+    // partitions that hold them rather than funneling into one shuffle
+    // task. The later pairs.distinct() and the exact-Jaccard verify
+    // joins DO shuffle, but only over the matched-pair set —
+    // O(candidates), not O(corpus). An increment too big to broadcast
+    // is not an increment — re-mine with minHashPairs.
     val probe = bandKeys(incSig, bands, rowsPerBand)
       .select(col("band"), col("bh"), col("doc_id").as("a"))
     val index = bandKeys(corpusSig.unionByName(incSig), bands, rowsPerBand)

@@ -61,7 +61,9 @@ object HarnessQueries {
       val labels = Map(
         "x2_0" -> "no_x2_effect", "x2_2" -> "positive_x2", "x12sq" -> "quadratic")
       graft.harness.SensitivityGrid.scenarios.map { sc =>
-        val name = labels(sc.label)
+        // getOrElse: a scenario added/renamed in SensitivityGrid must show
+        // up here (under its raw label) rather than throw at query time
+        val name = labels.getOrElse(sc.label, sc.label)
         val perRep = SimulationRunner.perRepResults(
           s, Seq(SimulationRunner.Cell(30, 30)), nReps = 2,
           methods = Seq("WCLS-Internal"),

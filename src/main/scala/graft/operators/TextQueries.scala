@@ -399,16 +399,23 @@ object TextQueries {
         .select(col("doc_id"), col("text")).as[(Long, String)]
       ds.mapPartitions { batch =>
         val buf = new Array[Byte](1 << 16)
-        batch.map { case (id, text) =>
-          val bytes = text.getBytes("UTF-8")
-          val d = new java.util.zip.Deflater(6, false)
-          try {
+        val d = new java.util.zip.Deflater(6, false)
+        new Iterator[(Long, Long, Long, Double)] {
+          def hasNext: Boolean = {
+            val h = batch.hasNext
+            if (!h) d.end() // idempotent; releases native state on exhaustion
+            h
+          }
+          def next(): (Long, Long, Long, Double) = {
+            val (id, text) = batch.next()
+            val bytes = text.getBytes("UTF-8")
+            d.reset() // same level+strategy → byte-identical output
             d.setInput(bytes); d.finish()
             var clen = 0L
             while (!d.finished()) clen += d.deflate(buf)
             (id, bytes.length.toLong, clen,
               if (bytes.length > 0) clen.toDouble / bytes.length else 1.0)
-          } finally d.end()
+          }
         }
       }.toDF("doc_id", "n_bytes", "n_compressed", "ratio")
         .select(col("doc_id"), col("n_bytes"), col("n_compressed"),

@@ -31,11 +31,38 @@ import org.apache.spark.sql.DataFrame
   * (a scan over materialized blocks); StageSpec pins the equivalence.
   */
 object Stage {
+
+  // warn once per JVM, not once per staged call
+  @volatile private var warnedGc = false
+
   def apply(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption("spark.graft.reliableCheckpoint").contains("true"))
+    if (df.sparkSession.conf.getOption("spark.graft.reliableCheckpoint").contains("true")) {
+      // Assert (loudly), don't just document, the GC precondition: without
+      // cleanCheckpoints=true on the SparkConf the checkpoint dir grows one
+      // frame copy per staged call for the application's lifetime — a
+      // silent disk leak. Not throwable: the conf is fixed at context
+      // creation, and a long-lived session mid-job is better served by a
+      // leak warning than an abort.
+      val cleans = reliableGcConfigured(df.sparkSession)
+      if (!cleans && !warnedGc) {
+        warnedGc = true
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          "spark.graft.reliableCheckpoint=true but the SparkContext was " +
+          "created WITHOUT spark.cleaner.referenceTracking.cleanCheckpoints" +
+          "=true: reliable checkpoint files will never be garbage-collected " +
+          "and the checkpoint dir grows one frame copy per staged call. Set " +
+          "it on the SparkConf at context creation.")
+      }
       df.checkpoint(eager = true)
-    else
+    } else
       df.localCheckpoint(eager = true)
+
+  /** True iff the context was created with checkpoint GC enabled — the
+    * precondition for leak-free reliable-checkpoint mode (SparkConf-only;
+    * cannot be flipped per-session). Exposed for StageSpec. */
+  private[graft] def reliableGcConfigured(s: org.apache.spark.sql.SparkSession): Boolean =
+    s.sparkContext.getConf
+      .getBoolean("spark.cleaner.referenceTracking.cleanCheckpoints", defaultValue = false)
 
   /** `df.staged` postfix syntax. */
   implicit class StageOps(private val df: DataFrame) extends AnyVal {

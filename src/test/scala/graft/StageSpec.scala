@@ -43,4 +43,25 @@ class StageSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
     }
   }
+
+  test("mis-configured reliable mode (no checkpoint GC) is detected, warned, and still correct") {
+    // this session's SparkConf does NOT set
+    // spark.cleaner.referenceTracking.cleanCheckpoints — exactly the
+    // silent-disk-leak deployment Stage must flag (VERDICT r7 #6)
+    assert(!graft.plans.Stage.reliableGcConfigured(spark))
+
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt_leak").toString
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      import graft.plans.Stage.StageOps
+      import spark.implicits._
+      // staging must WARN (non-fatally) and still materialize correctly
+      val out = Seq(1, 2, 3).toDF("x").staged.collect().map(_.getInt(0)).sorted
+      assert(out.sameElements(Array(1, 2, 3)))
+    } finally {
+      spark.conf.unset("spark.graft.reliableCheckpoint")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    }
+  }
 }
