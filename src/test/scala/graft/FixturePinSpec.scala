@@ -44,7 +44,8 @@ class FixturePinSpec extends AnyFunSuite {
     "v2_lsh_ann"               -> "a1f492db02277657e295c661c74e3eaa",
     "v3_embed_neardup"         -> "73b19f18c790733cac4ead62c2fd7327",
     "v5_ivf_ann"               -> "afd848323e99e775dd15dee6070bd772",
-    "v6_pq_ann"                -> "c0eeb3a88ad778f4ef7b11eb1a286f62")
+    "v6_pq_ann"                -> "c0eeb3a88ad778f4ef7b11eb1a286f62",
+    "v7_ivfadc_ann"            -> "b2ebb6a2bc4c986d3d7a3882599da029")
 
   test("every no_oracle driver query is hash-pinned") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

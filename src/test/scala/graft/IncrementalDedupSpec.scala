@@ -40,6 +40,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "no corpus-internal pairs in fixture — split point needs adjusting")
   }
 
+  test("stored-index incremental path equals the in-memory incremental path") {
+    val docs = Tables.documents(spark, dir)
+    val inMemory = DedupQueries.minHashPairsIncremental(
+        docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSeq
+    // d8's production shape: corpus side served entirely from the
+    // persisted parquet index (signatures round-trip exactly)
+    val stored = DedupQueries.minHashPairsIncrementalStored(
+        spark, dir, col("doc_id") >= 100, "id_ge_100", docs.filter(col("doc_id") < 100))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSeq
+    assert(stored == inMemory)
+    assert(stored.nonEmpty)
+  }
+
+  test("stored-index path enforces the raw-id disjointness contract") {
+    val docs = Tables.documents(spark, dir)
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.minHashPairsIncrementalStored(
+        spark, dir, col("doc_id") >= 100, "id_ge_100",
+        docs.filter(col("doc_id") < 150))
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
   test("disjointness violation fails loudly") {
     val docs = Tables.documents(spark, dir)
     val ex = intercept[IllegalArgumentException] {

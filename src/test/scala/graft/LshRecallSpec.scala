@@ -49,6 +49,11 @@ class LshRecallSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"PQ ANN recall@3 = $recall")
   }
 
+  test("IVFADC recall@3 >= 0.9 vs exact top-k (nprobe=4 of 5 coarse lists, measured 0.907)") {
+    val recall = recallOf(VectorQueries.vIvfAdcAnn)
+    assert(recall >= 0.9, s"IVFADC recall@3 = $recall")
+  }
+
   test("minhash-LSH pairs are all true >= 0.5-Jaccard pairs (no false positives)") {
     val pairs = DedupQueries.dMinHash.fn(spark, dir).collect()
     assert(pairs.nonEmpty)

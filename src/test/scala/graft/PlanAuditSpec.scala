@@ -65,17 +65,42 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("PQ codes are materialized before the ADC join (v6 regression guard)") {
+  test("PQ codes come from the stored index table, never re-encoded (v6 regression guard)") {
     // VERDICT r6: whole-stage codegen deferred the argmin encode into
     // the broadcast join's inner loop (re-evaluated per candidate row —
-    // 10× the stage cost). The codes frame is Stage-materialized, so
-    // the executed plan must contain NO encode expression (array_min)
-    // anywhere — the join side must scan the checkpointed RDD.
+    // 10× the stage cost). The codes are now a PERSISTED parquet index
+    // (VERDICT r7 #1), so the executed plan must contain NO encode
+    // expression (array_min) anywhere — the join side must scan the
+    // stored code table.
     val p = plan("v6_pq_ann")
     assert(!p.contains("array_min"),
-      "PQ encode leaked into the join-side plan — codes no longer materialized\n" +
+      "PQ encode leaked into the join-side plan — codes no longer precomputed\n" +
         p.take(2000))
-    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
-      "expected a scan over the materialized codes RDD\n" + p.take(2000))
+    assert(p.contains("graft_indexes"),
+      "expected a scan over the stored PQ code table\n" + p.take(2000))
+  }
+
+  test("d8 probes the stored signature index — zero corpus-side minhash work") {
+    // VERDICT r7 #1: the incremental path must read the persisted
+    // signature/band tables, never re-shingle or re-minhash the corpus.
+    // The increment's own (tiny) signature job runs eagerly at plan
+    // construction (Stage), so the executed plan must contain NO minhash
+    // expression at all, and must scan the index parquet.
+    val p = plan("d8_incremental_dedup")
+    assert(!p.toLowerCase.contains("minhashk"),
+      "corpus signatures recomputed in-plan — stored index not used\n" + p.take(2000))
+    assert(p.contains("graft_indexes"),
+      "expected scans over the stored MinHash index tables\n" + p.take(2000))
+  }
+
+  test("v7 IVFADC scans only the routed coarse lists (static partition prune)") {
+    val p = plan("v7_ivfadc_ann")
+    // the isin literal over the routed lists must reach the stored code
+    // table's scan as a PARTITION filter (list_id is the on-disk
+    // partition column), not a post-scan filter
+    assert(p.contains("PartitionFilters") && p.contains("list_id"),
+      "expected a list_id partition filter on the code-table scan\n" + p.take(3000))
+    assert(!p.contains("array_min"),
+      "PQ/coarse encode leaked into the query plan\n" + p.take(2000))
   }
 }

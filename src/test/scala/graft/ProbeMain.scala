@@ -286,6 +286,20 @@ object ProbeMain {
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     }
 
+    if (args.contains("v7recall")) {
+      // recall@3 of the ANN ladder vs the exact v1 baseline on the
+      // LshRecallSpec fixture (sf0.001) — tune pqCoarseK/nprobe here
+      val d = "/root/testdata/sf0.001"
+      val exact = graft.operators.VectorQueries.vCosineTopK.fn(spark, d)
+        .filter(col("rank") <= 3).select("q", "nb")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (n <- Seq("v5_ivf_ann", "v6_pq_ann", "v7_ivfadc_ann")) {
+        val approx = graft.SparkEntry.queries(n)(spark, d)
+          .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"RECALL $n = ${(exact & approx).size.toDouble / exact.size}")
+      }
+    }
+
     if (args.contains("pins")) {
       // print fixture hashes for every no_oracle query at sf0.01, run
       // twice to confirm determinism — the memoized pairs frame is
@@ -301,7 +315,7 @@ object ProbeMain {
         "g1_panel_summary", "h1_simulation_metrics", "h2_sensitivity_scenarios",
         "h3_pretty_table", "s3_logistic_irls", "s4_estimator_battery",
         "s5_awcls", "s6_aic_ladder", "v2_lsh_ann", "v3_embed_neardup",
-        "v5_ivf_ann", "v6_pq_ann")
+        "v5_ivf_ann", "v6_pq_ann", "v7_ivfadc_ann")
       for (n <- names) {
         graft.operators.DedupQueries.clearPairsMemo()
         val h1 = CanonicalHash(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01"))
