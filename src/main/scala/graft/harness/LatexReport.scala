@@ -85,6 +85,46 @@ object LatexReport {
   def simulationTable(metrics: DataFrame, sampleSize: Int, nReplications: Int,
                       methods: Seq[String],
                       coefs: Seq[String] = Seq("Intercept", "Slope")): String = {
+    val caption =
+      s"""Results from the simulation with $sampleSize individuals in both the internal and external studies.
+For the ``Avg estimate'' and ``Coverage'' columns, the boldface indicates values within Monte Carlo error ($$3\\sigma$$) of the truth.
+For the ``Relative efficiency'' and ``rMSE'' columns, the boldface indicates the best performance for each coefficient (PET-WCLS in both cases).
+Relative efficiency is computed as a ratio of empirically estimated standard errors."""
+    tableString(metrics, sampleSize, nReplications, methods, coefs,
+      caption, label = "integration:tab:simulation_results")
+  }
+
+  /** The sensitivity results tables (`sensitivity.R:228-287`, emitted per
+    * scenario by `sensitivity_analysis(...)` at cell (400,400)): the SAME
+    * `make_table` rules as the main grid — identical columns, bolding and
+    * hline surgery — with the scenario's `sens_label` as the LaTeX label
+    * and the reference's sensitivity caption (which drops the trailing
+    * "Relative efficiency is computed as..." sentence of the main table
+    * and indents its continuation lines by two spaces — the R source
+    * string's own indentation, `sensitivity.R:346-350`; quirks kept for
+    * output parity). `scenarioLabel` is the engine's scenario key
+    * (SensitivityGrid: x2_0 / x2_2 / x12sq), mapped to the reference's
+    * sens_label (`sensitivity.R:368-370`). */
+  def sensitivityTable(metrics: DataFrame, scenarioLabel: String,
+                       nReplications: Int, methods: Seq[String]): String = {
+    val sensLabel = scenarioLabel match {
+      case "x2_0"  => "simulation-x2-0"
+      case "x2_2"  => "simulation-x2-2"
+      case "x12sq" => "simulation-x12sq"
+      case other   => s"simulation-$other"
+    }
+    val sampleSize = 400
+    val caption =
+      s"""Results from the simulation with $sampleSize individuals in both the internal and external studies.
+  For the ``Avg estimate'' and ``Coverage'' columns, the boldface indicates values within Monte Carlo error ($$3\\sigma$$) of the truth.
+  For the ``Relative efficiency'' and ``rMSE'' columns, the boldface indicates the best performance for each coefficient (PET-WCLS in both cases)."""
+    tableString(metrics, sampleSize, nReplications, methods,
+      Seq("Intercept", "Slope"), caption, label = sensLabel)
+  }
+
+  private def tableString(metrics: DataFrame, sampleSize: Int, nReplications: Int,
+                          methods: Seq[String], coefs: Seq[String],
+                          caption: String, label: String): String = {
     import org.apache.spark.sql.functions.col
     val collected = metrics
       .filter(col("n_internal") === sampleSize && col("n_external") === sampleSize &&
@@ -129,12 +169,6 @@ object LatexReport {
       }
     }
 
-    val caption =
-      s"""Results from the simulation with $sampleSize individuals in both the internal and external studies.
-For the ``Avg estimate'' and ``Coverage'' columns, the boldface indicates values within Monte Carlo error ($$3\\sigma$$) of the truth.
-For the ``Relative efficiency'' and ``rMSE'' columns, the boldface indicates the best performance for each coefficient (PET-WCLS in both cases).
-Relative efficiency is computed as a ratio of empirically estimated standard errors."""
-
     val blankRow = "   " + Seq.fill(headers.size)("").mkString(" & ") + " \\\\"
     val (interceptBlock, slopeBlock) = body.splitAt(rows.count(_.coef == coefs.head))
     val sb = new StringBuilder
@@ -149,7 +183,7 @@ Relative efficiency is computed as a ratio of empirically estimated standard err
     sb ++= slopeBlock.mkString("", "\n", "\n")
     sb ++= "   \\hline\n\\end{tabular}\n"
     sb ++= s"\\caption{$caption}\n"
-    sb ++= "\\label{integration:tab:simulation_results}\n"
+    sb ++= s"\\label{$label}\n"
     sb ++= "\\end{table*}\n"
     sb.result()
   }

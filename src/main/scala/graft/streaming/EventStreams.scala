@@ -104,6 +104,32 @@ object EventStreams {
         col("impUserId").as("userId"), col("impTs"), col("clickTs"))
   }
 
+  /** LEFT-OUTER variant of [[intervalJoin]] — the attribution-report
+    * shape: EVERY impression is emitted, matched or not. A matched pair
+    * emits immediately (inner-join semantics); an UNMATCHED impression
+    * can only become final once the click-side watermark has passed the
+    * end of its attribution window — "no click arrived" is unknowable
+    * before that — at which point Spark emits it exactly once with null
+    * click columns and evicts its buffer entry. Same two-sided
+    * watermark + time-bound condition as the inner join, so state stays
+    * evictable: the outer row's emission is watermark-DRIVEN, trading
+    * latency (one watermark delay) for completeness, never unbounded
+    * state. */
+  def intervalJoinLeftOuter(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions.withWatermark("ts", "30 minutes")
+      .select(col("eventId").as("impressionId"), col("userId").as("impUserId"),
+        col("ts").as("impTs"))
+    val clk = clicks.withWatermark("ts", "30 minutes")
+      .select(col("eventId").as("clickId"), col("userId").as("clickUserId"),
+        col("ts").as("clickTs"))
+    imp.join(clk, expr(
+      """impUserId = clickUserId AND
+         clickTs >= impTs AND
+         clickTs <= impTs + interval 15 minutes"""), "leftOuter")
+      .select(col("impressionId"), col("clickId"),
+        col("impUserId").as("userId"), col("impTs"), col("clickTs"))
+  }
+
   final case class SessionState(nEvents: Long, lastTs: Long, nSessions: Long)
   final case class SessionUpdate(userId: Long, nSessions: Long, nEvents: Long)
 

@@ -72,4 +72,26 @@ class LatexReportSpec extends AnyFunSuite {
     assert(got.contains(" \\hline \n  \\multirow{10}{*}{Slope}")) // before Slope block
     assert(got.contains("\\label{integration:tab:simulation_results}"))
   }
+
+  test("sensitivity tables regenerate byte-identically from committed scenario metrics") {
+    // sensitivity.R:228-287: same make_table rules, per-scenario
+    // sens_label, caption without the trailing relative-efficiency
+    // sentence (and with the R source string's two-space indentation)
+    for (sc <- graft.harness.SensitivityGrid.scenarios) {
+      val path = java.nio.file.Paths.get(s"results/sensitivity/${sc.label}/latex_table_400.tex")
+      assert(java.nio.file.Files.exists(path),
+        s"missing committed sensitivity fixture for ${sc.label} — regenerate " +
+          "with: sbt 'Test/runMain graft.ProbeMain latex'")
+      val want = java.nio.file.Files.readString(path)
+      val metrics = spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(s"results/sensitivity/${sc.label}/metrics_csv")
+      val got = LatexReport.sensitivityTable(metrics, sc.label, nReplications = 400,
+        methods = Seq("WCLS-Internal", "WCLS-Pooled", "P-WCLS-Internal",
+          "P-WCLS-Pooled", "ET-WCLS", "DR-WCLS", "PET-WCLS"))
+      assert(got == want, s"sensitivity table for ${sc.label} drifted")
+      assert(got.contains(s"\\label{simulation-${sc.label.replace("_", "-")}}"))
+      assert(!got.contains("Relative efficiency is computed"),
+        "sensitivity caption must drop the main table's trailing sentence")
+    }
+  }
 }

@@ -337,6 +337,19 @@ object ProbeMain {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("results/acceptance/latex_table_400.tex"), table)
       println("LATEX_WRITTEN bytes=" + table.length)
+      // sensitivity tables (sensitivity.R:228-287): one per committed
+      // scenario, regenerated from its committed metrics CSV
+      for (sc <- graft.harness.SensitivityGrid.scenarios) {
+        val m = spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(s"results/sensitivity/${sc.label}/metrics_csv")
+        val t = graft.harness.LatexReport.sensitivityTable(
+          m, sc.label, nReplications = 400,
+          methods = Seq("WCLS-Internal", "WCLS-Pooled", "P-WCLS-Internal",
+            "P-WCLS-Pooled", "ET-WCLS", "DR-WCLS", "PET-WCLS"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"results/sensitivity/${sc.label}/latex_table_400.tex"), t)
+        println(s"LATEX_WRITTEN ${sc.label} bytes=" + t.length)
+      }
     }
 
     if (args.contains("htime")) {

@@ -143,6 +143,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits the unmatched impression exactly once, only after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val impressions = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.intervalJoinLeftOuter(impressions.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attributed_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      impressions.addData(
+        Event(10, ts(0), 1, "impression", 0.0),  // matched inside the window
+        Event(11, ts(0), 2, "impression", 0.0))  // never clicked
+      clicks.addData(Event(20, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      val early = spark.table("attributed_outer").collect()
+        .map(r => (r.getAs[Long]("impressionId"), r.getAs[Any]("clickId")))
+      assert(early.toSet == Set((10L, 20L)),
+        s"unmatched row must NOT be emitted before the watermark passes: ${early.mkString(",")}")
+      // advance BOTH input watermarks past impression 11's window end —
+      // outer emission is driven by the GLOBAL minimum watermark — then
+      // run further micro-batches so the eviction pass fires
+      impressions.addData(Event(90, ts(120), 98, "impression", 0.0))
+      clicks.addData(Event(91, ts(120), 99, "click", 1.0))
+      q.processAllAvailable()
+      impressions.addData(Event(92, ts(125), 98, "impression", 0.0))
+      clicks.addData(Event(93, ts(125), 99, "click", 1.0))
+      q.processAllAvailable()
+      val unmatched = spark.table("attributed_outer").collect()
+        .filter(_.getAs[Long]("impressionId") == 11L)
+      assert(unmatched.length == 1,
+        s"unmatched impression must appear exactly once, got ${unmatched.length}")
+      assert(unmatched.head.isNullAt(unmatched.head.fieldIndex("clickId")))
+      assert(unmatched.head.isNullAt(unmatched.head.fieldIndex("clickTs")))
+      // the matched pair is still present exactly once (inner semantics)
+      assert(spark.table("attributed_outer").collect()
+        .count(_.getAs[Long]("impressionId") == 10L) == 1)
+    } finally q.stop()
+  }
+
   test("streaming logic matches batch execution of the same transform") {
     import spark.implicits._
     val batch = Seq(
