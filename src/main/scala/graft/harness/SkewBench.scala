@@ -1,0 +1,124 @@
+package graft.harness
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupQueries
+
+/** Skewed-corpus validation of the dedup salting/AQE story at sf1 scale
+  * (VERDICT r7 #7): DedupSkewSpec proves the salted pair set is
+  * UNCHANGED; this harness measures what salting actually buys — the
+  * per-task shuffle spread — on a corpus 10× the sf0.1 fixture with a
+  * deliberately hot boilerplate bucket.
+  *
+  * Corpus: 50,000 documents (sf1-scale vs sf0.1's 5,000), generated
+  * deterministically from `spark.range` + hash expressions (counter-
+  * based like PanelGenerator — partition-invariant, no driver loop):
+  * 4% boilerplate docs spread over 7 near-identical template variants
+  * (each variant's ~285 docs share every shingle → one LSH band bucket
+  * holds them all, ~285× the mean bucket width), 96% pseudo-random
+  * 40-token prose. Written once to GRAFT_SKEW_DIR (default
+  * /tmp/graft_skew) as documents.parquet so the d8 stored-index path
+  * runs against it exactly as in production.
+  *
+  * Measured queries: d2-shape full near-dup mine (salted 8× vs
+  * UNSALTED — the comparison that shows the spread), d7 duplicate
+  * spans, d8 stored-index incremental (increment = first 1,000 docs).
+  * Per query: wall seconds, result rows, and per-task shuffle-read
+  * max/median + task-duration max/median from a SparkListener — the
+  * max/median ratio IS the skew number; salting should pull it toward
+  * 1 on the pair-generation stages.
+  *
+  * Usage: `runMain graft.harness.SkewBench` (SPARK_GRAFT_CPUS to size
+  * the session). Prints one JSON line per query; committed snapshot in
+  * results/skewbench.json, numbers quoted in SCALE.md.
+  */
+object SkewBench {
+
+  /** Per-task metric collector (shuffle-read bytes + duration). */
+  private final class TaskStats extends SparkListener {
+    val reads = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val durations = scala.collection.mutable.ArrayBuffer.empty[Long]
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
+      val m = te.taskMetrics
+      if (m != null) {
+        reads += m.shuffleReadMetrics.totalBytesRead
+        durations += te.taskInfo.duration
+      }
+    }
+  }
+
+  private def medMax(xs: Seq[Long]): (Double, Long) = {
+    val pos = xs.filter(_ > 0).sorted
+    if (pos.isEmpty) (0.0, 0L)
+    else (pos(pos.size / 2).toDouble, pos.last)
+  }
+
+  /** 50k-doc deterministic skewed corpus (see object scaladoc). */
+  def skewedDocs(s: SparkSession, nDocs: Long = 50000L): DataFrame = {
+    val i = col("id")
+    // 7 boilerplate variants: identical 30-token template + 2 trailing
+    // variant tokens — docs of one variant are exact shingle-duplicates
+    val template = (1 to 30).map(w => s"boilerplate$w").mkString(" ")
+    val boiler = concat(lit(template), lit(" variantword"), pmod(i, lit(7)),
+      lit(" trailer"), pmod(i, lit(7)))
+    // pseudo-random 40-token prose, counter-keyed (doc id × position)
+    val prose = concat_ws(" ", transform(sequence(lit(1), lit(40)),
+      j => concat(lit("w"), pmod(xxhash64(i, j), lit(200000)))))
+    s.range(nDocs).select(
+      i.as("doc_id"),
+      when(pmod(i, lit(25)) === 0, boiler).otherwise(prose).as("text"),
+      concat(lit("src"), pmod(i, lit(4))).as("source"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("GRAFT_SKEW_DIR", "/tmp/graft_skew")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // materialize the corpus once (deterministic, so reuse is safe)
+    val docsPath = s"$dir/documents.parquet"
+    val fs = new org.apache.hadoop.fs.Path(docsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$docsPath/_SUCCESS")))
+      skewedDocs(spark).write.mode("overwrite").parquet(docsPath)
+    val docs = spark.read.parquet(docsPath)
+
+    def measure(name: String)(run: => Long): Unit = {
+      val st = new TaskStats
+      spark.sparkContext.addSparkListener(st)
+      val t0 = System.nanoTime()
+      val rows = run
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(st)
+      val (readMed, readMax) = medMax(st.reads.toSeq)
+      val (durMed, durMax) = medMax(st.durations.toSeq)
+      println(f"""{"query":"$name","wall_sec":$wall%.2f,"rows":$rows,""" +
+        f""""tasks":${st.reads.size},""" +
+        f""""shuffle_read_med_kb":${readMed / 1024}%.1f,"shuffle_read_max_kb":${readMax / 1024.0}%.1f,""" +
+        f""""task_dur_med_ms":$durMed%.0f,"task_dur_max_ms":$durMax%.0f}""")
+    }
+
+    // d2 shape: full corpus near-dup mine, salted vs unsalted — the
+    // pair SET is identical (DedupSkewSpec); the task spread is not
+    measure("d2_salted8")(DedupQueries.minHashPairs(docs, nSalts = 8).count())
+    measure("d2_unsalted")(DedupQueries.minHashPairs(docs, nSalts = 1).count())
+    // d7: duplicate spans (span-frequency skew from the boilerplate)
+    measure("d7_dup_spans")(
+      graft.operators.DedupQueries.dDupSpans.fn(spark, dir).count())
+    // d8: stored-index incremental, increment = first 1,000 docs
+    measure("d8_incremental_stored")(
+      DedupQueries.minHashPairsIncrementalStored(
+        spark, dir, col("doc_id") >= 1000, "id_ge_1000",
+        docs.filter(col("doc_id") < 1000)).count())
+
+    spark.stop()
+  }
+}
