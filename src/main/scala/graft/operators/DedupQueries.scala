@@ -220,6 +220,56 @@ object DedupQueries {
       s.read.parquet(s"$path/bands"))
   }
 
+  // ---- Appendable index lifecycle (the day-over-day production loop) --
+
+  /** Initialize an APPENDABLE stored MinHash index at `path` from the
+    * initial corpus snapshot. Unlike [[storedMinHashIndex]] (whose meta
+    * stamp re-derives the index from the documents table and a filter),
+    * an appendable index is OWNED by its maintainer: build once, then
+    * fold each day's matched increment in with [[appendStoredIndex]] so
+    * the NEXT increment probes yesterday's corpus ∪ increment — the
+    * loop a daily-batch pipeline actually runs. No auto-staleness stamp:
+    * the maintainer's job scheduler owns snapshot identity here. */
+  def initStoredIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                      docs: DataFrame, k: Int = 16, bands: Int = 4): Unit = {
+    val rowsPerBand = k / bands
+    docs.select(col("doc_id")).write.mode("overwrite").parquet(s"$path/ids")
+    val sig = signatures(docs, k)
+    sig.write.mode("overwrite").parquet(s"$path/sig")
+    bandKeys(sig, bands, rowsPerBand)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** Fold a (matched) increment into an appendable index: its raw ids,
+    * signatures and band keys are APPENDED to the stored tables —
+    * O(increment) writes, never a corpus rewrite. Call after probing
+    * ([[probeStoredIndex]]) so the increment's pairs were already
+    * emitted; from now on these docs are corpus side. */
+  def appendStoredIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                        newDocs: DataFrame, k: Int = 16, bands: Int = 4): Unit = {
+    val rowsPerBand = k / bands
+    // disjointness vs the CURRENT index contents — appending an id twice
+    // would double-emit its pairs for every future increment
+    checkDisjoint(s.read.parquet(s"$path/ids"), newDocs)
+    newDocs.select(col("doc_id")).write.mode("append").parquet(s"$path/ids")
+    val sig = signatures(newDocs, k)
+    sig.write.mode("append").parquet(s"$path/sig")
+    bandKeys(sig, bands, rowsPerBand)
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** Probe an appendable index with a new increment — identical
+    * semantics to [[minHashPairsIncrementalStored]] (all pairs of a full
+    * re-mine that touch the increment), but against whatever corpus the
+    * index currently holds (initial snapshot + all appends). */
+  def probeStoredIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                       incrementIn: DataFrame, bands: Int = 4,
+                       threshold: Double = 0.5): DataFrame = {
+    checkDisjoint(s.read.parquet(s"$path/ids"), incrementIn)
+    incrementalPairs(s.read.parquet(s"$path/sig"),
+      s.read.parquet(s"$path/bands"), incrementIn, bands, threshold)
+  }
+
   private def incrementalPairs(corpusSig: DataFrame, corpusBands: DataFrame,
                                incrementIn: DataFrame, bands: Int,
                                threshold: Double): DataFrame = {

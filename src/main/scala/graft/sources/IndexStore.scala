@@ -47,8 +47,10 @@ object IndexStore {
     }
   }
 
-  // per-JVM fast path: (path, meta) pairs already verified on disk
-  private val ensured = java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  // per-JVM fast path: LAST meta verified on disk per path (a map, not a
+  // (path, meta) set — a set would let an older meta skip the disk check
+  // after a newer one rebuilt the index, serving stale tables)
+  private val ensured = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Build-once-then-reuse: if `path/_graft_meta` matches `meta`, the
     * stored index is current and `build` is skipped; otherwise `build`
@@ -57,9 +59,9 @@ object IndexStore {
     * never trusted. In-JVM calls are serialized; concurrent builds from
     * separate JVMs race benignly (same deterministic bytes). */
   def ensure(s: SparkSession, path: String, meta: String)(build: => Unit): Unit = {
-    if (ensured.contains((path, meta))) return
+    if (ensured.get(path) == meta) return
     synchronized {
-      if (ensured.contains((path, meta))) return
+      if (ensured.get(path) == meta) return
       val hPath = new Path(path)
       val metaPath = new Path(hPath, "_graft_meta")
       val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -73,7 +75,7 @@ object IndexStore {
         val out = fs.create(metaPath, true)
         try out.write(meta.getBytes("UTF-8")) finally out.close()
       }
-      ensured.add((path, meta))
+      ensured.put(path, meta)
     }
   }
 }

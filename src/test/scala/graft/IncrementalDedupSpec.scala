@@ -64,6 +64,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("disjoint"))
   }
 
+  test("appendable index: day-over-day init -> probe -> append -> probe equals full re-mines") {
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_appendable_idx").toString + "/minhash"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSeq
+
+    // day 0: index the initial snapshot (docs >= 100)
+    DedupQueries.initStoredIndex(spark, path, docs.filter(col("doc_id") >= 100))
+    // day 1: increment A = ids 50..99 — must match the in-memory
+    // incremental run over the same corpus
+    val incA = docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+    assert(rows(DedupQueries.probeStoredIndex(spark, path, incA)) ==
+      rows(DedupQueries.minHashPairsIncremental(docs.filter(col("doc_id") >= 100), incA)))
+    // fold A into the index; day 2: increment B = ids 0..49 now probes
+    // corpus ∪ A — equality vs a fresh incremental over docs >= 50
+    DedupQueries.appendStoredIndex(spark, path, incA)
+    val incB = docs.filter(col("doc_id") < 50)
+    val dayTwo = rows(DedupQueries.probeStoredIndex(spark, path, incB))
+    assert(dayTwo ==
+      rows(DedupQueries.minHashPairsIncremental(docs.filter(col("doc_id") >= 50), incB)))
+    assert(dayTwo.nonEmpty, "fixture produced no day-2 pairs — split points need adjusting")
+    // appending an already-indexed id must fail the disjointness gate
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.appendStoredIndex(spark, path, incA)
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
   test("disjointness violation fails loudly") {
     val docs = Tables.documents(spark, dir)
     val ex = intercept[IllegalArgumentException] {

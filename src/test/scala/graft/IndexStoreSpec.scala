@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.IndexStore
+
+/** Build-once-then-reuse contract of the persistent index store: the
+  * meta stamp gates rebuilds (params + source fingerprint), a crashed
+  * build is retried (never trusted), and the source stamp actually
+  * moves when the source data changes.
+  */
+class IndexStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+
+  test("build runs once per meta; a changed meta rebuilds; same meta reuses") {
+    val path = tmpDir() + "/idx"
+    var builds = 0
+    IndexStore.ensure(spark, path, "meta_v1") { builds += 1 }
+    IndexStore.ensure(spark, path, "meta_v1") { builds += 1 }
+    assert(builds == 1, "second ensure with identical meta must skip the build")
+    IndexStore.ensure(spark, path, "meta_v2") { builds += 1 }
+    assert(builds == 2, "a changed meta (new params/snapshot) must rebuild")
+    // and the new stamp is now current
+    IndexStore.ensure(spark, path, "meta_v2") { builds += 1 }
+    assert(builds == 2)
+    // alternating BACK to the old meta must rebuild again — the in-JVM
+    // fast path tracks the LAST verified meta per path, never a set of
+    // ever-seen metas (which would serve the v2 tables to a v1 caller)
+    IndexStore.ensure(spark, path, "meta_v1") { builds += 1 }
+    assert(builds == 3, "returning to an older meta must rebuild, not serve stale tables")
+  }
+
+  test("a crashed build leaves no stamp and is retried, never trusted") {
+    val path = tmpDir() + "/idx"
+    var attempts = 0
+    intercept[RuntimeException] {
+      IndexStore.ensure(spark, path, "meta") {
+        attempts += 1; throw new RuntimeException("simulated build crash")
+      }
+    }
+    IndexStore.ensure(spark, path, "meta") { attempts += 1 }
+    assert(attempts == 2, "the retry after a crash must re-run the build")
+    IndexStore.ensure(spark, path, "meta") { attempts += 1 }
+    assert(attempts == 2, "the successful build is then reused")
+  }
+
+  test("sourceStamp moves when the source file changes") {
+    val f = java.nio.file.Paths.get(tmpDir(), "src.parquet")
+    java.nio.file.Files.writeString(f, "aaaa")
+    val s1 = IndexStore.sourceStamp(spark, f.toString)
+    assert(s1.contains("len=4"))
+    java.nio.file.Files.writeString(f, "aaaabb") // longer -> new stamp
+    val s2 = IndexStore.sourceStamp(spark, f.toString)
+    assert(s1 != s2, "a changed source must produce a different stamp")
+    assert(IndexStore.sourceStamp(spark, f.toString + ".missing") == "absent")
+  }
+}
