@@ -111,7 +111,7 @@ Relative efficiency is computed as a ratio of empirically estimated standard err
       case "x2_0"  => "simulation-x2-0"
       case "x2_2"  => "simulation-x2-2"
       case "x12sq" => "simulation-x12sq"
-      case other   => s"simulation-$other"
+      case other   => s"simulation-${other.replace("_", "-")}"
     }
     val sampleSize = 400
     val caption =

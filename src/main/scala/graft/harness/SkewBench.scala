@@ -91,6 +91,10 @@ object SkewBench {
     val docs = spark.read.parquet(docsPath)
 
     def measure(name: String)(run: => Long): Unit = {
+      // untimed warm pass: pays Janino codegen/JIT and any one-time
+      // index build, so the timed pass measures steady-state query cost
+      // (same discipline as Bench.scala) and cold/warm runs agree
+      run
       val st = new TaskStats
       spark.sparkContext.addSparkListener(st)
       val t0 = System.nanoTime()

@@ -150,7 +150,7 @@ object DedupQueries {
     checkDisjoint(corpusIn.select(col("doc_id")), incrementIn)
     val corpusSig = signatures(corpusIn, k)
     incrementalPairs(corpusSig, bandKeys(corpusSig, bands, rowsPerBand),
-      incrementIn, bands, threshold)
+      incrementIn, k, bands, threshold)
   }
 
   /** The STORED-INDEX incremental path (VERDICT r7 #1) — the production
@@ -165,14 +165,14 @@ object DedupQueries {
   def minHashPairsIncrementalStored(s: org.apache.spark.sql.SparkSession,
                                     dir: String, corpusFilter: Column,
                                     corpusTag: String, incrementIn: DataFrame,
-                                    bands: Int = 4,
+                                    k: Int = 16, bands: Int = 4,
                                     threshold: Double = 0.5): DataFrame = {
-    val idx = storedMinHashIndex(s, dir, corpusFilter, corpusTag, bands = bands)
+    val idx = storedMinHashIndex(s, dir, corpusFilter, corpusTag, k, bands)
     // same raw-id disjointness contract: the stored `ids` table records
     // every RAW corpus doc_id (including sub-shingle-window docs that
     // have no signature row), so this check is exactly the raw check
     checkDisjoint(idx.ids, incrementIn)
-    incrementalPairs(idx.sig, idx.bands, incrementIn, bands, threshold)
+    incrementalPairs(idx.sig, idx.bands, incrementIn, k, bands, threshold)
   }
 
   private def checkDisjoint(corpusIds: DataFrame, incrementIn: DataFrame): Unit = {
@@ -199,20 +199,18 @@ object DedupQueries {
                                  dir: String, corpusFilter: Column,
                                  corpusTag: String,
                                  k: Int = 16, bands: Int = 4): MinHashIndex = {
-    val rowsPerBand = k / bands
     val path = graft.sources.IndexStore.indexPath(dir, s"minhash_k${k}_b${bands}_$corpusTag")
-    val meta = s"v1|k=$k|bands=$bands|corpus=$corpusTag|" +
+    // the meta keys on the ACTUAL predicate (its rendered form), not just
+    // the caller's free-form tag — two calls sharing a tag but filtering
+    // differently must rebuild, never serve each other's index
+    val meta = s"v1|k=$k|bands=$bands|corpus=${corpusFilter.toString}|" +
       s"src=${graft.sources.IndexStore.sourceStamp(s, s"$dir/documents.parquet")}"
     graft.sources.IndexStore.ensure(s, path, meta) {
       // the index build IS the snapshot-time signature computation —
-      // the one place corpus docs are shingled and minhashed
-      val corpus = Tables.documents(s, dir).filter(corpusFilter)
-      corpus.select(col("doc_id"))
-        .write.mode("overwrite").parquet(s"$path/ids")
-      val sig = signatures(corpus, k)
-      sig.write.mode("overwrite").parquet(s"$path/sig")
-      bandKeys(sig, bands, rowsPerBand)
-        .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      // the one place corpus docs are shingled and minhashed; one
+      // writer for the on-disk layout (initStoredIndex)
+      initStoredIndex(s, path, Tables.documents(s, dir).filter(corpusFilter),
+        k, bands)
     }
     MinHashIndex(
       s.read.parquet(s"$path/ids"),
@@ -263,17 +261,21 @@ object DedupQueries {
     * re-mine that touch the increment), but against whatever corpus the
     * index currently holds (initial snapshot + all appends). */
   def probeStoredIndex(s: org.apache.spark.sql.SparkSession, path: String,
-                       incrementIn: DataFrame, bands: Int = 4,
+                       incrementIn: DataFrame, k: Int = 16, bands: Int = 4,
                        threshold: Double = 0.5): DataFrame = {
+    // (k, bands) MUST match the values the index was initialized with —
+    // a mismatched probe hashes different band slices and silently finds
+    // no corpus candidates, so the geometry is part of the caller's
+    // index contract (same discipline as a search-engine index version)
     checkDisjoint(s.read.parquet(s"$path/ids"), incrementIn)
     incrementalPairs(s.read.parquet(s"$path/sig"),
-      s.read.parquet(s"$path/bands"), incrementIn, bands, threshold)
+      s.read.parquet(s"$path/bands"), incrementIn, k, bands, threshold)
   }
 
   private def incrementalPairs(corpusSig: DataFrame, corpusBands: DataFrame,
-                               incrementIn: DataFrame, bands: Int,
+                               incrementIn: DataFrame, k: Int, bands: Int,
                                threshold: Double): DataFrame = {
-    val k = 16; val rowsPerBand = k / bands
+    val rowsPerBand = k / bands
     val incSig = signatures(incrementIn, k)
     // probe side = increment only; index side = corpus ∪ increment, so
     // (new, old) and (new, new) candidates are both found. The probe's

@@ -400,6 +400,11 @@ object TextQueries {
       ds.mapPartitions { batch =>
         val buf = new Array[Byte](1 << 16)
         val d = new java.util.zip.Deflater(6, false)
+        // release the native zlib state even when the iterator is
+        // abandoned mid-partition (limit/take, task kill) — exhaustion
+        // alone never fires in those paths; end() is idempotent
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => d.end())
         new Iterator[(Long, Long, Long, Double)] {
           def hasNext: Boolean = {
             val h = batch.hasNext

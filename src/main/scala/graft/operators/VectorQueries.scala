@@ -295,6 +295,21 @@ object VectorQueries {
       element_at(element_at(col("lut"), j + 1), element_at(code, j + 1) + 1)
     }.reduce(_ + _)
 
+  /** ADC scoring + bounded top-k shortlist over candidate rows carrying
+    * (q, nb, code, lut) — ONE copy of the shortlist discipline shared by
+    * v6's flat scan and v7's pruned scan: the bounded top-k AGGREGATE
+    * (map-side partials keep ≤shortlistN entries/probe/partition, so the
+    * shuffle is O(|probes|·shortlistN) at any corpus size; a window rank
+    * would shuffle the full cross product) under the same (sim desc,
+    * nb asc) total order — identical shortlist, bit-identical results. */
+  private def adcShortlist(cands: DataFrame, shortlistN: Int): DataFrame =
+    cands
+      .select(col("q"), col("nb"), adcSim(col("code")).as("__asim"))
+      .groupBy(col("q"))
+      .agg(graft.stats.Aggregates.topK(col("__asim"), col("nb"), shortlistN).as("top"))
+      .select(col("q"), explode(col("top")).as("t"))
+      .select(col("q"), col("t.id").as("nb"))
+
   // read-back memo: the codebook/centroid collects are tiny (136 rows)
   // but per-invocation; keyed by applicationId like the dedup memos
   private val pqIndexMemo =
@@ -396,19 +411,10 @@ object VectorQueries {
       val codes = idx.codes.select(col("nb"), col("code"))
       val probes = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q"), col("embedding").as("qe"))
-      // shortlist via the bounded top-k AGGREGATE, not a window rank: a
-      // row_number over the full |probes|×|corpus| cross product shuffles
-      // 50× the corpus at scale; the aggregate's map-side partials keep
-      // ≤shortlistN entries per probe per partition, so the shuffle is
-      // O(|probes|·shortlistN) regardless of corpus size. Same (sim desc,
-      // nb asc) total order → identical shortlist, bit-identical results.
-      val shortlist = broadcast(probes.withColumn("lut", pqLut(idx.books)).select("q", "lut"))
-        .join(codes, col("q") =!= col("nb"))
-        .select(col("q"), col("nb"), adcSim(col("code")).as("__asim"))
-        .groupBy(col("q"))
-        .agg(graft.stats.Aggregates.topK(col("__asim"), col("nb"), shortlistN).as("top"))
-        .select(col("q"), explode(col("top")).as("t"))
-        .select(col("q"), col("t.id").as("nb"))
+      val shortlist = adcShortlist(
+        broadcast(probes.withColumn("lut", pqLut(idx.books)).select("q", "lut"))
+          .join(codes, col("q") =!= col("nb")),
+        shortlistN)
       exactRerank(shortlist, probes, emb)
     })
 
@@ -445,13 +451,10 @@ object VectorQueries {
       val cands = idx.codes.filter(col("list_id").isin(wanted: _*))
         .join(broadcast(probeLists), Seq("list_id"))
         .filter(col("q") =!= col("nb"))
-      val shortlist = cands
-        .join(broadcast(probes.withColumn("lut", pqLut(idx.books)).select("q", "lut")), Seq("q"))
-        .select(col("q"), col("nb"), adcSim(col("code")).as("__asim"))
-        .groupBy(col("q"))
-        .agg(graft.stats.Aggregates.topK(col("__asim"), col("nb"), shortlistN).as("top"))
-        .select(col("q"), explode(col("top")).as("t"))
-        .select(col("q"), col("t.id").as("nb"))
+      val shortlist = adcShortlist(
+        cands.join(
+          broadcast(probes.withColumn("lut", pqLut(idx.books)).select("q", "lut")), Seq("q")),
+        shortlistN)
       exactRerank(shortlist, probes, emb)
     })
 

@@ -56,24 +56,59 @@ object IndexStore {
     * stored index is current and `build` is skipped; otherwise `build`
     * runs (writing the index tables under `path`) and the meta is
     * stamped LAST — a crashed build leaves no stamp and is retried,
-    * never trusted. In-JVM calls are serialized; concurrent builds from
-    * separate JVMs race benignly (same deterministic bytes). */
+    * never trusted. In-JVM calls are serialized; ACROSS JVMs an
+    * advisory lock file (`_graft_build_lock`, atomic create) lets one
+    * builder proceed while others wait for its meta stamp — without it,
+    * two builders' overwrite-mode writes could delete a directory the
+    * other is scanning. A crashed builder's lock goes stale after 10
+    * minutes and is broken; the residual race (two JVMs breaking the
+    * same stale lock together) is accepted for a machine-local store —
+    * a shared production deployment would put a real coordination
+    * service (or Hive/Iceberg commit protocol) in front of this. */
   def ensure(s: SparkSession, path: String, meta: String)(build: => Unit): Unit = {
     if (ensured.get(path) == meta) return
     synchronized {
       if (ensured.get(path) == meta) return
       val hPath = new Path(path)
       val metaPath = new Path(hPath, "_graft_meta")
+      val lockPath = new Path(hPath, "_graft_build_lock")
       val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val current = fs.exists(metaPath) && {
+      def metaCurrent(): Boolean = fs.exists(metaPath) && {
         val in = fs.open(metaPath)
         try new String(in.readAllBytes(), "UTF-8") == meta finally in.close()
       }
-      if (!current) {
-        if (fs.exists(metaPath)) fs.delete(metaPath, false) // invalidate first
-        build
-        val out = fs.create(metaPath, true)
-        try out.write(meta.getBytes("UTF-8")) finally out.close()
+      def tryLock(): Boolean =
+        try { fs.mkdirs(hPath); fs.create(lockPath, false).close(); true }
+        catch { case _: java.io.IOException => false }
+      if (!metaCurrent()) {
+        if (!tryLock()) {
+          // another JVM is building: wait for its stamp (or a stale lock)
+          val staleMs = 10L * 60 * 1000
+          val deadline = System.nanoTime() + 15L * 60 * 1000 * 1000000
+          var waiting = true
+          while (waiting && System.nanoTime() < deadline) {
+            Thread.sleep(500)
+            val lockAge = try {
+              if (fs.exists(lockPath))
+                System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime
+              else Long.MaxValue
+            } catch { case _: java.io.IOException => Long.MaxValue }
+            waiting = lockAge < staleMs && !metaCurrent()
+          }
+          if (metaCurrent()) { ensured.put(path, meta); return }
+          try fs.delete(lockPath, false) catch { case _: java.io.IOException => () }
+          tryLock() // stale-lock takeover; benign if it fails
+        }
+        try {
+          if (!metaCurrent()) { // re-check under the lock
+            if (fs.exists(metaPath)) fs.delete(metaPath, false) // invalidate first
+            build
+            val out = fs.create(metaPath, true)
+            try out.write(meta.getBytes("UTF-8")) finally out.close()
+          }
+        } finally {
+          try fs.delete(lockPath, false) catch { case _: java.io.IOException => () }
+        }
       }
       ensured.put(path, meta)
     }

@@ -89,20 +89,8 @@ object EventStreams {
     * range bound the state store grows with the full history, which no
     * 100 TB/day stream survives. Inner join → Append output (each
     * matched pair is final the moment it is emitted). */
-  def intervalJoin(impressions: DataFrame, clicks: DataFrame): DataFrame = {
-    val imp = impressions.withWatermark("ts", "30 minutes")
-      .select(col("eventId").as("impressionId"), col("userId").as("impUserId"),
-        col("ts").as("impTs"))
-    val clk = clicks.withWatermark("ts", "30 minutes")
-      .select(col("eventId").as("clickId"), col("userId").as("clickUserId"),
-        col("ts").as("clickTs"))
-    imp.join(clk, expr(
-      """impUserId = clickUserId AND
-         clickTs >= impTs AND
-         clickTs <= impTs + interval 15 minutes"""))
-      .select(col("impressionId"), col("clickId"),
-        col("impUserId").as("userId"), col("impTs"), col("clickTs"))
-  }
+  def intervalJoin(impressions: DataFrame, clicks: DataFrame): DataFrame =
+    attributionJoin(impressions, clicks, "inner")
 
   /** LEFT-OUTER variant of [[intervalJoin]] — the attribution-report
     * shape: EVERY impression is emitted, matched or not. A matched pair
@@ -115,7 +103,15 @@ object EventStreams {
     * evictable: the outer row's emission is watermark-DRIVEN, trading
     * latency (one watermark delay) for completeness, never unbounded
     * state. */
-  def intervalJoinLeftOuter(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+  def intervalJoinLeftOuter(impressions: DataFrame, clicks: DataFrame): DataFrame =
+    attributionJoin(impressions, clicks, "leftOuter")
+
+  /** One copy of the attribution-join logic (watermarks, 15-minute
+    * window, output projection) shared by the inner and left-outer
+    * variants — the window/watermark knobs can never diverge between
+    * them. */
+  private def attributionJoin(impressions: DataFrame, clicks: DataFrame,
+                              joinType: String): DataFrame = {
     val imp = impressions.withWatermark("ts", "30 minutes")
       .select(col("eventId").as("impressionId"), col("userId").as("impUserId"),
         col("ts").as("impTs"))
@@ -125,7 +121,7 @@ object EventStreams {
     imp.join(clk, expr(
       """impUserId = clickUserId AND
          clickTs >= impTs AND
-         clickTs <= impTs + interval 15 minutes"""), "leftOuter")
+         clickTs <= impTs + interval 15 minutes"""), joinType)
       .select(col("impressionId"), col("clickId"),
         col("impUserId").as("userId"), col("impTs"), col("clickTs"))
   }

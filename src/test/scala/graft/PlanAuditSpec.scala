@@ -19,6 +19,11 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  // env-independent marker for "this scan reads the stored index":
+  // the index root's basename (honors GRAFT_INDEX_DIR overrides)
+  private val indexRootName =
+    new java.io.File(graft.sources.IndexStore.root).getName
+
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
 
@@ -76,7 +81,7 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("array_min"),
       "PQ encode leaked into the join-side plan — codes no longer precomputed\n" +
         p.take(2000))
-    assert(p.contains("graft_indexes"),
+    assert(p.contains(indexRootName),
       "expected a scan over the stored PQ code table\n" + p.take(2000))
   }
 
@@ -89,7 +94,7 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("d8_incremental_dedup")
     assert(!p.toLowerCase.contains("minhashk"),
       "corpus signatures recomputed in-plan — stored index not used\n" + p.take(2000))
-    assert(p.contains("graft_indexes"),
+    assert(p.contains(indexRootName),
       "expected scans over the stored MinHash index tables\n" + p.take(2000))
   }
 
