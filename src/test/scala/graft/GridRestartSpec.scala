@@ -46,6 +46,20 @@ class GridRestartSpec extends AnyFunSuite {
     assert(diff == 0L, s"resumed grid differs from fresh run by $diff rows")
   }
 
+  test("a lower-rep rerun refuses to overwrite a higher-rep checkpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_grid_guard").toString
+    GridRunner.runGrid(spark, Seq(cellA), nReps = 3, methods, Some(dir))
+    // a quick pass (fewer reps) against the same dir must refuse loudly
+    // instead of silently recomputing over the committed checkpoint
+    val ex = intercept[IllegalStateException] {
+      GridRunner.runGrid(spark, Seq(cellA), nReps = 2, methods, Some(dir))
+    }
+    assert(ex.getMessage.contains("refusing to overwrite"))
+    // MORE reps is an upgrade, not a quick pass — allowed to recompute
+    val (_, st) = GridRunner.runGrid(spark, Seq(cellA), nReps = 4, methods, Some(dir))
+    assert(st.map(_.loadedFromCheckpoint) == Seq(false))
+  }
+
   test("cell seeds are keyed by cell, not grid position") {
     // reordering or extending the grid must not change any cell's draws
     assert(GridRunner.cellSeed(2024L, cellA) != GridRunner.cellSeed(2024L, cellB))
