@@ -256,6 +256,34 @@ object DedupQueries {
       .write.mode("append").partitionBy("band").parquet(s"$path/bands")
   }
 
+  /** Compact an appendable index: daily appends accumulate one small
+    * file set per increment (the classic small-files problem — at
+    * 100 TB a year of daily appends is 365 file groups per table, and
+    * scan planning cost grows with file count). Each table is rewritten
+    * coalesced into a sibling directory and swapped in via rename —
+    * readers opening the index mid-compaction see either the old or the
+    * new complete table, never a partial one. Contents are unchanged
+    * (IncrementalDedupSpec pins probe equality across a compaction). */
+  def compactStoredIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                         filesPerTable: Int = 4): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    for (tbl <- Seq("ids", "sig", "bands")) {
+      val cur = s"$path/$tbl"
+      val tmp = s"$path/${tbl}__compacting"
+      val old = s"$path/${tbl}__old"
+      val df = s.read.parquet(cur)
+      // repartition, not coalesce: coalesce(n) would collapse the READ
+      // parallelism of the rewrite itself; the shuffle moves table-sized
+      // data once, which is the point of a compaction job
+      val w = df.repartition(filesPerTable).write.mode("overwrite")
+      if (tbl == "bands") w.partitionBy("band").parquet(tmp) else w.parquet(tmp)
+      fs.rename(new org.apache.hadoop.fs.Path(cur), new org.apache.hadoop.fs.Path(old))
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(cur))
+      fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    }
+  }
+
   /** Probe an appendable index with a new increment — identical
     * semantics to [[minHashPairsIncrementalStored]] (all pairs of a full
     * re-mine that touch the increment), but against whatever corpus the

@@ -106,6 +106,14 @@ object EventStreams {
   def intervalJoinLeftOuter(impressions: DataFrame, clicks: DataFrame): DataFrame =
     attributionJoin(impressions, clicks, "leftOuter")
 
+  /** FULL-OUTER variant — the reconciliation shape: unmatched rows from
+    * BOTH sides surface (null-click impressions AND orphan clicks, each
+    * exactly once after the global watermark passes its window). Same
+    * evictable-state bounds; click-side columns are null-padded on the
+    * impression-only rows and vice versa. */
+  def intervalJoinFullOuter(impressions: DataFrame, clicks: DataFrame): DataFrame =
+    attributionJoin(impressions, clicks, "fullOuter")
+
   /** One copy of the attribution-join logic (watermarks, 15-minute
     * window, output projection) shared by the inner and left-outer
     * variants — the window/watermark knobs can never diverge between

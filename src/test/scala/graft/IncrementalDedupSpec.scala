@@ -90,6 +90,20 @@ class IncrementalDedupSpec extends AnyFunSuite {
       DedupQueries.appendStoredIndex(spark, path, incA)
     }
     assert(ex.getMessage.contains("disjoint"))
+
+    // compaction rewrites the accumulated append file-groups into a few
+    // files per table without changing ANY probe result
+    def fileCount(tbl: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/$tbl")).count(_.getName.endsWith(".parquet"))
+    }
+    val before = fileCount("sig")
+    DedupQueries.compactStoredIndex(spark, path, filesPerTable = 1)
+    assert(fileCount("sig") < before,
+      s"compaction should reduce the sig file count (was $before)")
+    assert(rows(DedupQueries.probeStoredIndex(spark, path, incB)) == dayTwo,
+      "compaction changed probe results")
   }
 
   test("disjointness violation fails loudly") {

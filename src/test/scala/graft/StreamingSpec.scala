@@ -182,6 +182,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer interval join surfaces the orphan click as well as the unmatched impression") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val impressions = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = EventStreams.intervalJoinFullOuter(impressions.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("attributed_full")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      impressions.addData(Event(10, ts(0), 1, "impression", 0.0)) // never clicked
+      clicks.addData(Event(20, ts(0), 2, "click", 1.0))           // no impression
+      q.processAllAvailable()
+      // advance the global watermark past both windows, then flush
+      impressions.addData(Event(90, ts(120), 98, "impression", 0.0))
+      clicks.addData(Event(91, ts(120), 99, "click", 1.0))
+      q.processAllAvailable()
+      impressions.addData(Event(92, ts(125), 98, "impression", 0.0))
+      clicks.addData(Event(93, ts(125), 99, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attributed_full").collect()
+      val nullClick = rows.filter(r => !r.isNullAt(r.fieldIndex("impressionId")) &&
+        r.getAs[Long]("impressionId") == 10L)
+      assert(nullClick.length == 1 && nullClick.head.isNullAt(nullClick.head.fieldIndex("clickId")))
+      val orphanClick = rows.filter(r => !r.isNullAt(r.fieldIndex("clickId")) &&
+        r.getAs[Long]("clickId") == 20L)
+      assert(orphanClick.length == 1 &&
+        orphanClick.head.isNullAt(orphanClick.head.fieldIndex("impressionId")))
+    } finally q.stop()
+  }
+
   test("streaming logic matches batch execution of the same transform") {
     import spark.implicits._
     val batch = Seq(
