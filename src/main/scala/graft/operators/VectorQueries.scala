@@ -73,12 +73,16 @@ object VectorQueries {
     Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Multi-table LSH approximate NN: 8 hash tables × 4-bit hyperplane
-    * signatures (single-table match probability on near-orthogonal
-    * vectors is (1-θ/π)^bits ≈ 2% — multiple short tables restore
-    * recall; measured ≥ ~0.6 @3 vs the exact v1 baseline in LshRecallSpec).
-    * Candidates deduped across tables, exact cosine re-rank, top-3 per
-    * probe. Rows-only (deterministic). */
+  /** Multi-table, MULTI-PROBE LSH approximate NN: 8 hash tables × 4-bit
+    * hyperplane signatures (single-table match probability on
+    * near-orthogonal vectors is (1-θ/π)^bits ≈ 2% — multiple short
+    * tables restore recall), and each probe additionally searches its
+    * 1-bit-flip neighbor buckets per table (multi-probe LSH, Lv et al.
+    * VLDB'07: a near neighbor that lands one hyperplane away is caught
+    * without doubling the table count). Probe-side-only expansion — the
+    * corpus is hashed exactly once; the candidate set stays ids-only and
+    * deduped before the exact cosine re-rank, top-3 per probe.
+    * Rows-only (deterministic; recall floor gated in LshRecallSpec). */
   val vLshAnn = QueryDef(
     "v2_lsh_ann",
     (s, dir) => {
@@ -99,8 +103,12 @@ object VectorQueries {
           struct(lit(t).as("tbl"), tableSig(t)(col("embedding")).as("sig"))
         }: _*)).as("ts"))
         .select(col("vec_id"), col("ts.tbl"), col("ts.sig"))
+      // multi-probe: exact signature + the bitsPerTable 1-flip neighbors
+      val probeSigs = (Seq(0L) ++ (0 until bitsPerTable).map(1L << _)).map(f =>
+        col("sig").bitwiseXOR(lit(f)))
       val probes = tabled.filter(col("vec_id") < 50)
-        .select(col("tbl"), col("sig"), col("vec_id").as("q"))
+        .select(col("tbl"), explode(array(probeSigs: _*)).as("sig"),
+          col("vec_id").as("q"))
       val cands = tabled.select(col("tbl"), col("sig"), col("vec_id").as("nb"))
       val pairIds = broadcast(probes).join(cands, Seq("tbl", "sig"))
         .filter(col("q") =!= col("nb"))

@@ -42,6 +42,38 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("appendable index: empty and all-short increments probe to no pairs, empty append is a no-op") {
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_degen").toString + "/mh"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog by the river"),
+      (2L, "the quick brown fox jumps over the lazy dog by the creek")).toDF("doc_id", "text")
+    DedupQueries.initStoredIndex(spark, path, corpus)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(DedupQueries.probeStoredIndex(spark, path, empty).count() == 0L)
+    // sub-shingle-window docs: ids exist, no signature rows — must not
+    // crash the band-key HOFs and must produce no pairs
+    val short = Seq((100L, "too short")).toDF("doc_id", "text")
+    assert(DedupQueries.probeStoredIndex(spark, path, short).count() == 0L)
+    DedupQueries.appendStoredIndex(spark, path, empty) // no-op, not a crash
+    DedupQueries.appendStoredIndex(spark, path, short) // ids recorded, no sig
+    // the short doc's id is now in the index: re-appending must trip
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.appendStoredIndex(spark, path, short)
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
+  test("t11 compression iterator survives early abandonment (limit) and full scans agree") {
+    // the per-partition Deflater is end()'d by a task-completion
+    // listener when the iterator is dropped mid-partition — a limit()
+    // plan must work and a subsequent full scan must be unaffected
+    val dir = "/root/testdata/sf0.001"
+    val limited = graft.operators.TextQueries.tCompression.fn(spark, dir).limit(5).collect()
+    assert(limited.length == 5)
+    val full = graft.operators.TextQueries.tCompression.fn(spark, dir).count()
+    assert(full == 500L)
+  }
+
   test("connectedComponents: empty edge list yields empty labeling on both routes") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(DedupClusters.connectedComponents(empty).count() == 0L)

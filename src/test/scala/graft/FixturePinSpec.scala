@@ -41,7 +41,7 @@ class FixturePinSpec extends AnyFunSuite {
     "s4_estimator_battery"     -> "8b19ad4c5625f65276c52f5f8ba42128",
     "s5_awcls"                 -> "dd305b961e07996c4b4fed4b5e84cb64",
     "s6_aic_ladder"            -> "a47246fafb616d117be73e04f0eac926",
-    "v2_lsh_ann"               -> "a1f492db02277657e295c661c74e3eaa",
+    "v2_lsh_ann"               -> "bd1e71d161aa4294e918aa07b8dc22c0",
     "v3_embed_neardup"         -> "73b19f18c790733cac4ead62c2fd7327",
     "v5_ivf_ann"               -> "afd848323e99e775dd15dee6070bd772",
     "v6_pq_ann"                -> "c0eeb3a88ad778f4ef7b11eb1a286f62",

@@ -8,10 +8,10 @@ import graft.operators.{DedupQueries, VectorQueries}
   * generation must stay close to the exact brute-force ground truth
   * (measured, not assumed — the single-table variant scored 0.01).
   * Gates are the MEASURED floors on the sf0.001 fixture (VERDICT r6 #4:
-  * a 0.5 gate on everything hides regressions): LSH 0.72 and IVF 0.767
-  * gate at 0.7; PQ exact-re-ranks a 128-deep ADC shortlist (recall is
-  * shortlist-depth-bound: measured 0.65 at depth 32, 0.96 at 128) and
-  * gates at 0.9.
+  * a 0.5 gate on everything hides regressions): multi-probe LSH 0.987
+  * gates at 0.95; IVF 0.767 gates at 0.7; PQ exact-re-ranks a 128-deep
+  * ADC shortlist (recall is shortlist-depth-bound: measured 0.65 at
+  * depth 32, 0.96 at 128) and gates at 0.9; IVFADC 0.907 gates at 0.9.
   */
 class LshRecallSpec extends AnyFunSuite {
 
@@ -34,9 +34,11 @@ class LshRecallSpec extends AnyFunSuite {
     (exactTop3 & approx).size.toDouble / exactTop3.size
   }
 
-  test("multi-table LSH ANN recall@3 >= 0.7 vs exact top-k (measured 0.72)") {
+  test("multi-table multi-probe LSH ANN recall@3 >= 0.95 vs exact top-k (measured 0.987)") {
+    // 1-bit-flip multi-probe (Lv et al.) lifted the measured recall from
+    // 0.72 (exact-bucket only) to 0.987 at the same table count
     val recall = recallOf(VectorQueries.vLshAnn)
-    assert(recall >= 0.7, s"LSH ANN recall@3 = $recall")
+    assert(recall >= 0.95, s"LSH ANN recall@3 = $recall")
   }
 
   test("IVF ANN recall@3 >= 0.7 vs exact top-k (measured 0.767)") {

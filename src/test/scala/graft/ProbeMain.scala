@@ -293,7 +293,7 @@ object ProbeMain {
       val exact = graft.operators.VectorQueries.vCosineTopK.fn(spark, d)
         .filter(col("rank") <= 3).select("q", "nb")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      for (n <- Seq("v5_ivf_ann", "v6_pq_ann", "v7_ivfadc_ann")) {
+      for (n <- Seq("v2_lsh_ann", "v5_ivf_ann", "v6_pq_ann", "v7_ivfadc_ann")) {
         val approx = graft.SparkEntry.queries(n)(spark, d)
           .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
         println(s"RECALL $n = ${(exact & approx).size.toDouble / exact.size}")
