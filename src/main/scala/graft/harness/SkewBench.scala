@@ -73,7 +73,9 @@ object SkewBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("GRAFT_SKEW_DIR", "/tmp/graft_skew")
+    val nDocs = sys.env.getOrElse("GRAFT_SKEW_DOCS", "50000").toLong
+    val dir = sys.env.getOrElse("GRAFT_SKEW_DIR", "/tmp/graft_skew") +
+      (if (nDocs == 50000L) "" else s"_$nDocs")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,7 +89,7 @@ object SkewBench {
     val fs = new org.apache.hadoop.fs.Path(docsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$docsPath/_SUCCESS")))
-      skewedDocs(spark).write.mode("overwrite").parquet(docsPath)
+      skewedDocs(spark, nDocs).write.mode("overwrite").parquet(docsPath)
     val docs = spark.read.parquet(docsPath)
 
     def measure(name: String)(run: => Long): Unit = {

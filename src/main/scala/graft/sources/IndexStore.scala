@@ -65,7 +65,15 @@ object IndexStore {
     * same stale lock together) is accepted for a machine-local store —
     * a shared production deployment would put a real coordination
     * service (or Hive/Iceberg commit protocol) in front of this. */
-  def ensure(s: SparkSession, path: String, meta: String)(build: => Unit): Unit = {
+  def ensure(s: SparkSession, path: String, meta: String)(build: => Unit): Unit =
+    ensure(s, path, meta, lockStaleMs = 10L * 60 * 1000,
+      lockWaitMs = 15L * 60 * 1000, lockPollMs = 500L)(build)
+
+  /** Timing-injectable variant (exposed for IndexStoreSpec: the wait and
+    * stale-takeover paths are untestable at production timescales). */
+  private[graft] def ensure(s: SparkSession, path: String, meta: String,
+                            lockStaleMs: Long, lockWaitMs: Long,
+                            lockPollMs: Long)(build: => Unit): Unit = {
     if (ensured.get(path) == meta) return
     synchronized {
       if (ensured.get(path) == meta) return
@@ -83,11 +91,11 @@ object IndexStore {
       if (!metaCurrent()) {
         if (!tryLock()) {
           // another JVM is building: wait for its stamp (or a stale lock)
-          val staleMs = 10L * 60 * 1000
-          val deadline = System.nanoTime() + 15L * 60 * 1000 * 1000000
+          val staleMs = lockStaleMs
+          val deadline = System.nanoTime() + lockWaitMs * 1000000L
           var waiting = true
           while (waiting && System.nanoTime() < deadline) {
-            Thread.sleep(500)
+            Thread.sleep(lockPollMs)
             val lockAge = try {
               if (fs.exists(lockPath))
                 System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime

@@ -53,6 +53,39 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(attempts == 2, "the successful build is then reused")
   }
 
+  test("a waiter adopts the other builder's meta stamp without building") {
+    val path = tmpDir() + "/idx"
+    // simulate another JVM holding the lock: pre-create it, then stamp
+    // the meta from a helper thread while ensure() is waiting
+    val dir = new java.io.File(path); dir.mkdirs()
+    val lock = new java.io.File(dir, "_graft_build_lock"); lock.createNewFile()
+    val metaFile = new java.io.File(dir, "_graft_meta")
+    val stamper = new Thread(() => {
+      Thread.sleep(300)
+      java.nio.file.Files.writeString(metaFile.toPath, "other_builders_meta")
+    })
+    stamper.start()
+    var built = false
+    IndexStore.ensure(spark, path, "other_builders_meta",
+      lockStaleMs = 60000, lockWaitMs = 10000, lockPollMs = 50) { built = true }
+    stamper.join()
+    assert(!built, "the waiter must adopt the other builder's stamp, not rebuild")
+    lock.delete()
+  }
+
+  test("a stale lock (crashed builder) is broken and the build proceeds") {
+    val path = tmpDir() + "/idx"
+    val dir = new java.io.File(path); dir.mkdirs()
+    val lock = new java.io.File(dir, "_graft_build_lock")
+    lock.createNewFile()
+    lock.setLastModified(System.currentTimeMillis() - 60000) // long-dead holder
+    var built = false
+    IndexStore.ensure(spark, path, "meta",
+      lockStaleMs = 1000, lockWaitMs = 5000, lockPollMs = 50) { built = true }
+    assert(built, "a stale lock must be broken, not waited on forever")
+    assert(!lock.exists(), "the takeover build must release the lock")
+  }
+
   test("sourceStamp moves when the source file changes") {
     val f = java.nio.file.Paths.get(tmpDir(), "src.parquet")
     java.nio.file.Files.writeString(f, "aaaa")
