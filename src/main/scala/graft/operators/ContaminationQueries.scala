@@ -32,7 +32,7 @@ object ContaminationQueries {
     * optimizer rules (InferFiltersFromGenerate + pushdown) substitute
     * inline expressions into extra Filter copies — observed as a 15×
     * single-threaded blowup below the spread Exchange. */
-  private def wordNgrams(tk: Column, n: Int) =
+  private[operators] def wordNgrams(tk: Column, n: Int) =
     array_distinct(
       transform(sequence(lit(0), size(tk) - n),
         i => concat_ws(" ", (1 to n).map(j => element_at(tk, i + j)): _*)))

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.plans.Stage.StageOps
+import graft.sources.Tables
+
+/** END-TO-END corpus-curation pipeline — the composition every
+  * pretraining data release actually runs, expressed as ONE declarative
+  * Spark plan so Catalyst sees (and optimizes) the whole flow:
+  *
+  *   exact dedup (canonical copy survives)
+  *     → quality gate (the t9 Gopher-style 5-rule battery)
+  *     → eval-set decontamination (drop any candidate sharing a distinct
+  *       5-gram with the held-out set — x1's gram machinery)
+  *     → deterministic content-keyed train/val/test split (c3's octet)
+  *     → per-(source, split) release audit.
+  *
+  * This is the integration proof for the operator library: each stage
+  * reuses the SAME building blocks its standalone query uses
+  * (TextQueries.qualityRuleFrame, ContaminationQueries.wordNgrams, the
+  * c3 split octet), and the whole composition is DuckDB-oracle-checked
+  * end-to-end — a wrong interaction between any two stages (join
+  * duplication, dropped columns, filter ordering) breaks the hash.
+  *
+  * Scale shape: dedup is one keyed window; the quality battery's only
+  * shuffle is bounded by (doc, distinct token); the eval gram postings
+  * are BROADCAST (a benchmark set is small by definition — cf. x1's
+  * guarded variant for the general case) so the candidate side never
+  * shuffles its postings; the split is a pure expression; the audit is
+  * the only corpus-keyed aggregate. At 100 TB every stage is a linear
+  * scan plus bounded shuffles — there is no all-pairs work anywhere.
+  */
+object PipelineQueries {
+
+  val pCuration = QueryDef(
+    "p1_curation_pipeline",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // 1. exact dedup: the canonical (min doc_id) copy of each text
+      val w = Window.partitionBy(col("text"))
+      val canon = docs
+        .withColumn("__m", min(col("doc_id")).over(w))
+        .filter(col("doc_id") === col("__m")).drop("__m")
+      // 2. quality gate: only keep==true survives (docs under t9's
+      // 2-token floor never reach the battery — they fail the release)
+      val keepIds = TextQueries.qualityRuleFrame(
+        canon.filter(size(split(col("text"), " ")) >= 2)
+          .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk")))
+        .filter(col("keep")).select(col("doc_id"))
+      // eval docs (x1's held-out predicate) are benchmark data — they
+      // are never part of the release themselves
+      val pre = canon.join(keepIds, "doc_id").filter(col("doc_id") % 37 =!= 0)
+      // 3. decontamination: any candidate sharing >= 1 distinct 5-gram
+      // with ANY eval doc is dropped. Gram frames are materialized
+      // before the explodes (same InferFiltersFromGenerate discipline
+      // as x1/d7); the eval grams are deduped then broadcast.
+      val evalG = QueryDef.spread(docs).filter(col("doc_id") % 37 === 0)
+        .select(split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
+        .staged
+        .select(explode(col("g")).as("gram")).distinct()
+      val candG = QueryDef.spread(pre)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"), ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
+        .staged
+        .select(col("doc_id"), explode(col("g")).as("gram"))
+      val contaminated = candG.join(broadcast(evalG), "gram")
+        .select(col("doc_id")).distinct()
+      val clean = pre.join(contaminated, Seq("doc_id"), "left_anti")
+      // 4. deterministic split (c3's independent hash octet) + 5. audit
+      val splitBucket = substring(md5(col("doc_id").cast("string")), 3, 2)
+      val split8 = when(splitBucket < "cc", "train")
+        .when(splitBucket < "e6", "val").otherwise("test")
+      clean.withColumn("split", split8)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc_id"),
+          sum(col("n_chars").cast("long")).as("total_chars"))
+        .orderBy("source", "split")
+    },
+    Some("""
+      WITH canon AS (
+        SELECT doc_id, text, source, n_chars
+        FROM (SELECT doc_id, text, source, n_chars,
+                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM documents)
+        WHERE doc_id = m),
+      b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        FROM canon WHERE len(string_split(text, ' ')) >= 2),
+      tc AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
+      tp AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id),
+      q AS (
+        SELECT b.doc_id FROM b JOIN tp USING (doc_id)
+        WHERE len(tk) BETWEEN 30 AND 1000
+          AND ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
+          AND len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
+          AND CAST(tp.max_c AS DOUBLE) / len(tk) <= 0.2
+          AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) <= 0.3),
+      pre AS (
+        SELECT canon.* FROM canon JOIN q USING (doc_id) WHERE doc_id % 37 <> 0),
+      evalg AS (
+        SELECT DISTINCT u.t AS gram
+        FROM (SELECT list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT string_split(text, ' ') AS tk FROM documents
+                    WHERE doc_id % 37 = 0)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      candg AS (
+        SELECT doc_id, u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM pre)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      contaminated AS (SELECT DISTINCT doc_id FROM candg JOIN evalg USING (gram)),
+      clean AS (
+        SELECT * FROM pre
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      a AS (
+        SELECT source, doc_id, n_chars,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean)
+      SELECT source, split, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM a GROUP BY source, split ORDER BY source, split"""))
+
+  val all: Seq[QueryDef] = Seq(pCuration)
+}

@@ -269,37 +269,42 @@ object TextQueries {
     * count-per-distinct-token HOF would be quadratic in document
     * length). Rule thresholds adapted to the synthetic corpus so both
     * outcomes occur. */
+  /** The 5-rule Gopher-style battery over a (doc_id, n_chars, tk)
+    * frame — shared by t9 (full per-rule report) and the p1 curation
+    * pipeline (which consumes only the `keep` gate). */
+  private[operators] def qualityRuleFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stop = Seq("the", "a", "and", "of", "to", "in")
+    val stopArr = array(stop.map(lit): _*)
+    val ruleNames = Seq("r_word_count", "r_mean_word_len", "r_stopwords",
+      "r_top_token", "r_repeated_bigrams")
+    val top = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_c"))
+    val tokCol = col("tk")
+    val ntA = size(tokCol)
+    docs.join(top, "doc_id")
+      .select(
+        col("doc_id"),
+        (ntA >= 30 && ntA <= 1000).as("r_word_count"),
+        ((col("n_chars") - (ntA - 1).cast("double")) / ntA.cast("double"))
+          .between(3.0, 10.0).as("r_mean_word_len"),
+        (size(filter(tokCol, t => array_contains(stopArr, t))) >= 2).as("r_stopwords"),
+        (col("max_c").cast("double") / ntA.cast("double") <= 0.2).as("r_top_token"),
+        (lit(1.0) - size(array_distinct(transform(sequence(lit(0), ntA - 2),
+          i => concat_ws(" ", element_at(tokCol, i + 1), element_at(tokCol, i + 2)))))
+          .cast("double") /
+          (ntA - 1).cast("double") <= 0.3).as("r_repeated_bigrams"))
+      .withColumn("n_rules_passed",
+        ruleNames.map(n => col(n).cast("long")).reduce(_ + _))
+      .withColumn("keep", col("n_rules_passed") === 5)
+  }
+
   val tQualityFilter = QueryDef(
     "t9_quality_filter",
-    (s, dir) => {
-      val stop = Seq("the", "a", "and", "of", "to", "in")
-      val stopArr = array(stop.map(lit): _*)
-      val ruleNames = Seq("r_word_count", "r_mean_word_len", "r_stopwords",
-        "r_top_token", "r_repeated_bigrams")
-      val docs = Tables.documents(s, dir).filter(size(toks) >= 2)
-        .select(col("doc_id"), col("n_chars"), toks.as("tk"))
-      val top = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("max_c"))
-      val tokCol = col("tk")
-      val ntA = size(tokCol)
-      docs.join(top, "doc_id")
-        .select(
-          col("doc_id"),
-          (ntA >= 30 && ntA <= 1000).as("r_word_count"),
-          ((col("n_chars") - (ntA - 1).cast("double")) / ntA.cast("double"))
-            .between(3.0, 10.0).as("r_mean_word_len"),
-          (size(filter(tokCol, t => array_contains(stopArr, t))) >= 2).as("r_stopwords"),
-          (col("max_c").cast("double") / ntA.cast("double") <= 0.2).as("r_top_token"),
-          (lit(1.0) - size(array_distinct(transform(sequence(lit(0), ntA - 2),
-            i => concat_ws(" ", element_at(tokCol, i + 1), element_at(tokCol, i + 2)))))
-            .cast("double") /
-            (ntA - 1).cast("double") <= 0.3).as("r_repeated_bigrams"))
-        .withColumn("n_rules_passed",
-          ruleNames.map(n => col(n).cast("long")).reduce(_ + _))
-        .withColumn("keep", col("n_rules_passed") === 5)
-        .orderBy("doc_id")
-    },
+    (s, dir) => qualityRuleFrame(
+      Tables.documents(s, dir).filter(size(toks) >= 2)
+        .select(col("doc_id"), col("n_chars"), toks.as("tk")))
+      .orderBy("doc_id"),
     Some("""
       WITH b AS (
         SELECT doc_id, n_chars, string_split(text, ' ') AS tk
