@@ -338,37 +338,78 @@ object VectorQueries {
       val meta = s"v1|m=$pqM|subDim=$pqSubDim|kSub=$pqKSub|coarseK=$pqCoarseK|" +
         s"src=${graft.sources.IndexStore.sourceStamp(s, s"$dir/embeddings.parquet")}"
       graft.sources.IndexStore.ensure(s, path, meta) {
-        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-        val sample = strideSample(emb)
-        val books = Array.tabulate(pqM) { j =>
-          LocalKMeans.fit(sample.map(v => v.slice(j * pqSubDim, (j + 1) * pqSubDim)),
-            k = pqKSub, iters = 10, seed = 42L + j)
-        }
-        val coarse = LocalKMeans.fit(sample, k = pqCoarseK, iters = 10, seed = 4242L)
-        import s.implicits._
-        books.zipWithIndex.flatMap { case (bk, j) =>
-          bk.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
-        }.toSeq.toDF("j", "c", "center")
-          .repartition(1).write.mode("overwrite").parquet(s"$path/books")
-        coarse.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
-          .toDF("i", "center")
-          .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
-        val codeCol = array((0 until pqM).map(j => subCode(col("embedding"), j, books)): _*)
-        val listCol = array_min(centerDistStructs(col("embedding"), coarse)).getField("idx")
-        QueryDef.spread(emb)
-          .select(col("vec_id").as("nb"), codeCol.as("code"), listCol.as("list_id"))
-          .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
+        initStoredPqIndex(s, path,
+          Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
       }
-      val books = Array.fill(pqM)(Array.fill(pqKSub)(null: Array[Double]))
-      s.read.parquet(s"$path/books").collect().foreach { r =>
-        books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
-      }
-      val coarse = Array.fill(pqCoarseK)(null: Array[Double])
-      s.read.parquet(s"$path/coarse").collect().foreach { r =>
-        coarse(r.getInt(0)) = r.getSeq[Double](1).toArray
-      }
-      PqIndex(books, coarse, s.read.parquet(s"$path/codes"))
+      readStoredPqIndex(s, path)
     })
+
+  // ---- Appendable PQ index lifecycle (day-over-day ANN ingest) --------
+
+  /** Initialize an APPENDABLE stored PQ index at `path`: codebooks +
+    * coarse router fit on the snapshot's stride sample, every snapshot
+    * vector encoded, codes stored partitioned by coarse list. The
+    * quantizers are FROZEN at snapshot time (the FAISS production
+    * discipline: retrain on drift as a new snapshot, never per batch) —
+    * [[appendStoredPqIndex]] encodes later increments with these stored
+    * books. One writer for the on-disk layout (storedPqIndex's
+    * auto-build delegates here). */
+  def initStoredPqIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                        emb: DataFrame): Unit = {
+    val sample = strideSample(emb)
+    val books = Array.tabulate(pqM) { j =>
+      LocalKMeans.fit(sample.map(v => v.slice(j * pqSubDim, (j + 1) * pqSubDim)),
+        k = pqKSub, iters = 10, seed = 42L + j)
+    }
+    val coarse = LocalKMeans.fit(sample, k = pqCoarseK, iters = 10, seed = 4242L)
+    import s.implicits._
+    books.zipWithIndex.flatMap { case (bk, j) =>
+      bk.zipWithIndex.map { case (cv, c) => (j, c, cv.toSeq) }
+    }.toSeq.toDF("j", "c", "center")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/books")
+    coarse.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
+      .toDF("i", "center")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
+    writeCodes(emb, books, coarse, s"$path/codes", append = false)
+  }
+
+  /** Encode NEW embeddings with the STORED (frozen) codebooks and
+    * APPEND their codes — O(increment) work, never a corpus re-encode.
+    * Same day-over-day loop as DedupQueries.appendStoredIndex; the
+    * disjointness gate keeps an id from being encoded twice. */
+  def appendStoredPqIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                          newEmb: DataFrame): Unit = {
+    val idx = readStoredPqIndex(s, path)
+    val overlap = idx.codes.select(col("nb").as("vec_id"))
+      .join(newEmb.select(col("vec_id")), "vec_id").limit(1).count()
+    require(overlap == 0L, "appended vec_ids must be disjoint from the index")
+    writeCodes(newEmb, idx.books, idx.coarse, s"$path/codes", append = true)
+  }
+
+  private def writeCodes(emb: DataFrame, books: Array[Array[Array[Double]]],
+                         coarse: Array[Array[Double]], codesPath: String,
+                         append: Boolean): Unit = {
+    val codeCol = array((0 until pqM).map(j => subCode(col("embedding"), j, books)): _*)
+    val listCol = array_min(centerDistStructs(col("embedding"), coarse)).getField("idx")
+    QueryDef.spread(emb)
+      .select(col("vec_id").as("nb"), codeCol.as("code"), listCol.as("list_id"))
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("list_id").parquet(codesPath)
+  }
+
+  /** Read handles onto a stored PQ index (books/coarse collected —
+    * 136 tiny rows — codes left as a parquet scan). */
+  def readStoredPqIndex(s: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val books = Array.fill(pqM)(Array.fill(pqKSub)(null: Array[Double]))
+    s.read.parquet(s"$path/books").collect().foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    val coarse = Array.fill(pqCoarseK)(null: Array[Double])
+    s.read.parquet(s"$path/coarse").collect().foreach { r =>
+      coarse(r.getInt(0)) = r.getSeq[Double](1).toArray
+    }
+    PqIndex(books, coarse, s.read.parquet(s"$path/codes"))
+  }
 
   /** Exact top-3 re-rank of a shortlist: only shortlisted ids touch the
     * full embeddings. */
@@ -440,11 +481,19 @@ object VectorQueries {
   val vIvfAdcAnn = QueryDef(
     "v7_ivfadc_ann",
     (s, dir) => {
-      val nprobe = 4; val shortlistN = 128
-      val idx = storedPqIndex(s, dir)
       val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
       val probes = emb.filter(col("vec_id") < 50)
         .select(col("vec_id").as("q"), col("embedding").as("qe"))
+      ivfAdcProbe(s, storedPqIndex(s, dir), emb, probes)
+    })
+
+  /** The IVFADC probe over any stored PQ index (v7's engine, also the
+    * probe surface of the appendable lifecycle): driver-side routing to
+    * the nprobe nearest coarse lists, statically partition-pruned ADC
+    * scan, bounded shortlist, exact re-rank. */
+  def ivfAdcProbe(s: org.apache.spark.sql.SparkSession, idx: PqIndex,
+                  emb: DataFrame, probes: DataFrame,
+                  nprobe: Int = 4, shortlistN: Int = 128): DataFrame = {
       val routing: Array[(Long, Int)] = probes
         .select(col("q"), explode(slice(
           transform(array_sort(centerDistStructs(col("qe"), idx.coarse)),
@@ -464,7 +513,7 @@ object VectorQueries {
           broadcast(probes.withColumn("lut", pqLut(idx.books)).select("q", "lut")), Seq("q")),
         shortlistN)
       exactRerank(shortlist, probes, emb)
-    })
+  }
 
   val all: Seq[QueryDef] = Seq(vCosineTopK, vLshAnn, vEmbedDedup, vNormStats,
     vIvfAnn, vPqAnn, vIvfAdcAnn)

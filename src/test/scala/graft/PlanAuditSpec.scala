@@ -53,7 +53,8 @@ class PlanAuditSpec extends AnyFunSuite {
     val static = SparkEntry.queries.keys.filter(q =>
       q.startsWith("q") || q.startsWith("t") || q.startsWith("c") ||
         q.startsWith("d1") || q.startsWith("d2") || q.startsWith("d3") ||
-        q.startsWith("d4") || q.startsWith("v") || q.startsWith("mm"))
+        q.startsWith("d4") || q.startsWith("v") || q.startsWith("mm") ||
+        q.startsWith("p"))
     static.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product")
@@ -96,6 +97,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "corpus signatures recomputed in-plan — stored index not used\n" + p.take(2000))
     assert(p.contains(indexRootName),
       "expected scans over the stored MinHash index tables\n" + p.take(2000))
+  }
+
+  test("p1 pipeline broadcasts the eval gram postings (decontamination join)") {
+    // the candidate side must never shuffle its postings — the eval set
+    // is the broadcast side of the decontamination join
+    val p = plan("p1_curation_pipeline")
+    assert(p.contains("BroadcastHashJoin"),
+      "expected the eval-gram decontamination join to broadcast\n" + p.take(2000))
   }
 
   test("v7 IVFADC scans only the routed coarse lists (static partition prune)") {
