@@ -38,11 +38,15 @@ object PipelineQueries {
     "p1_curation_pipeline",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      // 1. exact dedup: the canonical (min doc_id) copy of each text
+      // 1. exact dedup: the canonical (min doc_id) copy of each text.
+      // Staged: canon feeds both the quality battery and the survivor
+      // join — without the stage break the corpus-wide window would
+      // re-execute per consumer
       val w = Window.partitionBy(col("text"))
       val canon = docs
         .withColumn("__m", min(col("doc_id")).over(w))
         .filter(col("doc_id") === col("__m")).drop("__m")
+        .staged
       // 2. quality gate: only keep==true survives (docs under t9's
       // 2-token floor never reach the battery — they fail the release)
       val keepIds = TextQueries.qualityRuleFrame(
@@ -51,7 +55,9 @@ object PipelineQueries {
         .filter(col("keep")).select(col("doc_id"))
       // eval docs (x1's held-out predicate) are benchmark data — they
       // are never part of the release themselves
+      // staged: pre feeds the candidate gram pass AND the left-anti base
       val pre = canon.join(keepIds, "doc_id").filter(col("doc_id") % 37 =!= 0)
+        .staged
       // 3. decontamination: any candidate sharing >= 1 distinct 5-gram
       // with ANY eval doc is dropped. Gram frames are materialized
       // before the explodes (same InferFiltersFromGenerate discipline
@@ -71,11 +77,8 @@ object PipelineQueries {
       val contaminated = candG.join(broadcast(evalG), "gram")
         .select(col("doc_id")).distinct()
       val clean = pre.join(contaminated, Seq("doc_id"), "left_anti")
-      // 4. deterministic split (c3's independent hash octet) + 5. audit
-      val splitBucket = substring(md5(col("doc_id").cast("string")), 3, 2)
-      val split8 = when(splitBucket < "cc", "train")
-        .when(splitBucket < "e6", "val").otherwise("test")
-      clean.withColumn("split", split8)
+      // 4. deterministic split — the SAME shared column as c3 + 5. audit
+      clean.withColumn("split", SampleQueries.splitCol)
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc_id"),

@@ -85,14 +85,22 @@ object SampleQueries {
     * hex thresholds: < 'cc' → train (204/256), < 'e6' → val (26/256),
     * else test (26/256). Pure expressions; the audit groupBy is the
     * only shuffle. */
+  /** The content-keyed split assignment (hash octet chars 3-4,
+    * 80/10/10 by hex thresholds) — ONE definition shared by c3 and the
+    * p1 curation pipeline, so the release split can never drift from
+    * the standalone split operator. (The DuckDB oracle SQL necessarily
+    * restates it as a CASE.) */
+  private[operators] def splitCol: org.apache.spark.sql.Column = {
+    val splitBucket = substring(md5(col("doc_id").cast("string")), 3, 2)
+    when(splitBucket < "cc", "train")
+      .when(splitBucket < "e6", "val").otherwise("test")
+  }
+
   val cSplit = QueryDef(
     "c3_train_split",
     (s, dir) => {
-      val splitBucket = substring(md5(col("doc_id").cast("string")), 3, 2)
-      val split = when(splitBucket < "cc", "train")
-        .when(splitBucket < "e6", "val").otherwise("test")
       Tables.documents(s, dir)
-        .withColumn("split", split)
+        .withColumn("split", splitCol)
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc_id"),

@@ -259,19 +259,12 @@ object TextQueries {
       SELECT doc_id, rnk, tok, tf, df, tfidf
       FROM sc WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
 
-  /** Gopher-style rule-battery quality filter: the hard keep/drop gates
-    * of the pretraining-data playbook (word-count bounds, mean-word-length
-    * bounds, minimum stopword evidence, top-token mass cap, repeated-
-    * bigram cap) evaluated per document with the per-rule verdicts
-    * exposed — the form a pipeline needs to audit WHY a doc was dropped.
-    * Array rules are per-row codegen expressions; the top-token mass
-    * uses t6's LINEAR explode → two-level-aggregate shape (a nested
-    * count-per-distinct-token HOF would be quadratic in document
-    * length). Rule thresholds adapted to the synthetic corpus so both
-    * outcomes occur. */
   /** The 5-rule Gopher-style battery over a (doc_id, n_chars, tk)
     * frame — shared by t9 (full per-rule report) and the p1 curation
-    * pipeline (which consumes only the `keep` gate). */
+    * pipeline (which consumes only the `keep` gate). Array rules are
+    * per-row codegen expressions; the top-token mass uses t6's LINEAR
+    * explode → two-level-aggregate shape (a nested count-per-distinct-
+    * token HOF would be quadratic in document length). */
   private[operators] def qualityRuleFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val stop = Seq("the", "a", "and", "of", "to", "in")
     val stopArr = array(stop.map(lit): _*)
@@ -299,6 +292,13 @@ object TextQueries {
       .withColumn("keep", col("n_rules_passed") === 5)
   }
 
+  /** Gopher-style rule-battery quality filter: the hard keep/drop gates
+    * of the pretraining-data playbook (word-count bounds, mean-word-length
+    * bounds, minimum stopword evidence, top-token mass cap, repeated-
+    * bigram cap) evaluated per document with the per-rule verdicts
+    * exposed — the form a pipeline needs to audit WHY a doc was dropped.
+    * Rule thresholds adapted to the synthetic corpus so both outcomes
+    * occur. */
   val tQualityFilter = QueryDef(
     "t9_quality_filter",
     (s, dir) => qualityRuleFrame(

@@ -104,6 +104,18 @@ object IndexStore {
             waiting = lockAge < staleMs && !metaCurrent()
           }
           if (metaCurrent()) { ensured.put(path, meta); return }
+          // only a STALE lock may be broken — if the peer's lock is
+          // still fresh when the wait deadline expires, taking it over
+          // would put two overwrite-mode builders on one directory (the
+          // exact corruption the lock prevents). Fail loudly instead.
+          val lockStillFresh = try {
+            fs.exists(lockPath) &&
+              System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime < staleMs
+          } catch { case _: java.io.IOException => false }
+          if (lockStillFresh)
+            throw new IllegalStateException(
+              s"timed out after ${lockWaitMs}ms waiting on a live index build " +
+              s"lock at $lockPath — raise the wait or investigate the holder")
           try fs.delete(lockPath, false) catch { case _: java.io.IOException => () }
           tryLock() // stale-lock takeover; benign if it fails
         }

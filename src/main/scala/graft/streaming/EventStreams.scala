@@ -115,9 +115,9 @@ object EventStreams {
     attributionJoin(impressions, clicks, "fullOuter")
 
   /** One copy of the attribution-join logic (watermarks, 15-minute
-    * window, output projection) shared by the inner and left-outer
-    * variants — the window/watermark knobs can never diverge between
-    * them. */
+    * window, output projection) shared by the inner, left-outer and
+    * full-outer variants — the window/watermark knobs can never diverge
+    * between them. */
   private def attributionJoin(impressions: DataFrame, clicks: DataFrame,
                               joinType: String): DataFrame = {
     val imp = impressions.withWatermark("ts", "30 minutes")
@@ -130,8 +130,12 @@ object EventStreams {
       """impUserId = clickUserId AND
          clickTs >= impTs AND
          clickTs <= impTs + interval 15 minutes"""), joinType)
+      // coalesce: an orphan click (full-outer) has no impression side,
+      // but its user is known — the join condition forces equality on
+      // matched rows, so this never changes inner/left-outer output
       .select(col("impressionId"), col("clickId"),
-        col("impUserId").as("userId"), col("impTs"), col("clickTs"))
+        coalesce(col("impUserId"), col("clickUserId")).as("userId"),
+        col("impTs"), col("clickTs"))
   }
 
   final case class SessionState(nEvents: Long, lastTs: Long, nSessions: Long)

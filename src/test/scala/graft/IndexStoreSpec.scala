@@ -73,6 +73,19 @@ class IndexStoreSpec extends AnyFunSuite {
     lock.delete()
   }
 
+  test("a live lock outlasting the wait deadline fails loudly instead of a concurrent takeover") {
+    val path = tmpDir() + "/idx"
+    val dir = new java.io.File(path); dir.mkdirs()
+    new java.io.File(dir, "_graft_build_lock").createNewFile() // fresh, never released
+    var built = false
+    val ex = intercept[IllegalStateException] {
+      IndexStore.ensure(spark, path, "meta",
+        lockStaleMs = 60000, lockWaitMs = 300, lockPollMs = 50) { built = true }
+    }
+    assert(ex.getMessage.contains("live index build lock"))
+    assert(!built, "must never run a second overwrite build beside a live lock")
+  }
+
   test("a stale lock (crashed builder) is broken and the build proceeds") {
     val path = tmpDir() + "/idx"
     val dir = new java.io.File(path); dir.mkdirs()

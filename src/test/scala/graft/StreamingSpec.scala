@@ -209,6 +209,9 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Long]("clickId") == 20L)
       assert(orphanClick.length == 1 &&
         orphanClick.head.isNullAt(orphanClick.head.fieldIndex("impressionId")))
+      // the orphan click's user is known from the click side — the
+      // reconciliation row must carry it, not a null
+      assert(orphanClick.head.getAs[Long]("userId") == 2L)
     } finally q.stop()
   }
 
