@@ -236,6 +236,48 @@ object DedupQueries {
     sig.write.mode("overwrite").parquet(s"$path/sig")
     bandKeys(sig, bands, rowsPerBand)
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    // geometry stamp written LAST: a crashed init leaves no stamp and
+    // every later probe/append fails loudly instead of reading a
+    // half-written index
+    writeGeometry(s, path, k, bands)
+  }
+
+  // ---- (k, bands) geometry stamp -------------------------------------
+  // The probe/append hash math silently finds NOTHING if its (k, bands)
+  // differ from the values the index was built with (different band
+  // slices -> different band hashes -> zero corpus candidates), so the
+  // geometry is persisted at init time and REQUIRED to match on every
+  // probe/append — the same meta-stamp discipline IndexStore.ensure
+  // applies to the auto-built variant, here for the maintainer-owned
+  // appendable lifecycle. A wrong-geometry call is a caller bug that
+  // must fail, not an empty result.
+
+  private def geometryString(k: Int, bands: Int): String = s"k=$k|bands=$bands"
+
+  private def hadoopFs(s: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def writeGeometry(s: org.apache.spark.sql.SparkSession, path: String,
+                            k: Int, bands: Int): Unit = {
+    val fs = hadoopFs(s, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_graft_geometry"), true)
+    try out.write(geometryString(k, bands).getBytes("UTF-8")) finally out.close()
+  }
+
+  private def requireGeometry(s: org.apache.spark.sql.SparkSession, path: String,
+                              k: Int, bands: Int): Unit = {
+    val fs = hadoopFs(s, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_geometry")
+    require(fs.exists(p),
+      s"no geometry stamp at $path — the index was never initialized " +
+        "(or a crashed initStoredIndex left it half-written); re-run initStoredIndex")
+    val in = fs.open(p)
+    val stored = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    require(stored == geometryString(k, bands),
+      s"index at $path was built with ($stored) but called with " +
+        s"(${geometryString(k, bands)}) — a mismatched probe would silently find " +
+        "no corpus candidates; pass the geometry the index was initialized with")
   }
 
   /** Fold a (matched) increment into an appendable index: its raw ids,
@@ -246,6 +288,7 @@ object DedupQueries {
   def appendStoredIndex(s: org.apache.spark.sql.SparkSession, path: String,
                         newDocs: DataFrame, k: Int = 16, bands: Int = 4): Unit = {
     val rowsPerBand = k / bands
+    requireGeometry(s, path, k, bands)
     // disjointness vs the CURRENT index contents — appending an id twice
     // would double-emit its pairs for every future increment
     checkDisjoint(s.read.parquet(s"$path/ids"), newDocs)
@@ -310,10 +353,7 @@ object DedupQueries {
   def probeStoredIndex(s: org.apache.spark.sql.SparkSession, path: String,
                        incrementIn: DataFrame, k: Int = 16, bands: Int = 4,
                        threshold: Double = 0.5): DataFrame = {
-    // (k, bands) MUST match the values the index was initialized with —
-    // a mismatched probe hashes different band slices and silently finds
-    // no corpus candidates, so the geometry is part of the caller's
-    // index contract (same discipline as a search-engine index version)
+    requireGeometry(s, path, k, bands)
     checkDisjoint(s.read.parquet(s"$path/ids"), incrementIn)
     incrementalPairs(s.read.parquet(s"$path/sig"),
       s.read.parquet(s"$path/bands"), incrementIn, k, bands, threshold)

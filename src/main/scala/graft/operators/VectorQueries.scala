@@ -267,8 +267,9 @@ object VectorQueries {
     * cluster structure, so routing needs high list coverage here). At
     * 100 TB, clustered real embeddings route far better and both knobs
     * scale: k ~ √n lists with nprobe/k of the corpus scanned per probe. */
-  private val pqM = 8; private val pqSubDim = 8; private val pqKSub = 16
-  private val pqCoarseK = 5
+  private[graft] val pqM = 8; private val pqSubDim = 8
+  private[graft] val pqKSub = 16
+  private[graft] val pqCoarseK = 5
 
   /** Handles onto the stored PQ index: per-subspace codebooks + coarse
     * centroids (driver-sized, read back from their parquet tables) and
@@ -319,9 +320,14 @@ object VectorQueries {
       .select(col("q"), col("t.id").as("nb"))
 
   // read-back memo: the codebook/centroid collects are tiny (136 rows)
-  // but per-invocation; keyed by applicationId like the dedup memos
+  // but per-invocation; keyed by applicationId like the dedup memos PLUS
+  // the computed meta stamp — the stamp embeds the source fingerprint,
+  // so a regenerated embeddings source within one long-lived application
+  // computes a new key and re-reads the rebuilt index instead of serving
+  // the stale cached books/codes (the staleness guarantee IndexStore's
+  // meta stamp provides across applications, preserved within one)
   private val pqIndexMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), PqIndex]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), PqIndex]()
 
   /** Build-once-then-read the persisted PQ index (the FAISS shape made
     * real as parquet tables): codebooks fit DRIVER-SIDE on the
@@ -331,18 +337,21 @@ object VectorQueries {
     * routed lists. The meta stamp keys on (geometry, source-file
     * fingerprint) so a new corpus snapshot rebuilds instead of serving
     * stale codes. */
-  def storedPqIndex(s: org.apache.spark.sql.SparkSession, dir: String): PqIndex =
-    pqIndexMemo.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
-      val path = graft.sources.IndexStore.indexPath(
-        dir, s"pq_m${pqM}_k${pqKSub}_c$pqCoarseK")
-      val meta = s"v1|m=$pqM|subDim=$pqSubDim|kSub=$pqKSub|coarseK=$pqCoarseK|" +
-        s"src=${graft.sources.IndexStore.sourceStamp(s, s"$dir/embeddings.parquet")}"
+  def storedPqIndex(s: org.apache.spark.sql.SparkSession, dir: String): PqIndex = {
+    val path = graft.sources.IndexStore.indexPath(
+      dir, s"pq_m${pqM}_k${pqKSub}_c$pqCoarseK")
+    // the stamp is recomputed on every call (one cheap fs listing) so
+    // the memo can never outlive the snapshot it cached
+    val meta = s"v1|m=$pqM|subDim=$pqSubDim|kSub=$pqKSub|coarseK=$pqCoarseK|" +
+      s"src=${graft.sources.IndexStore.sourceStamp(s, s"$dir/embeddings.parquet")}"
+    pqIndexMemo.computeIfAbsent((s.sparkContext.applicationId, dir, meta), _ => {
       graft.sources.IndexStore.ensure(s, path, meta) {
         initStoredPqIndex(s, path,
           Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
       }
       readStoredPqIndex(s, path)
     })
+  }
 
   // ---- Appendable PQ index lifecycle (day-over-day ANN ingest) --------
 
@@ -384,6 +393,11 @@ object VectorQueries {
       .join(newEmb.select(col("vec_id")), "vec_id").limit(1).count()
     require(overlap == 0L, "appended vec_ids must be disjoint from the index")
     writeCodes(newEmb, idx.books, idx.coarse, s"$path/codes", append = true)
+    // a memoized codes DataFrame lists its parquet files at read time —
+    // it cannot see files this append just added, so drop every cached
+    // entry (a handful of 136-row re-reads, nothing more) rather than
+    // let a same-app reader keep scanning the pre-append snapshot
+    pqIndexMemo.clear()
   }
 
   private def writeCodes(emb: DataFrame, books: Array[Array[Array[Double]]],

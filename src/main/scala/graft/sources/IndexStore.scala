@@ -33,17 +33,31 @@ object IndexStore {
     s"$root/${key}_$family"
   }
 
-  /** Snapshot fingerprint of a source file: total length + max mtime of
-    * its parts. Any regeneration of the test data (or a new corpus
-    * snapshot in production) changes the stamp and forces a rebuild. */
+  /** Snapshot fingerprint of a source file: file count + total length +
+    * max mtime over a RECURSIVE leaf-file listing. Any regeneration of
+    * the test data (or a new corpus snapshot in production) changes the
+    * stamp and forces a rebuild. Recursive because a partitioned source
+    * (nested `key=value/` subdirectories) rewrites its leaf files
+    * without touching the top-level entries — a non-recursive listing
+    * would keep an unchanged stamp and serve a stale index as valid.
+    * The file count catches an in-place rewrite that preserves total
+    * bytes but splits/merges parts. An existing-but-empty directory
+    * stamps as "empty" (it must not throw: an empty source is a
+    * legitimate degenerate snapshot, and the ensure() path turns the
+    * distinct stamp into a rebuild when data later appears). */
   def sourceStamp(s: SparkSession, file: String): String = {
     val p = new Path(file)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) "absent"
     else {
-      val parts = if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
-                  else Seq(fs.getFileStatus(p))
-      s"len=${parts.map(_.getLen).sum}|mtime=${parts.map(_.getModificationTime).max}"
+      val it = fs.listFiles(p, true)
+      var n = 0L; var len = 0L; var mtime = Long.MinValue
+      while (it.hasNext) {
+        val f = it.next()
+        n += 1; len += f.getLen
+        if (f.getModificationTime > mtime) mtime = f.getModificationTime
+      }
+      if (n == 0) "empty" else s"n=$n|len=$len|mtime=$mtime"
     }
   }
 
@@ -58,22 +72,33 @@ object IndexStore {
     * stamped LAST — a crashed build leaves no stamp and is retried,
     * never trusted. In-JVM calls are serialized; ACROSS JVMs an
     * advisory lock file (`_graft_build_lock`, atomic create) lets one
-    * builder proceed while others wait for its meta stamp — without it,
-    * two builders' overwrite-mode writes could delete a directory the
-    * other is scanning. A crashed builder's lock goes stale after 10
-    * minutes and is broken; the residual race (two JVMs breaking the
-    * same stale lock together) is accepted for a machine-local store —
-    * a shared production deployment would put a real coordination
-    * service (or Hive/Iceberg commit protocol) in front of this. */
+    * builder proceed while others wait for its meta stamp. The holder
+    * HEARTBEATS the lock (mtime refresh from a daemon thread) for as
+    * long as the build runs, so lock staleness means "holder crashed",
+    * never "holder is slow" — without the heartbeat a healthy build
+    * outlasting the stale window would invite a waiter to break the
+    * LIVE lock and start a second overwrite build on the same
+    * directory, the exact corruption the lock exists to prevent. A
+    * crashed builder's lock stops refreshing, goes stale after 10
+    * minutes, and is broken; a breaker that then LOSES the lock
+    * re-create race re-enters the wait loop (it must neither build
+    * without the lock nor delete a lock another JVM now owns — only
+    * the creator releases). A shared production deployment would put a
+    * real coordination service (or Hive/Iceberg commit protocol) in
+    * front of this. */
   def ensure(s: SparkSession, path: String, meta: String)(build: => Unit): Unit =
     ensure(s, path, meta, lockStaleMs = 10L * 60 * 1000,
       lockWaitMs = 15L * 60 * 1000, lockPollMs = 500L)(build)
 
   /** Timing-injectable variant (exposed for IndexStoreSpec: the wait and
-    * stale-takeover paths are untestable at production timescales). */
+    * stale-takeover paths are untestable at production timescales).
+    * `onLockBroken` runs between breaking a stale lock and attempting to
+    * re-acquire it — the spec uses it to force the "another breaker won
+    * the re-create race" interleaving deterministically. */
   private[graft] def ensure(s: SparkSession, path: String, meta: String,
                             lockStaleMs: Long, lockWaitMs: Long,
-                            lockPollMs: Long)(build: => Unit): Unit = {
+                            lockPollMs: Long,
+                            onLockBroken: () => Unit = () => ())(build: => Unit): Unit = {
     if (ensured.get(path) == meta) return
     synchronized {
       if (ensured.get(path) == meta) return
@@ -88,47 +113,71 @@ object IndexStore {
       def tryLock(): Boolean =
         try { fs.mkdirs(hPath); fs.create(lockPath, false).close(); true }
         catch { case _: java.io.IOException => false }
-      if (!metaCurrent()) {
-        if (!tryLock()) {
-          // another JVM is building: wait for its stamp (or a stale lock)
-          val staleMs = lockStaleMs
-          val deadline = System.nanoTime() + lockWaitMs * 1000000L
-          var waiting = true
-          while (waiting && System.nanoTime() < deadline) {
-            Thread.sleep(lockPollMs)
-            val lockAge = try {
-              if (fs.exists(lockPath))
-                System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime
-              else Long.MaxValue
-            } catch { case _: java.io.IOException => Long.MaxValue }
-            waiting = lockAge < staleMs && !metaCurrent()
-          }
-          if (metaCurrent()) { ensured.put(path, meta); return }
-          // only a STALE lock may be broken — if the peer's lock is
-          // still fresh when the wait deadline expires, taking it over
-          // would put two overwrite-mode builders on one directory (the
-          // exact corruption the lock prevents). Fail loudly instead.
-          val lockStillFresh = try {
-            fs.exists(lockPath) &&
-              System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime < staleMs
-          } catch { case _: java.io.IOException => false }
-          if (lockStillFresh)
-            throw new IllegalStateException(
-              s"timed out after ${lockWaitMs}ms waiting on a live index build " +
-              s"lock at $lockPath — raise the wait or investigate the holder")
-          try fs.delete(lockPath, false) catch { case _: java.io.IOException => () }
-          tryLock() // stale-lock takeover; benign if it fails
+      def lockAgeMs(): Long = try {
+        if (fs.exists(lockPath))
+          System.currentTimeMillis() - fs.getFileStatus(lockPath).getModificationTime
+        else Long.MaxValue
+      } catch { case _: java.io.IOException => Long.MaxValue }
+      if (metaCurrent()) { ensured.put(path, meta); return }
+      val deadline = System.nanoTime() + lockWaitMs * 1000000L
+      var locked = tryLock()
+      while (!locked) {
+        // another JVM holds the lock: wait for its stamp, or for the
+        // lock to go stale (its heartbeat stopped = the holder crashed)
+        var waiting = true
+        while (waiting && System.nanoTime() < deadline) {
+          Thread.sleep(lockPollMs)
+          waiting = lockAgeMs() < lockStaleMs && !metaCurrent()
         }
+        if (metaCurrent()) { ensured.put(path, meta); return }
+        // only a STALE lock may be broken — a fresh mtime means the
+        // holder's heartbeat is alive; taking it over would put two
+        // overwrite-mode builders on one directory. Fail loudly instead.
+        if (lockAgeMs() < lockStaleMs)
+          throw new IllegalStateException(
+            s"timed out after ${lockWaitMs}ms waiting on a live index build " +
+            s"lock at $lockPath — raise the wait or investigate the holder")
+        try fs.delete(lockPath, false) catch { case _: java.io.IOException => () }
+        onLockBroken()
+        locked = tryLock()
+        // a failed re-create means ANOTHER breaker won the takeover race
+        // and now owns the lock: loop back and wait on THEIR build —
+        // never build lockless, never delete a lock this JVM didn't
+        // create. The shared deadline bounds the retries.
+        if (!locked && System.nanoTime() >= deadline)
+          throw new IllegalStateException(
+            s"timed out after ${lockWaitMs}ms: lost the stale-lock takeover " +
+            s"race at $lockPath and the wait budget is exhausted")
+      }
+      // lock held (created by this JVM). Heartbeat its mtime so waiters
+      // can tell "slow build" (fresh lock — keep waiting) from "crashed
+      // builder" (stale lock — break it) however long the build runs.
+      val hbPeriodMs = math.max(lockPollMs, lockStaleMs / 3)
+      @volatile var hbStop = false
+      val hb = new Thread(() => {
         try {
-          if (!metaCurrent()) { // re-check under the lock
-            if (fs.exists(metaPath)) fs.delete(metaPath, false) // invalidate first
-            build
-            val out = fs.create(metaPath, true)
-            try out.write(meta.getBytes("UTF-8")) finally out.close()
+          while (!hbStop) {
+            Thread.sleep(hbPeriodMs)
+            if (!hbStop)
+              try fs.setTimes(lockPath, System.currentTimeMillis(), -1)
+              catch { case _: java.io.IOException => () }
           }
-        } finally {
-          try fs.delete(lockPath, false) catch { case _: java.io.IOException => () }
+        } catch { case _: InterruptedException => () }
+      }, "graft-index-lock-heartbeat")
+      hb.setDaemon(true)
+      hb.start()
+      try {
+        if (!metaCurrent()) { // re-check under the lock
+          if (fs.exists(metaPath)) fs.delete(metaPath, false) // invalidate first
+          build
+          val out = fs.create(metaPath, true)
+          try out.write(meta.getBytes("UTF-8")) finally out.close()
         }
+      } finally {
+        hbStop = true
+        hb.interrupt()
+        // release is owner-only: this JVM created the lock above
+        try fs.delete(lockPath, false) catch { case _: java.io.IOException => () }
       }
       ensured.put(path, meta)
     }

@@ -113,4 +113,31 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("disjoint"))
   }
+
+  test("a geometry-mismatched probe or append fails loudly, never returns empty") {
+    val docs = Tables.documents(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_geom_idx").toString + "/minhash"
+    DedupQueries.initStoredIndex(spark, path, docs.filter(col("doc_id") >= 100),
+      k = 16, bands = 4)
+    val inc = docs.filter(col("doc_id") < 100)
+    // wrong band count: the probe would hash different band slices and
+    // silently find zero corpus candidates — the stamp turns that into
+    // a loud contract failure
+    val exProbe = intercept[IllegalArgumentException] {
+      DedupQueries.probeStoredIndex(spark, path, inc, k = 16, bands = 8)
+    }
+    assert(exProbe.getMessage.contains("k=16|bands=4"))
+    val exAppend = intercept[IllegalArgumentException] {
+      DedupQueries.appendStoredIndex(spark, path, inc, k = 8, bands = 4)
+    }
+    assert(exAppend.getMessage.contains("k=16|bands=4"))
+    // matching geometry passes the gate
+    assert(DedupQueries.probeStoredIndex(spark, path, inc, k = 16, bands = 4)
+      .collect().nonEmpty)
+    // an index root with no stamp (crashed init / wrong path) is refused
+    val exMissing = intercept[IllegalArgumentException] {
+      DedupQueries.probeStoredIndex(spark, path + "_nowhere", inc)
+    }
+    assert(exMissing.getMessage.contains("geometry stamp"))
+  }
 }

@@ -109,4 +109,69 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(s1 != s2, "a changed source must produce a different stamp")
     assert(IndexStore.sourceStamp(spark, f.toString + ".missing") == "absent")
   }
+
+  test("sourceStamp handles empty dirs and sees nested (partitioned) leaf rewrites") {
+    val d = java.nio.file.Paths.get(tmpDir(), "part.parquet")
+    java.nio.file.Files.createDirectories(d)
+    assert(IndexStore.sourceStamp(spark, d.toString) == "empty",
+      "an existing-but-empty source dir must stamp, not throw")
+    // partitioned layout: leaf files live under key=value subdirectories
+    val leafDir = d.resolve("lang=en"); java.nio.file.Files.createDirectories(leafDir)
+    val leaf = leafDir.resolve("part-00000.parquet")
+    java.nio.file.Files.writeString(leaf, "aaaa")
+    val s1 = IndexStore.sourceStamp(spark, d.toString)
+    assert(s1.startsWith("n=1|"), s"recursive listing must count leaf files, got $s1")
+    // in-place rewrite of the leaf: same top-level entries, same total
+    // bytes — only the leaf mtime moves, and only a recursive listing
+    // (not the top-level one) can see it
+    Thread.sleep(1100) // mtime granularity on some filesystems is 1s
+    java.nio.file.Files.writeString(leaf, "bbbb")
+    val s2 = IndexStore.sourceStamp(spark, d.toString)
+    assert(s1 != s2, "a rewritten nested leaf file must change the stamp")
+  }
+
+  test("the holder's heartbeat keeps a long build's lock fresh (slow != crashed)") {
+    val path = tmpDir() + "/idx"
+    val lock = new java.io.File(path, "_graft_build_lock")
+    // staleMs=600 -> heartbeat period max(50, 200)=200ms; the build runs
+    // 1500ms (2.5x the stale window). Without the heartbeat the lock's
+    // age at the end of the build would be ~1500ms >> staleMs and any
+    // waiter would break the LIVE lock; with it the age stays < staleMs.
+    var ageAtEnd = Long.MaxValue
+    IndexStore.ensure(spark, path, "meta_hb",
+      lockStaleMs = 600, lockWaitMs = 5000, lockPollMs = 50) {
+      Thread.sleep(1500)
+      ageAtEnd = System.currentTimeMillis() - lock.lastModified()
+    }
+    assert(ageAtEnd < 600,
+      s"heartbeat must keep the lock fresher than the stale window; age was ${ageAtEnd}ms")
+    assert(!lock.exists(), "the owner must release its lock after the build")
+  }
+
+  test("losing the stale-lock takeover race re-enters the wait, never builds locklessly") {
+    val path = tmpDir() + "/idx"
+    val dir = new java.io.File(path); dir.mkdirs()
+    val lock = new java.io.File(dir, "_graft_build_lock")
+    lock.createNewFile()
+    lock.setLastModified(System.currentTimeMillis() - 60000) // crashed holder
+    val metaFile = new java.io.File(dir, "_graft_meta")
+    var raced = false
+    var built = false
+    // the rival breaker wins the re-create race (injected between our
+    // delete and our tryLock), then stamps its finished meta 300ms later
+    val onBroken = () => if (!raced) {
+      raced = true
+      lock.createNewFile() // rival's FRESH lock — we must wait on it
+      new Thread(() => {
+        Thread.sleep(300)
+        java.nio.file.Files.writeString(metaFile.toPath, "rivals_meta")
+        lock.delete()
+      }).start()
+    }
+    IndexStore.ensure(spark, path, "rivals_meta",
+      lockStaleMs = 60000, lockWaitMs = 10000, lockPollMs = 50, onBroken) { built = true }
+    assert(raced, "the injected race must have fired")
+    assert(!built,
+      "after losing the takeover race the loser must wait and adopt the rival's stamp, not build")
+  }
 }

@@ -69,4 +69,32 @@ class PqAppendSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("disjoint"))
   }
+
+  test("the read-back memo never serves a stale index within one application") {
+    // own source dir so the test can regenerate/append without touching
+    // the shared fixtures
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_pq_memo").toString
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    emb.filter(col("vec_id") >= 100).write.parquet(s"$srcDir/embeddings.parquet")
+    val codes0 = VectorQueries.storedPqIndex(spark, srcDir).codes.count()
+    // (a) appendStoredPqIndex against the SAME stored path: the memoized
+    // codes frame listed its parquet files pre-append and cannot see the
+    // new ones — the append must drop the memo so the next read-back
+    // scans the grown table
+    val path = graft.sources.IndexStore.indexPath(
+      srcDir, s"pq_m${VectorQueries.pqM}_k${VectorQueries.pqKSub}_c${VectorQueries.pqCoarseK}")
+    VectorQueries.appendStoredPqIndex(spark, path, emb.filter(col("vec_id") < 100))
+    val codes1 = VectorQueries.storedPqIndex(spark, srcDir).codes.count()
+    assert(codes0 < codes1 && codes1 == emb.count(),
+      s"post-append read-back must see the appended codes ($codes0 -> $codes1)")
+    // (b) a REGENERATED source (new fingerprint) within the same app:
+    // the memo key embeds the source stamp, so the stale entry is
+    // bypassed and the rebuilt index is served
+    Thread.sleep(1100) // parquet rewrite below may preserve len; mtime granularity 1s
+    emb.filter(col("vec_id") >= 300).write.mode("overwrite")
+      .parquet(s"$srcDir/embeddings.parquet")
+    val codes2 = VectorQueries.storedPqIndex(spark, srcDir).codes.count()
+    assert(codes2 == emb.filter(col("vec_id") >= 300).count(),
+      s"a regenerated source must be re-indexed, not served from the memo (got $codes2)")
+  }
 }
