@@ -70,10 +70,31 @@ object Bench {
         name -> times.minOption.getOrElse(-1.0)
       }
     val loadEnd = loadAvg()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST ~2000 chars of the run's output
+    // and parses the JSON line out of that tail: full query names at
+    // nanosecond precision made the line ~2900 chars, so every round's
+    // BENCH artifact shipped with the line's head clipped and
+    // parsed=null. Emit the spec's compact form instead — short query
+    // keys (the unique id prefix: q1, v6, t11...) and millisecond
+    // precision — which keeps the whole line under ~1000 chars. The
+    // full-name/full-precision map goes to BENCH_LOCAL.json (gitignored)
+    // for local inspection.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val collisions = results.groupBy { case (k, _) => shortKey(k) }
+      .collect { case (_, vs) if vs.size > 1 => vs.map(_._1) }.flatten.toSet
+    val qs = results.map { case (k, v) =>
+      val key = if (collisions(k)) k else shortKey(k)
+      "\"" + key + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      s"""{"total":$total,"queries":$full,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""" + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
     spark.stop()
   }
 }
