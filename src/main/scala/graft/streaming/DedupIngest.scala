@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.DedupQueries
+
+/** STREAMING incremental near-dup detection — the stored-index ingest
+  * loop (init → probe → append, the day-over-day batch shape of
+  * `DedupQueries.probeStoredIndex`/`appendStoredIndex`) run as a
+  * Structured Streaming sink. Each micro-batch of new documents:
+  *
+  *  1. PROBES the persisted MinHash signature/band index: emits every
+  *     near-dup pair that touches the batch — against the whole corpus
+  *     the index has accumulated AND within the batch itself — with
+  *     exactly the semantics of a full re-mine restricted to
+  *     batch-touching pairs (IncrementalDedupSpec pins that equality
+  *     for the underlying probe);
+  *  2. hands the pairs to `onPairs(pairs, batchId)` (write to a sink
+  *     table, quarantine queue, metrics — caller's choice);
+  *  3. APPENDS the batch's ids/signatures/band keys to the index, so
+  *     the NEXT batch probes corpus ∪ everything-before-it.
+  *
+  * Scale shape: per batch the corpus side is touched only through the
+  * broadcast band-bucket probe (ids-only, candidate-bounded — no
+  * corpus re-shingling, no corpus shuffle) and the append is
+  * O(batch) parquet writes. State lives entirely in the stored index,
+  * not in a streaming state store, so the stream itself is stateless
+  * and survives any corpus size; `DedupQueries.compactStoredIndex`
+  * handles the accumulating small files from the maintenance job.
+  *
+  * Delivery semantics: pairs are emitted at-least-once relative to the
+  * streaming checkpoint (key `onPairs` writes by `batchId` to make the
+  * sink idempotent, the standard foreachBatch discipline). The append
+  * is fail-stop rather than idempotent: a batch REPLAYED after its
+  * append committed (crash between append and checkpoint commit) trips
+  * the index's raw-id disjointness gate and fails the query loudly —
+  * never silent duplicate signatures, which would double-emit every
+  * future pair involving those docs. A production deployment would
+  * stage each append under its batchId and commit via rename (or an
+  * ACID table format) to close that window.
+  */
+object DedupIngest {
+
+  /** Build the foreachBatch writer for a streaming `(doc_id, text)`
+    * frame against the appendable index at `indexPath` (created by
+    * `DedupQueries.initStoredIndex` — the geometry stamp there must
+    * match `(k, bands)` here, enforced per batch). The caller sets
+    * trigger/checkpoint options and calls `.start()`. */
+  def dedupIngest(docs: DataFrame, indexPath: String,
+                  onPairs: (DataFrame, Long) => Unit,
+                  k: Int = 16, bands: Int = 4,
+                  threshold: Double = 0.5): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      // the batch feeds two lifecycle calls (probe, then append), each
+      // with several actions over it — pin it once
+      val b = batch.persist()
+      try {
+        if (!b.isEmpty) {
+          val pairs = DedupQueries.probeStoredIndex(
+            b.sparkSession, indexPath, b, k, bands, threshold)
+          onPairs(pairs, batchId)
+          DedupQueries.appendStoredIndex(b.sparkSession, indexPath, b, k, bands)
+        }
+      } finally b.unpersist()
+    }
+}

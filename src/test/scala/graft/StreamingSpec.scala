@@ -223,4 +223,55 @@ class StreamingSpec extends AnyFunSuite {
     val out = EventStreams.windowedCounts(batch).collect()
     assert(out.map(_.getLong(2)).sum == 3)
   }
+
+  test("streaming dedup ingest: each micro-batch probes the stored index then folds in") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DedupQueries
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().toSeq
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard"))).toSeq
+
+    // index the initial corpus snapshot (ids >= 100)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_idx").toString + "/minhash"
+    DedupQueries.initStoredIndex(spark, path, docs.filter(col("doc_id") >= 100))
+
+    // stream two document micro-batches: ids 50..99, then 25..49
+    val src = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.SortedMap[Long, Seq[(Long, Long, Double)]]()
+    val q = graft.streaming.DedupIngest.dedupIngest(
+        src.toDF().toDF("doc_id", "text"), path,
+        (pairs, batchId) => emitted(batchId) = pairRows(pairs))
+      .queryName("dedup_ingest").start()
+    try {
+      src.addData(tuples(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)))
+      q.processAllAvailable()
+      src.addData(tuples(docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // every pair touching the streamed docs is emitted EXACTLY once
+    // across batches (a pair appears when its later doc arrives), so
+    // the union must equal one batch incremental run over the same
+    // corpus/increment split — regardless of micro-batch boundaries
+    val got = emitted.values.flatten.toSeq.sorted
+    val want = pairRows(DedupQueries.minHashPairsIncremental(
+      docs.filter(col("doc_id") >= 100),
+      docs.filter(col("doc_id") >= 25 && col("doc_id") < 100))).sorted
+    assert(got == want, "streamed pair union must equal the batch incremental run")
+    assert(got.nonEmpty, "fixture produced no streamed pairs — test is vacuous")
+    assert(emitted.size >= 2, "expected at least two micro-batches")
+    // the folded index state is exactly what a batch maintainer would
+    // have: a held-out increment probes identically to a fresh
+    // incremental run over everything already ingested
+    val heldOut = pairRows(DedupQueries.probeStoredIndex(
+      spark, path, docs.filter(col("doc_id") < 25)))
+    assert(heldOut == pairRows(DedupQueries.minHashPairsIncremental(
+      docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25))))
+  }
 }
