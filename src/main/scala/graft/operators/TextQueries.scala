@@ -433,7 +433,90 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** Fixed-size token chunking with overlap — the context-window prep
+    * op of a pretraining pipeline: every document is cut into 64-token
+    * chunks on a 48-token stride (16-token overlap so no boundary
+    * context is lost), the last chunk ragged. Pure per-row explode of a
+    * tiny index sequence (the token array is projected once, sliced per
+    * chunk) — no join, no aggregation; the only shuffle is the final
+    * ORDER BY, so at 100 TB this is a linear scan that parallelizes
+    * with the input splits. */
+  val tChunks = QueryDef(
+    "t12_doc_chunks",
+    (s, dir) => {
+      val C = 64; val S = 48
+      Tables.documents(s, dir)
+        .select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0),
+            floor((size(col("tk")) - 1) / lit(S)).cast("int"))).as("chunk_id"))
+        .select(
+          col("doc_id"),
+          col("chunk_id").cast("long").as("chunk_id"),
+          size(slice(col("tk"), col("chunk_id") * S + 1, lit(C))).cast("long")
+            .as("n_chunk_tokens"),
+          array_join(slice(col("tk"), col("chunk_id") * S + 1, lit(C)), " ")
+            .as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, string_split(text, ' ') AS tk,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        FROM documents),
+      e AS (
+        SELECT doc_id, tk,
+               UNNEST(generate_series(0, (nt - 1) // 48)) AS chunk_id
+        FROM b)
+      SELECT doc_id,
+             CAST(chunk_id AS BIGINT) AS chunk_id,
+             CAST(len(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64)) AS BIGINT)
+               AS n_chunk_tokens,
+             array_to_string(list_slice(tk, chunk_id * 48 + 1, chunk_id * 48 + 64), ' ')
+               AS chunk_text
+      FROM e ORDER BY doc_id, chunk_id"""))
+
+  /** Concat-and-split sequence packing — the GPT-style "pack documents
+    * into fixed 128-token training sequences" layout: documents are
+    * concatenated per source in doc_id order and split every 128
+    * tokens, so each doc lands at a deterministic token offset and may
+    * span several sequences (pack_first..pack_last). Integer math end
+    * to end → exact oracle. The window partitions by source; at 100 TB
+    * the partition key would be (source, ingest-shard) — packing is
+    * per-shard in any real pipeline, which keeps every window partition
+    * bounded — same semantics, narrower key. */
+  val tSequencePack = QueryDef(
+    "t13_sequence_pack",
+    (s, dir) => {
+      val L = 128
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tokens"))
+        .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_offset"),
+          floor(col("tok_offset") / L).cast("long").as("pack_first"),
+          floor((col("tok_offset") + col("n_tokens") - 1) / L).cast("long").as("pack_last"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS tok_offset
+        FROM b)
+      SELECT doc_id, source, n_tokens, tok_offset,
+             CAST(FLOOR(tok_offset / 128.0) AS BIGINT) AS pack_first,
+             CAST(FLOOR((tok_offset + n_tokens - 1) / 128.0) AS BIGINT) AS pack_last
+      FROM o ORDER BY source, doc_id"""))
+
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
-    tCompression)
+    tCompression, tChunks, tSequencePack)
 }

@@ -62,13 +62,24 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("window functions never fall back to a single partition (q9/q10)") {
-    for (q <- Seq("q9_window_topn", "q10_window_lag", "q24_range_frame")) {
+    for (q <- Seq("q9_window_topn", "q10_window_lag", "q24_range_frame",
+                  "t13_sequence_pack")) {
       val p = plan(q)
       // a Window over an empty partition spec would force all rows into
       // one task — every window here must be keyed
       assert(!p.contains("Window [") || !p.contains("SinglePartition"),
         s"$q has an unkeyed window\n" + p.take(1500))
     }
+  }
+
+  test("chunking is a shuffle-free scan (t12: explode, no join, no aggregation)") {
+    val p = plan("t12_doc_chunks")
+    // the only exchange allowed is the final ORDER BY's range partition —
+    // a hash exchange would mean a join/agg crept into a linear scan
+    assert(!p.contains("hashpartitioning"),
+      "t12 must not hash-shuffle\n" + p.take(1500))
+    assert(!p.contains("Join"), "t12 must not join\n" + p.take(1500))
+    assert(p.contains("Generate explode"), "t12 should explode chunk indexes")
   }
 
   test("PQ codes come from the stored index table, never re-encoded (v6 regression guard)") {
