@@ -115,5 +115,31 @@ object OlapQueries {
              ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  val all: Seq[QueryDef] = Seq(qCube, qCorrelated, qRanks, qPercentiles)
+  /** Sketch-based approximate aggregation — what replaces q8/q28's
+    * exact forms at 100 TB: HyperLogLog++ distinct counts (relative
+    * standard deviation 2%) and quantile-summary percentiles (rank
+    * error ≤ 1/10000) per return flag over lineitem. Both sketches are
+    * mergeable map-side partials — fixed KB-sized state per partition
+    * regardless of input rows, no giant shuffle, no exact-distinct
+    * hash explosion — and deterministic (hash-based registers / rank
+    * summaries; no RNG), so the result pins. Error vs the exact
+    * aggregates is gated in ApproxSketchSpec; DuckDB's sketches differ
+    * so there is deliberately no oracle. */
+  val qSketchStats = QueryDef(
+    "q29_sketch_stats",
+    (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+          round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 4)
+            .as("approx_p50"),
+          round(percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)), 4)
+            .as("approx_p99"))
+        .orderBy("l_returnflag"))
+
+  val all: Seq[QueryDef] = Seq(qCube, qCorrelated, qRanks, qPercentiles,
+    qSketchStats)
 }

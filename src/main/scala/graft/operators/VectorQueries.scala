@@ -508,26 +508,51 @@ object VectorQueries {
   def ivfAdcProbe(s: org.apache.spark.sql.SparkSession, idx: PqIndex,
                   emb: DataFrame, probes: DataFrame,
                   nprobe: Int = 4, shortlistN: Int = 128): DataFrame = {
-      val routing: Array[(Long, Int)] = probes
-        .select(col("q"), explode(slice(
-          transform(array_sort(centerDistStructs(col("qe"), idx.coarse)),
-            x => x.getField("idx")), 1, nprobe)).as("list_id"))
-        .collect().map(r => (r.getLong(0), r.getInt(1)))
-      import s.implicits._
-      val probeLists = routing.toSeq.toDF("q", "list_id")
-      val wanted = routing.map(_._2).distinct.sorted.toSeq
-      // list-pruned ADC scan: the isin literal prunes partitions at plan
-      // time; the broadcast join then fans each surviving code row out to
-      // the probes routed to its list (ids+codes only — 12 bytes/row)
-      val cands = idx.codes.filter(col("list_id").isin(wanted: _*))
-        .join(broadcast(probeLists), Seq("list_id"))
-        .filter(col("q") =!= col("nb"))
-      val shortlist = adcShortlist(
-        cands.join(
-          broadcast(probes.withColumn("lut", pqLut(idx.books)).select("q", "lut")), Seq("q")),
-        shortlistN)
-      exactRerank(shortlist, probes, emb)
+    val shortlist = adcShortlist(routedCands(s, idx, probes, nprobe), shortlistN)
+    exactRerank(shortlist, probes, emb)
   }
+
+  /** Routed, partition-pruned, LUT-decorated candidate rows — the
+    * shared front half of [[ivfAdcProbe]] and [[adcProbe]]: driver-side
+    * routing of each probe to its nprobe nearest coarse lists, then a
+    * code scan restricted to those partitions. */
+  private def routedCands(s: org.apache.spark.sql.SparkSession, idx: PqIndex,
+                          probes: DataFrame, nprobe: Int): DataFrame = {
+    val routing: Array[(Long, Int)] = probes
+      .select(col("q"), explode(slice(
+        transform(array_sort(centerDistStructs(col("qe"), idx.coarse)),
+          x => x.getField("idx")), 1, nprobe)).as("list_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    import s.implicits._
+    val probeLists = routing.toSeq.toDF("q", "list_id")
+    val wanted = routing.map(_._2).distinct.sorted.toSeq
+    // list-pruned ADC scan: the isin literal prunes partitions at plan
+    // time; the broadcast join then fans each surviving code row out to
+    // the probes routed to its list (ids+codes only — 12 bytes/row)
+    idx.codes.filter(col("list_id").isin(wanted: _*))
+      .join(broadcast(probeLists), Seq("list_id"))
+      .filter(col("q") =!= col("nb"))
+      .join(broadcast(probes.withColumn("lut", pqLut(idx.books)).select("q", "lut")),
+        Seq("q"))
+  }
+
+  /** Code-only IVFADC top-k (NO exact re-rank): routing + pruned ADC
+    * scan + bounded top-k, touching nothing but the stored index. This
+    * is the probe for callers that don't hold the raw-embedding table —
+    * an ingest stream matching arrivals against the accumulated catalog
+    * (EmbedIngest) — where the 64×-compressed codes are the ONLY state;
+    * when the corpus embeddings are available, [[ivfAdcProbe]]'s exact
+    * re-rank is strictly better. Ranks follow the ADC shortlist's
+    * (sim desc, nb asc) total order, so output is deterministic. */
+  def adcProbe(s: org.apache.spark.sql.SparkSession, idx: PqIndex,
+               probes: DataFrame, nprobe: Int = 4, topK: Int = 3): DataFrame =
+    routedCands(s, idx, probes, nprobe)
+      .select(col("q"), col("nb"), adcSim(col("code")).as("__asim"))
+      .groupBy(col("q"))
+      .agg(graft.stats.Aggregates.topK(col("__asim"), col("nb"), topK).as("top"))
+      .select(col("q"), posexplode(col("top")))
+      .select(col("q"), col("col.id").as("nb"), (col("pos") + 1).cast("long").as("rank"))
+      .orderBy("q", "rank")
 
   val all: Seq[QueryDef] = Seq(vCosineTopK, vLshAnn, vEmbedDedup, vNormStats,
     vIvfAnn, vPqAnn, vIvfAdcAnn)

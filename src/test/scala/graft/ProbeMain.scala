@@ -309,13 +309,11 @@ object ProbeMain {
       // v5's k-means|| init is partition-layout sensitive.
       require(cpus == "4",
         s"pins must run with PROBE_CPUS=4 to match FixturePinSpec's session (got $cpus)")
-      val names = Seq(
-        "d2_minhash_lsh_pairs", "d3_simhash_pairs", "d5_dedup_clusters", "d8_incremental_dedup",
-        "t11_compression_ratio",
-        "g1_panel_summary", "h1_simulation_metrics", "h2_sensitivity_scenarios",
-        "h3_pretty_table", "s3_logistic_irls", "s4_estimator_battery",
-        "s5_awcls", "s6_aic_ladder", "v2_lsh_ann", "v3_embed_neardup",
-        "v5_ivf_ann", "v6_pq_ann", "v7_ivfadc_ann")
+      // derived, not hardcoded: a new no_oracle query shows up here
+      // automatically (FixturePinSpec's set-equality test is the gate
+      // that forces its hash to be committed)
+      val names = (graft.SparkEntry.queries.keySet --
+        graft.SparkEntry.oracleSql.keySet).toSeq.sorted
       for (n <- names) {
         graft.operators.DedupQueries.clearPairsMemo()
         val h1 = CanonicalHash(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.01"))

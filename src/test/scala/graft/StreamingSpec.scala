@@ -274,4 +274,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(heldOut == pairRows(DedupQueries.minHashPairsIncremental(
       docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25))))
   }
+
+  test("streaming embedding ingest: arrivals match the catalog, then join it") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.VectorQueries
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    def vecs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[Double])].collect().toSeq
+    def nbRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // the streamed index and a batch-maintained twin start from the
+    // same catalog snapshot (ids >= 300)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_pq").toString
+    val (path, twin) = (base + "/pq", base + "/pq_twin")
+    for (p <- Seq(path, twin))
+      VectorQueries.initStoredPqIndex(spark, p, emb.filter(col("vec_id") >= 300))
+
+    val batch1 = emb.filter(col("vec_id") >= 150 && col("vec_id") < 300)
+    val batch2 = emb.filter(col("vec_id") < 150)
+    val src = MemoryStream[(Long, Seq[Double])]
+    val emitted = scala.collection.mutable.SortedMap[Long, Seq[(Long, Long, Long)]]()
+    val q = graft.streaming.EmbedIngest.annIngest(
+        src.toDF().toDF("vec_id", "embedding"), path,
+        (nbs, batchId) => emitted(batchId) = nbRows(nbs))
+      .queryName("embed_ingest").start()
+    try {
+      src.addData(vecs(batch1)); q.processAllAvailable()
+      src.addData(vecs(batch2)); q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted.size == 2, s"expected two micro-batches, got ${emitted.keySet}")
+
+    // each batch's emitted matches equal the batch-lifecycle twin's
+    // probe at the same point in the day-over-day loop
+    def twinIdx() = VectorQueries.readStoredPqIndex(spark, twin)
+    def probe(b: org.apache.spark.sql.DataFrame) = nbRows(VectorQueries.adcProbe(
+      spark, twinIdx(), b.select(col("vec_id").as("q"), col("embedding").as("qe"))))
+    val want1 = probe(batch1)
+    VectorQueries.appendStoredPqIndex(spark, twin, batch1)
+    val want2 = probe(batch2)
+    VectorQueries.appendStoredPqIndex(spark, twin, batch2)
+    assert(emitted.values.head == want1 && emitted.values.last == want2)
+    assert(want1.nonEmpty && want2.nonEmpty, "fixture produced no matches — vacuous")
+
+    // the folded index is the twin: same codes, same probe results
+    assert(VectorQueries.readStoredPqIndex(spark, path).codes.count() == emb.count())
+    val probes = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"))
+    assert(nbRows(VectorQueries.adcProbe(
+        spark, VectorQueries.readStoredPqIndex(spark, path), probes)) ==
+      nbRows(VectorQueries.adcProbe(spark, twinIdx(), probes)))
+  }
 }
