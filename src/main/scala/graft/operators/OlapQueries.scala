@@ -140,6 +140,35 @@ object OlapQueries {
             .as("approx_p99"))
         .orderBy("l_returnflag"))
 
+  /** Two-level sketch MERGE — the stored-sketch-table pattern behind
+    * every "distinct users over an arbitrary date range" dashboard at
+    * 100 TB: per-month DataSketches HLL sketches of the customer key
+    * are built once (in production: persisted alongside the daily
+    * partition, exactly like the dedup/PQ index tables), then any
+    * rollup — here quarters — UNIONS the sketches without ever
+    * rescanning raw rows. Sketch union is register-wise max:
+    * commutative, associative, order-independent, so the result is
+    * deterministic and pins. lgK=12 → rsd ≈ 1.6%; quarterly estimates
+    * are gated against exact distinct counts in ApproxSketchSpec. */
+  val qSketchUnion = QueryDef(
+    "q30_sketch_union",
+    (s, dir) => {
+      val monthly = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"),
+          count(lit(1)).as("n_orders"))
+      // the rollup touches ONLY (month-row, sketch) pairs — at scale a
+      // scan of 12 sketch rows, not 100 TB of orders
+      monthly
+        .groupBy(col("yr"), (((col("mo") - 1) / 3).cast("int") + 1).as("qtr"))
+        .agg(
+          sum(col("n_orders")).as("n_orders"),
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("approx_customers"))
+        .orderBy("yr", "qtr")
+    })
+
   val all: Seq[QueryDef] = Seq(qCube, qCorrelated, qRanks, qPercentiles,
-    qSketchStats)
+    qSketchStats, qSketchUnion)
 }

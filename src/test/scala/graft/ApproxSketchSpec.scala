@@ -55,4 +55,20 @@ class ApproxSketchSpec extends AnyFunSuite {
         s"$flag: approx p99 $p99 outside exact rank band")
     }
   }
+
+  test("q30 merged quarterly sketches estimate exact distinct within 3×rsd (lgK=12)") {
+    val got = SparkEntry.queries("q30_sketch_union")(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getAs[Long]("approx_customers")).toMap
+    val exact = Tables.orders(spark, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        ((month(col("o_orderdate")) - 1) / 3).cast("int").+(1).as("qtr"))
+      .agg(countDistinct(col("o_custkey")).as("customers"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == exact.keySet && got.size >= 4,
+      s"expected several quarters, got ${got.keySet}")
+    for ((q, truth) <- exact) {
+      val err = math.abs(got(q) - truth).toDouble / truth
+      assert(err <= 0.05, s"$q: merged-sketch rel err $err > 3×rsd(lgK=12)")
+    }
+  }
 }

@@ -37,6 +37,7 @@ class FixturePinSpec extends AnyFunSuite {
     "h2_sensitivity_scenarios" -> "8e1c175495776e94475d3d716c82199c",
     "h3_pretty_table"          -> "d1dd6e00c8a60f70d35474272363da73",
     "q29_sketch_stats"         -> "04077381830a72d04d535c0f065ad8fb",
+    "q30_sketch_union"         -> "7991473430476d2b3ef76565c6b7c732",
     "s3_logistic_irls"         -> "3142949dbddbd4c5163a2c857e2cb0c4",
     "t11_compression_ratio"    -> "068631635d8d574890409ff69d985229",
     "s4_estimator_battery"     -> "8b19ad4c5625f65276c52f5f8ba42128",
