@@ -231,6 +231,11 @@ object DedupQueries {
   def initStoredIndex(s: org.apache.spark.sql.SparkSession, path: String,
                       docs: DataFrame, k: Int = 16, bands: Int = 4): Unit = {
     val rowsPerBand = k / bands
+    // invalidate FIRST (same discipline as IndexStore.ensure's meta): a
+    // re-init over an existing index that crashes mid-write must leave
+    // NO stamp — otherwise the previous init's stamp would validate a
+    // half-rewritten (mixed old/new tables) index
+    clearGeometry(s, path)
     docs.select(col("doc_id")).write.mode("overwrite").parquet(s"$path/ids")
     val sig = signatures(docs, k)
     sig.write.mode("overwrite").parquet(s"$path/sig")
@@ -252,30 +257,25 @@ object DedupQueries {
   // appendable lifecycle. A wrong-geometry call is a caller bug that
   // must fail, not an empty result.
 
+  private val GeometryStamp = "_graft_geometry"
+
   private def geometryString(k: Int, bands: Int): String = s"k=$k|bands=$bands"
 
-  private def hadoopFs(s: org.apache.spark.sql.SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-
   private def writeGeometry(s: org.apache.spark.sql.SparkSession, path: String,
-                            k: Int, bands: Int): Unit = {
-    val fs = hadoopFs(s, path)
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_graft_geometry"), true)
-    try out.write(geometryString(k, bands).getBytes("UTF-8")) finally out.close()
-  }
+                            k: Int, bands: Int): Unit =
+    graft.sources.IndexStore.writeStamp(s, path, GeometryStamp, geometryString(k, bands))
+
+  private def clearGeometry(s: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.sources.IndexStore.clearStamp(s, path, GeometryStamp)
 
   private def requireGeometry(s: org.apache.spark.sql.SparkSession, path: String,
                               k: Int, bands: Int): Unit = {
-    val fs = hadoopFs(s, path)
-    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_geometry")
-    require(fs.exists(p),
+    val stored = graft.sources.IndexStore.readStamp(s, path, GeometryStamp)
+    require(stored.isDefined,
       s"no geometry stamp at $path — the index was never initialized " +
         "(or a crashed initStoredIndex left it half-written); re-run initStoredIndex")
-    val in = fs.open(p)
-    val stored = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    require(stored == geometryString(k, bands),
-      s"index at $path was built with ($stored) but called with " +
+    require(stored.get == geometryString(k, bands),
+      s"index at $path was built with (${stored.get}) but called with " +
         s"(${geometryString(k, bands)}) — a mismatched probe would silently find " +
         "no corpus candidates; pass the geometry the index was initialized with")
   }

@@ -436,11 +436,15 @@ object TextQueries {
   /** Fixed-size token chunking with overlap — the context-window prep
     * op of a pretraining pipeline: every document is cut into 64-token
     * chunks on a 48-token stride (16-token overlap so no boundary
-    * context is lost), the last chunk ragged. Pure per-row explode of a
-    * tiny index sequence (the token array is projected once, sliced per
-    * chunk) — no join, no aggregation; the only shuffle is the final
-    * ORDER BY, so at 100 TB this is a linear scan that parallelizes
-    * with the input splits. */
+    * context is lost), the last chunk ragged. Chunking STOPS once a
+    * chunk reaches the document end (last start = ceil((n-64)/48),
+    * never floor((n-1)/48)) — the naive stride-while-tokens-remain
+    * bound emits a final chunk fully contained in the previous one for
+    * every n with n mod 48 in 1..16, i.e. pure duplicate training
+    * data. Pure per-row explode of a tiny index sequence (the token
+    * array is projected once, sliced per chunk) — no join, no
+    * aggregation; the only shuffle is the final ORDER BY, so at 100 TB
+    * this is a linear scan that parallelizes with the input splits. */
   val tChunks = QueryDef(
     "t12_doc_chunks",
     (s, dir) => {
@@ -449,7 +453,8 @@ object TextQueries {
         .select(col("doc_id"), toks.as("tk"))
         .select(col("doc_id"), col("tk"),
           explode(sequence(lit(0),
-            floor((size(col("tk")) - 1) / lit(S)).cast("int"))).as("chunk_id"))
+            greatest(lit(0),
+              ceil((size(col("tk")) - C) / lit(S.toDouble)).cast("int")))).as("chunk_id"))
         .select(
           col("doc_id"),
           col("chunk_id").cast("long").as("chunk_id"),
@@ -466,7 +471,8 @@ object TextQueries {
         FROM documents),
       e AS (
         SELECT doc_id, tk,
-               UNNEST(generate_series(0, (nt - 1) // 48)) AS chunk_id
+               UNNEST(generate_series(0,
+                 GREATEST(0, CAST(ceil((nt - 64) / 48.0) AS BIGINT)))) AS chunk_id
         FROM b)
       SELECT doc_id,
              CAST(chunk_id AS BIGINT) AS chunk_id,

@@ -341,10 +341,17 @@ object VectorQueries {
     val path = graft.sources.IndexStore.indexPath(
       dir, s"pq_m${pqM}_k${pqKSub}_c$pqCoarseK")
     // the stamp is recomputed on every call (one cheap fs listing) so
-    // the memo can never outlive the snapshot it cached
-    val meta = s"v1|m=$pqM|subDim=$pqSubDim|kSub=$pqKSub|coarseK=$pqCoarseK|" +
+    // the memo can never outlive the snapshot it cached. v2: the init
+    // now writes the completeness/geometry stamp readStoredPqIndex
+    // requires — the version bump rebuilds pre-stamp indexes once.
+    val meta = s"v2|m=$pqM|subDim=$pqSubDim|kSub=$pqKSub|coarseK=$pqCoarseK|" +
       s"src=${graft.sources.IndexStore.sourceStamp(s, s"$dir/embeddings.parquet")}"
-    pqIndexMemo.computeIfAbsent((s.sparkContext.applicationId, dir, meta), _ => {
+    val appId = s.sparkContext.applicationId
+    // evict superseded-snapshot entries (same app+dir, different meta):
+    // they can never be served again and each pins a file-index plan
+    pqIndexMemo.keySet.removeIf(k =>
+      k._1 == appId && k._2 == dir && k._3 != meta)
+    pqIndexMemo.computeIfAbsent((appId, dir, meta), _ => {
       graft.sources.IndexStore.ensure(s, path, meta) {
         initStoredPqIndex(s, path,
           Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
@@ -365,6 +372,12 @@ object VectorQueries {
     * auto-build delegates here). */
   def initStoredPqIndex(s: org.apache.spark.sql.SparkSession, path: String,
                         emb: DataFrame): Unit = {
+    // invalidate FIRST, stamp LAST (the dedup initStoredIndex
+    // discipline): a crashed init — including a re-init over an
+    // existing index — leaves no stamp, so readers refuse the
+    // half-written books/coarse/codes instead of NPE-ing on null
+    // codebook rows or silently probing a partial catalog
+    graft.sources.IndexStore.clearStamp(s, path, PqStamp)
     val sample = strideSample(emb)
     val books = Array.tabulate(pqM) { j =>
       LocalKMeans.fit(sample.map(v => v.slice(j * pqSubDim, (j + 1) * pqSubDim)),
@@ -380,6 +393,7 @@ object VectorQueries {
       .toDF("i", "center")
       .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
     writeCodes(emb, books, coarse, s"$path/codes", append = false)
+    graft.sources.IndexStore.writeStamp(s, path, PqStamp, pqGeometryString)
   }
 
   /** Encode NEW embeddings with the STORED (frozen) codebooks and
@@ -411,9 +425,25 @@ object VectorQueries {
       .partitionBy("list_id").parquet(codesPath)
   }
 
+  private val PqStamp = "_graft_pq_geometry"
+
+  private def pqGeometryString: String =
+    s"m=$pqM|subDim=$pqSubDim|kSub=$pqKSub|coarseK=$pqCoarseK"
+
   /** Read handles onto a stored PQ index (books/coarse collected —
-    * 136 tiny rows — codes left as a parquet scan). */
+    * 136 tiny rows — codes left as a parquet scan). Requires the
+    * completeness/geometry stamp the init writes LAST: a half-written
+    * index (crashed init) or one built with different PQ geometry is
+    * refused loudly. */
   def readStoredPqIndex(s: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val stamp = graft.sources.IndexStore.readStamp(s, path, PqStamp)
+    require(stamp.isDefined,
+      s"no PQ geometry stamp at $path — the index was never initialized " +
+        "(or a crashed initStoredPqIndex left it half-written); re-run initStoredPqIndex")
+    require(stamp.get == pqGeometryString,
+      s"PQ index at $path was built with (${stamp.get}) but this build expects " +
+        s"($pqGeometryString) — probing with mismatched codebook geometry would " +
+        "decode garbage; re-init the index")
     val books = Array.fill(pqM)(Array.fill(pqKSub)(null: Array[Double]))
     s.read.parquet(s"$path/books").collect().foreach { r =>
       books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray

@@ -61,6 +61,37 @@ object IndexStore {
     }
   }
 
+  // ---- sidecar stamps for maintainer-owned (appendable) indexes ------
+  // The auto-built variant's staleness lives in ensure()'s _graft_meta;
+  // appendable lifecycles (init → probe → append) are owned by their
+  // maintainer instead, and use a small named stamp written LAST by the
+  // init and REQUIRED by every reader — a crashed or geometry-changed
+  // init leaves no (or a cleared) stamp, so a probe of a half-written
+  // index fails loudly instead of returning wrong results.
+
+  def writeStamp(s: SparkSession, dir: String, name: String, value: String): Unit = {
+    val p = new Path(dir, name)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  def clearStamp(s: SparkSession, dir: String, name: String): Unit = {
+    val p = new Path(dir, name)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  def readStamp(s: SparkSession, dir: String, name: String): Option[String] = {
+    val p = new Path(dir, name)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
+  }
+
   // per-JVM fast path: LAST meta verified on disk per path (a map, not a
   // (path, meta) set — a set would let an older meta skip the disk check
   // after a newer one rebuilt the index, serving stale tables)
@@ -80,12 +111,12 @@ object IndexStore {
     * LIVE lock and start a second overwrite build on the same
     * directory, the exact corruption the lock exists to prevent. A
     * crashed builder's lock stops refreshing, goes stale after 10
-    * minutes, and is broken; a breaker that then LOSES the lock
-    * re-create race re-enters the wait loop (it must neither build
-    * without the lock nor delete a lock another JVM now owns — only
-    * the creator releases). A shared production deployment would put a
-    * real coordination service (or Hive/Iceberg commit protocol) in
-    * front of this. */
+    * minutes, and is broken ATOMICALLY (rename-to-tombstone: exactly
+    * one of N concurrent breakers wins; losers re-enter the wait loop
+    * — no waiter ever deletes a lock another JVM owns, and no two
+    * builders ever hold the directory). A shared production deployment
+    * would put a real coordination service (or Hive/Iceberg commit
+    * protocol) in front of this. */
   def ensure(s: SparkSession, path: String, meta: String)(build: => Unit): Unit =
     ensure(s, path, meta, lockStaleMs = 10L * 60 * 1000,
       lockWaitMs = 15L * 60 * 1000, lockPollMs = 500L)(build)
@@ -137,8 +168,21 @@ object IndexStore {
           throw new IllegalStateException(
             s"timed out after ${lockWaitMs}ms waiting on a live index build " +
             s"lock at $lockPath — raise the wait or investigate the holder")
-        try fs.delete(lockPath, false) catch { case _: java.io.IOException => () }
+        // breaking is ATOMIC via rename-to-tombstone: of N waiters that
+        // all observed the stale lock, exactly ONE wins the rename (the
+        // losers' renames fail and they loop back to wait) — a plain
+        // delete+create here would let waiter B delete the FRESH lock
+        // waiter A just created, putting two builders on one directory
+        val tombstone = new Path(hPath,
+          s"_graft_build_lock.broken.${java.util.UUID.randomUUID()}")
+        val wonBreak = try fs.rename(lockPath, tombstone)
+          catch { case _: java.io.IOException => false }
+        if (wonBreak)
+          try fs.delete(tombstone, false) catch { case _: java.io.IOException => () }
         onLockBroken()
+        // the break winner usually acquires here; it can still lose to a
+        // brand-new builder that slipped in, and break LOSERS always land
+        // here — both re-enter the wait loop on the holder's fresh lock
         locked = tryLock()
         // a failed re-create means ANOTHER breaker won the takeover race
         // and now owns the lock: loop back and wait on THEIR build —

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the chunking/packing operators that the
+  * DuckDB oracle cannot vouch for (it mirrors the same formula, so a
+  * formula bug would hash-match): chunk coverage and non-redundancy
+  * for t12, offset contiguity for t13.
+  */
+class ChunkPackSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("t12 chunks cover every token and never emit a fully-contained tail chunk") {
+    val byDoc = SparkEntry.queries("t12_doc_chunks")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).values.map(_.sortBy(_._2))
+    import org.apache.spark.sql.functions._
+    val nTokens = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.nonEmpty && byDoc.exists(_.length > 1),
+      "fixture has no multi-chunk documents — test is vacuous")
+    for (chunks <- byDoc) {
+      val doc = chunks.head._1
+      // contiguous ids from 0
+      assert(chunks.map(_._2).toSeq == (0L until chunks.length).toSeq, s"doc $doc ids")
+      // all chunks but the last are exactly the chunk size; the last
+      // ends exactly at the document end (full coverage, 48-stride)
+      chunks.dropRight(1).foreach { case (_, _, n) =>
+        assert(n == 64L, s"doc $doc: interior chunk not full") }
+      val (_, lastId, lastLen) = chunks.last
+      assert(lastId * 48 + lastLen == nTokens(doc),
+        s"doc $doc: chunks do not cover the document exactly")
+      // a tail chunk with ≤16 tokens would lie entirely inside the
+      // previous chunk's 16-token overlap: pure duplicate data
+      if (chunks.length > 1)
+        assert(lastLen > 16L, s"doc $doc: fully-contained duplicate tail chunk")
+    }
+  }
+
+  test("t13 packing offsets are contiguous per source and pack ids consistent") {
+    val rows = SparkEntry.queries("t13_sequence_pack")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_offset"),
+        r.getAs[Long]("pack_first"), r.getAs[Long]("pack_last")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, docs) =>
+      val sorted = docs.sortBy(_._2)
+      assert(sorted.head._4 == 0L, s"$src: first doc must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, n, off, _, _), (_, d2, _, off2, _, _)) =>
+          assert(off2 == off + n, s"$src: offset gap before doc $d2")
+        case _ => ()
+      }
+      for ((_, d, n, off, pf, pl) <- sorted) {
+        assert(pf == off / 128 && pl == (off + n - 1) / 128,
+          s"$src doc $d: pack range inconsistent with offset")
+      }
+    }
+  }
+}
