@@ -299,52 +299,17 @@ object DedupQueries {
       .write.mode("append").partitionBy("band").parquet(s"$path/bands")
   }
 
-  /** Compact an appendable index: daily appends accumulate one small
-    * file set per increment (the classic small-files problem — at
-    * 100 TB a year of daily appends is 365 file groups per table, and
-    * scan planning cost grows with file count). Each table is rewritten
-    * coalesced into a sibling directory and swapped in via two CHECKED
-    * renames. The swap has a brief window where the table directory is
-    * absent (HDFS rename is atomic per-op, not per-pair) — run
-    * compaction from the index's maintenance job, not concurrently with
-    * probes; a crash inside the window is SELF-HEALED on the next call
-    * (the preserved `__old` copy is restored first), and a leftover
-    * `__compacting` from a crashed rewrite is discarded. Contents are
-    * unchanged (IncrementalDedupSpec pins probe equality across a
-    * compaction). A shared multi-writer deployment would use a table
-    * format with a commit protocol (Iceberg/Delta) instead of renames. */
+  /** Compact an appendable index (see `IndexStore.compactTable` for the
+    * rename-swap/crash-recovery semantics — one shared copy for both
+    * index families): the three dedup tables rewritten into
+    * filesPerTable files each, the bands table keeping its on-disk
+    * band partitioning. Contents unchanged (IncrementalDedupSpec pins
+    * probe equality across a compaction). */
   def compactStoredIndex(s: org.apache.spark.sql.SparkSession, path: String,
-                         filesPerTable: Int = 4): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    def p(x: String) = new org.apache.hadoop.fs.Path(x)
-    for (tbl <- Seq("ids", "sig", "bands")) {
-      val cur = s"$path/$tbl"
-      val tmp = s"$path/${tbl}__compacting"
-      val old = s"$path/${tbl}__old"
-      // crash recovery: a previous run that died between its two renames
-      // left the data only in __old — restore it before anything else;
-      // a stale __compacting is an incomplete rewrite — discard it
-      if (!fs.exists(p(cur)) && fs.exists(p(old)))
-        require(fs.rename(p(old), p(cur)), s"crash recovery rename failed for $tbl")
-      if (fs.exists(p(tmp))) fs.delete(p(tmp), true)
-      if (fs.exists(p(old))) fs.delete(p(old), true)
-      val df = s.read.parquet(cur)
-      // repartition, not coalesce: coalesce(n) would collapse the READ
-      // parallelism of the rewrite itself; the shuffle moves table-sized
-      // data once, which is the point of a compaction job. The bands
-      // table shuffles BY band so each on-disk partition gets its own
-      // writer set (round-robin would put every band in every task —
-      // bands × filesPerTable files).
-      val w = (if (tbl == "bands") df.repartition(filesPerTable, col("band"))
-               else df.repartition(filesPerTable)).write.mode("overwrite")
-      if (tbl == "bands") w.partitionBy("band").parquet(tmp) else w.parquet(tmp)
-      // Hadoop rename reports failure by returning false — check both
-      require(fs.rename(p(cur), p(old)), s"compaction rename $cur -> $old failed")
-      require(fs.rename(p(tmp), p(cur)), s"compaction rename $tmp -> $cur failed")
-      fs.delete(p(old), true)
-    }
-  }
+                         filesPerTable: Int = 4): Unit =
+    for (tbl <- Seq("ids", "sig", "bands"))
+      graft.sources.IndexStore.compactTable(s, path, tbl,
+        partitionCol = if (tbl == "bands") Some("band") else None, filesPerTable)
 
   /** Probe an appendable index with a new increment — identical
     * semantics to [[minHashPairsIncrementalStored]] (all pairs of a full

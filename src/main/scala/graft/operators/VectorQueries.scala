@@ -425,6 +425,17 @@ object VectorQueries {
       .partitionBy("list_id").parquet(codesPath)
   }
 
+  /** Compact an appendable PQ index: daily `appendStoredPqIndex` calls
+    * accumulate one small code-file set per increment; the codes table
+    * is rewritten into filesPerList files per coarse list (books/coarse
+    * are single tiny files and never need it). Same rename-swap
+    * discipline as the dedup compaction (`IndexStore.compactTable`);
+    * probe results are pinned unchanged across it in PqAppendSpec. */
+  def compactStoredPqIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                           filesPerList: Int = 4): Unit =
+    graft.sources.IndexStore.compactTable(s, path, "codes",
+      partitionCol = Some("list_id"), filesPerList)
+
   private val PqStamp = "_graft_pq_geometry"
 
   private def pqGeometryString: String =

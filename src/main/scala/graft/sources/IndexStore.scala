@@ -92,6 +92,55 @@ object IndexStore {
     }
   }
 
+  /** Compact one table of an appendable index: daily appends accumulate
+    * one small file set per increment (the classic small-files problem —
+    * at 100 TB a year of daily appends is 365 file groups, and scan
+    * planning cost grows with file count). The table is rewritten
+    * coalesced into a sibling directory and swapped in via two CHECKED
+    * renames. The swap has a brief window where the table directory is
+    * absent (HDFS rename is atomic per-op, not per-pair) — run
+    * compaction from the index's maintenance job, not concurrently with
+    * probes; a crash inside the window is SELF-HEALED on the next call
+    * (the preserved `__old` copy is restored first), and a leftover
+    * `__compacting` from a crashed rewrite is discarded. Contents are
+    * unchanged (callers pin probe equality across a compaction). A
+    * shared multi-writer deployment would use a table format with a
+    * commit protocol (Iceberg/Delta) instead of renames.
+    *
+    * `partitionCol`: when set, the rewrite shuffles BY that column and
+    * keeps the on-disk partitioning, so each partition gets its own
+    * writer set (round-robin would put every partition value in every
+    * task — |values| × filesPerTable files). */
+  def compactTable(s: SparkSession, indexPath: String, tbl: String,
+                   partitionCol: Option[String], filesPerTable: Int): Unit = {
+    val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def p(x: String) = new Path(x)
+    val cur = s"$indexPath/$tbl"
+    val tmp = s"$indexPath/${tbl}__compacting"
+    val old = s"$indexPath/${tbl}__old"
+    // crash recovery: a previous run that died between its two renames
+    // left the data only in __old — restore it before anything else;
+    // a stale __compacting is an incomplete rewrite — discard it
+    if (!fs.exists(p(cur)) && fs.exists(p(old)))
+      require(fs.rename(p(old), p(cur)), s"crash recovery rename failed for $tbl")
+    if (fs.exists(p(tmp))) fs.delete(p(tmp), true)
+    if (fs.exists(p(old))) fs.delete(p(old), true)
+    val df = s.read.parquet(cur)
+    // repartition, not coalesce: coalesce(n) would collapse the READ
+    // parallelism of the rewrite itself; the shuffle moves table-sized
+    // data once, which is the point of a compaction job
+    val w = partitionCol match {
+      case Some(c) => df.repartition(filesPerTable,
+        org.apache.spark.sql.functions.col(c)).write.mode("overwrite").partitionBy(c)
+      case None => df.repartition(filesPerTable).write.mode("overwrite")
+    }
+    w.parquet(tmp)
+    // Hadoop rename reports failure by returning false — check both
+    require(fs.rename(p(cur), p(old)), s"compaction rename $cur -> $old failed")
+    require(fs.rename(p(tmp), p(cur)), s"compaction rename $tmp -> $cur failed")
+    fs.delete(p(old), true)
+  }
+
   // per-JVM fast path: LAST meta verified on disk per path (a map, not a
   // (path, meta) set — a set would let an older meta skip the disk check
   // after a newer one rebuilt the index, serving stale tables)

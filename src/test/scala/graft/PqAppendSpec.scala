@@ -68,6 +68,25 @@ class PqAppendSpec extends AnyFunSuite {
       VectorQueries.appendStoredPqIndex(spark, path, emb.filter(col("vec_id") < 10))
     }
     assert(ex.getMessage.contains("disjoint"))
+
+    // compaction rewrites the accumulated code file-groups without
+    // changing ANY probe result
+    def codeFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/codes")).count(_.getName.endsWith(".parquet"))
+    }
+    val beforeRows = VectorQueries.ivfAdcProbe(
+      spark, VectorQueries.readStoredPqIndex(spark, path), emb, probes)
+      .collect().map(_.toSeq).toSeq
+    val filesBefore = codeFiles()
+    VectorQueries.compactStoredPqIndex(spark, path, filesPerList = 1)
+    assert(codeFiles() < filesBefore,
+      s"compaction should reduce the code file count (was $filesBefore)")
+    assert(VectorQueries.ivfAdcProbe(
+        spark, VectorQueries.readStoredPqIndex(spark, path), emb, probes)
+      .collect().map(_.toSeq).toSeq == beforeRows,
+      "compaction changed probe results")
   }
 
   test("the read-back memo never serves a stale index within one application") {
