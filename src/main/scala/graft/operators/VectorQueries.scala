@@ -432,9 +432,13 @@ object VectorQueries {
     * discipline as the dedup compaction (`IndexStore.compactTable`);
     * probe results are pinned unchanged across it in PqAppendSpec. */
   def compactStoredPqIndex(s: org.apache.spark.sql.SparkSession, path: String,
-                           filesPerList: Int = 4): Unit =
+                           filesPerList: Int = 4): Unit = {
     graft.sources.IndexStore.compactTable(s, path, "codes",
       partitionCol = Some("list_id"), filesPerList)
+    // any memoized codes DataFrame lists pre-compaction files that the
+    // rename swap just deleted — same hazard as an append, same cure
+    pqIndexMemo.clear()
+  }
 
   private val PqStamp = "_graft_pq_geometry"
 

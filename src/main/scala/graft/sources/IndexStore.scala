@@ -129,9 +129,18 @@ object IndexStore {
     // repartition, not coalesce: coalesce(n) would collapse the READ
     // parallelism of the rewrite itself; the shuffle moves table-sized
     // data once, which is the point of a compaction job
+    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, pmod, xxhash64}
     val w = partitionCol match {
-      case Some(c) => df.repartition(filesPerTable,
-        org.apache.spark.sql.functions.col(c)).write.mode("overwrite").partitionBy(c)
+      case Some(c) =>
+        // files-per-VALUE control needs a salt in the shuffle key:
+        // repartition(n, col(c)) alone puts every row of one partition
+        // value into a single task, so partitionBy(c) writes exactly
+        // one file per value no matter what n says — fine for small
+        // values, a multi-GB monolith for a hot one. Salting spreads
+        // each value over up to filesPerTable writer tasks.
+        df.repartition(col(c),
+            pmod(xxhash64(monotonically_increasing_id()), lit(filesPerTable.toLong)))
+          .write.mode("overwrite").partitionBy(c)
       case None => df.repartition(filesPerTable).write.mode("overwrite")
     }
     w.parquet(tmp)
@@ -160,12 +169,18 @@ object IndexStore {
     * LIVE lock and start a second overwrite build on the same
     * directory, the exact corruption the lock exists to prevent. A
     * crashed builder's lock stops refreshing, goes stale after 10
-    * minutes, and is broken ATOMICALLY (rename-to-tombstone: exactly
-    * one of N concurrent breakers wins; losers re-enter the wait loop
-    * — no waiter ever deletes a lock another JVM owns, and no two
-    * builders ever hold the directory). A shared production deployment
-    * would put a real coordination service (or Hive/Iceberg commit
-    * protocol) in front of this. */
+    * minutes, and is broken via rename-to-tombstone (exactly one of N
+    * concurrent breakers' renames succeeds) followed by an mtime
+    * VERIFY: a breaker that renamed a still-fresh lock — a takeover
+    * winner's, slipped in between check and rename — restores it and
+    * re-enters the wait; losers and unverifiable breaks also re-enter
+    * the wait (when in doubt, never build). Residual exposure: a
+    * second builder requires a fresh lock to be renamed away AND a
+    * third waiter to tryLock inside the restore window — two nested
+    * sub-millisecond interleavings on a store whose builds take
+    * seconds; a shared production deployment would put a real
+    * coordination service (or Hive/Iceberg commit protocol) in front
+    * of this instead of accepting even that. */
   def ensure(s: SparkSession, path: String, meta: String)(build: => Unit): Unit =
     ensure(s, path, meta, lockStaleMs = 10L * 60 * 1000,
       lockWaitMs = 15L * 60 * 1000, lockPollMs = 500L)(build)
@@ -210,38 +225,63 @@ object IndexStore {
           waiting = lockAgeMs() < lockStaleMs && !metaCurrent()
         }
         if (metaCurrent()) { ensured.put(path, meta); return }
-        // only a STALE lock may be broken — a fresh mtime means the
-        // holder's heartbeat is alive; taking it over would put two
-        // overwrite-mode builders on one directory. Fail loudly instead.
-        if (lockAgeMs() < lockStaleMs)
-          throw new IllegalStateException(
-            s"timed out after ${lockWaitMs}ms waiting on a live index build " +
-            s"lock at $lockPath — raise the wait or investigate the holder")
-        // breaking is ATOMIC via rename-to-tombstone: of N waiters that
-        // all observed the stale lock, exactly ONE wins the rename (the
-        // losers' renames fail and they loop back to wait) — a plain
-        // delete+create here would let waiter B delete the FRESH lock
-        // waiter A just created, putting two builders on one directory
-        val tombstone = new Path(hPath,
-          s"_graft_build_lock.broken.${java.util.UUID.randomUUID()}")
-        val wonBreak = try fs.rename(lockPath, tombstone)
-          catch { case _: java.io.IOException => false }
-        if (wonBreak)
-          try fs.delete(tombstone, false) catch { case _: java.io.IOException => () }
-        onLockBroken()
-        // the break winner usually acquires here; it can still lose to a
-        // brand-new builder that slipped in, and break LOSERS always land
-        // here — both re-enter the wait loop on the holder's fresh lock
-        locked = tryLock()
-        // a failed re-create means ANOTHER breaker won the takeover race
-        // and now owns the lock: loop back and wait on THEIR build —
-        // never build lockless, never delete a lock this JVM didn't
-        // create. The shared deadline bounds the retries.
-        if (!locked && System.nanoTime() >= deadline)
-          throw new IllegalStateException(
-            s"timed out after ${lockWaitMs}ms: lost the stale-lock takeover " +
-            s"race at $lockPath and the wait budget is exhausted")
+        if (lockAgeMs() < lockStaleMs) {
+          // the lock is FRESH — either its holder is alive, or another
+          // waiter just completed a stale-lock takeover. Keep waiting
+          // while budget remains; only an exhausted deadline on a live
+          // lock is an error (never break a heartbeating builder).
+          if (System.nanoTime() >= deadline)
+            throw new IllegalStateException(
+              s"timed out after ${lockWaitMs}ms waiting on a live index build " +
+              s"lock at $lockPath — raise the wait or investigate the holder")
+        } else {
+          // STALE: break it ATOMICALLY via rename-to-tombstone — of N
+          // concurrent breakers exactly one rename succeeds — then
+          // VERIFY by mtime that what we renamed really was the stale
+          // lock: a takeover winner may have slipped a FRESH lock in
+          // between our staleness check and our rename, in which case
+          // we restore it and go back to waiting on its holder. (The
+          // unverifiable window — renamed file stat fails because a
+          // concurrent winner swept our tombstone — also re-enters the
+          // wait: when in doubt, never build.)
+          val tombstone = new Path(hPath,
+            s"_graft_build_lock.broken.${java.util.UUID.randomUUID()}")
+          val renamed = try fs.rename(lockPath, tombstone)
+            catch { case _: java.io.IOException => false }
+          if (renamed) {
+            val tombAge = try {
+              Some(System.currentTimeMillis() -
+                fs.getFileStatus(tombstone).getModificationTime)
+            } catch { case _: java.io.IOException => None }
+            if (tombAge.exists(_ >= lockStaleMs)) {
+              // verified: we broke the dead holder's lock
+              try fs.delete(tombstone, false) catch { case _: java.io.IOException => () }
+              onLockBroken()
+              locked = tryLock() // may still lose to a parallel fresh builder
+            } else {
+              // we renamed a LIVE lock (or could not prove otherwise):
+              // put it back and wait on its holder. If the restore
+              // fails because a new lock already exists, that holder
+              // is who we wait on; drop our copy.
+              try {
+                if (!fs.rename(tombstone, lockPath)) fs.delete(tombstone, false)
+              } catch { case _: java.io.IOException => () }
+            }
+          }
+          // rename losers and unverified breakers re-enter the wait on
+          // the current holder; the shared deadline bounds the retries
+          if (!locked && System.nanoTime() >= deadline)
+            throw new IllegalStateException(
+              s"timed out after ${lockWaitMs}ms: lost the stale-lock takeover " +
+              s"race at $lockPath and the wait budget is exhausted")
+        }
       }
+      // sweep tombstone litter from crashed breakers (dead files — an
+      // in-flight breaker whose tombstone we sweep fails its verify
+      // and re-enters the wait, which is safe)
+      try fs.globStatus(new Path(hPath, "_graft_build_lock.broken.*"))
+        .foreach(st => fs.delete(st.getPath, false))
+      catch { case _: java.io.IOException => () }
       // lock held (created by this JVM). Heartbeat its mtime so waiters
       // can tell "slow build" (fresh lock — keep waiting) from "crashed
       // builder" (stale lock — break it) however long the build runs.
