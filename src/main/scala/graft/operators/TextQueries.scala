@@ -522,7 +522,81 @@ object TextQueries {
              CAST(FLOOR((tok_offset + n_tokens - 1) / 128.0) AS BIGINT) AS pack_last
       FROM o ORDER BY source, doc_id"""))
 
+  /** Corpus bigram language-model scoring (the CCNet-style LM quality
+    * filter): an add-α smoothed bigram model (α=0.5) is fit on the
+    * corpus itself and every document is scored by its mean bigram
+    * log-likelihood — low scores flag boilerplate/garbled text. Docs
+    * with fewer than 2 tokens have no bigrams and drop out (same in
+    * the oracle).
+    *
+    * Scale shape: both count tables are token-keyed aggregations with
+    * full map-side partial aggregation (vocabulary ≪ corpus by Heaps'
+    * law), so their shuffles carry counts, not token instances. The
+    * scoring join keys the document bigram stream by (w1,w2) against
+    * the probability table — distinct-bigram-sized, the broadcast
+    * candidate at scale (AQE picks broadcast when it fits, else both
+    * sides hash-partition on the bigram key); the final per-doc mean
+    * partial-aggregates before its doc_id shuffle. The token frame is
+    * staged once and feeds all three consumers (unigrams, bigrams,
+    * scoring) — one tokenization pass, and no Generate-filter
+    * re-derivation of the split (SCALE.md expression-plan trap #1).
+    * Determinism: per-bigram log-prob rounded at 6 then decimal-summed
+    * (order-independent), mean rounded at 4.
+    */
+  val tNgramLm = QueryDef(
+    "t14_ngram_lm",
+    (s, dir) => {
+      val alpha = 0.5
+      val docs = QueryDef.spread(
+          Tables.documents(s, dir).select(col("doc_id"), toks.as("tk")))
+        .staged
+      val uni = docs
+        .select(explode(col("tk")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val bigrams = docs
+        .select(col("doc_id"),
+          explode(zip_with(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .staged
+      val cb = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val probs = cb
+        .join(uni, cb("w1") === uni("w"))
+        .crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          round(log((col("c2") + alpha) / (col("c1") + col("v") * alpha)), 6)
+            .as("logp"))
+      bigrams
+        .join(probs, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(QueryDef.dsum(col("logp"), 6).cast("double") / count(lit(1)), 4)
+            .as("avg_logp"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      pos AS (SELECT doc_id, t, UNNEST(range(1, len(t))) AS i FROM tk),
+      bg AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM pos),
+      uni AS (SELECT w, COUNT(*) AS c1
+              FROM (SELECT UNNEST(t) AS w FROM tk) GROUP BY w),
+      cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+      v AS (SELECT COUNT(*) AS v FROM uni),
+      pr AS (SELECT cb.w1, cb.w2,
+                    ROUND(ln((c2 + 0.5) / (c1 + 0.5 * v.v)), 6) AS logp
+             FROM cb JOIN uni ON cb.w1 = uni.w CROSS JOIN v)
+      SELECT bg.doc_id,
+             COUNT(*) AS n_bigrams,
+             ROUND(CAST(SUM(CAST(logp AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4)
+               AS avg_logp
+      FROM bg JOIN pr ON bg.w1 = pr.w1 AND bg.w2 = pr.w2
+      GROUP BY bg.doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
-    tCompression, tChunks, tSequencePack)
+    tCompression, tChunks, tSequencePack, tNgramLm)
 }
