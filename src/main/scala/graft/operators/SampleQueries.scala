@@ -118,5 +118,68 @@ object SampleQueries {
              CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM a GROUP BY source, split ORDER BY source, split"""))
 
-  val all: Seq[QueryDef] = Seq(cSample, cMixAudit, cSplit)
+  /** Exact-count stratified sampling: the n smallest md5(doc_id) per
+    * source — "give me exactly 10 reproducible docs per stratum", the
+    * eval-set / human-review draw. Content-keyed like c1, so the draw
+    * is stable across cluster layouts and corpus increments (a new doc
+    * enters the sample only by displacing the current rank-n).
+    *
+    * Scale shape — the naive form (row_number over every stratum) sorts
+    * the WHOLE corpus; this one never does. Two-phase:
+    *   1. per-stratum counts (tiny agg) → keep-probability
+    *      p = min(1, 4n/N_s); pre-filter on the first 8 hash hex chars
+    *      keeps ~4n candidate rows per stratum (Binomial(N_s, 4n/N_s)),
+    *      so the rank window runs over O(n) rows per stratum, not N_s.
+    *   2. exactness guard: the pre-filter is monotone in the ranking
+    *      order (both are md5-lexicographic), so the survivor set is
+    *      rank-downward-closed — survivors_s ≥ n PROVES the true top-n
+    *      survived; any stratum with survivors_s < n (P ≈ e^{-n} by
+    *      Chernoff, and impossible when p=1) is re-ranked unfiltered.
+    *      Either path yields exactly the oracle's full-window answer.
+    * All stats joins are broadcast (one row per source); the slim
+    * (source, doc_id, hash) projection is staged once and feeds both
+    * passes — two scans of 3 columns, zero full sorts.
+    */
+  val cStratified = QueryDef(
+    "c4_stratified_sample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 10
+      val margin = 4.0 * n
+      val base = {
+        import graft.plans.Stage.StageOps
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            md5(col("doc_id").cast("string")).as("ord"))
+          .staged
+      }
+      val counts = base.groupBy("source").agg(count(lit(1)).as("n_s"))
+      val hfrac = conv(substring(col("ord"), 1, 8), 16, 10).cast("double") /
+        lit(4294967296.0)
+      val surv = base.join(broadcast(counts), "source")
+        .filter(hfrac < least(lit(1.0), lit(margin) / col("n_s")))
+        .select("source", "doc_id", "ord")
+      val okS = surv.groupBy("source").agg(count(lit(1)).as("n_surv"))
+        .filter(col("n_surv") >= n).select("source")
+      val candidates = surv.join(broadcast(okS), Seq("source"), "left_semi")
+        .unionByName(
+          base.join(broadcast(okS), Seq("source"), "left_anti")
+            .select("source", "doc_id", "ord"))
+      val w = Window.partitionBy("source").orderBy("ord", "doc_id")
+      candidates
+        .withColumn("sample_rank", row_number().over(w).cast("long"))
+        .filter(col("sample_rank") <= n)
+        .select("source", "doc_id", "sample_rank")
+        .orderBy("source", "sample_rank")
+    },
+    Some("""
+      WITH r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        FROM documents)
+      SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+      FROM r WHERE sample_rank <= 10 ORDER BY source, sample_rank"""))
+
+  val all: Seq[QueryDef] = Seq(cSample, cMixAudit, cSplit, cStratified)
 }
