@@ -596,7 +596,77 @@ object TextQueries {
       FROM bg JOIN pr ON bg.w1 = pr.w1 AND bg.w2 = pr.w2
       GROUP BY bg.doc_id ORDER BY doc_id"""))
 
+  /** Per-partition Misra-Gries summary of capacity m: emits the
+    * surviving (token, residual estimate) keys. Deterministic for a
+    * fixed partition content ORDER (we only use the key set, whose
+    * guarantee is order-independent: any token with in-partition count
+    * > n_p/(m+1) survives regardless of arrival order). Amortized O(1)
+    * per token: every decrement cancels one prior increment.
+    */
+  private[graft] def misraGries(it: Iterator[String], m: Int): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      counts.get(t) match {
+        case Some(v) => counts.update(t, v + 1)
+        case None if counts.size < m => counts.update(t, 1L)
+        case None =>
+          counts.mapValuesInPlace((_, v) => v - 1)
+          counts.filterInPlace((_, v) => v > 0)
+      }
+    }
+    counts.keysIterator
+  }
+
+  /** Exact heavy hitters (tokens with frequency > frac of all tokens)
+    * via the two-pass sketch-then-confirm shape: pass 1 runs a
+    * Misra-Gries summary of capacity m per partition and unions the
+    * surviving keys — a token with global count > N/(m+1) must survive
+    * in at least one partition (if it were dropped everywhere, its
+    * count would be ≤ Σ_p n_p/(m+1) = N/(m+1)), so with frac ≥ 1/(m+1)
+    * the union is a PROVEN candidate superset. Pass 2 broadcast-semi-
+    * joins the token stream down to candidates and counts exactly.
+    *
+    * Why not just groupBy-count? Per-task hash state. A plain count
+    * over a 100 TB corpus holds the full per-partition vocabulary
+    * (100Ms of keys) in every map task; MG holds m entries, and the
+    * confirm pass holds ≤ |candidates| ≤ P·m — both bounded by
+    * configuration, not by data. The output is EXACT either way (the
+    * oracle is a plain GROUP BY ... HAVING), which is the point: the
+    * sketch bounds memory, not accuracy.
+    */
+  private[operators] def heavyHitters(
+      docs: org.apache.spark.sql.DataFrame, frac: Double, m: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(frac >= 1.0 / (m + 1),
+      s"frac=$frac below the MG capacity guarantee 1/(m+1)=${1.0 / (m + 1)}")
+    val s = docs.sparkSession
+    import s.implicits._
+    val tokens = QueryDef.spread(docs.select(toks.as("tk")))
+      .select(explode(col("tk")).as("w")).as[String]
+    val candidates = tokens.mapPartitions(it => misraGries(it, m))
+      .toDF("w").distinct()
+    val total = docs.agg(sum(size(toks)).cast("double").as("n"))
+    tokens.toDF("w")
+      .join(broadcast(candidates), Seq("w"), "left_semi")
+      .groupBy("w").agg(count(lit(1)).as("n_tok"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_tok") > col("n") * frac)
+      .select(col("w").as("token"), col("n_tok"),
+        round(col("n_tok") / col("n"), 6).as("frac"))
+      .orderBy("token")
+  }
+
+  val tHeavyHitters = QueryDef(
+    "t15_heavy_hitters",
+    (s, dir) => heavyHitters(Tables.documents(s, dir), 0.002, 1024),
+    Some("""
+      WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM tok),
+      c AS (SELECT w, COUNT(*) AS n_tok FROM tok GROUP BY w)
+      SELECT w AS token, n_tok, ROUND(n_tok / n.n, 6) AS frac
+      FROM c CROSS JOIN n WHERE n_tok > n.n * 0.002 ORDER BY token"""))
+
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
-    tCompression, tChunks, tSequencePack, tNgramLm)
+    tCompression, tChunks, tSequencePack, tNgramLm, tHeavyHitters)
 }
