@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.Stage.StageOps
+import graft.sources.Tables
+import graft.stats.{Design, Glm}
+
+/** Model-based quality filtering (t16) — the distillation shape every
+  * large-scale curation pipeline uses (fastText-style quality
+  * classifiers are bootstrapped exactly this way: label a corpus slice
+  * with a cheap rule, fit a smooth classifier on OTHER features, score
+  * everything): weak labels come from the t2 rule filter
+  * (quality ≥ 0.64), the model sees only the smooth features
+  * (stop_ratio, type-token ratio, log length — NOT the rule's length
+  * window), and the fitted model emits a per-document keep probability.
+  *
+  * Scale design: the feature pass is computed ONCE and staged — the
+  * R-parity IRLS ([[graft.stats.Glm.logistic]]) then runs each
+  * iteration as one distributed fused-Gramian pass over the staged
+  * features (N+1 scans total for N updates), coefficients return to
+  * the plan as literals, and scoring is a map-side codegen'd
+  * expression. Nothing about the fit or the scoring holds per-row
+  * state on the driver; a 100 TB corpus costs the same ~5 scans.
+  *
+  * Rows-only (IRLS has no SQL analogue); pinned, with the semantics
+  * (learning actually happened, R-parity convergence, determinism)
+  * gated in QualityClassifierSpec.
+  */
+object ClassifierQueries {
+
+  private val stopArr = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+
+  /** doc_id, weak label y, and the three model features — one pass. */
+  private[graft] def featureFrame(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame =
+    QueryDef.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), col("n_chars"),
+        (size(filter(col("tk"), t => array_contains(stopArr, t))).cast("double") /
+          size(col("tk")).cast("double")).as("stop_ratio"),
+        (size(array_distinct(col("tk"))).cast("double") /
+          size(col("tk")).cast("double")).as("ttr"),
+        log(size(col("tk")).cast("double")).as("log_len"))
+      .select(col("doc_id"), col("stop_ratio"), col("ttr"), col("log_len"),
+        // the t2 rule (quality = 0.5·length_ok + 0.25·stop + 0.25·ttr ≥ 0.64)
+        when(when(col("n_chars") >= 100 && col("n_chars") <= 5000, 0.5).otherwise(0.0)
+          + col("stop_ratio") * 0.25 + col("ttr") * 0.25 >= 0.64, 1.0)
+          .otherwise(0.0).as("y"))
+      .staged
+
+  private[graft] val design: Design = Design(
+    Design.intercept,
+    ("stop_ratio", col("stop_ratio")),
+    ("ttr", col("ttr")),
+    ("log_len", col("log_len")))
+
+  val tQualityClassifier = QueryDef(
+    "t16_quality_classifier",
+    (s, dir) => {
+      val base = featureFrame(s, dir)
+      val fit = Glm.logistic(base, design, col("y"))
+      base.select(col("doc_id"), col("y").cast("long").as("label"),
+          round(fit.predict(design), 6).as("p_keep"))
+        .withColumn("keep", col("p_keep") >= 0.5)
+        .orderBy("doc_id")
+    })
+
+  val all: Seq[QueryDef] = Seq(tQualityClassifier)
+}

@@ -32,13 +32,29 @@ object ContaminationQueries {
     * optimizer rules (InferFiltersFromGenerate + pushdown) substitute
     * inline expressions into extra Filter copies — observed as a 15×
     * single-threaded blowup below the spread Exchange. */
-  private[operators] def wordNgrams(tk: Column, n: Int) =
+  private[graft] def wordNgrams(tk: Column, n: Int) =
     array_distinct(
       transform(sequence(lit(0), size(tk) - n),
         i => concat_ws(" ", (1 to n).map(j => element_at(tk, i + j)): _*)))
 
   /** Eval-set predicate: deterministic ~2.7% of documents. */
   private val isEval = col("doc_id") % 37 === 0
+
+  /** ONE n-gram pass over the corpus, materialized (eager local
+    * checkpoint): it feeds the eval postings, the train postings AND
+    * the per-doc gram counts — previously each re-derived the pass.
+    * Materializing BEFORE the explodes also stops the optimizer from
+    * substituting the n-gram expression into inferred pre-shuffle
+    * Filters (see wordNgrams scaladoc). Single-node trade-off: on a
+    * real cluster use reliable checkpoint() for fault tolerance.
+    */
+  private def ngramDocs(s: org.apache.spark.sql.SparkSession, dir: String,
+                        n: Int): org.apache.spark.sql.DataFrame =
+    QueryDef.spread(Tables.documents(s, dir))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), wordNgrams(col("tk"), n).as("g"))
+      .staged
 
   /** Per-eval-doc 5-gram containment against the training split:
     * n_contaminated = how many of the doc's distinct 5-grams occur
@@ -60,18 +76,7 @@ object ContaminationQueries {
   def decontaminate(s: org.apache.spark.sql.SparkSession, dir: String,
                     maxBroadcastEvalPostings: Long = 10000000L): org.apache.spark.sql.DataFrame = {
       val n = 5
-      // ONE n-gram pass over the corpus, materialized (eager local
-      // checkpoint): it feeds the eval postings, the train postings AND
-      // the per-doc gram counts — previously each re-derived the pass.
-      // Materializing BEFORE the explodes also stops the optimizer from
-      // substituting the n-gram expression into inferred pre-shuffle
-      // Filters (see wordNgrams scaladoc). Single-node trade-off: on a
-      // real cluster use reliable checkpoint() for fault tolerance.
-      val docs = QueryDef.spread(Tables.documents(s, dir))
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= n)
-        .select(col("doc_id"), wordNgrams(col("tk"), n).as("g"))
-        .staged
+      val docs = ngramDocs(s, dir, n)
       val evalDocs = docs.filter(isEval)
         .select(col("doc_id").as("a"), size(col("g")).cast("long").as("na"), col("g"))
       val evalPost = evalDocs.select(col("a"), col("na"), explode(col("g")).as("gram"))
@@ -140,5 +145,70 @@ object ContaminationQueries {
       FROM ev LEFT JOIN pd USING (a) LEFT JOIN (SELECT * FROM tp WHERE rn = 1) tp USING (a)
       ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(xDecontamination)
+  /** Bloom-pruned corpus scrub (x2): the REVERSE direction of x1 —
+    * flag every TRAINING document sharing a 4-gram with the eval set
+    * (the docs a release pipeline would drop), with the eval gram set
+    * carried to the training scan as a Bloom filter instead of the
+    * gram strings themselves.
+    *
+    * Why this shape at 100 TB: x1 broadcasts exact eval postings,
+    * which caps out once the benchmark suite grows (gram strings are
+    * ~40-50 bytes each; Spark's broadcast ceiling arrives at tens of
+    * millions of grams). The Bloom filter carries ~10 BITS per gram at
+    * fpp=1% — 40× smaller for the same membership question — so the
+    * full 100 TB training posting stream is pruned MAP-SIDE by a
+    * compact sketch (codegen'd [[graft.functions.BloomMightContainExpr]],
+    * never false on a true member), and only the survivors (true
+    * overlaps + ~fpp of the stream) pay the exact-confirm shuffle join
+    * that removes false positives. Output is therefore EXACT — the
+    * DuckDB oracle is the plain join with no bloom anywhere.
+    */
+  def bloomScrub(s: org.apache.spark.sql.SparkSession, dir: String,
+                 fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val n = 4
+    val docs = ngramDocs(s, dir, n)
+    // consumed 3× (count, bloom aggregate, confirm join) — materialize once
+    val evalGrams = docs.filter(isEval)
+      .select(explode(col("g")).as("gram")).distinct().staged
+    // size the filter from the true distinct count (cheap over the
+    // staged frame): an under-sized bloom silently degrades fpp, an
+    // over-sized one wastes broadcast bytes
+    val nEval = evalGrams.count()
+    val bf = evalGrams.stat.bloomFilter("gram", math.max(nEval, 1L), fpp)
+    val bc = s.sparkContext.broadcast(bf)
+    val trainPost = docs.filter(!isEval)
+      .select(col("doc_id").as("b"), size(col("g")).cast("long").as("nb"),
+        explode(col("g")).as("gram"))
+    val survivors = trainPost.filter(
+      graft.functions.BloomMightContainExpr(col("gram"), bc))
+    survivors.join(evalGrams, "gram") // exact confirm kills false positives
+      .groupBy("b", "nb").agg(countDistinct(col("gram")).as("n_shared"))
+      .select(col("b").as("doc_id"), col("nb").as("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("nb"), 6).as("share_frac"))
+      .orderBy("doc_id")
+  }
+
+  val xBloomScrub = QueryDef(
+    "x2_bloom_scrub",
+    (s, dir) => bloomScrub(s, dir),
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 2),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                      tk[i+3])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        WHERE len(tk) >= 4),
+      e AS (SELECT DISTINCT u.t AS gram
+            FROM d, UNNEST(d.g) AS u(t) WHERE doc_id % 37 = 0),
+      tr AS (SELECT doc_id AS b, CAST(len(g) AS BIGINT) AS nb, u.t AS gram
+             FROM d, UNNEST(d.g) AS u(t) WHERE doc_id % 37 <> 0)
+      SELECT tr.b AS doc_id, tr.nb AS n_grams,
+             CAST(COUNT(DISTINCT tr.gram) AS BIGINT) AS n_shared,
+             ROUND(CAST(COUNT(DISTINCT tr.gram) AS DOUBLE) / tr.nb, 6) AS share_frac
+      FROM tr JOIN e USING (gram)
+      GROUP BY tr.b, tr.nb
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(xDecontamination, xBloomScrub)
 }

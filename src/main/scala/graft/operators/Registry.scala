@@ -9,7 +9,8 @@ object Registry {
       TextQueries.all ++ DedupQueries.all ++
       Seq(DedupClusters.dClusters, DedupClusters.dClustersOracle) ++
       VectorQueries.all ++ MultimodalQueries.all ++ HarnessQueries.all ++
-      SampleQueries.all ++ ContaminationQueries.all ++ PipelineQueries.all
+      SampleQueries.all ++ ContaminationQueries.all ++ PipelineQueries.all ++
+      ClassifierQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     suites.map(q => q.name -> q.fn).toMap

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.plans.Stage.StageOps
 import graft.sources.Tables
 
 /** Similarity search over the `embeddings` table (64-dim unit-norm
@@ -599,6 +600,49 @@ object VectorQueries {
       .select(col("q"), col("col.id").as("nb"), (col("pos") + 1).cast("long").as("rank"))
       .orderBy("q", "rank")
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * global pairwise cosine dedup is O(n²) and dead at corpus scale; the
+    * published recipe bounds it by clustering first — k-means lists via
+    * the SAME driver-fit coarse quantizer as v5, then pairwise cosine
+    * ONLY within each list. Cost drops from n² to Σ|list|², and the
+    * within-list pairwise is a LIST-KEYED self-join: both sides shuffle
+    * on list_id (co-partitioned, no broadcast of the corpus), so each
+    * task compares one list locally. At 100 TB, k grows with the corpus
+    * to cap |list| (k ≈ n/target_list_size); cross-list near-dups are
+    * the accepted approximation of the published method.
+    *
+    * Decision rule (deterministic, order-invariant): a vector b is
+    * DROPPED iff some lower-id vector a in its list has cos(a,b) > τ;
+    * its keeper is the LOWEST such a (struct-min). τ = 0.4 sits in this
+    * corpus's near-dup band (max pairwise cosine ≈ 0.48 at test sf —
+    * production τ would be ~0.95 on real embeddings). Rows-only (the
+    * fitted centroids have no SQL analogue); pinned + SemDedupSpec
+    * recomputes the exact dropped set per list.
+    */
+  val vSemanticDedup = QueryDef(
+    "v8_semantic_dedup",
+    (s, dir) => {
+      val tau = 0.4
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val sample = strideSample(emb)
+      val centers: Array[Array[Double]] = LocalKMeans.fit(sample, k = 16, iters = 10, seed = 42L)
+      // assignment expression is 16×64 centroid literals — materialize
+      // once, both self-join sides read the staged result
+      val assigned = emb.select(col("vec_id"), col("embedding"),
+          array_min(centerDistStructs(col("embedding"), centers)).getField("idx").as("list_id"))
+        .staged
+      val a = assigned.select(col("list_id"), col("vec_id").as("a"), col("embedding").as("ea"))
+      val b = assigned.select(col("list_id"), col("vec_id").as("b"), col("embedding").as("eb"))
+      a.join(b, Seq("list_id")).filter(col("a") < col("b"))
+        .withColumn("__sim", dot(col("ea"), col("eb")))
+        .filter(col("__sim") > tau)
+        .groupBy(col("b"))
+        .agg(min(struct(col("a"), col("__sim").as("sim"), col("list_id"))).as("k"))
+        .select(col("b").as("vec_id"), col("k.a").as("kept_id"),
+          round(col("k.sim"), 6).as("cosine"), col("k.list_id").cast("long").as("list_id"))
+        .orderBy("vec_id")
+    })
+
   val all: Seq[QueryDef] = Seq(vCosineTopK, vLshAnn, vEmbedDedup, vNormStats,
-    vIvfAnn, vPqAnn, vIvfAdcAnn)
+    vIvfAnn, vPqAnn, vIvfAdcAnn, vSemanticDedup)
 }

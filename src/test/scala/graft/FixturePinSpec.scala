@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Committed-hash pins for every driver query with no DuckDB oracle
-  * (`no_oracle` in CORRECTNESS_r*.json): the 14 operators whose semantics
+  * (`no_oracle` in CORRECTNESS_r*.json): the operators whose semantics
   * DuckDB cannot express (iterative MinHash/LSH/k-means/IRLS, the MC
   * harness). Each is fully deterministic by construction (counter-based
   * RNG, seeded hyperplanes/k-means, fixed convergence rules), so its
@@ -40,6 +40,7 @@ class FixturePinSpec extends AnyFunSuite {
     "q30_sketch_union"         -> "7991473430476d2b3ef76565c6b7c732",
     "s3_logistic_irls"         -> "3142949dbddbd4c5163a2c857e2cb0c4",
     "t11_compression_ratio"    -> "068631635d8d574890409ff69d985229",
+    "t16_quality_classifier"   -> "9183fb43a26b48c2ea2e4ca303fb399f",
     "s4_estimator_battery"     -> "8b19ad4c5625f65276c52f5f8ba42128",
     "s5_awcls"                 -> "dd305b961e07996c4b4fed4b5e84cb64",
     "s6_aic_ladder"            -> "a47246fafb616d117be73e04f0eac926",
@@ -47,7 +48,8 @@ class FixturePinSpec extends AnyFunSuite {
     "v3_embed_neardup"         -> "73b19f18c790733cac4ead62c2fd7327",
     "v5_ivf_ann"               -> "afd848323e99e775dd15dee6070bd772",
     "v6_pq_ann"                -> "c0eeb3a88ad778f4ef7b11eb1a286f62",
-    "v7_ivfadc_ann"            -> "b2ebb6a2bc4c986d3d7a3882599da029")
+    "v7_ivfadc_ann"            -> "b2ebb6a2bc4c986d3d7a3882599da029",
+    "v8_semantic_dedup"        -> "98b8bb51d12b94e382866cfc9e70cb65")
 
   test("every no_oracle driver query is hash-pinned") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
