@@ -181,5 +181,94 @@ object SampleQueries {
       SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
       FROM r WHERE sample_rank <= 10 ORDER BY source, sample_rank"""))
 
-  val all: Seq[QueryDef] = Seq(cSample, cMixAudit, cSplit, cStratified)
+  /** Token-budget selection (c5): keep the highest-quality documents
+    * whose running token total stays within a fixed training budget —
+    * the "take the best B tokens" step of corpus assembly. Selection
+    * rule: rank by (quality DESC, doc_id ASC); a doc is kept iff its
+    * INCLUSIVE running token sum ≤ B (a prefix of the ranking, since
+    * the cumsum is monotone).
+    *
+    * The naive formulation — `SUM(n_tokens) OVER (ORDER BY quality
+    * DESC)` with no PARTITION BY — is the oracle below, and is exactly
+    * the plan that dies at scale: an un-partitioned window moves the
+    * ENTIRE corpus to one task. The Spark side computes the same set
+    * with bounded state instead:
+    *  1. one scan aggregates token totals per ROUNDED quality value
+    *     (quality is round(·,6) in [0,1], so ≤ 1e6+1 bins — bounded by
+    *     the rounding grid, not the corpus; the driver fold over the
+    *     sorted bins is ≤ ~16 MB),
+    *  2. the driver walks bins best-first to find the crossing bin and
+    *     the budget remaining when entering it,
+    *  3. every doc STRICTLY above the crossing bin is kept by a plain
+    *     map-side filter; only the crossing BIN's docs (one quality
+    *     value) pay a window cumsum — a single small partition by
+    *     construction.
+    * Same exact result, no global sort, no full-corpus single-task
+    * window. Quality is t2's rule (shared stopword list).
+    */
+  val cTokenBudget = QueryDef(
+    "c5_token_budget",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.plans.Stage.StageOps
+      val budget = 15000L
+      val stopArr = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+      val base = QueryDef.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          round(
+            when(col("n_chars") >= 100 && col("n_chars") <= 5000, 0.5).otherwise(0.0)
+              + size(filter(col("tk"), t => array_contains(stopArr, t))).cast("double")
+                / size(col("tk")) * 0.25
+              + size(array_distinct(col("tk"))).cast("double") / size(col("tk")) * 0.25,
+            6).as("quality"))
+        .staged // one feature pass feeds the bin agg + both filtered reads
+      val bins = base.groupBy("quality").agg(sum("n_tokens").as("tot"))
+        .orderBy(col("quality").desc).collect()
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      var acc = 0L
+      var qCross = Option.empty[Double]
+      var brem = 0L
+      bins.foreach { case (q, tot) =>
+        if (qCross.isEmpty) {
+          if (acc + tot <= budget) acc += tot
+          else { qCross = Some(q); brem = budget - acc }
+        }
+      }
+      val selected = qCross match {
+        case None => base // the whole corpus fits the budget
+        case Some(qc) =>
+          val full = base.filter(col("quality") > qc)
+          // one quality value — a deliberately small single partition
+          val w = Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val boundary = base.filter(col("quality") === qc)
+            .withColumn("__cum", sum(col("n_tokens")).over(w))
+            .filter(col("__cum") <= brem)
+            .drop("__cum")
+          full.unionByName(boundary)
+      }
+      selected.select(col("doc_id"), col("n_tokens"), col("quality"))
+        .orderBy(col("quality").desc, col("doc_id"))
+    },
+    Some("""
+      WITH b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+        FROM documents),
+      q AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               ROUND(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+                 + len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / nt * 0.25
+                 + len(list_distinct(tk)) / nt * 0.25, 6) AS quality
+        FROM b),
+      c AS (
+        SELECT doc_id, n_tokens, quality,
+               SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM q)
+      SELECT doc_id, n_tokens, quality FROM c WHERE cum <= 15000
+      ORDER BY quality DESC, doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget)
 }

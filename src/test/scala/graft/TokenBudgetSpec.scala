@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SampleQueries
+
+/** c5_token_budget semantics: the bin-threshold plan must equal the
+  * naive global-window formulation row for row, respect the budget,
+  * and be maximal (the next-best excluded doc would overflow it).
+  */
+class TokenBudgetSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // 15k tokens ≈ half the sf0.01 corpus — selection is non-trivial
+  private val dir = "/root/testdata/sf0.01"
+  private val budget = 15000L
+
+  private def run() = SampleQueries.cTokenBudget.fn(spark, dir)
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+  test("equals the naive global-window cumsum selection") {
+    val out = run()
+    val stopArr = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+    val q = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        round(
+          when(col("n_chars") >= 100 && col("n_chars") <= 5000, 0.5).otherwise(0.0)
+            + size(filter(col("tk"), t => array_contains(stopArr, t))).cast("double")
+              / size(col("tk")) * 0.25
+            + size(array_distinct(col("tk"))).cast("double") / size(col("tk")) * 0.25,
+          6).as("quality"))
+    val w = Window.orderBy(col("quality").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = q.withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(col("cum") <= budget)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == naive.toSeq)
+    assert(out.nonEmpty && out.length < q.count(), "selection is vacuous")
+  }
+
+  test("budget respected and selection is maximal") {
+    val out = run()
+    val total = out.map(_._2).sum
+    assert(total <= budget)
+    // the best excluded doc (first in ranking not selected) must overflow
+    val selectedIds = out.map(_._1).toSet
+    val stopArr = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+    val next = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        round(
+          when(col("n_chars") >= 100 && col("n_chars") <= 5000, 0.5).otherwise(0.0)
+            + size(filter(col("tk"), t => array_contains(stopArr, t))).cast("double")
+              / size(col("tk")) * 0.25
+            + size(array_distinct(col("tk"))).cast("double") / size(col("tk")) * 0.25,
+          6).as("quality"))
+      .orderBy(col("quality").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .find(r => !selectedIds.contains(r._1))
+    next.foreach { case (_, ntok) => assert(total + ntok > budget) }
+  }
+}
