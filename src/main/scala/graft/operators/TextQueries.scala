@@ -666,7 +666,70 @@ object TextQueries {
       SELECT w AS token, n_tok, ROUND(n_tok / n.n, 6) AS frac
       FROM c CROSS JOIN n WHERE n_tok > n.n * 0.002 ORDER BY token"""))
 
+  /** BM25 ranked retrieval (t17) for a fixed query-term set — the
+    * inverted-index scoring pass behind corpus search / example
+    * retrieval. Okapi BM25 with Lucene's idf
+    * (ln((N−df+0.5)/(df+0.5)+1), always ≥ 0), k1=1.2, b=0.75.
+    *
+    * Scale shape: the postings explode is pruned to the query terms
+    * BEFORE any shuffle (isin filter under the Generate — a 4-term
+    * query touches 4 posting lists, not the corpus vocabulary); df and
+    * the corpus stats are broadcast; per-doc scores aggregate ≤|Q|
+    * rows each; the final ranking is top-k (TakeOrderedAndProject),
+    * never a global sort. Per-term contributions are summed as
+    * DECIMAL(30,12) so the score is addition-order-independent and the
+    * ranking cross-engine-exact (QueryDef.dsum rationale).
+    */
+  val tBm25 = QueryDef(
+    "t17_bm25_search",
+    (s, dir) => {
+      val q = Seq("spark", "join", "filter", "window")
+      val k1 = 1.2
+      val b = 0.75
+      val docs = Tables.documents(s, dir)
+      val stats = docs.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
+      val dl = docs.select(col("doc_id"), size(toks).cast("double").as("dl"))
+      val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+        .filter(col("tok").isin(q: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      val contrib = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        (col("tf") * lit(k1 + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      tf.join(broadcast(df), "tok").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("c", contrib.cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("sc"), count(lit(1)).as("n_terms"))
+        .orderBy(col("sc").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), round(col("sc").cast("double"), 6).as("bm25"),
+          col("n_terms"))
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                    CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
+      dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
+      tf AS (SELECT doc_id, u.t AS tok, CAST(COUNT(*) AS DOUBLE) AS tf
+             FROM tk, UNNEST(tk.tk) AS u(t)
+             WHERE u.t IN ('spark', 'join', 'filter', 'window')
+             GROUP BY doc_id, u.t),
+      df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+      c AS (
+        SELECT tf.doc_id,
+               CAST(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                    (tf.tf * 2.2) /
+                    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                 AS DECIMAL(30,12)) AS c
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st),
+      sc AS (SELECT doc_id, SUM(c) AS sc, COUNT(*) AS n_terms
+             FROM c GROUP BY doc_id)
+      SELECT doc_id, ROUND(CAST(sc AS DOUBLE), 6) AS bm25, n_terms
+      FROM sc ORDER BY sc DESC, doc_id LIMIT 20"""))
+
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
-    tCompression, tChunks, tSequencePack, tNgramLm, tHeavyHitters)
+    tCompression, tChunks, tSequencePack, tNgramLm, tHeavyHitters, tBm25)
 }
