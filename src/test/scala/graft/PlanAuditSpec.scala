@@ -128,4 +128,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("array_min"),
       "PQ/coarse encode leaked into the query plan\n" + p.take(2000))
   }
+
+  test("t15 heavy hitters confirm via a broadcast semi join (no shuffled candidate join)") {
+    val p = plan("t15_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "expected the candidate set to broadcast-semi-join the token stream\n" + p.take(3000))
+  }
+
+  test("t17 BM25 ranks via TakeOrderedAndProject with query-term-pruned postings") {
+    val p = plan("t17_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must not be a global sort\n" + p.take(2000))
+    assert(p.contains("IN (spark,join,filter,window)"),
+      "postings must be pruned to the query terms before aggregation\n" + p.take(3000))
+  }
+
+  test("c5 token budget: the only window runs over the one-bin boundary filter") {
+    val p = plan("c5_token_budget")
+    val windows = "\\bWindow\\b".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly one Window operator, got $windows\n" + p.take(3000))
+    // its input must be the quality-equality boundary filter, so the
+    // window never sees more than the crossing bin
+    assert("quality#\\d+\\) = ".r.findFirstIn(p).isDefined ||
+      "quality#\\d+ = ".r.findFirstIn(p).isDefined,
+      "expected a quality = <crossing-bin> equality filter below the window\n" + p.take(3000))
+  }
 }
