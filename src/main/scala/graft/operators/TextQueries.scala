@@ -690,15 +690,19 @@ object TextQueries {
       val stats = docs.agg(
         count(lit(1)).cast("double").as("n_docs"),
         (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
-      val dl = docs.select(col("doc_id"), size(toks).cast("double").as("dl"))
-      val tf = docs.select(col("doc_id"), explode(toks).as("tok"))
+      // dl rides the PRUNED postings (8 bytes on matching rows only) —
+      // a separate (doc_id, dl) table would shuffle corpus-wide lengths
+      // for docs that match no query term
+      val tf = docs.select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+          explode(col("tk")).as("tok"))
         .filter(col("tok").isin(q: _*))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
       val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
       val contrib = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
         (col("tf") * lit(k1 + 1.0)) /
         (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-      tf.join(broadcast(df), "tok").join(dl, "doc_id").crossJoin(broadcast(stats))
+      tf.join(broadcast(df), "tok").crossJoin(broadcast(stats))
         .withColumn("c", contrib.cast(org.apache.spark.sql.types.DecimalType(30, 12)))
         .groupBy("doc_id")
         .agg(sum(col("c")).as("sc"), count(lit(1)).as("n_terms"))
