@@ -137,5 +137,83 @@ object PipelineQueries {
              CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM a GROUP BY source, split ORDER BY source, split"""))
 
-  val all: Seq[QueryDef] = Seq(pCuration)
+  /** Release-assembly pipeline v2 (p2) — the ROUND-9 operator
+    * composition: bloom-pruned decontamination scrub → token-budget
+    * selection → per-source release audit, again as one declarative
+    * plan reusing the standalone operators' building blocks
+    * (ContaminationQueries.bloomScrub's dropped set,
+    * SampleQueries.qualityTokenFrame / tokenBudgetSelect) and
+    * oracle-checked END-TO-END.
+    *
+    * Scale shape: the scrub side is x2's (compact bloom broadcast
+    * map-side, exact confirm shuffle bounded by true overlaps); its
+    * dropped set — overlap-sized, tiny by construction — broadcasts
+    * into a left-anti join against the corpus; the budget selection is
+    * c5's bin-threshold plan (no un-partitioned window); the audit is
+    * one source-keyed aggregate with decimal-exact quality sums.
+    */
+  val pRelease = QueryDef(
+    "p2_release_pipeline",
+    (s, dir) => {
+      // 1. scrub: train docs sharing a 4-gram with the eval set are
+      // dropped; eval docs themselves are benchmark data, never shipped
+      val dropped = ContaminationQueries.bloomScrub(s, dir)
+        .select(col("doc_id"))
+      val clean = Tables.documents(s, dir)
+        .filter(col("doc_id") % 37 =!= 0)
+        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      // 2. best 12k tokens by the t2 quality rule
+      val sel = SampleQueries.tokenBudgetSelect(
+        SampleQueries.qualityTokenFrame(clean, extraCols = Seq("source")),
+        budget = 12000L)
+      // 3. release audit
+      sel.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(QueryDef.dsum(col("quality"), 6).cast("double") /
+            count(lit(1)), 6).as("mean_quality"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH d4 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(tk) - 2),
+                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                      tk[i+3])) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        WHERE len(tk) >= 4),
+      e AS (SELECT DISTINCT u.t AS gram
+            FROM d4, UNNEST(d4.g) AS u(t) WHERE doc_id % 37 = 0),
+      trpost AS (
+        SELECT d4.doc_id, u.t AS gram
+        FROM d4, UNNEST(d4.g) AS u(t) WHERE d4.doc_id % 37 <> 0),
+      dropped AS (
+        SELECT DISTINCT doc_id FROM trpost JOIN e USING (gram)),
+      clean AS (
+        SELECT * FROM documents
+        WHERE doc_id % 37 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM dropped)),
+      b AS (
+        SELECT doc_id, source, n_chars, string_split(text, ' ') AS tk,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+        FROM clean),
+      q AS (
+        SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n_tokens,
+               ROUND(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+                 + len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / nt * 0.25
+                 + len(list_distinct(tk)) / nt * 0.25, 6) AS quality
+        FROM b),
+      c AS (
+        SELECT doc_id, source, n_tokens, quality,
+               SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM q)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             ROUND(CAST(SUM(CAST(quality AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_quality
+      FROM c WHERE cum <= 12000
+      GROUP BY source ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(pCuration, pRelease)
 }

@@ -206,49 +206,70 @@ object SampleQueries {
     * Same exact result, no global sort, no full-corpus single-task
     * window. Quality is t2's rule (shared stopword list).
     */
+  /** The t2 quality rule + token count over any documents-shaped frame
+    * — one staged feature pass, shared by c5 and the p2 release
+    * pipeline (keeps extra columns like `source`). */
+  private[operators] def qualityTokenFrame(docs: org.apache.spark.sql.DataFrame,
+                                           extraCols: Seq[String] = Nil)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.plans.Stage.StageOps
+    val stopArr = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+    val keep = (Seq(col("doc_id"), col("n_chars")) ++ extraCols.map(col)) :+
+      split(col("text"), " ").as("tk")
+    val out = (Seq(col("doc_id")) ++ extraCols.map(col)) ++ Seq(
+      size(col("tk")).cast("long").as("n_tokens"),
+      round(
+        when(col("n_chars") >= 100 && col("n_chars") <= 5000, 0.5).otherwise(0.0)
+          + size(filter(col("tk"), t => array_contains(stopArr, t))).cast("double")
+            / size(col("tk")) * 0.25
+          + size(array_distinct(col("tk"))).cast("double") / size(col("tk")) * 0.25,
+        6).as("quality"))
+    QueryDef.spread(docs).select(keep: _*).select(out: _*)
+      .staged // one feature pass feeds the bin agg + both filtered reads
+  }
+
+  /** Bin-threshold budget selection over a STAGED frame carrying
+    * (n_tokens, quality, doc_id, ...): returns the rows of the maximal
+    * (quality DESC, doc_id ASC) prefix whose inclusive token cumsum
+    * stays ≤ budget — the exact global-window answer with no
+    * un-partitioned window (see c5 scaladoc for the plan argument).
+    * Extra columns pass through untouched. */
+  private[operators] def tokenBudgetSelect(base: org.apache.spark.sql.DataFrame,
+                                           budget: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = base.groupBy("quality").agg(sum("n_tokens").as("tot"))
+      .orderBy(col("quality").desc).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    var acc = 0L
+    var qCross = Option.empty[Double]
+    var brem = 0L
+    bins.foreach { case (q, tot) =>
+      if (qCross.isEmpty) {
+        if (acc + tot <= budget) acc += tot
+        else { qCross = Some(q); brem = budget - acc }
+      }
+    }
+    qCross match {
+      case None => base // the whole corpus fits the budget
+      case Some(qc) =>
+        val full = base.filter(col("quality") > qc)
+        // one quality value — a deliberately small single partition
+        val w = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val boundary = base.filter(col("quality") === qc)
+          .withColumn("__cum", sum(col("n_tokens")).over(w))
+          .filter(col("__cum") <= brem)
+          .drop("__cum")
+        full.unionByName(boundary)
+    }
+  }
+
   val cTokenBudget = QueryDef(
     "c5_token_budget",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      import graft.plans.Stage.StageOps
-      val budget = 15000L
-      val stopArr = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
-      val base = QueryDef.spread(Tables.documents(s, dir))
-        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
-          round(
-            when(col("n_chars") >= 100 && col("n_chars") <= 5000, 0.5).otherwise(0.0)
-              + size(filter(col("tk"), t => array_contains(stopArr, t))).cast("double")
-                / size(col("tk")) * 0.25
-              + size(array_distinct(col("tk"))).cast("double") / size(col("tk")) * 0.25,
-            6).as("quality"))
-        .staged // one feature pass feeds the bin agg + both filtered reads
-      val bins = base.groupBy("quality").agg(sum("n_tokens").as("tot"))
-        .orderBy(col("quality").desc).collect()
-        .map(r => (r.getDouble(0), r.getLong(1)))
-      var acc = 0L
-      var qCross = Option.empty[Double]
-      var brem = 0L
-      bins.foreach { case (q, tot) =>
-        if (qCross.isEmpty) {
-          if (acc + tot <= budget) acc += tot
-          else { qCross = Some(q); brem = budget - acc }
-        }
-      }
-      val selected = qCross match {
-        case None => base // the whole corpus fits the budget
-        case Some(qc) =>
-          val full = base.filter(col("quality") > qc)
-          // one quality value — a deliberately small single partition
-          val w = Window.orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val boundary = base.filter(col("quality") === qc)
-            .withColumn("__cum", sum(col("n_tokens")).over(w))
-            .filter(col("__cum") <= brem)
-            .drop("__cum")
-          full.unionByName(boundary)
-      }
-      selected.select(col("doc_id"), col("n_tokens"), col("quality"))
+      val base = qualityTokenFrame(Tables.documents(s, dir))
+      tokenBudgetSelect(base, budget = 15000L)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
         .orderBy(col("quality").desc, col("doc_id"))
     },
     Some("""
