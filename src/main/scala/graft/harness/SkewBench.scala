@@ -40,11 +40,13 @@ object SkewBench {
   private final class TaskStats extends SparkListener {
     val reads = scala.collection.mutable.ArrayBuffer.empty[Long]
     val durations = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val peakMem = scala.collection.mutable.ArrayBuffer.empty[Long]
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = synchronized {
       val m = te.taskMetrics
       if (m != null) {
         reads += m.shuffleReadMetrics.totalBytesRead
         durations += te.taskInfo.duration
+        peakMem += m.peakExecutionMemory
       }
     }
   }
@@ -106,10 +108,12 @@ object SkewBench {
       spark.sparkContext.removeSparkListener(st)
       val (readMed, readMax) = medMax(st.reads.toSeq)
       val (durMed, durMax) = medMax(st.durations.toSeq)
+      val (_, memMax) = medMax(st.peakMem.toSeq)
       println(f"""{"query":"$name","wall_sec":$wall%.2f,"rows":$rows,""" +
         f""""tasks":${st.reads.size},""" +
         f""""shuffle_read_med_kb":${readMed / 1024}%.1f,"shuffle_read_max_kb":${readMax / 1024.0}%.1f,""" +
-        f""""task_dur_med_ms":$durMed%.0f,"task_dur_max_ms":$durMax%.0f}""")
+        f""""task_dur_med_ms":$durMed%.0f,"task_dur_max_ms":$durMax%.0f,""" +
+        f""""peak_exec_mem_max_kb":${memMax / 1024.0}%.1f}""")
     }
 
     // d2 shape: full corpus near-dup mine, salted vs unsalted — the
@@ -124,6 +128,24 @@ object SkewBench {
       DedupQueries.minHashPairsIncrementalStored(
         spark, dir, col("doc_id") >= 1000, "id_ge_1000",
         docs.filter(col("doc_id") < 1000)).count())
+
+    // t15 shape: heavy hitters over the skewed vocabulary (the 30
+    // boilerplate template tokens each cover ~0.1% of the 2M-token
+    // stream; the 200k prose tokens ~10 occurrences each). MG two-pass
+    // (m=4096 entries of per-task state, candidates-only confirm
+    // shuffle) vs the naive full-vocabulary groupBy it replaces —
+    // shuffle_read max/med shows what the sketch saves; the output
+    // row set is identical
+    measure("t15_mg_heavy_hitters")(
+      graft.operators.TextQueries.heavyHitters(docs, 0.0005, 4096).count())
+    measure("t15_naive_groupby") {
+      val tk = docs.select(split(col("text"), " ").as("tk"))
+      val tokens = tk.select(explode(col("tk")).as("w"))
+      val total = tk.agg(sum(size(col("tk"))).cast("double").as("n"))
+      tokens.groupBy("w").agg(count(lit(1)).as("n_tok"))
+        .crossJoin(broadcast(total))
+        .filter(col("n_tok") > col("n") * 0.0005).count()
+    }
 
     spark.stop()
   }

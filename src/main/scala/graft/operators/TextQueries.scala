@@ -634,7 +634,7 @@ object TextQueries {
     * oracle is a plain GROUP BY ... HAVING), which is the point: the
     * sketch bounds memory, not accuracy.
     */
-  private[operators] def heavyHitters(
+  private[graft] def heavyHitters(
       docs: org.apache.spark.sql.DataFrame, frac: Double, m: Int)
       : org.apache.spark.sql.DataFrame = {
     require(frac >= 1.0 / (m + 1),
