@@ -209,7 +209,7 @@ object SampleQueries {
   /** The t2 quality rule + token count over any documents-shaped frame
     * — one staged feature pass, shared by c5 and the p2 release
     * pipeline (keeps extra columns like `source`). */
-  private[operators] def qualityTokenFrame(docs: org.apache.spark.sql.DataFrame,
+  private[graft] def qualityTokenFrame(docs: org.apache.spark.sql.DataFrame,
                                            extraCols: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
     import graft.plans.Stage.StageOps
@@ -234,7 +234,7 @@ object SampleQueries {
     * stays ≤ budget — the exact global-window answer with no
     * un-partitioned window (see c5 scaladoc for the plan argument).
     * Extra columns pass through untouched. */
-  private[operators] def tokenBudgetSelect(base: org.apache.spark.sql.DataFrame,
+  private[graft] def tokenBudgetSelect(base: org.apache.spark.sql.DataFrame,
                                            budget: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bins = base.groupBy("quality").agg(sum("n_tokens").as("tot"))

@@ -111,4 +111,45 @@ class DegenerateInputSpec extends AnyFunSuite {
       .select(explode(col("top")).as("t")).select("t.id").as[Long].collect()
     assert(top1.toSeq == Seq(11L))
   }
+
+  test("misraGries: empty stream, m=1, and an all-identical stream") {
+    assert(graft.operators.TextQueries.misraGries(Iterator.empty, 4).isEmpty)
+    // m=1: the majority element (> n/2) must survive
+    val maj = Seq.fill(60)("hot") ++ (0 until 50).map(i => s"t$i")
+    val s1 = graft.operators.TextQueries.misraGries(
+      scala.util.Random.shuffle(maj).iterator, 1).toSet
+    assert(s1.contains("hot"))
+    assert(graft.operators.TextQueries.misraGries(
+      Iterator.fill(100)("x"), 3).toSet == Set("x"))
+  }
+
+  test("heavyHitters rejects a frac below the MG guarantee") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.operators.TextQueries.heavyHitters(docs, frac = 0.001, m = 10)
+    }
+  }
+
+  test("tokenBudgetSelect: empty base selects nothing; zero budget selects nothing") {
+    val empty = Seq.empty[(Long, Long, Double)].toDF("doc_id", "n_tokens", "quality")
+    assert(graft.operators.SampleQueries.tokenBudgetSelect(empty, 100L).count() == 0L)
+    val base = Seq((1L, 10L, 0.7), (2L, 10L, 0.6)).toDF("doc_id", "n_tokens", "quality")
+    assert(graft.operators.SampleQueries.tokenBudgetSelect(base, 0L).count() == 0L)
+    // budget below the first doc's tokens: the crossing bin is the best
+    // bin and nothing fits
+    assert(graft.operators.SampleQueries.tokenBudgetSelect(base, 9L).count() == 0L)
+    // exact fit keeps exactly the first doc
+    assert(graft.operators.SampleQueries.tokenBudgetSelect(base, 10L)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("bloom expression: null input row is dropped by the filter, not crashed") {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(10, 0.01)
+    bf.putBinary("x".getBytes("UTF-8"))
+    val bc = spark.sparkContext.broadcast(bf)
+    val df = Seq(Some("x"), None, Some("y")).toDF("k")
+    val kept = df.filter(graft.functions.BloomMightContainExpr(col("k"), bc))
+      .as[String].collect()
+    assert(kept.toSeq == Seq("x"))
+  }
 }
