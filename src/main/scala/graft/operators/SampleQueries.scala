@@ -291,5 +291,24 @@ object SampleQueries {
       SELECT doc_id, n_tokens, quality FROM c WHERE cum <= 15000
       ORDER BY quality DESC, doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget)
+  /** k-anonymity release audit (c6): before shipping a corpus with
+    * quasi-identifier metadata, count the population of every QI
+    * combination — any group under k is a re-identification risk the
+    * release either suppresses or generalizes. QI here = (lang,
+    * source), k = 3. One QI-keyed aggregate with map-side partials;
+    * output size is the QI cardinality, never the corpus. */
+  val cKAnonymity = QueryDef(
+    "c6_k_anonymity",
+    (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("k_ok", col("n_docs") >= 3)
+        .orderBy("lang", "source"),
+    Some("""
+      SELECT lang, source, COUNT(*) AS n_docs, COUNT(*) >= 3 AS k_ok
+      FROM documents GROUP BY lang, source ORDER BY lang, source"""))
+
+  val all: Seq[QueryDef] =
+    Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity)
 }
