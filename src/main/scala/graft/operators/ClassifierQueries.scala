@@ -29,23 +29,22 @@ import graft.stats.{Design, Glm}
   */
 object ClassifierQueries {
 
-  private val stopArr = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
+  private val stopArr = array(TextQueries.stopwords.map(lit): _*)
 
-  /** doc_id, weak label y, and the three model features — one pass. */
+  /** doc_id, weak label y, and the three model features — one pass.
+    * The label is THE t2 rule (shared TextQueries.qualityExpr ≥ 0.64),
+    * so the distillation target can never drift from the rule filter. */
   private[graft] def featureFrame(s: org.apache.spark.sql.SparkSession,
                                   dir: String): org.apache.spark.sql.DataFrame =
     QueryDef.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), col("n_chars"),
+      .select(col("doc_id"),
         (size(filter(col("tk"), t => array_contains(stopArr, t))).cast("double") /
           size(col("tk")).cast("double")).as("stop_ratio"),
         (size(array_distinct(col("tk"))).cast("double") /
           size(col("tk")).cast("double")).as("ttr"),
-        log(size(col("tk")).cast("double")).as("log_len"))
-      .select(col("doc_id"), col("stop_ratio"), col("ttr"), col("log_len"),
-        // the t2 rule (quality = 0.5·length_ok + 0.25·stop + 0.25·ttr ≥ 0.64)
-        when(when(col("n_chars") >= 100 && col("n_chars") <= 5000, 0.5).otherwise(0.0)
-          + col("stop_ratio") * 0.25 + col("ttr") * 0.25 >= 0.64, 1.0)
+        log(size(col("tk")).cast("double")).as("log_len"),
+        when(TextQueries.qualityExpr(col("tk"), col("n_chars")) >= 0.64, 1.0)
           .otherwise(0.0).as("y"))
       .staged
 

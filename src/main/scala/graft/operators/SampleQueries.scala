@@ -213,17 +213,13 @@ object SampleQueries {
                                            extraCols: Seq[String] = Nil)
       : org.apache.spark.sql.DataFrame = {
     import graft.plans.Stage.StageOps
-    val stopArr = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
     val keep = (Seq(col("doc_id"), col("n_chars")) ++ extraCols.map(col)) :+
       split(col("text"), " ").as("tk")
     val out = (Seq(col("doc_id")) ++ extraCols.map(col)) ++ Seq(
       size(col("tk")).cast("long").as("n_tokens"),
-      round(
-        when(col("n_chars") >= 100 && col("n_chars") <= 5000, 0.5).otherwise(0.0)
-          + size(filter(col("tk"), t => array_contains(stopArr, t))).cast("double")
-            / size(col("tk")) * 0.25
-          + size(array_distinct(col("tk"))).cast("double") / size(col("tk")) * 0.25,
-        6).as("quality"))
+      // ONE quality definition (TextQueries.qualityExpr) — c5/p2 can
+      // never drift from the t2 rule
+      TextQueries.qualityExpr(col("tk"), col("n_chars")).as("quality"))
     QueryDef.spread(docs).select(keep: _*).select(out: _*)
       .staged // one feature pass feeds the bin agg + both filtered reads
   }

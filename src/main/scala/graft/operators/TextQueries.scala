@@ -36,13 +36,32 @@ object TextQueries {
                    / len(string_split(text, ' ')), 6) AS avg_token_len
       FROM documents ORDER BY doc_id"""))
 
+  /** The t2 stopword lexicon — ONE definition shared by t2, the t16
+    * classifier features and the c5/p2 quality-token frame, so the
+    * quality rule can never drift between its consumers (same
+    * discipline as SampleQueries.splitCol). */
+  private[graft] val stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** The t2 quality rule over a token-array column + char count:
+    * 0.5·length_ok + 0.25·stop_ratio + 0.25·type-token-ratio,
+    * rounded to 6 (the rounding is part of the rule — c5's budget
+    * bins key on it). */
+  private[graft] def qualityExpr(tk: org.apache.spark.sql.Column,
+                                 nChars: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val stopArr = array(stopwords.map(lit): _*)
+    val nTok = size(tk).cast("double")
+    round(
+      when(nChars >= 100 && nChars <= 5000, 0.5).otherwise(0.0)
+        + size(filter(tk, t => array_contains(stopArr, t))).cast("double") / nTok * 0.25
+        + size(array_distinct(tk)).cast("double") / nTok * 0.25, 6)
+  }
+
   /** Quality scoring: stopword ratio, type-token ratio, length flags —
     * the length/punct/stopword-ratio family of pretraining filters. */
   val tQuality = QueryDef(
     "t2_quality_score",
     (s, dir) => {
-      val stop = Seq("the", "a", "and", "of", "to", "in")
-      val stopArr = array(stop.map(lit): _*)
+      val stopArr = array(stopwords.map(lit): _*)
       val nTok = size(toks).cast("double")
       val stopCnt = size(filter(toks, t => array_contains(stopArr, t))).cast("double")
       val ttr = size(array_distinct(toks)).cast("double") / nTok
@@ -52,9 +71,7 @@ object TextQueries {
           round(stopCnt / nTok, 6).as("stop_ratio"),
           round(ttr, 6).as("type_token_ratio"),
           (col("n_chars") >= 100 && col("n_chars") <= 5000).as("length_ok"),
-          round(
-            when(col("n_chars") >= 100 && col("n_chars") <= 5000, 0.5).otherwise(0.0) +
-            (stopCnt / nTok) * 0.25 + ttr * 0.25, 6).as("quality"))
+          qualityExpr(toks, col("n_chars")).as("quality"))
         .orderBy("doc_id")
     },
     Some("""
