@@ -49,8 +49,8 @@ object ContaminationQueries {
     * real cluster use reliable checkpoint() for fault tolerance.
     */
   private def ngramDocs(s: org.apache.spark.sql.SparkSession, dir: String,
-                        n: Int): org.apache.spark.sql.DataFrame =
-    QueryDef.spread(Tables.documents(s, dir))
+                        n: Int, pred: Column = lit(true)): org.apache.spark.sql.DataFrame =
+    QueryDef.spread(Tables.documents(s, dir).filter(pred))
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col("doc_id"), wordNgrams(col("tk"), n).as("g"))
@@ -163,6 +163,24 @@ object ContaminationQueries {
     * that removes false positives. Output is therefore EXACT — the
     * DuckDB oracle is the plain join with no bloom anywhere.
     */
+  /** The scrub tail shared by x2 (inline eval index) and x3 (stored
+    * eval index) — bloom prune map-side, exact-confirm join, per-doc
+    * overlap stats. ONE definition so the two variants cannot drift. */
+  private def scrubAgainst(trainDocs: org.apache.spark.sql.DataFrame,
+                           evalGrams: org.apache.spark.sql.DataFrame,
+                           bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter])
+      : org.apache.spark.sql.DataFrame = {
+    val trainPost = trainDocs
+      .select(col("doc_id").as("b"), size(col("g")).cast("long").as("nb"),
+        explode(col("g")).as("gram"))
+    trainPost.filter(graft.functions.BloomMightContainExpr(col("gram"), bc))
+      .join(evalGrams, "gram") // exact confirm kills false positives
+      .groupBy("b", "nb").agg(countDistinct(col("gram")).as("n_shared"))
+      .select(col("b").as("doc_id"), col("nb").as("n_grams"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("nb"), 6).as("share_frac"))
+      .orderBy("doc_id")
+  }
+
   def bloomScrub(s: org.apache.spark.sql.SparkSession, dir: String,
                  fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
     val n = 4
@@ -176,22 +194,56 @@ object ContaminationQueries {
     val nEval = evalGrams.count()
     val bf = evalGrams.stat.bloomFilter("gram", math.max(nEval, 1L), fpp)
     val bc = s.sparkContext.broadcast(bf)
-    val trainPost = docs.filter(!isEval)
-      .select(col("doc_id").as("b"), size(col("g")).cast("long").as("nb"),
-        explode(col("g")).as("gram"))
-    val survivors = trainPost.filter(
-      graft.functions.BloomMightContainExpr(col("gram"), bc))
-    survivors.join(evalGrams, "gram") // exact confirm kills false positives
-      .groupBy("b", "nb").agg(countDistinct(col("gram")).as("n_shared"))
-      .select(col("b").as("doc_id"), col("nb").as("n_grams"), col("n_shared"),
-        round(col("n_shared").cast("double") / col("nb"), 6).as("share_frac"))
-      .orderBy("doc_id")
+    scrubAgainst(docs.filter(!isEval), evalGrams, bc)
   }
 
-  val xBloomScrub = QueryDef(
-    "x2_bloom_scrub",
-    (s, dir) => bloomScrub(s, dir),
-    Some("""
+  /** STORED eval-gram index (x3's seat): a benchmark set is fixed for
+    * months while corpus batches arrive daily, so its distinct-gram
+    * table AND the serialized Bloom filter are built ONCE per
+    * (n, fpp, eval predicate, source snapshot) under IndexStore.ensure
+    * — the same build-once / meta-stamp / heartbeat-lock lifecycle as
+    * the d8 MinHash and v6 PQ indexes — and every scrub run PROBES
+    * them: the eval side of the confirm join is a parquet scan, zero
+    * eval-side gram recompute per batch (BloomScrubSpec asserts the
+    * plan). Layout: `path/grams` (one string column), `path/bloom`
+    * (one binary row, BloomFilter.writeTo bytes). */
+  private def storedEvalIndex(s: org.apache.spark.sql.SparkSession, dir: String,
+                              n: Int, fpp: Double)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) = {
+    val path = graft.sources.IndexStore.indexPath(dir, s"evalgrams_n$n")
+    val meta = s"v1|n=$n|fpp=$fpp|eval=${isEval.toString}|" +
+      s"src=${graft.sources.IndexStore.sourceStamp(s, s"$dir/documents.parquet")}"
+    graft.sources.IndexStore.ensure(s, path, meta) {
+      val evalGrams = ngramDocs(s, dir, n, pred = isEval)
+        .select(explode(col("g")).as("gram")).distinct().staged
+      evalGrams.write.mode("overwrite").parquet(s"$path/grams")
+      val nEval = evalGrams.count()
+      val bf = evalGrams.stat.bloomFilter("gram", math.max(nEval, 1L), fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      import s.implicits._
+      Seq(bos.toByteArray).toDF("bloom").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/bloom")
+    }
+    val bytes = s.read.parquet(s"$path/bloom").head.getAs[Array[Byte]](0)
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    (s.read.parquet(s"$path/grams"), s.sparkContext.broadcast(bf))
+  }
+
+  /** x3: identical semantics (and oracle) to x2, but probing the
+    * STORED eval index — only the incoming corpus batch is grammed. */
+  def bloomScrubStored(s: org.apache.spark.sql.SparkSession, dir: String,
+                       fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val n = 4
+    val (evalGrams, bc) = storedEvalIndex(s, dir, n, fpp)
+    scrubAgainst(ngramDocs(s, dir, n, pred = !isEval), evalGrams, bc)
+  }
+
+  /** x2/x3 share ONE oracle: the stored variant must reproduce the
+    * inline variant's exact result. */
+  private val bloomScrubOracle = """
       WITH d AS (
         SELECT doc_id,
                list_distinct(list_transform(range(1, len(tk) - 2),
@@ -208,7 +260,17 @@ object ContaminationQueries {
              ROUND(CAST(COUNT(DISTINCT tr.gram) AS DOUBLE) / tr.nb, 6) AS share_frac
       FROM tr JOIN e USING (gram)
       GROUP BY tr.b, tr.nb
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""
 
-  val all: Seq[QueryDef] = Seq(xDecontamination, xBloomScrub)
+  val xBloomScrub = QueryDef(
+    "x2_bloom_scrub",
+    (s, dir) => bloomScrub(s, dir),
+    Some(bloomScrubOracle))
+
+  val xBloomScrubStored = QueryDef(
+    "x3_bloom_scrub_stored",
+    (s, dir) => bloomScrubStored(s, dir),
+    Some(bloomScrubOracle))
+
+  val all: Seq[QueryDef] = Seq(xDecontamination, xBloomScrub, xBloomScrubStored)
 }

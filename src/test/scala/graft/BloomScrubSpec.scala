@@ -62,6 +62,27 @@ class BloomScrubSpec extends AnyFunSuite {
       "bloom prune is not below the confirm join in the executed plan")
   }
 
+  test("stored eval index (x3) reproduces the inline scrub (x2) exactly") {
+    val inline = ContaminationQueries.bloomScrub(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val stored = ContaminationQueries.bloomScrubStored(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(stored == inline)
+    assert(stored.nonEmpty, "sf0.001 scrub found no overlaps — test is vacuous")
+  }
+
+  test("x3's eval side is a parquet scan of the stored gram table (no recompute)") {
+    // build (or reuse) the index, then inspect the probe plan
+    ContaminationQueries.bloomScrubStored(spark, dir).count()
+    val p = ContaminationQueries.bloomScrubStored(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("evalgrams_n4") && p.toLowerCase.contains("parquet"),
+      "expected the confirm join's eval side to scan the stored gram table\n" + p.take(3000))
+    // the eval predicate never appears: only the TRAIN batch is grammed
+    assert(!p.contains("% 37) = 0"),
+      "eval-side gram recompute leaked into the probe plan\n" + p.take(3000))
+  }
+
   test("bloom+confirm equals the exact no-bloom computation") {
     val viaBloom = ContaminationQueries.bloomScrub(spark, dir)
       .collect().map(_.toSeq).toSeq
