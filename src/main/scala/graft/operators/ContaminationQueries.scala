@@ -207,24 +207,77 @@ object ContaminationQueries {
     * eval-side gram recompute per batch (BloomScrubSpec asserts the
     * plan). Layout: `path/grams` (one string column), `path/bloom`
     * (one binary row, BloomFilter.writeTo bytes). */
+  // geometry stamp (same discipline as the d8 index): n and fpp are
+  // persisted at init and REQUIRED to match on every probe — a probe
+  // gramming at the wrong n would silently find nothing
+  private val EvalGeometryStamp = "_graft_evalgram_geometry"
+  private def evalGeometryString(n: Int, fpp: Double): String = s"n=$n|fpp=$fpp"
+
+  /** Initialize a stored eval-gram index at `path` from an arbitrary
+    * eval/benchmark document frame (`doc_id`, `text`): the distinct
+    * n-gram parquet table + the serialized Bloom filter over it +
+    * the geometry stamp (written LAST — a crashed init leaves no stamp
+    * and is never trusted). The explicit-init twin of the dir-keyed
+    * auto variant, for maintainer-owned lifecycles (streaming ingest,
+    * benchmark refresh jobs). */
+  def initStoredEvalIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                          evalDocs: org.apache.spark.sql.DataFrame,
+                          n: Int = 4, fpp: Double = 0.01): Unit = {
+    graft.sources.IndexStore.clearStamp(s, path, EvalGeometryStamp)
+    val evalGrams = QueryDef.spread(evalDocs)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(wordNgrams(col("tk"), n).as("g"))
+      .staged
+      .select(explode(col("g")).as("gram")).distinct().staged
+    evalGrams.write.mode("overwrite").parquet(s"$path/grams")
+    val nEval = evalGrams.count()
+    val bf = evalGrams.stat.bloomFilter("gram", math.max(nEval, 1L), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import s.implicits._
+    Seq(bos.toByteArray).toDF("bloom").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/bloom")
+    graft.sources.IndexStore.writeStamp(s, path, EvalGeometryStamp,
+      evalGeometryString(n, fpp))
+  }
+
+  /** Probe an arbitrary (`doc_id`, `text`) batch against the stored
+    * eval index: gram ONLY the batch, bloom-prune map-side, exact
+    * confirm against the stored gram table — x2 semantics restricted
+    * to the batch. Requires the init-time geometry. */
+  def probeStoredEvalIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                           batch: org.apache.spark.sql.DataFrame,
+                           n: Int = 4, fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+    val stored = graft.sources.IndexStore.readStamp(s, path, EvalGeometryStamp)
+    require(stored.isDefined,
+      s"no eval-gram geometry stamp at $path — the index was never initialized " +
+        "(or a crashed init left partial tables); run initStoredEvalIndex first")
+    require(stored.get == evalGeometryString(n, fpp),
+      s"stored eval index at $path has geometry ${stored.get}, probe requested " +
+        s"${evalGeometryString(n, fpp)} — a mismatched probe would gram at the " +
+        "wrong n and silently find no overlaps")
+    val bytes = s.read.parquet(s"$path/bloom").head.getAs[Array[Byte]](0)
+    val bf = org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes))
+    val bc = s.sparkContext.broadcast(bf)
+    val batchGrams = QueryDef.spread(batch)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), wordNgrams(col("tk"), n).as("g"))
+      .staged
+    scrubAgainst(batchGrams, s.read.parquet(s"$path/grams"), bc)
+  }
+
   private def storedEvalIndex(s: org.apache.spark.sql.SparkSession, dir: String,
                               n: Int, fpp: Double)
       : (org.apache.spark.sql.DataFrame,
          org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) = {
     val path = graft.sources.IndexStore.indexPath(dir, s"evalgrams_n$n")
-    val meta = s"v1|n=$n|fpp=$fpp|eval=${isEval.toString}|" +
+    val meta = s"v2|n=$n|fpp=$fpp|eval=${isEval.toString}|" +
       s"src=${graft.sources.IndexStore.sourceStamp(s, s"$dir/documents.parquet")}"
     graft.sources.IndexStore.ensure(s, path, meta) {
-      val evalGrams = ngramDocs(s, dir, n, pred = isEval)
-        .select(explode(col("g")).as("gram")).distinct().staged
-      evalGrams.write.mode("overwrite").parquet(s"$path/grams")
-      val nEval = evalGrams.count()
-      val bf = evalGrams.stat.bloomFilter("gram", math.max(nEval, 1L), fpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      import s.implicits._
-      Seq(bos.toByteArray).toDF("bloom").coalesce(1)
-        .write.mode("overwrite").parquet(s"$path/bloom")
+      initStoredEvalIndex(s, path, Tables.documents(s, dir).filter(isEval), n, fpp)
     }
     val bytes = s.read.parquet(s"$path/bloom").head.getAs[Array[Byte]](0)
     val bf = org.apache.spark.util.sketch.BloomFilter

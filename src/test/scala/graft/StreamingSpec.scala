@@ -329,4 +329,53 @@ class StreamingSpec extends AnyFunSuite {
         spark, VectorQueries.readStoredPqIndex(spark, path), probes)) ==
       nbRows(VectorQueries.adcProbe(spark, twinIdx(), probes)))
   }
+
+  test("streaming scrub ingest: arrivals are flagged against the stored eval index") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.ContaminationQueries
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+
+    // index the benchmark set (the x2 eval predicate)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_scrub_idx").toString + "/evalgrams"
+    ContaminationQueries.initStoredEvalIndex(
+      spark, path, docs.filter(col("doc_id") % 37 === 0))
+
+    // stream the train docs in two micro-batches
+    val train = docs.filter(col("doc_id") % 37 =!= 0)
+    val src = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.SortedMap[Long, Seq[(Long, Long, Long, Double)]]()
+    val q = graft.streaming.ScrubIngest.scrubIngest(
+        src.toDF().toDF("doc_id", "text"), path,
+        (flagged, batchId) => emitted(batchId) = rows(flagged))
+      .queryName("scrub_ingest").start()
+    try {
+      src.addData(train.filter(col("doc_id") < 250).as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+      src.addData(train.filter(col("doc_id") >= 250).as[(Long, String)].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // per-doc flags depend only on that doc's grams vs the fixed eval
+    // set, so the union across batches must equal the batch scrub over
+    // the full corpus — regardless of micro-batch boundaries
+    val got = emitted.values.flatten.toSeq.sortBy(_._1)
+    val want = rows(ContaminationQueries.bloomScrub(spark, dir)).sortBy(_._1)
+    assert(got == want, "streamed flag union must equal the batch scrub")
+    assert(got.nonEmpty, "fixture produced no flagged docs — test is vacuous")
+    assert(emitted.size >= 2, "expected at least two micro-batches")
+
+    // geometry mismatch fails loudly, never an empty probe
+    val err = intercept[IllegalArgumentException] {
+      ContaminationQueries.probeStoredEvalIndex(spark, path,
+        train.limit(5), n = 5)
+    }
+    assert(err.getMessage.contains("geometry"))
+  }
 }
