@@ -156,8 +156,11 @@ object PipelineQueries {
     "p2_release_pipeline",
     (s, dir) => {
       // 1. scrub: train docs sharing a 4-gram with the eval set are
-      // dropped; eval docs themselves are benchmark data, never shipped
-      val dropped = ContaminationQueries.bloomScrub(s, dir)
+      // dropped; eval docs themselves are benchmark data, never shipped.
+      // The STORED eval index (x3's lifecycle) — a release pipeline
+      // reruns while the benchmark set stays fixed, so the eval grams
+      // are probed, never recomputed
+      val dropped = ContaminationQueries.bloomScrubStored(s, dir)
         .select(col("doc_id"))
       val clean = Tables.documents(s, dir)
         .filter(col("doc_id") % 37 =!= 0)
