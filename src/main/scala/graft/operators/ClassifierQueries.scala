@@ -29,20 +29,18 @@ import graft.stats.{Design, Glm}
   */
 object ClassifierQueries {
 
-  private val stopArr = array(TextQueries.stopwords.map(lit): _*)
-
   /** doc_id, weak label y, and the three model features — one pass.
-    * The label is THE t2 rule (shared TextQueries.qualityExpr ≥ 0.64),
-    * so the distillation target can never drift from the rule filter. */
+    * The label is THE t2 rule (shared TextQueries.qualityExpr ≥ 0.64)
+    * and the ratio features are the rule's OWN sub-expressions
+    * (TextQueries.stopRatio/typeTokenRatio), so neither the
+    * distillation target nor the features can drift from the filter. */
   private[graft] def featureFrame(s: org.apache.spark.sql.SparkSession,
                                   dir: String): org.apache.spark.sql.DataFrame =
     QueryDef.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"),
-        (size(filter(col("tk"), t => array_contains(stopArr, t))).cast("double") /
-          size(col("tk")).cast("double")).as("stop_ratio"),
-        (size(array_distinct(col("tk"))).cast("double") /
-          size(col("tk")).cast("double")).as("ttr"),
+        TextQueries.stopRatio(col("tk")).as("stop_ratio"),
+        TextQueries.typeTokenRatio(col("tk")).as("ttr"),
         log(size(col("tk")).cast("double")).as("log_len"),
         when(TextQueries.qualityExpr(col("tk"), col("n_chars")) >= 0.64, 1.0)
           .otherwise(0.0).as("y"))

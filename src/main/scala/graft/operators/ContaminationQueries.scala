@@ -37,8 +37,10 @@ object ContaminationQueries {
       transform(sequence(lit(0), size(tk) - n),
         i => concat_ws(" ", (1 to n).map(j => element_at(tk, i + j)): _*)))
 
-  /** Eval-set predicate: deterministic ~2.7% of documents. */
-  private val isEval = col("doc_id") % 37 === 0
+  /** Eval-set predicate: deterministic ~2.7% of documents — ONE
+    * definition, reused by x1/x2/x3 and the p1/p2 pipelines (a drifted
+    * copy would silently ship eval docs in a release). */
+  private[operators] val isEval = col("doc_id") % 37 === 0
 
   /** ONE n-gram pass over the corpus, materialized (eager local
     * checkpoint): it feeds the eval postings, the train postings AND
@@ -48,13 +50,17 @@ object ContaminationQueries {
     * Filters (see wordNgrams scaladoc). Single-node trade-off: on a
     * real cluster use reliable checkpoint() for fault tolerance.
     */
-  private def ngramDocs(s: org.apache.spark.sql.SparkSession, dir: String,
-                        n: Int, pred: Column = lit(true)): org.apache.spark.sql.DataFrame =
-    QueryDef.spread(Tables.documents(s, dir).filter(pred))
+  private def ngramFrame(docs: org.apache.spark.sql.DataFrame,
+                         n: Int): org.apache.spark.sql.DataFrame =
+    QueryDef.spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= n)
       .select(col("doc_id"), wordNgrams(col("tk"), n).as("g"))
       .staged
+
+  private def ngramDocs(s: org.apache.spark.sql.SparkSession, dir: String,
+                        n: Int, pred: Column = lit(true)): org.apache.spark.sql.DataFrame =
+    ngramFrame(Tables.documents(s, dir).filter(pred), n)
 
   /** Per-eval-doc 5-gram containment against the training split:
     * n_contaminated = how many of the doc's distinct 5-grams occur
@@ -208,10 +214,20 @@ object ContaminationQueries {
     * plan). Layout: `path/grams` (one string column), `path/bloom`
     * (one binary row, BloomFilter.writeTo bytes). */
   // geometry stamp (same discipline as the d8 index): n and fpp are
-  // persisted at init and REQUIRED to match on every probe — a probe
-  // gramming at the wrong n would silently find nothing
+  // persisted at init; n is REQUIRED to match on every probe (a probe
+  // gramming at the wrong n would silently find nothing), fpp is
+  // informational (the confirm join removes false positives at any rate)
   private val EvalGeometryStamp = "_graft_evalgram_geometry"
   private def evalGeometryString(n: Int, fpp: Double): String = s"n=$n|fpp=$fpp"
+
+  /** Deserialize the stored bloom and hand back a broadcast handle —
+    * shared by every probe path. */
+  private def readStoredBloom(s: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] = {
+    val bytes = s.read.parquet(s"$path/bloom").head.getAs[Array[Byte]](0)
+    s.sparkContext.broadcast(org.apache.spark.util.sketch.BloomFilter
+      .readFrom(new java.io.ByteArrayInputStream(bytes)))
+  }
 
   /** Initialize a stored eval-gram index at `path` from an arbitrary
     * eval/benchmark document frame (`doc_id`, `text`): the distinct
@@ -224,11 +240,7 @@ object ContaminationQueries {
                           evalDocs: org.apache.spark.sql.DataFrame,
                           n: Int = 4, fpp: Double = 0.01): Unit = {
     graft.sources.IndexStore.clearStamp(s, path, EvalGeometryStamp)
-    val evalGrams = QueryDef.spread(evalDocs)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= n)
-      .select(wordNgrams(col("tk"), n).as("g"))
-      .staged
+    val evalGrams = ngramFrame(evalDocs, n)
       .select(explode(col("g")).as("gram")).distinct().staged
     evalGrams.write.mode("overwrite").parquet(s"$path/grams")
     val nEval = evalGrams.count()
@@ -246,28 +258,43 @@ object ContaminationQueries {
     * eval index: gram ONLY the batch, bloom-prune map-side, exact
     * confirm against the stored gram table — x2 semantics restricted
     * to the batch. Requires the init-time geometry. */
-  def probeStoredEvalIndex(s: org.apache.spark.sql.SparkSession, path: String,
-                           batch: org.apache.spark.sql.DataFrame,
-                           n: Int = 4, fpp: Double = 0.01): org.apache.spark.sql.DataFrame = {
+  /** Check the stamp and return the probe-ready index handles (gram
+    * table + broadcast bloom). Only `n` is REQUIRED to match — a
+    * wrong-n probe would gram differently and silently find nothing;
+    * fpp affects nothing but the false-positive rate the confirm join
+    * removes anyway, so a retuned bloom never strands probes. Exposed
+    * so a long-running caller (ScrubIngest) resolves ONCE and reuses
+    * the same broadcast across micro-batches instead of re-reading and
+    * re-broadcasting the bloom per batch. */
+  def resolveStoredEvalIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                             n: Int = 4)
+      : (org.apache.spark.sql.DataFrame,
+         org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) = {
     val stored = graft.sources.IndexStore.readStamp(s, path, EvalGeometryStamp)
     require(stored.isDefined,
       s"no eval-gram geometry stamp at $path — the index was never initialized " +
         "(or a crashed init left partial tables); run initStoredEvalIndex first")
-    require(stored.get == evalGeometryString(n, fpp),
+    val storedN = stored.get.split('|').head
+    require(storedN == s"n=$n",
       s"stored eval index at $path has geometry ${stored.get}, probe requested " +
-        s"${evalGeometryString(n, fpp)} — a mismatched probe would gram at the " +
-        "wrong n and silently find no overlaps")
-    val bytes = s.read.parquet(s"$path/bloom").head.getAs[Array[Byte]](0)
-    val bf = org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(bytes))
-    val bc = s.sparkContext.broadcast(bf)
-    val batchGrams = QueryDef.spread(batch)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= n)
-      .select(col("doc_id"), wordNgrams(col("tk"), n).as("g"))
-      .staged
-    scrubAgainst(batchGrams, s.read.parquet(s"$path/grams"), bc)
+        s"n=$n — a mismatched probe would gram at the wrong n and silently " +
+        "find no overlaps")
+    (s.read.parquet(s"$path/grams"), readStoredBloom(s, path))
   }
+
+  def probeStoredEvalIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                           batch: org.apache.spark.sql.DataFrame,
+                           n: Int = 4): org.apache.spark.sql.DataFrame = {
+    val (grams, bc) = resolveStoredEvalIndex(s, path, n)
+    probeResolved(batch, grams, bc, n)
+  }
+
+  /** Probe with pre-resolved handles (see [[resolveStoredEvalIndex]]). */
+  def probeResolved(batch: org.apache.spark.sql.DataFrame,
+                    evalGrams: org.apache.spark.sql.DataFrame,
+                    bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+                    n: Int = 4): org.apache.spark.sql.DataFrame =
+    scrubAgainst(ngramFrame(batch, n), evalGrams, bc)
 
   private def storedEvalIndex(s: org.apache.spark.sql.SparkSession, dir: String,
                               n: Int, fpp: Double)
@@ -279,10 +306,7 @@ object ContaminationQueries {
     graft.sources.IndexStore.ensure(s, path, meta) {
       initStoredEvalIndex(s, path, Tables.documents(s, dir).filter(isEval), n, fpp)
     }
-    val bytes = s.read.parquet(s"$path/bloom").head.getAs[Array[Byte]](0)
-    val bf = org.apache.spark.util.sketch.BloomFilter
-      .readFrom(new java.io.ByteArrayInputStream(bytes))
-    (s.read.parquet(s"$path/grams"), s.sparkContext.broadcast(bf))
+    (s.read.parquet(s"$path/grams"), readStoredBloom(s, path))
   }
 
   /** x3: identical semantics (and oracle) to x2, but probing the

@@ -56,13 +56,13 @@ object PipelineQueries {
       // eval docs (x1's held-out predicate) are benchmark data — they
       // are never part of the release themselves
       // staged: pre feeds the candidate gram pass AND the left-anti base
-      val pre = canon.join(keepIds, "doc_id").filter(col("doc_id") % 37 =!= 0)
+      val pre = canon.join(keepIds, "doc_id").filter(!ContaminationQueries.isEval)
         .staged
       // 3. decontamination: any candidate sharing >= 1 distinct 5-gram
       // with ANY eval doc is dropped. Gram frames are materialized
       // before the explodes (same InferFiltersFromGenerate discipline
       // as x1/d7); the eval grams are deduped then broadcast.
-      val evalG = QueryDef.spread(docs).filter(col("doc_id") % 37 === 0)
+      val evalG = QueryDef.spread(docs).filter(ContaminationQueries.isEval)
         .select(split(col("text"), " ").as("tk"))
         .filter(size(col("tk")) >= 5)
         .select(ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
@@ -160,10 +160,18 @@ object PipelineQueries {
       // The STORED eval index (x3's lifecycle) — a release pipeline
       // reruns while the benchmark set stays fixed, so the eval grams
       // are probed, never recomputed
-      val dropped = ContaminationQueries.bloomScrubStored(s, dir)
-        .select(col("doc_id"))
+      val dropped = {
+        import graft.plans.Stage.StageOps
+        ContaminationQueries.bloomScrubStored(s, dir).select(col("doc_id")).staged
+      }
+      // eval membership via the ONE shared predicate (a drifted copy
+      // would silently ship eval docs); the scrub's dropped set is
+      // tiny — STAGED so the anti-join's broadcast build reads the
+      // materialized result instead of re-running the whole scrub on
+      // every consumer execution (spread's df.rdd + staging = two
+      // executions otherwise)
       val clean = Tables.documents(s, dir)
-        .filter(col("doc_id") % 37 =!= 0)
+        .filter(!ContaminationQueries.isEval)
         .join(broadcast(dropped), Seq("doc_id"), "left_anti")
       // 2. best 12k tokens by the t2 quality rule
       val sel = SampleQueries.tokenBudgetSelect(

@@ -200,9 +200,11 @@ object SampleQueries {
     *  2. the driver walks bins best-first to find the crossing bin and
     *     the budget remaining when entering it,
     *  3. every doc STRICTLY above the crossing bin is kept by a plain
-    *     map-side filter; only the crossing BIN's docs (one quality
-    *     value) pay a window cumsum — a single small partition by
-    *     construction.
+    *     map-side filter; the crossing bin — which can itself be
+    *     corpus-sized on a template-heavy corpus — is refined ONCE
+    *     more by contiguous doc_id-range sub-bins, so only the
+    *     crossing SUB-BIN (≤ 4096 ids by construction) ever pays a
+    *     window cumsum.
     * Same exact result, no global sort, no full-corpus single-task
     * window. Quality is t2's rule (shared stopword list).
     */
@@ -230,32 +232,61 @@ object SampleQueries {
     * stays ≤ budget — the exact global-window answer with no
     * un-partitioned window (see c5 scaladoc for the plan argument).
     * Extra columns pass through untouched. */
+  /** Generic bin-threshold fold: walk (binKey, tokenTotal) rows in
+    * already-sorted selection order, keep whole bins while they fit,
+    * return (crossing bin, budget remaining entering it) — or None if
+    * everything fits. */
+  private def crossingBin[K](bins: Seq[(K, Long)], budget: Long): Option[(K, Long)] = {
+    var acc = 0L
+    var cross = Option.empty[(K, Long)]
+    bins.foreach { case (k, tot) =>
+      if (cross.isEmpty) {
+        if (acc + tot <= budget) acc += tot
+        else cross = Some((k, budget - acc))
+      }
+    }
+    cross
+  }
+
   private[graft] def tokenBudgetSelect(base: org.apache.spark.sql.DataFrame,
                                            budget: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val bins = base.groupBy("quality").agg(sum("n_tokens").as("tot"))
       .orderBy(col("quality").desc).collect()
       .map(r => (r.getDouble(0), r.getLong(1)))
-    var acc = 0L
-    var qCross = Option.empty[Double]
-    var brem = 0L
-    bins.foreach { case (q, tot) =>
-      if (qCross.isEmpty) {
-        if (acc + tot <= budget) acc += tot
-        else { qCross = Some(q); brem = budget - acc }
-      }
-    }
-    qCross match {
+    crossingBin(bins.toSeq, budget) match {
       case None => base // the whole corpus fits the budget
-      case Some(qc) =>
+      case Some((qc, brem)) =>
         val full = base.filter(col("quality") > qc)
-        // one quality value — a deliberately small single partition
-        val w = Window.orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val boundary = base.filter(col("quality") === qc)
-          .withColumn("__cum", sum(col("n_tokens")).over(w))
-          .filter(col("__cum") <= brem)
-          .drop("__cum")
+        // The crossing BIN can itself be corpus-sized (the rounding
+        // grid bounds the bin COUNT, not bin size — a template-heavy
+        // corpus puts millions of docs on one quality value), so the
+        // same trick is applied ONCE more inside it: contiguous
+        // doc_id-range sub-bins (selection order within the bin is
+        // doc_id ASC = sub-bin ASC then doc_id ASC), driver fold over
+        // sub-bin totals, map-side keep below the crossing sub-bin —
+        // and only the crossing SUB-BIN (≤ subBinWidth ids by
+        // construction) pays the window cumsum.
+        val subBinWidth = 4096L
+        val bin = base.filter(col("quality") === qc)
+          .withColumn("__sb", floor(col("doc_id") / subBinWidth))
+        val subBins = bin.groupBy("__sb").agg(sum("n_tokens").as("tot"))
+          .orderBy(col("__sb").asc).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val boundary = crossingBin(subBins.toSeq, brem) match {
+          case None => bin.drop("__sb") // whole bin fits (cannot happen
+          // when crossingBin picked it, except via the brem == total
+          // edge; keep it total-correct anyway)
+          case Some((sbc, sbrem)) =>
+            val fullSub = bin.filter(col("__sb") < sbc).drop("__sb")
+            val w = Window.orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            val boundarySub = bin.filter(col("__sb") === sbc).drop("__sb")
+              .withColumn("__cum", sum(col("n_tokens")).over(w))
+              .filter(col("__cum") <= sbrem)
+              .drop("__cum")
+            fullSub.unionByName(boundarySub)
+        }
         full.unionByName(boundary)
     }
   }

@@ -42,19 +42,27 @@ object TextQueries {
     * discipline as SampleQueries.splitCol). */
   private[graft] val stopwords = Seq("the", "a", "and", "of", "to", "in")
 
+  /** The rule's two ratio sub-expressions, exposed alongside it: the
+    * t16 classifier's FEATURES are these same quantities, so they must
+    * be the same expressions — a drifted feature copy would degrade
+    * the distillation with no test failing. */
+  private[graft] def stopRatio(tk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(filter(tk, t => array_contains(array(stopwords.map(lit): _*), t)))
+      .cast("double") / size(tk).cast("double")
+
+  private[graft] def typeTokenRatio(tk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(array_distinct(tk)).cast("double") / size(tk).cast("double")
+
   /** The t2 quality rule over a token-array column + char count:
     * 0.5·length_ok + 0.25·stop_ratio + 0.25·type-token-ratio,
     * rounded to 6 (the rounding is part of the rule — c5's budget
     * bins key on it). */
   private[graft] def qualityExpr(tk: org.apache.spark.sql.Column,
-                                 nChars: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val stopArr = array(stopwords.map(lit): _*)
-    val nTok = size(tk).cast("double")
+                                 nChars: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(
       when(nChars >= 100 && nChars <= 5000, 0.5).otherwise(0.0)
-        + size(filter(tk, t => array_contains(stopArr, t))).cast("double") / nTok * 0.25
-        + size(array_distinct(tk)).cast("double") / nTok * 0.25, 6)
-  }
+        + stopRatio(tk) * 0.25
+        + typeTokenRatio(tk) * 0.25, 6)
 
   /** Quality scoring: stopword ratio, type-token ratio, length flags —
     * the length/punct/stopword-ratio family of pretraining filters. */

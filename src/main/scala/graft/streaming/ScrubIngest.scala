@@ -33,19 +33,25 @@ object ScrubIngest {
 
   /** Build the foreachBatch writer for a streaming `(doc_id, text)`
     * frame against the eval index at `indexPath` (created by
-    * `ContaminationQueries.initStoredEvalIndex`; the geometry stamp
-    * there must match `n`/`fpp` here, enforced per batch). The caller
-    * sets trigger/checkpoint options and calls `.start()`. */
+    * `ContaminationQueries.initStoredEvalIndex`; the geometry stamp's
+    * `n` must match, enforced at BUILD time). The index is fixed for
+    * the stream's lifetime, so the stamp check, bloom deserialization
+    * and broadcast happen ONCE here — not per micro-batch, which would
+    * re-read the bloom parquet and accumulate never-freed broadcast
+    * copies on a stream triggering every few seconds. The caller sets
+    * trigger/checkpoint options and calls `.start()`. */
   def scrubIngest(docs: DataFrame, indexPath: String,
                   onFlagged: (DataFrame, Long) => Unit,
-                  n: Int = 4, fpp: Double = 0.01): DataStreamWriter[Row] =
+                  n: Int = 4): DataStreamWriter[Row] = {
+    val (evalGrams, bc) = ContaminationQueries.resolveStoredEvalIndex(
+      docs.sparkSession, indexPath, n)
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
-          onFlagged(ContaminationQueries.probeStoredEvalIndex(
-            b.sparkSession, indexPath, b, n, fpp), batchId)
+          onFlagged(ContaminationQueries.probeResolved(b, evalGrams, bc, n), batchId)
         }
       } finally b.unpersist()
     }
+  }
 }
