@@ -48,6 +48,26 @@ class TokenBudgetSpec extends AnyFunSuite {
     assert(out.nonEmpty && out.length < q.count(), "selection is vacuous")
   }
 
+  test("a corpus-sized crossing bin (all-identical quality) stays exact") {
+    // the review scenario: template-heavy corpora put most docs on ONE
+    // rounded quality value, so the crossing bin is corpus-sized and
+    // the sub-bin refinement must carry the exactness
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, 5L + (i % 7), 0.5)) ++
+      (501L to 520L).map(i => (i, 10L, 0.75)) // a small better bin first
+    val base = rows.toDF("doc_id", "n_tokens", "quality")
+    (Seq(0L, 150L, 487L, 2000L, 100000L)).foreach { b =>
+      val got = SampleQueries.tokenBudgetSelect(base, b)
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      val w = Window.orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = base.withColumn("cum", sum(col("n_tokens")).over(w))
+        .filter(col("cum") <= b).orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"budget=$b")
+    }
+  }
+
   test("budget respected and selection is maximal") {
     val out = run()
     val total = out.map(_._2).sum
