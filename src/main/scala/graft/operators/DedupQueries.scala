@@ -602,6 +602,87 @@ object DedupQueries {
                    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
       FROM ex JOIN d USING (span) GROUP BY ex.doc_id ORDER BY ex.doc_id"""))
 
+  /** Cross-document duplicated-passage REMOVAL (d9) — the transform
+    * d7 only detects: every 8-token window occurring in ≥2 distinct
+    * docs is boilerplate; the tokens it covers are excised and the
+    * document rebuilt from the survivors (the CCNet/RefinedWeb
+    * "remove duplicated passages, keep the document" step).
+    *
+    * Scale shape — fully relational, no per-row quadratic work:
+    * duplicated window STARTS become exploded (doc, pos) coverage rows
+    * (8×|duplicated windows|, bounded by duplication volume, never by
+    * corpus size); the rebuild anti-joins token positions against
+    * coverage and re-aggregates per doc. The rebuild's doc-keyed
+    * token shuffle is O(corpus tokens) — proportionate, since the
+    * OUTPUT is the rewritten corpus itself. (A per-row HOF rebuild
+    * would avoid that shuffle but pays O(n·|starts|) per doc —
+    * quadratic on exactly the boilerplate-heavy docs this operator
+    * targets.) Window-start detection reuses d7's span rule, so
+    * detect (d7) and remove (d9) can never disagree on what counts
+    * as duplicated. */
+  val dSpanScrub = QueryDef(
+    "d9_span_scrub",
+    (s, dir) => {
+      val win = 8
+      val spanStructs = transform(sequence(lit(1), size(col("tk")) - (win - 1)),
+        i => struct(i.as("s"), concat_ws(" ", slice(col("tk"), i, lit(win))).as("span")))
+      // base feeds the span pass, the token-position pass AND the final
+      // join — one tokenize, materialized once
+      val base = QueryDef.spread(Tables.documents(s, dir))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .staged
+      // computed heavy array: materialize BEFORE the explode (same
+      // InferFiltersFromGenerate discipline as d7)
+      val withSpans = base.filter(size(col("tk")) >= win)
+        .select(col("doc_id"), spanStructs.as("sp"))
+        .staged
+      val ex = withSpans.select(col("doc_id"), explode(col("sp")).as("w"))
+        .select(col("doc_id"), col("w.s").as("s"), col("w.span").as("span"))
+      val dup = ex.select("doc_id", "span").distinct()
+        .groupBy("span").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("span")
+      val dupStarts = ex.join(dup, "span").select("doc_id", "s").distinct()
+      val covered = dupStarts
+        .select(col("doc_id"),
+          explode(sequence(col("s"), col("s") + (win - 1))).as("pos"))
+        .distinct()
+      val tokPos = base
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+      val rebuilt = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok")), " ").as("clean_text"))
+      base.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      w AS (SELECT doc_id, i AS s, array_to_string(tk[i:i+7], ' ') AS span
+            FROM tk, UNNEST(range(1, len(tk) - 6)) AS u(i)
+            WHERE len(tk) >= 8),
+      d AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM w)
+            GROUP BY span HAVING COUNT(*) >= 2),
+      ds AS (SELECT DISTINCT w.doc_id, w.s FROM w JOIN d USING (span)),
+      cov AS (SELECT DISTINCT doc_id, s + o AS pos
+              FROM ds, UNNEST(range(0, 8)) AS v(o)),
+      tp AS (SELECT doc_id, i AS pos, tk[i] AS tok
+             FROM tk, UNNEST(range(1, len(tk) + 1)) AS u(i)),
+      kept AS (SELECT * FROM tp ANTI JOIN cov USING (doc_id, pos)),
+      agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+             COALESCE(a.clean_text, '') AS clean_text
+      FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""))
+
   val all: Seq[QueryDef] = Seq(dExact, dMinHash, dIncremental, dSimHash,
-    dNgramJaccard, dDupSpans)
+    dNgramJaccard, dDupSpans, dSpanScrub)
 }
