@@ -258,18 +258,25 @@ object ContaminationQueries {
     * eval index: gram ONLY the batch, bloom-prune map-side, exact
     * confirm against the stored gram table — x2 semantics restricted
     * to the batch. Requires the init-time geometry. */
-  /** Check the stamp and return the probe-ready index handles (gram
-    * table + broadcast bloom). Only `n` is REQUIRED to match — a
-    * wrong-n probe would gram differently and silently find nothing;
-    * fpp affects nothing but the false-positive rate the confirm join
-    * removes anyway, so a retuned bloom never strands probes. Exposed
-    * so a long-running caller (ScrubIngest) resolves ONCE and reuses
-    * the same broadcast across micro-batches instead of re-reading and
-    * re-broadcasting the bloom per batch. */
+  /** Probe-ready handles for a stored eval index: the gram table, the
+    * broadcast bloom, and the INDEX's n — carrying n inside the handle
+    * makes a resolve/probe n mismatch unrepresentable (a probe gramming
+    * at a different n than the stored table would silently find
+    * nothing). */
+  final case class ResolvedEvalIndex(
+      grams: org.apache.spark.sql.DataFrame,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      n: Int)
+
+  /** Check the stamp and return the probe-ready index handle. Only `n`
+    * is REQUIRED to match — a wrong-n probe would gram differently and
+    * silently find nothing; fpp affects nothing but the false-positive
+    * rate the confirm join removes anyway, so a retuned bloom never
+    * strands probes. Exposed so a long-running caller (ScrubIngest)
+    * resolves ONCE and reuses the same broadcast across micro-batches
+    * instead of re-reading and re-broadcasting the bloom per batch. */
   def resolveStoredEvalIndex(s: org.apache.spark.sql.SparkSession, path: String,
-                             n: Int = 4)
-      : (org.apache.spark.sql.DataFrame,
-         org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]) = {
+                             n: Int = 4): ResolvedEvalIndex = {
     val stored = graft.sources.IndexStore.readStamp(s, path, EvalGeometryStamp)
     require(stored.isDefined,
       s"no eval-gram geometry stamp at $path — the index was never initialized " +
@@ -279,22 +286,18 @@ object ContaminationQueries {
       s"stored eval index at $path has geometry ${stored.get}, probe requested " +
         s"n=$n — a mismatched probe would gram at the wrong n and silently " +
         "find no overlaps")
-    (s.read.parquet(s"$path/grams"), readStoredBloom(s, path))
+    ResolvedEvalIndex(s.read.parquet(s"$path/grams"), readStoredBloom(s, path), n)
   }
 
   def probeStoredEvalIndex(s: org.apache.spark.sql.SparkSession, path: String,
                            batch: org.apache.spark.sql.DataFrame,
-                           n: Int = 4): org.apache.spark.sql.DataFrame = {
-    val (grams, bc) = resolveStoredEvalIndex(s, path, n)
-    probeResolved(batch, grams, bc, n)
-  }
+                           n: Int = 4): org.apache.spark.sql.DataFrame =
+    probeResolved(batch, resolveStoredEvalIndex(s, path, n))
 
-  /** Probe with pre-resolved handles (see [[resolveStoredEvalIndex]]). */
+  /** Probe with a pre-resolved handle: grams at the handle's own n. */
   def probeResolved(batch: org.apache.spark.sql.DataFrame,
-                    evalGrams: org.apache.spark.sql.DataFrame,
-                    bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
-                    n: Int = 4): org.apache.spark.sql.DataFrame =
-    scrubAgainst(ngramFrame(batch, n), evalGrams, bc)
+                    idx: ResolvedEvalIndex): org.apache.spark.sql.DataFrame =
+    scrubAgainst(ngramFrame(batch, idx.n), idx.grams, idx.bloom)
 
   private def storedEvalIndex(s: org.apache.spark.sql.SparkSession, dir: String,
                               n: Int, fpp: Double)

@@ -557,20 +557,29 @@ object DedupQueries {
     * 128-bit content hash as the join/shuffle key (md5 on both engines)
     * — same plan, 16-byte keys; the string form is kept here so the
     * DuckDB oracle reproduces it verbatim. */
+  /** The d7/d9 window rule — ONE definition (width + construction), so
+    * detect (d7) and remove (d9) can never disagree on what counts as
+    * a span: (start, span-text) structs for every `SpanWindow`-token
+    * window, 1-based starts. */
+  private val SpanWindow = 8
+  private def spanWindows(tk: Column): Column =
+    transform(sequence(lit(1), size(tk) - (SpanWindow - 1)),
+      i => struct(i.as("s"),
+        concat_ws(" ", slice(tk, i, lit(SpanWindow))).as("span")))
+
   val dDupSpans = QueryDef(
     "d7_duplicate_spans",
     (s, dir) => {
-      val spans = transform(sequence(lit(0), size(col("tk")) - 8),
-        i => concat_ws(" ", slice(col("tk"), i + 1, lit(8))))
       // spans is a computed heavy array: materialize BEFORE the explode
       // (InferFiltersFromGenerate would duplicate it into a pre-shuffle
       // filter otherwise — see ngramPairs)
       val docs = QueryDef.spread(Tables.documents(s, dir))
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= 8)
-        .select(col("doc_id"), spans.as("sp"))
+        .filter(size(col("tk")) >= SpanWindow)
+        .select(col("doc_id"), spanWindows(col("tk")).as("sp"))
         .staged
-      val ex = docs.select(col("doc_id"), explode(col("sp")).as("span"))
+      val ex = docs.select(col("doc_id"), explode(col("sp")).as("w"))
+        .select(col("doc_id"), col("w.span").as("span"))
       val spanDocs = ex.select("doc_id", "span").distinct()
         .groupBy("span").agg(count(lit(1)).as("n_docs_with_span"))
       ex.join(spanDocs, "span")
@@ -617,15 +626,13 @@ object DedupQueries {
     * OUTPUT is the rewritten corpus itself. (A per-row HOF rebuild
     * would avoid that shuffle but pays O(n·|starts|) per doc —
     * quadratic on exactly the boilerplate-heavy docs this operator
-    * targets.) Window-start detection reuses d7's span rule, so
+    * targets.) Window detection is d7's OWN spanWindows expression, so
     * detect (d7) and remove (d9) can never disagree on what counts
     * as duplicated. */
   val dSpanScrub = QueryDef(
     "d9_span_scrub",
     (s, dir) => {
-      val win = 8
-      val spanStructs = transform(sequence(lit(1), size(col("tk")) - (win - 1)),
-        i => struct(i.as("s"), concat_ws(" ", slice(col("tk"), i, lit(win))).as("span")))
+      val win = SpanWindow
       // base feeds the span pass, the token-position pass AND the final
       // join — one tokenize, materialized once
       val base = QueryDef.spread(Tables.documents(s, dir))
@@ -634,14 +641,16 @@ object DedupQueries {
       // computed heavy array: materialize BEFORE the explode (same
       // InferFiltersFromGenerate discipline as d7)
       val withSpans = base.filter(size(col("tk")) >= win)
-        .select(col("doc_id"), spanStructs.as("sp"))
+        .select(col("doc_id"), spanWindows(col("tk")).as("sp"))
         .staged
       val ex = withSpans.select(col("doc_id"), explode(col("sp")).as("w"))
         .select(col("doc_id"), col("w.s").as("s"), col("w.span").as("span"))
       val dup = ex.select("doc_id", "span").distinct()
         .groupBy("span").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2).select("span")
-      val dupStarts = ex.join(dup, "span").select("doc_id", "s").distinct()
+      // (doc_id, s) is already unique: one struct per sequence index,
+      // at most one match in the distinct-span dup set
+      val dupStarts = ex.join(dup, "span").select("doc_id", "s")
       val covered = dupStarts
         .select(col("doc_id"),
           explode(sequence(col("s"), col("s") + (win - 1))).as("pos"))

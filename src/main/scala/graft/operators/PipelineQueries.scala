@@ -160,10 +160,8 @@ object PipelineQueries {
       // The STORED eval index (x3's lifecycle) — a release pipeline
       // reruns while the benchmark set stays fixed, so the eval grams
       // are probed, never recomputed
-      val dropped = {
-        import graft.plans.Stage.StageOps
+      val dropped =
         ContaminationQueries.bloomScrubStored(s, dir).select(col("doc_id")).staged
-      }
       // eval membership via the ONE shared predicate (a drifted copy
       // would silently ship eval docs); the scrub's dropped set is
       // tiny — STAGED so the anti-join's broadcast build reads the

@@ -274,9 +274,10 @@ object SampleQueries {
           .orderBy(col("__sb").asc).collect()
           .map(r => (r.getLong(0), r.getLong(1)))
         val boundary = crossingBin(subBins.toSeq, brem) match {
-          case None => bin.drop("__sb") // whole bin fits (cannot happen
-          // when crossingBin picked it, except via the brem == total
-          // edge; keep it total-correct anyway)
+          // unreachable: the quality-level fold picked this bin because
+          // its total STRICTLY exceeds brem, and the sub-bin totals sum
+          // to that same total — kept as a total-correct fallback only
+          case None => bin.drop("__sb")
           case Some((sbc, sbrem)) =>
             val fullSub = bin.filter(col("__sb") < sbc).drop("__sb")
             val w = Window.orderBy("doc_id")

@@ -43,13 +43,13 @@ object ScrubIngest {
   def scrubIngest(docs: DataFrame, indexPath: String,
                   onFlagged: (DataFrame, Long) => Unit,
                   n: Int = 4): DataStreamWriter[Row] = {
-    val (evalGrams, bc) = ContaminationQueries.resolveStoredEvalIndex(
+    val idx = ContaminationQueries.resolveStoredEvalIndex(
       docs.sparkSession, indexPath, n)
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
-          onFlagged(ContaminationQueries.probeResolved(b, evalGrams, bc, n), batchId)
+          onFlagged(ContaminationQueries.probeResolved(b, idx), batchId)
         }
       } finally b.unpersist()
     }

@@ -53,10 +53,13 @@ class TokenBudgetSpec extends AnyFunSuite {
     // rounded quality value, so the crossing bin is corpus-sized and
     // the sub-bin refinement must carry the exactness
     import spark.implicits._
-    val rows = (1L to 500L).map(i => (i, 5L + (i % 7), 0.5)) ++
-      (501L to 520L).map(i => (i, 10L, 0.75)) // a small better bin first
+    // doc_ids deliberately span SEVERAL 4096-wide sub-bin ranges so the
+    // fullSub (whole sub-bins kept below the crossing sub-bin) path is
+    // actually exercised, not just the single-sub-bin degenerate
+    val rows = (1L to 500L).map(i => (i * 37, 5L + (i % 7), 0.5)) ++
+      (501L to 520L).map(i => (i * 37, 10L, 0.75)) // a small better bin first
     val base = rows.toDF("doc_id", "n_tokens", "quality")
-    (Seq(0L, 150L, 487L, 2000L, 100000L)).foreach { b =>
+    (Seq(0L, 150L, 487L, 2000L, 3750L, 100000L)).foreach { b =>
       val got = SampleQueries.tokenBudgetSelect(base, b)
         .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
       val w = Window.orderBy(col("quality").desc, col("doc_id"))
