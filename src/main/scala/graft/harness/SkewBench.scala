@@ -123,6 +123,11 @@ object SkewBench {
     // d7: duplicate spans (span-frequency skew from the boilerplate)
     measure("d7_dup_spans")(
       graft.operators.DedupQueries.dDupSpans.fn(spark, dir).count())
+    // d9: passage REMOVAL on the same corpus — the boilerplate docs are
+    // ~fully covered (every window duplicated 285× within a variant), so
+    // this measures the rebuild under maximal coverage pressure
+    measure("d9_span_scrub")(
+      graft.operators.DedupQueries.dSpanScrub.fn(spark, dir).count())
     // d8: stored-index incremental, increment = first 1,000 docs
     measure("d8_incremental_stored")(
       DedupQueries.minHashPairsIncrementalStored(
