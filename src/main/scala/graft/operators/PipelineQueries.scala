@@ -26,17 +26,21 @@ import graft.sources.Tables
   *
   * Scale shape: dedup is one keyed window; the quality battery's only
   * shuffle is bounded by (doc, distinct token); the eval gram postings
-  * are BROADCAST (a benchmark set is small by definition — cf. x1's
-  * guarded variant for the general case) so the candidate side never
-  * shuffles its postings; the split is a pure expression; the audit is
-  * the only corpus-keyed aggregate. At 100 TB every stage is a linear
-  * scan plus bounded shuffles — there is no all-pairs work anywhere.
+  * go through the MEASURED broadcast guard (a benchmark set is small by
+  * convention, but a growing benchmark suite breaks the convention
+  * silently — so the pipeline reuses x1's count-then-fallback
+  * discipline rather than assuming) and the candidate side never
+  * shuffles its postings on the broadcast path; the split is a pure
+  * expression; the audit is the only corpus-keyed aggregate. At 100 TB
+  * every stage is a linear scan plus bounded shuffles — there is no
+  * all-pairs work anywhere.
   */
 object PipelineQueries {
 
-  val pCuration = QueryDef(
-    "p1_curation_pipeline",
-    (s, dir) => {
+  private[graft] def curationPipeline(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      maxBroadcastEvalGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
       val docs = Tables.documents(s, dir)
       // 1. exact dedup: the canonical (min doc_id) copy of each text.
       // Staged: canon feeds both the quality battery and the survivor
@@ -74,7 +78,8 @@ object PipelineQueries {
         .select(col("doc_id"), ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
         .staged
         .select(col("doc_id"), explode(col("g")).as("gram"))
-      val contaminated = candG.join(broadcast(evalG), "gram")
+      val contaminated = candG
+        .join(QueryDef.guardedBroadcast(evalG, maxBroadcastEvalGrams), "gram")
         .select(col("doc_id")).distinct()
       val clean = pre.join(contaminated, Seq("doc_id"), "left_anti")
       // 4. deterministic split — the SAME shared column as c3 + 5. audit
@@ -84,7 +89,11 @@ object PipelineQueries {
           min(col("doc_id")).as("min_doc_id"),
           sum(col("n_chars").cast("long")).as("total_chars"))
         .orderBy("source", "split")
-    },
+  }
+
+  val pCuration = QueryDef(
+    "p1_curation_pipeline",
+    (s, dir) => curationPipeline(s, dir),
     Some("""
       WITH canon AS (
         SELECT doc_id, text, source, n_chars
@@ -147,30 +156,35 @@ object PipelineQueries {
     *
     * Scale shape: the scrub side is x2's (compact bloom broadcast
     * map-side, exact confirm shuffle bounded by true overlaps); its
-    * dropped set — overlap-sized, tiny by construction — broadcasts
-    * into a left-anti join against the corpus; the budget selection is
-    * c5's bin-threshold plan (no un-partitioned window); the audit is
-    * one source-keyed aggregate with decimal-exact quality sums.
+    * dropped set — overlap-sized, tiny when the corpus is clean, but
+    * corpus-sized in the worst case (a heavily contaminated crawl can
+    * drop a large fraction of it), so it goes through the MEASURED
+    * broadcast guard before the left-anti join rather than assuming;
+    * the budget selection is c5's bin-threshold plan (no un-partitioned
+    * window); the audit is one source-keyed aggregate with
+    * decimal-exact quality sums.
     */
-  val pRelease = QueryDef(
-    "p2_release_pipeline",
-    (s, dir) => {
+  private[graft] def releasePipeline(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      maxBroadcastDropped: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
       // 1. scrub: train docs sharing a 4-gram with the eval set are
       // dropped; eval docs themselves are benchmark data, never shipped.
       // The STORED eval index (x3's lifecycle) — a release pipeline
       // reruns while the benchmark set stays fixed, so the eval grams
       // are probed, never recomputed
       val dropped =
-        ContaminationQueries.bloomScrubStored(s, dir).select(col("doc_id")).staged
+        ContaminationQueries.bloomScrubStored(s, dir).select(col("doc_id"))
       // eval membership via the ONE shared predicate (a drifted copy
-      // would silently ship eval docs); the scrub's dropped set is
-      // tiny — STAGED so the anti-join's broadcast build reads the
-      // materialized result instead of re-running the whole scrub on
-      // every consumer execution (spread's df.rdd + staging = two
-      // executions otherwise)
+      // would silently ship eval docs); the guard STAGES the dropped
+      // set (so the count and the anti-join build read the
+      // materialized scrub result instead of re-running it — spread's
+      // df.rdd + staging = two executions otherwise) and only
+      // broadcasts when the measured count is under the bound
       val clean = Tables.documents(s, dir)
         .filter(!ContaminationQueries.isEval)
-        .join(broadcast(dropped), Seq("doc_id"), "left_anti")
+        .join(QueryDef.guardedBroadcast(dropped, maxBroadcastDropped),
+          Seq("doc_id"), "left_anti")
       // 2. best 12k tokens by the t2 quality rule
       val sel = SampleQueries.tokenBudgetSelect(
         SampleQueries.qualityTokenFrame(clean, extraCols = Seq("source")),
@@ -182,7 +196,11 @@ object PipelineQueries {
           round(QueryDef.dsum(col("quality"), 6).cast("double") /
             count(lit(1)), 6).as("mean_quality"))
         .orderBy("source")
-    },
+  }
+
+  val pRelease = QueryDef(
+    "p2_release_pipeline",
+    (s, dir) => releasePipeline(s, dir),
     Some("""
       WITH d4 AS (
         SELECT doc_id,

@@ -46,4 +46,23 @@ object QueryDef {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
+
+  /** The x1 broadcast discipline as a SHARED helper: a "small" join side
+    * is broadcast only after its row count is MEASURED against a bound.
+    * "Small by construction" claims (a Misra-Gries candidate union
+    * bounded by P·m, a benchmark-gram set, an overlap-sized dropped
+    * set) silently stop holding when the corpus — and with it the map
+    * partition count or the contamination rate — grows, and an
+    * unguarded broadcast then dies at Spark's broadcast cap instead of
+    * degrading to a shuffle. The frame is staged first so the count and
+    * the downstream join read ONE materialized result rather than
+    * re-executing the producing plan per consumer; above the bound the
+    * frame is returned un-hinted and Catalyst plans a scale-safe
+    * shuffle join. Either path is exact — the guard bounds memory, not
+    * accuracy.
+    */
+  def guardedBroadcast(small: DataFrame, maxRows: Long): DataFrame = {
+    val m = graft.plans.Stage(small)
+    if (m.count() <= maxRows) broadcast(m) else m
+  }
 }

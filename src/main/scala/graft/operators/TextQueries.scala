@@ -653,14 +653,24 @@ object TextQueries {
     *
     * Why not just groupBy-count? Per-task hash state. A plain count
     * over a 100 TB corpus holds the full per-partition vocabulary
-    * (100Ms of keys) in every map task; MG holds m entries, and the
-    * confirm pass holds ≤ |candidates| ≤ P·m — both bounded by
-    * configuration, not by data. The output is EXACT either way (the
-    * oracle is a plain GROUP BY ... HAVING), which is the point: the
-    * sketch bounds memory, not accuracy.
+    * (100Ms of keys) in every map task; MG holds m entries per task.
+    * The output is EXACT either way (the oracle is a plain
+    * GROUP BY ... HAVING), which is the point: the sketch bounds
+    * memory, not accuracy.
+    *
+    * The candidate union is ≤ P·m rows — bounded per TASK but NOT
+    * globally: P is the map partition count, which grows with the
+    * corpus (10⁵–10⁶ tasks at 100 TB × m=1024 ⇒ up to 10⁸+ distinct
+    * strings), so broadcasting it unconditionally is the one plan here
+    * that dies at the scale the operator advertises. The confirm join
+    * therefore goes through the measured guard: candidates are counted
+    * (off the staged materialization — the MG pass runs once) and only
+    * broadcast under `maxBroadcastCandidates`; above it the semi-join
+    * falls back to a shuffle, which is still exact.
     */
   private[graft] def heavyHitters(
-      docs: org.apache.spark.sql.DataFrame, frac: Double, m: Int)
+      docs: org.apache.spark.sql.DataFrame, frac: Double, m: Int,
+      maxBroadcastCandidates: Long = 2000000L)
       : org.apache.spark.sql.DataFrame = {
     require(frac >= 1.0 / (m + 1),
       s"frac=$frac below the MG capacity guarantee 1/(m+1)=${1.0 / (m + 1)}")
@@ -672,7 +682,8 @@ object TextQueries {
       .toDF("w").distinct()
     val total = docs.agg(sum(size(toks)).cast("double").as("n"))
     tokens.toDF("w")
-      .join(broadcast(candidates), Seq("w"), "left_semi")
+      .join(QueryDef.guardedBroadcast(candidates, maxBroadcastCandidates),
+        Seq("w"), "left_semi")
       .groupBy("w").agg(count(lit(1)).as("n_tok"))
       .crossJoin(broadcast(total))
       .filter(col("n_tok") > col("n") * frac)

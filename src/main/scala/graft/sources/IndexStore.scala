@@ -34,14 +34,25 @@ object IndexStore {
   }
 
   /** Snapshot fingerprint of a source file: file count + total length +
-    * max mtime over a RECURSIVE leaf-file listing. Any regeneration of
+    * max mtime + an ORDER-INDEPENDENT digest of every leaf's
+    * (path, len, mtime) over a RECURSIVE listing. Any regeneration of
     * the test data (or a new corpus snapshot in production) changes the
     * stamp and forces a rebuild. Recursive because a partitioned source
     * (nested `key=value/` subdirectories) rewrites its leaf files
     * without touching the top-level entries — a non-recursive listing
     * would keep an unchanged stamp and serve a stale index as valid.
-    * The file count catches an in-place rewrite that preserves total
-    * bytes but splits/merges parts. An existing-but-empty directory
+    * The per-file digest (XOR of md5(path|len|mtime) — XOR so the
+    * listing order, which HDFS does not guarantee, cannot move the
+    * stamp) catches what the three aggregates alone miss: a renamed
+    * part file, bytes redistributed between parts under a constant
+    * total, and a rewrite of any file OTHER than the newest one (max
+    * mtime only watches the newest). Residual, accepted: an in-place
+    * rewrite that preserves a file's exact path, length AND mtime —
+    * sub-second rewrites on filesystems with 1 s mtime granularity —
+    * is invisible to any metadata-only stamp; catching it needs
+    * content checksums, which local filesystems don't expose
+    * (getFileChecksum → null) and reading 100 TB to fingerprint it
+    * defeats the point of a stamp. An existing-but-empty directory
     * stamps as "empty" (it must not throw: an empty source is a
     * legitimate degenerate snapshot, and the ensure() path turns the
     * distinct stamp into a rebuild when data later appears). */
@@ -52,12 +63,19 @@ object IndexStore {
     else {
       val it = fs.listFiles(p, true)
       var n = 0L; var len = 0L; var mtime = Long.MinValue
+      val digest = new Array[Byte](16)
       while (it.hasNext) {
         val f = it.next()
         n += 1; len += f.getLen
         if (f.getModificationTime > mtime) mtime = f.getModificationTime
+        val h = java.security.MessageDigest.getInstance("MD5").digest(
+          s"${f.getPath.toUri.getPath}|${f.getLen}|${f.getModificationTime}"
+            .getBytes("UTF-8"))
+        var i = 0
+        while (i < 16) { digest(i) = (digest(i) ^ h(i)).toByte; i += 1 }
       }
-      if (n == 0) "empty" else s"n=$n|len=$len|mtime=$mtime"
+      val dhex = digest.map("%02x".format(_)).mkString
+      if (n == 0) "empty" else s"n=$n|len=$len|mtime=$mtime|files=$dhex"
     }
   }
 
@@ -268,6 +286,15 @@ object IndexStore {
               } catch { case _: java.io.IOException => () }
             }
           }
+          // the lock may be simply ABSENT (a failed build's `finally`
+          // deleted it without stamping meta — lockAgeMs() reads
+          // MaxValue and routes here): the rename above then fails on a
+          // nonexistent file and no takeover path runs, so attempt a
+          // plain acquisition before re-entering the wait. The atomic
+          // create(_, false) resolves any race with a concurrent
+          // builder or takeover winner — we acquire iff no lock exists
+          // again, and a restored live lock correctly refuses us.
+          if (!locked) locked = tryLock()
           // rename losers and unverified breakers re-enter the wait on
           // the current holder; the shared deadline bounds the retries
           if (!locked && System.nanoTime() >= deadline)

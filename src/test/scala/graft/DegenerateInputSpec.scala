@@ -100,6 +100,37 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(broadcastPlan.nonEmpty)
   }
 
+  test("t15 broadcast guard: forced shuffle semi-join fallback returns identical heavy hitters") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val broadcastPlan = graft.operators.TextQueries
+      .heavyHitters(docs, 0.002, 1024).collect().toSeq
+    // a 0-row cap forces the MG candidate union OFF the broadcast path
+    val shufflePlan = graft.operators.TextQueries
+      .heavyHitters(docs, 0.002, 1024, maxBroadcastCandidates = 0L).collect().toSeq
+    assert(shufflePlan == broadcastPlan)
+    assert(broadcastPlan.nonEmpty)
+  }
+
+  test("p1 broadcast guard: forced shuffle fallback of the eval-gram join returns identical audit") {
+    val dir = "/root/testdata/sf0.001"
+    val broadcastPlan =
+      graft.operators.PipelineQueries.curationPipeline(spark, dir).collect().toSeq
+    val shufflePlan = graft.operators.PipelineQueries
+      .curationPipeline(spark, dir, maxBroadcastEvalGrams = 0L).collect().toSeq
+    assert(shufflePlan == broadcastPlan)
+    assert(broadcastPlan.nonEmpty)
+  }
+
+  test("p2 broadcast guard: forced shuffle fallback of the dropped-set anti-join returns identical audit") {
+    val dir = "/root/testdata/sf0.001"
+    val broadcastPlan =
+      graft.operators.PipelineQueries.releasePipeline(spark, dir).collect().toSeq
+    val shufflePlan = graft.operators.PipelineQueries
+      .releasePipeline(spark, dir, maxBroadcastDropped = 0L).collect().toSeq
+    assert(shufflePlan == broadcastPlan)
+    assert(broadcastPlan.nonEmpty)
+  }
+
   test("topK aggregate: empty input group yields no rows, k=1 keeps the max") {
     val empty = Seq.empty[(Long, Double, Long)].toDF("g", "score", "id")
     val aggEmpty = empty.groupBy("g")

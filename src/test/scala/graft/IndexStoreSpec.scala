@@ -99,6 +99,25 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(!lock.exists(), "the takeover build must release the lock")
   }
 
+  test("a waiter recovers when the holder's build fails and deletes the lock without stamping") {
+    val path = tmpDir() + "/idx"
+    val dir = new java.io.File(path); dir.mkdirs()
+    val lock = new java.io.File(dir, "_graft_build_lock")
+    lock.createNewFile() // another JVM is building...
+    // ...and its build THROWS 300ms in: the finally releases the lock
+    // but no meta is ever stamped. The waiter sees lock ABSENT + meta
+    // stale — it must acquire the free lock and rebuild, not poll out
+    // the full wait budget and throw (ADVICE r9: rename of the
+    // nonexistent lock fails, and tryLock was only reachable after a
+    // verified rename)
+    new Thread(() => { Thread.sleep(300); lock.delete() }).start()
+    var built = false
+    IndexStore.ensure(spark, path, "meta_after_failed_holder",
+      lockStaleMs = 60000, lockWaitMs = 3000, lockPollMs = 50) { built = true }
+    assert(built, "the waiter must acquire the freed lock and rebuild after the holder's failed build")
+    assert(!lock.exists(), "the recovery build must release its lock")
+  }
+
   test("sourceStamp moves when the source file changes") {
     val f = java.nio.file.Paths.get(tmpDir(), "src.parquet")
     java.nio.file.Files.writeString(f, "aaaa")
@@ -128,6 +147,31 @@ class IndexStoreSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(leaf, "bbbb")
     val s2 = IndexStore.sourceStamp(spark, d.toString)
     assert(s1 != s2, "a rewritten nested leaf file must change the stamp")
+  }
+
+  test("sourceStamp's per-file digest sees changes the aggregate totals miss") {
+    val d = java.nio.file.Paths.get(tmpDir(), "agg.parquet")
+    java.nio.file.Files.createDirectories(d)
+    val a = d.resolve("part-0.parquet"); val b = d.resolve("part-1.parquet")
+    // pin every mtime to a constant so ONLY the per-file digest can
+    // tell the before/after apart — n, total len and max mtime all hold
+    val t = 1700000000000L
+    java.nio.file.Files.writeString(a, "aaaa")
+    java.nio.file.Files.writeString(b, "bb")
+    a.toFile.setLastModified(t); b.toFile.setLastModified(t)
+    val s1 = IndexStore.sourceStamp(spark, d.toString)
+    // redistribute bytes between the parts: same file count, same total
+    java.nio.file.Files.writeString(a, "aa")
+    java.nio.file.Files.writeString(b, "bbbb")
+    a.toFile.setLastModified(t); b.toFile.setLastModified(t)
+    val s2 = IndexStore.sourceStamp(spark, d.toString)
+    assert(s1 != s2, "redistributed per-file lengths must change the stamp")
+    // rename a part under pinned mtimes: n, len and max mtime all hold
+    val s3 = IndexStore.sourceStamp(spark, d.toString)
+    java.nio.file.Files.move(b, d.resolve("part-renamed.parquet"))
+    d.resolve("part-renamed.parquet").toFile.setLastModified(t)
+    val s4 = IndexStore.sourceStamp(spark, d.toString)
+    assert(s3 != s4, "a renamed part file must change the stamp")
   }
 
   test("the holder's heartbeat keeps a long build's lock fresh (slow != crashed)") {
