@@ -446,7 +446,20 @@ object DedupQueries {
     })
 
   /** 64-bit SimHash fingerprint + banded Hamming-distance near-dup pairs
-    * (≤ 6 bits differ). Pure HOF expressions; rows-only. */
+    * (≤ 6 bits differ). Pure HOF expressions; rows-only.
+    *
+    * Band geometry: 7 bands (one 10-bit + six 9-bit) so the ≤6
+    * predicate is GUARANTEED by pigeonhole — at most 6 differing bits
+    * can touch at most 6 of 7 bands, so every qualifying pair shares at
+    * least one full band and materializes as a candidate; the exact
+    * bit_count filter then makes the output the EXACT ≤6 pair set (the
+    * r1-r9 4×16 geometry only guaranteed Hamming ≤3 and emitted a
+    * pinned subset for 4–6). SimHashBandSpec asserts equality with
+    * brute-force all-pairs. Cost of the honesty: 7/4× band rows and
+    * ~2^9-sized buckets vs 2^16 — more, smaller buckets, which at
+    * 100 TB is the BETTER join shape (bucket size drives the
+    * within-bucket self-join's quadratic term).
+    */
   val dSimHash = QueryDef(
     "d3_simhash_pairs",
     (s, dir) => {
@@ -459,12 +472,14 @@ object DedupQueries {
       val docs = QueryDef.spread(Tables.documents(s, dir))
         .select(col("doc_id"), sim.as("simhash"))
         .staged
-      // 4 chunks of 16 bits: Hamming ≤ 6 pairs share ≥1 chunk by pigeonhole? (6/4 >1 —
-      // guaranteed only ≤3; chunks still give high recall for ≤6, standard practice)
+      // band c covers bits [off(c), off(c)+width(c)): widths 10,9,9,9,9,9,9
+      val widths = 10 +: Seq.fill(6)(9)
+      val offsets = widths.scanLeft(0)(_ + _).init
       val chunked = docs.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map { c =>
+        explode(array((0 until 7).map { c =>
           struct(lit(c).as("chunk"),
-            shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFFL).as("ch"))
+            shiftright(col("simhash"), offsets(c))
+              .bitwiseAND((1L << widths(c)) - 1L).as("ch"))
         }: _*)).as("ck"))
         .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.ch"))
       val l = chunked.select(col("chunk"), col("ch"), col("doc_id").as("a"), col("simhash").as("ha"))

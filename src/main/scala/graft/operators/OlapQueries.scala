@@ -140,34 +140,127 @@ object OlapQueries {
             .as("approx_p99"))
         .orderBy("l_returnflag"))
 
+  // ---- stored monthly sketch table (the q30 lifecycle) ---------------
+  // The monthly HLL sketches are PERSISTED parquet under IndexStore —
+  // built once per orders snapshot, then every rollup probes 12-ish
+  // sketch rows with zero raw-order scan (PlanAuditSpec asserts the
+  // plan) — and the appendable variant folds each scheduler batch in
+  // without rewriting history, the same maintainer-owned lifecycle as
+  // the dedup (d8) and PQ (v6) index tables. The lgK geometry is
+  // stamped at init and REQUIRED by append/rollup: a mismatched-lgK
+  // union would either throw (allowDifferent=false) or silently
+  // degrade precision — a caller bug that must fail loudly.
+
+  private val HllGeometryStamp = "_graft_hll_geometry"
+  private def hllGeometry(lgK: Int): String = s"lgK=$lgK"
+
+  private def requireHllGeometry(s: org.apache.spark.sql.SparkSession,
+                                 path: String, lgK: Int): Unit = {
+    val stored = graft.sources.IndexStore.readStamp(s, path, HllGeometryStamp)
+    require(stored.isDefined,
+      s"no sketch geometry stamp at $path — the table was never initialized " +
+        "(or a crashed initSketchTable left it half-written); re-run initSketchTable")
+    require(stored.get == hllGeometry(lgK),
+      s"sketch table at $path was built with (${stored.get}) but called with " +
+        s"(${hllGeometry(lgK)}) — pass the lgK the table was initialized with")
+  }
+
+  /** One sketch row per (yr, mo) of the given orders slice, tagged with
+    * the append batch it arrived in. Rows are PARTIAL month sketches —
+    * a month fed by several batches holds several rows and the rollup
+    * unions them. The merged registers cover exactly the same value
+    * set as an all-at-once build, but the ESTIMATE may differ by a
+    * sub-rsd amount: DataSketches serves streaming-built sketches from
+    * the HIP estimator and unioned sketches from the composite
+    * estimator (ApproxSketchSpec measures the split-month delta and
+    * gates both layouts against exact truth). n_orders sums are exact
+    * under any batch layout. */
+  private def monthlySketches(orders: org.apache.spark.sql.DataFrame, lgK: Int,
+                              batch: String): org.apache.spark.sql.DataFrame =
+    orders
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(hll_sketch_agg(col("o_custkey"), lit(lgK)).as("sk"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("batch", lit(batch))
+
+  /** Initialize the appendable monthly sketch table from the initial
+    * orders snapshot. Geometry stamp written LAST (crashed init = no
+    * stamp = every later append/rollup fails loudly). Row-disjointness
+    * of future appends is the scheduler's contract (same as d8's
+    * "maintainer owns snapshot identity") — the batch tag check below
+    * catches the realistic failure, a retried job re-appending a batch. */
+  def initSketchTable(s: org.apache.spark.sql.SparkSession, path: String,
+                      orders: org.apache.spark.sql.DataFrame, lgK: Int = 12): Unit = {
+    graft.sources.IndexStore.clearStamp(s, path, HllGeometryStamp)
+    monthlySketches(orders, lgK, "init").write.mode("overwrite")
+      .parquet(s"$path/months")
+    graft.sources.IndexStore.writeStamp(s, path, HllGeometryStamp, hllGeometry(lgK))
+  }
+
+  /** Fold a new orders batch (a day, a backfill slice) into the stored
+    * table: O(batch) sketch rows appended, never a history rewrite. A
+    * reused batch tag — the retried-scheduler-job double-append — is
+    * rejected against the CURRENT table contents. */
+  def appendSketchTable(s: org.apache.spark.sql.SparkSession, path: String,
+                        newOrders: org.apache.spark.sql.DataFrame, batchTag: String,
+                        lgK: Int = 12): Unit = {
+    requireHllGeometry(s, path, lgK)
+    require(batchTag.nonEmpty && batchTag != "init",
+      "batchTag must be a fresh non-init tag")
+    val dup = s.read.parquet(s"$path/months")
+      .filter(col("batch") === batchTag).limit(1).count()
+    require(dup == 0L,
+      s"batch '$batchTag' was already appended to $path — a double append " +
+        "would double-count its orders (sketch union absorbs the customers, " +
+        "n_orders does not); use a fresh tag per scheduler run")
+    monthlySketches(newOrders, lgK, batchTag).write.mode("append")
+      .parquet(s"$path/months")
+  }
+
+  /** Quarterly rollup over the STORED sketches only — at scale a scan
+    * of months×batches sketch rows, not 100 TB of orders. Union is
+    * register-wise max: commutative, associative, order-independent,
+    * so the result is deterministic regardless of batch layout. */
+  def quarterlyRollup(s: org.apache.spark.sql.SparkSession, path: String,
+                      lgK: Int = 12): org.apache.spark.sql.DataFrame = {
+    requireHllGeometry(s, path, lgK)
+    s.read.parquet(s"$path/months")
+      .groupBy(col("yr"), (((col("mo") - 1) / 3).cast("int") + 1).as("qtr"))
+      .agg(
+        sum(col("n_orders")).as("n_orders"),
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx_customers"))
+      .orderBy("yr", "qtr")
+  }
+
+  /** Auto-built stored sketch table for `dir`'s orders snapshot: the
+    * meta stamp keys on (lgK, source fingerprint), so a regenerated
+    * orders table rebuilds the sketches instead of serving stale ones —
+    * the same ensure() discipline as the stored dedup/PQ indexes. */
+  private[graft] def ensureStoredSketches(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      lgK: Int = 12): String = {
+    val path = graft.sources.IndexStore.indexPath(dir, s"hll_custkey_lgk$lgK")
+    val meta = s"v1|lgK=$lgK|" +
+      s"src=${graft.sources.IndexStore.sourceStamp(s, s"$dir/orders.parquet")}"
+    graft.sources.IndexStore.ensure(s, path, meta) {
+      initSketchTable(s, path, Tables.orders(s, dir), lgK)
+    }
+    path
+  }
+
   /** Two-level sketch MERGE — the stored-sketch-table pattern behind
     * every "distinct users over an arbitrary date range" dashboard at
     * 100 TB: per-month DataSketches HLL sketches of the customer key
-    * are built once (in production: persisted alongside the daily
-    * partition, exactly like the dedup/PQ index tables), then any
-    * rollup — here quarters — UNIONS the sketches without ever
-    * rescanning raw rows. Sketch union is register-wise max:
-    * commutative, associative, order-independent, so the result is
-    * deterministic and pins. lgK=12 → rsd ≈ 1.6%; quarterly estimates
-    * are gated against exact distinct counts in ApproxSketchSpec. */
+    * are persisted once per snapshot (above), then any rollup — here
+    * quarters — UNIONS the stored sketches without ever rescanning raw
+    * rows. lgK=12 → rsd ≈ 1.6%; quarterly estimates are gated against
+    * exact distinct counts in ApproxSketchSpec, and the batch-twin
+    * append equality in ApproxSketchSpec pins the lifecycle. */
   val qSketchUnion = QueryDef(
     "q30_sketch_union",
-    (s, dir) => {
-      val monthly = Tables.orders(s, dir)
-        .groupBy(year(col("o_orderdate")).as("yr"),
-          month(col("o_orderdate")).as("mo"))
-        .agg(hll_sketch_agg(col("o_custkey"), lit(12)).as("sk"),
-          count(lit(1)).as("n_orders"))
-      // the rollup touches ONLY (month-row, sketch) pairs — at scale a
-      // scan of 12 sketch rows, not 100 TB of orders
-      monthly
-        .groupBy(col("yr"), (((col("mo") - 1) / 3).cast("int") + 1).as("qtr"))
-        .agg(
-          sum(col("n_orders")).as("n_orders"),
-          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-            .as("approx_customers"))
-        .orderBy("yr", "qtr")
-    })
+    (s, dir) => quarterlyRollup(s, ensureStoredSketches(s, dir)))
 
   val all: Seq[QueryDef] = Seq(qCube, qCorrelated, qRanks, qPercentiles,
     qSketchStats, qSketchUnion)

@@ -71,4 +71,55 @@ class ApproxSketchSpec extends AnyFunSuite {
       assert(err <= 0.05, s"$q: merged-sketch rel err $err > 3×rsd(lgK=12)")
     }
   }
+
+  test("q30 day-over-day appends rollup identically to the all-at-once table") {
+    import graft.operators.OlapQueries
+    val orders = Tables.orders(spark, dir)
+    val full = java.nio.file.Files.createTempDirectory("graft_hll_full").toString + "/sk"
+    OlapQueries.initSketchTable(spark, full, orders)
+    val expected = OlapQueries.quarterlyRollup(spark, full).collect().toSeq
+    // the scheduler's loop: an initial snapshot plus two later batches,
+    // one of which splits a month across batches (partial-month rows)
+    val inc = java.nio.file.Files.createTempDirectory("graft_hll_inc").toString + "/sk"
+    val cut1 = col("o_orderdate") < "1997-06-15"
+    val cut2 = col("o_orderdate") < "1997-11-01"
+    OlapQueries.initSketchTable(spark, inc, orders.filter(cut1))
+    OlapQueries.appendSketchTable(spark, inc, orders.filter(!cut1 && cut2), "b1")
+    OlapQueries.appendSketchTable(spark, inc, orders.filter(!cut2), "b2")
+    val got = OlapQueries.quarterlyRollup(spark, inc).collect().toSeq
+    // n_orders is a plain sum — exact under ANY batch layout. The HLL
+    // estimate is NOT bit-identical where a month splits across batches
+    // (DataSketches: streaming HIP estimator vs post-union composite
+    // estimator); it must agree within 2% and both layouts must stay
+    // within 3×rsd of exact truth (the q30 gate above covers the
+    // all-at-once table; re-gate the incremental one here).
+    assert(got.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))) ==
+      expected.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))),
+      "quarter keys and exact n_orders must match across batch layouts")
+    for ((g, e) <- got.zip(expected)) {
+      val (gc, ec) = (g.getAs[Long]("approx_customers"), e.getAs[Long]("approx_customers"))
+      assert(math.abs(gc - ec).toDouble / ec <= 0.02,
+        s"${g.getInt(0)}Q${g.getInt(1)}: split-month estimate $gc drifted >2% from all-at-once $ec")
+    }
+    val exactQ = orders
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        ((month(col("o_orderdate")) - 1) / 3).cast("int").+(1).as("qtr"))
+      .agg(countDistinct(col("o_custkey")).as("customers"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (g <- got) {
+      val truth = exactQ((g.getInt(0), g.getInt(1)))
+      val err = math.abs(g.getAs[Long]("approx_customers") - truth).toDouble / truth
+      assert(err <= 0.05, s"${g.getInt(0)}Q${g.getInt(1)}: incremental rollup rel err $err > 3×rsd")
+    }
+    // retried-scheduler-job double append is rejected
+    val ex = intercept[IllegalArgumentException] {
+      OlapQueries.appendSketchTable(spark, inc, orders.filter(!cut2), "b2")
+    }
+    assert(ex.getMessage.contains("already appended"))
+    // geometry mismatch fails loudly, never a silently-degraded union
+    val exG = intercept[IllegalArgumentException] {
+      OlapQueries.quarterlyRollup(spark, inc, lgK = 13)
+    }
+    assert(exG.getMessage.contains("lgK"))
+  }
 }

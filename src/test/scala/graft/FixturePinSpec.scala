@@ -29,7 +29,7 @@ class FixturePinSpec extends AnyFunSuite {
 
   private val pins = Map(
     "d2_minhash_lsh_pairs"     -> "396c7e47dbca408d6f2d5f53f97504c8",
-    "d3_simhash_pairs"         -> "b90c32d2109e20dd85da66f566187e20",
+    "d3_simhash_pairs"         -> "85d44afab5b47af6b0831d85865ea7bb",
     "d5_dedup_clusters"        -> "329f0ddcd222f8650213c75d1bcd870b",
     "d8_incremental_dedup"     -> "f89d5243e5b53a68087bd2969f1a3907",
     "g1_panel_summary"         -> "ec263564355c1e5a81565545027cba56",

@@ -61,6 +61,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q30 rollup probes the stored sketch table with zero raw-order scan") {
+    // first call may build the stored monthly sketches (eager jobs);
+    // the RETURNED rollup plan must then read only the index parquet —
+    // rescanning orders would defeat the stored-sketch-table pattern
+    val p = plan("q30_sketch_union")
+    assert(p.contains(indexRootName),
+      "q30 rollup must scan the stored sketch table\n" + p.take(1500))
+    assert(!p.contains("orders.parquet"),
+      "q30 rollup must not rescan raw orders\n" + p.take(1500))
+  }
+
   test("window functions never fall back to a single partition (q9/q10)") {
     for (q <- Seq("q9_window_topn", "q10_window_lag", "q24_range_frame",
                   "t13_sequence_pack")) {
