@@ -702,72 +702,114 @@ object TextQueries {
       SELECT w AS token, n_tok, ROUND(n_tok / n.n, 6) AS frac
       FROM c CROSS JOIN n WHERE n_tok > n.n * 0.002 ORDER BY token"""))
 
-  /** BM25 ranked retrieval (t17) for a fixed query-term set — the
-    * inverted-index scoring pass behind corpus search / example
-    * retrieval. Okapi BM25 with Lucene's idf
-    * (ln((N−df+0.5)/(df+0.5)+1), always ≥ 0), k1=1.2, b=0.75.
+  /** BM25 ranked retrieval (t17) over a QUERY TABLE — the real
+    * retrieval surface (a workload of queries scored in one pass, the
+    * v1 probe-table shape), not a single hardcoded term set. Okapi
+    * BM25 with Lucene's idf (ln((N−df+0.5)/(df+0.5)+1), always ≥ 0),
+    * k1=1.2, b=0.75.
     *
-    * Scale shape: the postings explode is pruned to the query terms
-    * BEFORE any shuffle (isin filter under the Generate — a 4-term
-    * query touches 4 posting lists, not the corpus vocabulary); df and
-    * the corpus stats are broadcast; per-doc scores aggregate ≤|Q|
-    * rows each; the final ranking is top-k (TakeOrderedAndProject),
-    * never a global sort. Per-term contributions are summed as
-    * DECIMAL(30,12) so the score is addition-order-independent and the
-    * ranking cross-engine-exact (QueryDef.dsum rationale).
-    */
+    * `queries` is (query_id, term) postings. Scale shape: the corpus
+    * postings explode is pruned to the workload's DISTINCT term union
+    * BEFORE any shuffle (broadcast semi-join under the Generate — a
+    * workload touching T terms scans T posting lists, not the corpus
+    * vocabulary); tf/df are computed ONCE per (doc, term) and shared by
+    * every query using that term; per-query ranking is a keyed window
+    * (rank over query_id — never a corpus-wide single-partition sort);
+    * the final ORDER BY touches ≤ |queries|·k result rows. Per-term
+    * contributions are summed as DECIMAL(30,12) so scores are
+    * addition-order-independent and the ranking cross-engine-exact
+    * (QueryDef.dsum rationale). A query term absent from the corpus
+    * contributes no rows (df would be 0); a query with NO term in the
+    * corpus yields no result rows at all — both the t17 fixture's q4
+    * covers. The term-union broadcast is a probe table (bounded by the
+    * workload, not the corpus — v1's contract), so it is hinted
+    * directly rather than measured. */
+  private[graft] def bm25Search(
+      docs: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75)
+      : org.apache.spark.sql.DataFrame = {
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
+    val terms = queries.select(col("term").as("tok")).distinct()
+    // dl rides the PRUNED postings (8 bytes on matching rows only) —
+    // a separate (doc_id, dl) table would shuffle corpus-wide lengths
+    // for docs that match no workload term
+    val tf = docs.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+        explode(col("tk")).as("tok"))
+      .join(broadcast(terms), Seq("tok"), "left_semi")
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+      (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("sc").desc, col("doc_id").asc)
+    tf.join(broadcast(df), "tok").crossJoin(broadcast(stats))
+      .withColumn("c", contrib.cast(org.apache.spark.sql.types.DecimalType(30, 12)))
+      .join(broadcast(queries.select(col("query_id"), col("term").as("tok"))), "tok")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("c")).as("sc"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        round(col("sc").cast("double"), 6).as("bm25"),
+        col("n_terms"), col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The t17 fixture workload: a multi-term query, a stopword-heavy
+    * one, an overlapping one (shares `spark` with q1 — the shared
+    * (doc, term) tf/df work is computed once), and one whose second
+    * term is absent from the corpus (zero-posting path). */
+  private[graft] val bm25FixtureQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark", 1L -> "join", 1L -> "filter", 1L -> "window",
+    2L -> "the", 2L -> "data",
+    3L -> "query", 3L -> "stream", 3L -> "spark",
+    4L -> "data", 4L -> "zzz_absent_term")
+
   val tBm25 = QueryDef(
     "t17_bm25_search",
     (s, dir) => {
-      val q = Seq("spark", "join", "filter", "window")
-      val k1 = 1.2
-      val b = 0.75
-      val docs = Tables.documents(s, dir)
-      val stats = docs.agg(
-        count(lit(1)).cast("double").as("n_docs"),
-        (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl"))
-      // dl rides the PRUNED postings (8 bytes on matching rows only) —
-      // a separate (doc_id, dl) table would shuffle corpus-wide lengths
-      // for docs that match no query term
-      val tf = docs.select(col("doc_id"), toks.as("tk"))
-        .select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
-          explode(col("tk")).as("tok"))
-        .filter(col("tok").isin(q: _*))
-        .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).cast("double").as("tf"))
-      val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
-      val contrib = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-        (col("tf") * lit(k1 + 1.0)) /
-        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-      tf.join(broadcast(df), "tok").crossJoin(broadcast(stats))
-        .withColumn("c", contrib.cast(org.apache.spark.sql.types.DecimalType(30, 12)))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("sc"), count(lit(1)).as("n_terms"))
-        .orderBy(col("sc").desc, col("doc_id"))
-        .limit(20)
-        .select(col("doc_id"), round(col("sc").cast("double"), 6).as("bm25"),
-          col("n_terms"))
+      import s.implicits._
+      bm25Search(Tables.documents(s, dir),
+        bm25FixtureQueries.toDF("query_id", "term"))
     },
     Some("""
-      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      WITH q(query_id, term) AS (VALUES
+        (1, 'spark'), (1, 'join'), (1, 'filter'), (1, 'window'),
+        (2, 'the'), (2, 'data'),
+        (3, 'query'), (3, 'stream'), (3, 'spark'),
+        (4, 'data'), (4, 'zzz_absent_term')),
+      tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
                     CAST(SUM(len(tk)) AS DOUBLE) / COUNT(*) AS avgdl FROM tk),
       dl AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl FROM tk),
       tf AS (SELECT doc_id, u.t AS tok, CAST(COUNT(*) AS DOUBLE) AS tf
              FROM tk, UNNEST(tk.tk) AS u(t)
-             WHERE u.t IN ('spark', 'join', 'filter', 'window')
+             WHERE u.t IN (SELECT DISTINCT term FROM q)
              GROUP BY doc_id, u.t),
       df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
       c AS (
-        SELECT tf.doc_id,
+        SELECT q.query_id, tf.doc_id,
                CAST(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
                     (tf.tf * 2.2) /
                     (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
                  AS DECIMAL(30,12)) AS c
-        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id), st),
-      sc AS (SELECT doc_id, SUM(c) AS sc, COUNT(*) AS n_terms
-             FROM c GROUP BY doc_id)
-      SELECT doc_id, ROUND(CAST(sc AS DOUBLE), 6) AS bm25, n_terms
-      FROM sc ORDER BY sc DESC, doc_id LIMIT 20"""))
+        FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+             JOIN q ON q.term = tf.tok, st),
+      sc AS (SELECT query_id, doc_id, SUM(c) AS sc, COUNT(*) AS n_terms
+             FROM c GROUP BY query_id, doc_id),
+      r AS (SELECT query_id, doc_id, sc, n_terms,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY sc DESC, doc_id ASC) AS rank
+            FROM sc)
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+             ROUND(CAST(sc AS DOUBLE), 6) AS bm25, n_terms,
+             CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
 
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,

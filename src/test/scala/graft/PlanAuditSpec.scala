@@ -146,12 +146,22 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected the candidate set to broadcast-semi-join the token stream\n" + p.take(3000))
   }
 
-  test("t17 BM25 ranks via TakeOrderedAndProject with query-term-pruned postings") {
+  test("t17 BM25 prunes postings to the workload's terms and ranks per query, never corpus-wide") {
     val p = plan("t17_bm25_search")
-    assert(p.contains("TakeOrderedAndProject"),
-      "top-k must not be a global sort\n" + p.take(2000))
-    assert(p.contains("IN (spark,join,filter,window)"),
-      "postings must be pruned to the query terms before aggregation\n" + p.take(3000))
+    // the corpus explode must be cut down by the broadcast term-union
+    // semi-join BEFORE any shuffle — T posting lists, not the vocabulary
+    assert(p.contains("LeftSemi") && p.contains("BroadcastHashJoin"),
+      "postings must be pruned via a broadcast semi-join on the workload terms\n" + p.take(3000))
+    // per-query top-k is a keyed window — a single-partition window
+    // would funnel every (query, doc) score into one task. (The plan
+    // legitimately contains a SinglePartition exchange for the 1-row
+    // corpus-stats aggregate, so assert the window's own spec.)
+    assert(p.contains("windowspecdefinition(query_id"),
+      "t17 ranking window must be keyed by query_id\n" + p.take(3000))
+    // and the rank is limited BEFORE the window shuffle (partial
+    // WindowGroupLimit), so only candidate top-k rows move
+    assert(p.contains("WindowGroupLimit"),
+      "t17 should push a group-limit below the window\n" + p.take(3000))
   }
 
   test("c5 token budget: the only window runs over the one-bin boundary filter") {
