@@ -17,8 +17,15 @@ object LocalKMeans {
     s
   }
 
+  /** Number of fit() invocations this JVM — observability for the
+    * "quantizers are fit once per snapshot, then served from the stored
+    * index" contract (SemDedupSpec asserts a probe of an existing index
+    * does not re-fit). */
+  private[graft] val fitCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def fit(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     require(points.nonEmpty, "k-means fit set is empty")
+    fitCount.incrementAndGet()
     val rng = new java.util.Random(seed)
     val n = points.length
     val kk = math.min(k, n)

@@ -602,46 +602,73 @@ object VectorQueries {
 
   /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
     * global pairwise cosine dedup is O(n²) and dead at corpus scale; the
-    * published recipe bounds it by clustering first — k-means lists via
-    * the SAME driver-fit coarse quantizer as v5, then pairwise cosine
-    * ONLY within each list. Cost drops from n² to Σ|list|², and the
-    * within-list pairwise is a LIST-KEYED self-join: both sides shuffle
-    * on list_id (co-partitioned, no broadcast of the corpus), so each
-    * task compares one list locally. At 100 TB, k grows with the corpus
-    * to cap |list| (k ≈ n/target_list_size); cross-list near-dups are
-    * the accepted approximation of the published method.
+    * published recipe bounds it by clustering first — coarse lists, then
+    * pairwise cosine ONLY within each list. The within-list pairwise is
+    * a LIST-KEYED self-join: both sides shuffle on the list key
+    * (co-partitioned, no broadcast of the corpus), so each task compares
+    * one list locally. Cross-list near-dups are the accepted
+    * approximation of the published method.
     *
     * Decision rule (deterministic, order-invariant): a vector b is
-    * DROPPED iff some lower-id vector a in its list has cos(a,b) > τ;
-    * its keeper is the LOWEST such a (struct-min). τ = 0.4 sits in this
-    * corpus's near-dup band (max pairwise cosine ≈ 0.48 at test sf —
-    * production τ would be ~0.95 on real embeddings). Rows-only (the
-    * fitted centroids have no SQL analogue); pinned + SemDedupSpec
-    * recomputes the exact dropped set per list.
-    */
+    * DROPPED iff some lower-id vector a in its group has cos(a,b) > τ;
+    * its keeper is the LOWEST such a (struct-min).
+    *
+    * Two r10 scale fixes (VERDICT r9 #5): the routing REUSES the stored
+    * PQ index's persisted coarse quantizer (one fit per corpus snapshot,
+    * shared with v6/v7 — no per-run k-means re-fit; SemDedupSpec counts
+    * fits), and an OVERSIZED-LIST GUARD sub-splits any list above
+    * `listCap` into ⌈|list|/cap⌉ id-keyed sublists, so Σ|group|² stays
+    * ≤ n·cap no matter how skewed the routing — the effective list
+    * count is k ≈ n/cap, scaling with the corpus the way the published
+    * recipe's k does. Sub-splitting trades away within-list pairs
+    * ACROSS sublists — the same approximation class as the cross-list
+    * misses the method already accepts (and it only engages on lists
+    * the cap says are too big to compare exactly anyway). The sub key
+    * is vec_id % m (ids uncorrelated with geometry — the strideSample
+    * rationale — and trivially reproducible by the spec's driver-side
+    * recompute). */
+  private[graft] def semanticDedup(emb: DataFrame,
+                                   coarse: Array[Array[Double]],
+                                   tau: Double,
+                                   listCap: Long): DataFrame = {
+    // assignment expression is k×dim centroid literals — materialize
+    // once: the size count, then both self-join sides, read the stage
+    val routed = emb.select(col("vec_id"), col("embedding"),
+        array_min(centerDistStructs(col("embedding"), coarse)).getField("idx").as("list_id"))
+      .staged
+    // per-list sizes: ≤ |coarse| rows collected — the split factors are
+    // derived from MEASURED skew, not assumed balance
+    val sizes = routed.groupBy("list_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    val mExpr = sizes.foldLeft(lit(1L)) { case (acc, (l, n)) =>
+      when(col("list_id") === l,
+        lit(math.max(1L, (n + listCap - 1L) / listCap))).otherwise(acc)
+    }
+    val assigned = routed.withColumn("sub_id", pmod(col("vec_id"), mExpr).cast("int"))
+    val a = assigned.select(col("list_id"), col("sub_id"),
+      col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = assigned.select(col("list_id"), col("sub_id"),
+      col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(b, Seq("list_id", "sub_id")).filter(col("a") < col("b"))
+      .withColumn("__sim", dot(col("ea"), col("eb")))
+      .filter(col("__sim") > tau)
+      .groupBy(col("b"))
+      .agg(min(struct(col("a"), col("__sim").as("sim"), col("list_id"))).as("k"))
+      .select(col("b").as("vec_id"), col("k.a").as("kept_id"),
+        round(col("k.sim"), 6).as("cosine"), col("k.list_id").cast("long").as("list_id"))
+      .orderBy("vec_id")
+  }
+
+  /** τ = 0.4 sits in this corpus's near-dup band (max pairwise cosine
+    * ≈ 0.48 at test sf — production τ would be ~0.95 on real
+    * embeddings). Rows-only (the fitted centroids have no SQL
+    * analogue); pinned + SemDedupSpec recomputes the exact dropped set
+    * per group and exercises the sub-split guard on a skewed corpus. */
   val vSemanticDedup = QueryDef(
     "v8_semantic_dedup",
-    (s, dir) => {
-      val tau = 0.4
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-      val sample = strideSample(emb)
-      val centers: Array[Array[Double]] = LocalKMeans.fit(sample, k = 16, iters = 10, seed = 42L)
-      // assignment expression is 16×64 centroid literals — materialize
-      // once, both self-join sides read the staged result
-      val assigned = emb.select(col("vec_id"), col("embedding"),
-          array_min(centerDistStructs(col("embedding"), centers)).getField("idx").as("list_id"))
-        .staged
-      val a = assigned.select(col("list_id"), col("vec_id").as("a"), col("embedding").as("ea"))
-      val b = assigned.select(col("list_id"), col("vec_id").as("b"), col("embedding").as("eb"))
-      a.join(b, Seq("list_id")).filter(col("a") < col("b"))
-        .withColumn("__sim", dot(col("ea"), col("eb")))
-        .filter(col("__sim") > tau)
-        .groupBy(col("b"))
-        .agg(min(struct(col("a"), col("__sim").as("sim"), col("list_id"))).as("k"))
-        .select(col("b").as("vec_id"), col("k.a").as("kept_id"),
-          round(col("k.sim"), 6).as("cosine"), col("k.list_id").cast("long").as("list_id"))
-        .orderBy("vec_id")
-    })
+    (s, dir) => semanticDedup(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      storedPqIndex(s, dir).coarse, tau = 0.4, listCap = 2000L))
 
   val all: Seq[QueryDef] = Seq(vCosineTopK, vLshAnn, vEmbedDedup, vNormStats,
     vIvfAnn, vPqAnn, vIvfAdcAnn, vSemanticDedup)

@@ -49,7 +49,7 @@ class FixturePinSpec extends AnyFunSuite {
     "v5_ivf_ann"               -> "afd848323e99e775dd15dee6070bd772",
     "v6_pq_ann"                -> "c0eeb3a88ad778f4ef7b11eb1a286f62",
     "v7_ivfadc_ann"            -> "b2ebb6a2bc4c986d3d7a3882599da029",
-    "v8_semantic_dedup"        -> "98b8bb51d12b94e382866cfc9e70cb65")
+    "v8_semantic_dedup"        -> "ee01b2de9eb64bd35e19265c76b77c92")
 
   test("every no_oracle driver query is hash-pinned") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
