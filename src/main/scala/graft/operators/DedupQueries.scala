@@ -644,48 +644,65 @@ object DedupQueries {
     * targets.) Window detection is d7's OWN spanWindows expression, so
     * detect (d7) and remove (d9) can never disagree on what counts
     * as duplicated. */
+  /** Tokenized base (doc_id, tk) → exploded (doc_id, s, span) window
+    * rows — ONE copy of the d9/probeSpanScrub front half (the heavy
+    * span array is materialized BEFORE the explode: the
+    * InferFiltersFromGenerate discipline shared with d7). */
+  private def spanExplode(base: DataFrame): DataFrame =
+    base.filter(size(col("tk")) >= SpanWindow)
+      .select(col("doc_id"), spanWindows(col("tk")).as("sp"))
+      .staged
+      .select(col("doc_id"), explode(col("sp")).as("w"))
+      .select(col("doc_id"), col("w.s").as("s"), col("w.span").as("span"))
+
+  /** Excise the 8-token windows named by `dupStarts` (doc_id, s) and
+    * rebuild each document from the surviving token positions — ONE
+    * copy of the d9/probeSpanScrub back half. Emits every base doc:
+    * (doc_id, n_tokens, n_kept, clean_text), ordered. */
+  private def scrubRebuild(base: DataFrame, dupStarts: DataFrame): DataFrame = {
+    val covered = dupStarts
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + (SpanWindow - 1))).as("pos"))
+      .distinct()
+    val tokPos = base
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+    val rebuilt = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("clean_text"))
+    base.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Full-corpus d9 over an explicit (doc_id, text) frame — the
+    * batch-mode core, exposed so the streaming batch-twin spec can run
+    * it over corpus ∪ batch. */
+  private[graft] def spanScrubFrame(docs: DataFrame): DataFrame = {
+    // base feeds the span pass, the token-position pass AND the final
+    // join — one tokenize, materialized once
+    val base = QueryDef.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .staged
+    val ex = spanExplode(base)
+    val dup = ex.select("doc_id", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("span")
+    // (doc_id, s) is already unique: one struct per sequence index,
+    // at most one match in the distinct-span dup set
+    val dupStarts = ex.join(dup, "span").select("doc_id", "s")
+    scrubRebuild(base, dupStarts)
+  }
+
   val dSpanScrub = QueryDef(
     "d9_span_scrub",
-    (s, dir) => {
-      val win = SpanWindow
-      // base feeds the span pass, the token-position pass AND the final
-      // join — one tokenize, materialized once
-      val base = QueryDef.spread(Tables.documents(s, dir))
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .staged
-      // computed heavy array: materialize BEFORE the explode (same
-      // InferFiltersFromGenerate discipline as d7)
-      val withSpans = base.filter(size(col("tk")) >= win)
-        .select(col("doc_id"), spanWindows(col("tk")).as("sp"))
-        .staged
-      val ex = withSpans.select(col("doc_id"), explode(col("sp")).as("w"))
-        .select(col("doc_id"), col("w.s").as("s"), col("w.span").as("span"))
-      val dup = ex.select("doc_id", "span").distinct()
-        .groupBy("span").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= 2).select("span")
-      // (doc_id, s) is already unique: one struct per sequence index,
-      // at most one match in the distinct-span dup set
-      val dupStarts = ex.join(dup, "span").select("doc_id", "s")
-      val covered = dupStarts
-        .select(col("doc_id"),
-          explode(sequence(col("s"), col("s") + (win - 1))).as("pos"))
-        .distinct()
-      val tokPos = base
-        .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
-        .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-      val rebuilt = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_kept"),
-          array_join(
-            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-              x => x.getField("tok")), " ").as("clean_text"))
-      base.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
-        .join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_tokens"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => spanScrubFrame(Tables.documents(s, dir)),
     Some("""
       WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       w AS (SELECT doc_id, i AS s, array_to_string(tk[i:i+7], ' ') AS span
@@ -706,6 +723,97 @@ object DedupQueries {
              CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
              COALESCE(a.clean_text, '') AS clean_text
       FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id"""))
+
+  // ---- Appendable span index + streaming passage removal (r10) -------
+  // d9's rewrite as a day-over-day loop: the corpus's span→doc-count
+  // table is PERSISTED once, each arriving batch is rewritten against
+  // corpus ∪ batch (exactly d9 over the union, restricted to the batch
+  // — SpanScrubSpec/StreamingSpec pin that equality), then the batch's
+  // span counts fold in. Same maintainer-owned stamp discipline as the
+  // MinHash (d8) and PQ (v6) lifecycles.
+
+  private val SpanStamp = "_graft_span_geometry"
+  private def spanGeometryString: String = s"win=$SpanWindow"
+
+  private def requireSpanGeometry(s: org.apache.spark.sql.SparkSession,
+                                  path: String): Unit = {
+    val stored = graft.sources.IndexStore.readStamp(s, path, SpanStamp)
+    require(stored.isDefined,
+      s"no span geometry stamp at $path — the index was never initialized " +
+        "(or a crashed initStoredSpanIndex left it half-written); re-run init")
+    require(stored.get == spanGeometryString,
+      s"span index at $path was built with (${stored.get}) but this build " +
+        s"scrubs ($spanGeometryString) — a mismatched window would silently " +
+        "treat every stored span as foreign; rebuild the index")
+  }
+
+  /** Per-slice span doc-counts: (span, nd) where nd = distinct docs of
+    * THIS slice containing the span. Rows are PARTIAL counts — the
+    * probe sums them per span, so appends never rewrite history. */
+  private def spanCounts(docs: DataFrame): DataFrame = {
+    val base = QueryDef.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    spanExplode(base).select("doc_id", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("nd"))
+  }
+
+  /** Initialize the appendable span index from the initial corpus
+    * snapshot: `ids` (raw doc_ids, the append disjointness gate) and
+    * `spans` (span, nd). Geometry stamp written LAST — a crashed init
+    * leaves no stamp and every probe/append fails loudly. */
+  def initStoredSpanIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                          docs: DataFrame): Unit = {
+    graft.sources.IndexStore.clearStamp(s, path, SpanStamp)
+    docs.select(col("doc_id")).write.mode("overwrite").parquet(s"$path/ids")
+    spanCounts(docs).write.mode("overwrite").parquet(s"$path/spans")
+    graft.sources.IndexStore.writeStamp(s, path, SpanStamp, spanGeometryString)
+  }
+
+  /** Fold a (scrubbed) batch into the index: O(batch) span-count rows
+    * appended, never a history rewrite. Double-appending a batch would
+    * inflate counts (turning unique spans into "duplicates"), so the
+    * raw-id disjointness gate trips first. */
+  def appendStoredSpanIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                            newDocs: DataFrame): Unit = {
+    requireSpanGeometry(s, path)
+    checkDisjoint(s.read.parquet(s"$path/ids"), newDocs)
+    newDocs.select(col("doc_id")).write.mode("append").parquet(s"$path/ids")
+    spanCounts(newDocs).write.mode("append").parquet(s"$path/spans")
+  }
+
+  /** Rewrite a batch of arriving documents against corpus ∪ batch: a
+    * window is excised iff (stored doc-count + batch doc-count) ≥ 2 —
+    * exactly [[spanScrubFrame]] over the union restricted to the batch.
+    *
+    * Scale shape per batch: only the BATCH is tokenized and exploded;
+    * the stored span table is touched through a hash join against the
+    * batch's distinct spans (broadcast — a streaming micro-batch is
+    * small by contract, the DedupIngest probe rationale), so candidate
+    * generation never shuffles the corpus-sized span table; the
+    * rebuild is d9's own back half over batch rows only. */
+  def probeSpanScrub(s: org.apache.spark.sql.SparkSession, path: String,
+                     batchIn: DataFrame): DataFrame = {
+    requireSpanGeometry(s, path)
+    checkDisjoint(s.read.parquet(s"$path/ids"), batchIn)
+    val base = QueryDef.spread(batchIn)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .staged
+    val ex = spanExplode(base)
+    // batch-side distinct doc-counts per span (bounded by the batch)
+    val batchNd = ex.select("doc_id", "span").distinct()
+      .groupBy("span").agg(count(lit(1)).as("bnd"))
+      .staged
+    // stored counts for ONLY the batch's spans: the corpus-sized table
+    // streams through one broadcast hash join + partial-agg sum
+    val storedNd = s.read.parquet(s"$path/spans")
+      .join(broadcast(batchNd.select("span")), Seq("span"), "left_semi")
+      .groupBy("span").agg(sum(col("nd")).as("snd"))
+    val dup = batchNd.join(storedNd, Seq("span"), "left")
+      .filter(col("bnd") + coalesce(col("snd"), lit(0L)) >= 2)
+      .select("span")
+    val dupStarts = ex.join(broadcast(dup), "span").select("doc_id", "s")
+    scrubRebuild(base, dupStarts)
+  }
 
   val all: Seq[QueryDef] = Seq(dExact, dMinHash, dIncremental, dSimHash,
     dNgramJaccard, dDupSpans, dSpanScrub)

@@ -275,6 +275,66 @@ class StreamingSpec extends AnyFunSuite {
       docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25))))
   }
 
+  test("streaming span scrub ingest: each micro-batch is rewritten against corpus ∪ batch, then folds in") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DedupQueries
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.sources.Tables.documents(spark, dir).select("doc_id", "text")
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String)].collect().toSeq
+    def scrubRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+
+    // index the initial corpus snapshot (ids >= 100)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_span").toString + "/spans"
+    DedupQueries.initStoredSpanIndex(spark, path, docs.filter(col("doc_id") >= 100))
+
+    // stream two micro-batches: ids 50..99, then 25..49
+    val src = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.SortedMap[Long, Seq[(Long, Long, Long, String)]]()
+    val q = graft.streaming.SpanScrubIngest.spanScrubIngest(
+        src.toDF().toDF("doc_id", "text"), path,
+        (scrubbed, batchId) => emitted(batchId) = scrubRows(scrubbed))
+      .queryName("span_scrub_ingest").start()
+    try {
+      src.addData(tuples(docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)))
+      q.processAllAvailable()
+      src.addData(tuples(docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch-twin equality: each batch's rewrite equals full d9 over
+    // (everything ingested so far ∪ batch) RESTRICTED to the batch
+    assert(emitted.size == 2, s"expected two micro-batches, got ${emitted.keySet}")
+    val batches = emitted.values.toSeq
+    val want1 = scrubRows(DedupQueries.spanScrubFrame(
+        docs.filter(col("doc_id") >= 50))
+      .filter(col("doc_id") < 100))
+    assert(batches(0) == want1,
+      "batch 1 rewrite must equal d9 over corpus ∪ batch restricted to the batch")
+    val want2 = scrubRows(DedupQueries.spanScrubFrame(
+        docs.filter(col("doc_id") >= 25))
+      .filter(col("doc_id") < 50))
+    assert(batches(1) == want2,
+      "batch 2 rewrite must see batch-1 docs as corpus")
+    assert(batches(0).nonEmpty && batches(1).nonEmpty)
+    // the rewrites are non-trivial: some streamed doc actually lost
+    // tokens to a cross-document duplicated passage
+    assert(batches.flatten.exists { case (_, nTok, nKept, _) => nKept < nTok },
+      "no passage was scrubbed — fixture is vacuous")
+    // replay of an already-folded batch is fail-stop, never silent
+    // double-counted spans
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.appendStoredSpanIndex(spark, path,
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 100))
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
   test("streaming embedding ingest: arrivals match the catalog, then join it") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
