@@ -74,6 +74,28 @@ object SkewBench {
       concat(lit("src"), pmod(i, lit(4))).as("source"))
   }
 
+  /** 50k skewed embeddings (sf1-scale vs sf0.1's 5,000): 30% form one
+    * tight cluster — a dominant direction with ±5% per-coordinate
+    * jitter, so sign-hyperplane LSH puts them in ONE bucket and the
+    * coarse quantizer dedicates ~one list to them (the hot-list shape
+    * a real embedding corpus develops around boilerplate/template
+    * content) — and 70% pseudo-random. Counter-keyed hash expressions:
+    * deterministic, partition-invariant, no driver loop. */
+  def skewedEmbeddings(s: SparkSession, nVecs: Long = 50000L): DataFrame = {
+    val i = col("id")
+    def u(j: org.apache.spark.sql.Column, salt: Int): org.apache.spark.sql.Column = // uniform [0,1) from (id, j)
+      pmod(xxhash64(i, j, lit(salt)), lit(100000)).cast("double") / 100000.0
+    val hot = transform(sequence(lit(1), lit(64)),
+      j => (when(j === 1, 1.0).otherwise(0.05) * (lit(1.0) + (u(j, 1) - 0.5) * 0.1))
+        .cast("float"))
+    val rand = transform(sequence(lit(1), lit(64)),
+      j => ((u(j, 2) - 0.5) * 2.0).cast("float"))
+    s.range(nVecs).select(
+      i.as("vec_id"),
+      when(pmod(i, lit(10)) < 3, hot).otherwise(rand).as("embedding"),
+      pmod(i, lit(5)).cast("int").as("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("GRAFT_SKEW_DOCS", "50000").toLong
     val dir = sys.env.getOrElse("GRAFT_SKEW_DIR", "/tmp/graft_skew") +
@@ -151,6 +173,28 @@ object SkewBench {
         .crossJoin(broadcast(total))
         .filter(col("n_tok") > col("n") * 0.0005).count()
     }
+
+    // x2 shape: bloom-pruned decontamination on the boilerplate corpus.
+    // Eval docs (id % 37 = 0) that are ALSO boilerplate (id % 25 = 0
+    // too → ~54 docs) share every 4-gram with all ~2,000 train
+    // boilerplate docs — the confirm join's gram-key fanout is the
+    // hot-gram skew a real benchmark-vs-crawl scrub hits on template
+    // text. The bloom pass must keep the non-boilerplate 96% from ever
+    // reaching the confirm shuffle.
+    measure("x2_bloom_scrub")(
+      graft.operators.ContaminationQueries.xBloomScrub.fn(spark, dir).count())
+
+    // v2/v7 shapes: ANN over the skewed embedding corpus (one hot LSH
+    // bucket / hot coarse list holding 30% of the vectors). v2's salt
+    // on the bucket self-join and v7's routed-list pruning are what
+    // keep the hot bucket from concentrating into one task.
+    val embPath = s"$dir/embeddings.parquet"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$embPath/_SUCCESS")))
+      skewedEmbeddings(spark, nDocs).write.mode("overwrite").parquet(embPath)
+    measure("v2_lsh_ann")(
+      graft.operators.VectorQueries.vLshAnn.fn(spark, dir).count())
+    measure("v7_ivfadc_ann")(
+      graft.operators.VectorQueries.vIvfAdcAnn.fn(spark, dir).count())
 
     spark.stop()
   }

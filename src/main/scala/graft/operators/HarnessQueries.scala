@@ -30,7 +30,18 @@ object HarnessQueries {
     })
 
   /** Mini Monte-Carlo: 1 cell × 3 reps × 3 methods, per-rep estimates +
-    * aggregated metrics — the full H1-H5 pipeline end to end. */
+    * aggregated metrics — the full H1-H5 pipeline end to end.
+    *
+    * Oracle (r10, upgraded from a pin): the DETERMINISTIC per-rep
+    * estimates are committed at full double precision in
+    * oracles/h1_per_rep.csv (regenerate: `Test/runMain graft.ProbeMain
+    * oraclefix` after an intentional estimator change); DuckDB
+    * recomputes the metric aggregation (avg/SE/rMSE/coverage — plain
+    * SQL over the per-rep rows) from that fixture. The compare
+    * therefore checks BOTH that the live generator+IRLS+sandwich
+    * pipeline still reproduces the committed per-rep values AND that
+    * the metric math is cross-engine exact (round(6) absorbs the
+    * sub-ulp sum-order difference, the QueryDef discipline). */
   val hSimulation = QueryDef(
     "h1_simulation_metrics",
     (s, _) => {
@@ -46,7 +57,19 @@ object HarnessQueries {
           round(col("coverage"), 6).as("coverage"),
           col("n_tilt_warnings"))
         .orderBy("coef", "method")
-    })
+    },
+    Some("""
+      WITH pr AS (SELECT * FROM read_csv_auto('/root/repo/oracles/h1_per_rep.csv', header=true)),
+      t AS (SELECT *, CASE WHEN coef = 'Intercept' THEN -2.0 ELSE 5.0 END AS truth FROM pr)
+      SELECT CAST(n_internal AS INT) AS n_internal,
+             CAST(n_external AS INT) AS n_external, coef, method,
+             ROUND(AVG(estimate), 6) AS avg_estimate,
+             ROUND(stddev_pop(estimate), 6) AS empirical_se,
+             ROUND(sqrt(AVG(power(estimate - truth, 2))), 6) AS rmse,
+             ROUND(AVG(CASE WHEN covered THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+             CAST(SUM(CASE WHEN tilt_warning THEN 1 ELSE 0 END) AS BIGINT) AS n_tilt_warnings
+      FROM t GROUP BY n_internal, n_external, coef, method
+      ORDER BY coef, method"""))
 
   /** Sensitivity scenarios (sensitivity.R:23,53,368-370, H10): rerun the
     * harness under perturbed data-generating processes
@@ -79,7 +102,15 @@ object HarnessQueries {
     })
 
   /** H5-H8 pretty-table emission over a mini grid (the reference's
-    * 13-column result schema with formatted cells). */
+    * 13-column result schema with formatted cells).
+    *
+    * Oracle (r10, upgraded from a pin): same committed-per-rep fixture
+    * discipline as h1 (oracles/h3_per_rep.csv) — DuckDB recomputes the
+    * metrics AND the pretty formatting (printf mirrors Spark's
+    * round-then-format_number on these magnitudes: no thousands
+    * separators under 1000, both round the already-6-decimal-rounded
+    * value), so the reference's 13-column formatted table is
+    * cross-engine checked end to end. */
   val hPrettyTable = QueryDef(
     "h3_pretty_table",
     (s, _) => {
@@ -87,7 +118,49 @@ object HarnessQueries {
         s, Seq(SimulationRunner.Cell(30, 30)), nReps = 2,
         methods = Seq("WCLS-Internal", "WCLS-Pooled"))
       SimulationRunner.prettyTable(SimulationRunner.metrics(perRep))
-    })
+    },
+    Some("""
+      WITH pr AS (SELECT * FROM read_csv_auto('/root/repo/oracles/h3_per_rep.csv', header=true)),
+      t AS (SELECT *, CASE WHEN coef = 'Intercept' THEN -2.0 ELSE 5.0 END AS truth FROM pr),
+      m AS (
+        SELECT n_internal, n_external, coef, method,
+               ANY_VALUE(truth) AS true_value,
+               AVG(estimate) AS avg_estimate,
+               stddev_pop(estimate) AS empirical_se,
+               AVG(se) AS analytical_se,
+               sqrt(AVG(power(estimate - truth, 2))) AS rmse,
+               AVG(CASE WHEN covered THEN 1.0 ELSE 0.0 END) AS coverage,
+               CAST(SUM(CASE WHEN tilt_warning THEN 1 ELSE 0 END) AS BIGINT) AS n_tilt
+        FROM t GROUP BY n_internal, n_external, coef, method),
+      r AS (
+        SELECT *,
+          MAX(CASE WHEN method = 'WCLS-Internal' THEN empirical_se END)
+            OVER (PARTITION BY n_internal, n_external, coef) / empirical_se AS emp_rel,
+          MAX(CASE WHEN method = 'WCLS-Internal' THEN analytical_se END)
+            OVER (PARTITION BY n_internal, n_external, coef) / analytical_se AS ana_rel
+        FROM m)
+      SELECT CAST(n_internal AS INT) AS "Internal Sample Size",
+             CAST(n_external AS INT) AS "External Sample Size",
+             coef AS "Coefficient Name",
+             method AS "Method",
+             ROUND(true_value, 3) AS "True Value",
+             ROUND(avg_estimate, 3) AS "Avg Estimate",
+             printf('%.3f', ROUND(avg_estimate, 3)) || ' (' ||
+               printf('%.3f', ROUND(analytical_se, 3)) || ')' AS "Estimate (SE)",
+             ROUND(empirical_se, 3) AS "Empirical Standard Error",
+             CASE WHEN method = 'WCLS-Pooled' THEN 'N/A'
+                  ELSE printf('%.3f', ROUND(emp_rel, 3)) END
+               AS "Empirical Relative Efficiency",
+             ROUND(analytical_se, 3) AS "Analytical Standard Error",
+             CASE WHEN method = 'WCLS-Pooled' THEN 'N/A'
+                  ELSE printf('%.3f', ROUND(ana_rel, 3)) END
+               AS "Analytical Relative Efficiency",
+             ROUND(rmse, 3) AS "rMSE",
+             printf('%.1f', ROUND(coverage * 100.0, 1)) || '%' AS "Coverage (95% Nominal)",
+             n_tilt AS "# Tilt Warnings"
+      FROM r
+      ORDER BY "Internal Sample Size", "External Sample Size",
+               "Coefficient Name", "Method" """))
 
   val all: Seq[QueryDef] = Seq(gPanel, hSimulation, hSensitivity, hPrettyTable)
 }

@@ -142,7 +142,19 @@ object StatQueries {
           StructField("estimate", DoubleType), StructField("se", DoubleType),
           StructField("tilt_warning", BooleanType))))
         .orderBy("method", "coef")
-    })
+    },
+    // r10, upgraded from a pin: the battery's expected output is a
+    // committed fixture (oracles/s4_battery.csv, regenerate via
+    // `Test/runMain graft.ProbeMain oraclefix` after an INTENTIONAL
+    // estimator change — values reviewed against GoldenSpec's
+    // full-panel parity). Unlike h1/h3 there is no aggregation for
+    // DuckDB to recompute — the oracle is a cross-engine-loaded
+    // expected-values compare, the golden-file discipline surfaced
+    // through the driver's oracle gate instead of a private pin.
+    Some("""
+      SELECT method, coef, estimate, se, tilt_warning
+      FROM read_csv_auto('/root/repo/oracles/s4_battery.csv', header=true)
+      ORDER BY method, coef"""))
 
   /** A-WCLS (extras-tier plug-in projection, methods/awcls.R) on the
     * golden panel — 4 moderator coefficients with delta-method SEs.

@@ -94,16 +94,30 @@ object VectorQueries {
           val lits = array(planes(t * bitsPerTable + p).map(lit): _*)
           when(dot(e, lits) >= 0.0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
-      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      // spread BEFORE the per-row signature/fanout work: the probe side
+      // is broadcast, so ALL candidate generation happens in the corpus
+      // scan stage — on a small file that is 1-4 tasks carrying the
+      // whole hot-bucket fanout (SkewBench measured an 8.4 s straggler
+      // vs 0.3 s median on the skewed corpus; spread pulls the stage
+      // back to even). At production split counts spread is a no-op.
+      val emb = QueryDef.spread(
+        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
       // candidate generation and dedup carry IDS ONLY — the 64-dim
       // embeddings would otherwise ride the bucket join and the distinct
       // shuffle ~64× wider (VERDICT r1); they are joined back just for
       // the exact re-rank.
+      // STAGED: probes and cands both consume tabled — without the
+      // stage break the corpus is signature-hashed TWICE, and worse,
+      // the 32×64-literal signature expressions get fused into the
+      // bucket-join stage, kicking the whole stage out of codegen
+      // (SkewBench r10: 8.5 s interpreted vs 0.4 s staged for the
+      // join on the 50k skew corpus — 19×)
       val tabled = emb.select(col("vec_id"),
         explode(array((0 until nTables).map { t =>
           struct(lit(t).as("tbl"), tableSig(t)(col("embedding")).as("sig"))
         }: _*)).as("ts"))
         .select(col("vec_id"), col("ts.tbl"), col("ts.sig"))
+        .staged
       // multi-probe: exact signature + the bitsPerTable 1-flip neighbors
       val probeSigs = (Seq(0L) ++ (0 until bitsPerTable).map(1L << _)).map(f =>
         col("sig").bitwiseXOR(lit(f)))
@@ -139,8 +153,13 @@ object VectorQueries {
           val lits = array(planes(p).map(lit): _*)
           when(dot(e, lits) >= 0.0, lit(1L << p)).otherwise(lit(0L))
         }.reduce(_ + _)
+      // STAGED: both self-join sides consume the bucketed frame — the
+      // stage break hashes the corpus once and keeps the 6×64-literal
+      // signature expression out of the join stage (the v2 codegen
+      // lesson, SkewBench r10)
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"), sig(col("embedding")).as("bucket"))
+        .staged
       val l = emb.select(col("bucket"), col("vec_id").as("a"), col("embedding").as("ea"))
       val r = emb.select(col("bucket"), col("vec_id").as("b"), col("embedding").as("eb"))
       // near-dup threshold is a parameter; this corpus has no pairs above

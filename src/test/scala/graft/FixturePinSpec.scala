@@ -33,15 +33,12 @@ class FixturePinSpec extends AnyFunSuite {
     "d5_dedup_clusters"        -> "329f0ddcd222f8650213c75d1bcd870b",
     "d8_incremental_dedup"     -> "f89d5243e5b53a68087bd2969f1a3907",
     "g1_panel_summary"         -> "ec263564355c1e5a81565545027cba56",
-    "h1_simulation_metrics"    -> "b1b35e5caf03e4b3df9015f888ad93ce",
     "h2_sensitivity_scenarios" -> "8e1c175495776e94475d3d716c82199c",
-    "h3_pretty_table"          -> "d1dd6e00c8a60f70d35474272363da73",
     "q29_sketch_stats"         -> "04077381830a72d04d535c0f065ad8fb",
     "q30_sketch_union"         -> "7991473430476d2b3ef76565c6b7c732",
     "s3_logistic_irls"         -> "3142949dbddbd4c5163a2c857e2cb0c4",
     "t11_compression_ratio"    -> "068631635d8d574890409ff69d985229",
     "t16_quality_classifier"   -> "9183fb43a26b48c2ea2e4ca303fb399f",
-    "s4_estimator_battery"     -> "8b19ad4c5625f65276c52f5f8ba42128",
     "s5_awcls"                 -> "dd305b961e07996c4b4fed4b5e84cb64",
     "s6_aic_ladder"            -> "a47246fafb616d117be73e04f0eac926",
     "v2_lsh_ann"               -> "bd1e71d161aa4294e918aa07b8dc22c0",

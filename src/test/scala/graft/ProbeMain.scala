@@ -323,6 +323,45 @@ object ProbeMain {
       }
     }
 
+    if (args.contains("oraclefix")) {
+      // Regenerate the committed per-rep fixture CSVs behind the
+      // h1/h3/s4 DuckDB oracles (oracles/*.csv). The fixtures hold the
+      // DETERMINISTIC per-replication intermediates at full double
+      // precision (Double.toString — shortest exact roundtrip); the
+      // oracle SQL recomputes the metric aggregation / pretty-table
+      // formatting from them in DuckDB, so the driver's compare checks
+      // BOTH that the live pipeline still reproduces the committed
+      // per-rep values AND that the aggregation math is cross-engine
+      // exact. Rerun after an INTENTIONAL estimator/harness change.
+      def writeCsv(path: String, header: String, rows: Seq[String]): Unit = {
+        val p = java.nio.file.Paths.get(path)
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, (header +: rows).mkString("", "\n", "\n"))
+        println(s"WROTE $path (${rows.size} rows)")
+      }
+      def perRepCsv(nReps: Int, methods: Seq[String]): Seq[String] =
+        graft.harness.SimulationRunner.perRepResults(
+            spark, Seq(graft.harness.SimulationRunner.Cell(30, 30)),
+            nReps = nReps, methods = methods)
+          .collect().map { r =>
+            Seq(r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3),
+              r.getString(4), r.getDouble(5), r.getDouble(6),
+              r.getBoolean(7), r.getBoolean(8)).mkString(",")
+          }.toSeq
+      val hdr = "n_internal,n_external,replication,method,coef,estimate,se,covered,tilt_warning"
+      writeCsv("/root/repo/oracles/h1_per_rep.csv", hdr,
+        perRepCsv(3, Seq("WCLS-Internal", "WCLS-Pooled", "P-WCLS-Pooled")))
+      writeCsv("/root/repo/oracles/h3_per_rep.csv", hdr,
+        perRepCsv(2, Seq("WCLS-Internal", "WCLS-Pooled")))
+      val s4 = graft.SparkEntry.queries("s4_estimator_battery")(spark, "")
+        .collect().map { r =>
+          Seq(r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+            r.getBoolean(4)).mkString(",")
+        }.toSeq
+      writeCsv("/root/repo/oracles/s4_battery.csv",
+        "method,coef,estimate,se,tilt_warning", s4)
+    }
+
     if (args.contains("latex")) {
       // regenerate the committed S4 LaTeX fixture from the committed
       // acceptance metrics (LatexReportSpec asserts byte equality)
