@@ -269,16 +269,9 @@ object DedupQueries {
     graft.sources.IndexStore.clearStamp(s, path, GeometryStamp)
 
   private def requireGeometry(s: org.apache.spark.sql.SparkSession, path: String,
-                              k: Int, bands: Int): Unit = {
-    val stored = graft.sources.IndexStore.readStamp(s, path, GeometryStamp)
-    require(stored.isDefined,
-      s"no geometry stamp at $path — the index was never initialized " +
-        "(or a crashed initStoredIndex left it half-written); re-run initStoredIndex")
-    require(stored.get == geometryString(k, bands),
-      s"index at $path was built with (${stored.get}) but called with " +
-        s"(${geometryString(k, bands)}) — a mismatched probe would silently find " +
-        "no corpus candidates; pass the geometry the index was initialized with")
-  }
+                              k: Int, bands: Int): Unit =
+    graft.sources.IndexStore.requireStamp(s, path, GeometryStamp,
+      geometryString(k, bands), "(k, bands) geometry")
 
   /** Fold a (matched) increment into an appendable index: its raw ids,
     * signatures and band keys are APPENDED to the stored tables —
@@ -736,16 +729,9 @@ object DedupQueries {
   private def spanGeometryString: String = s"win=$SpanWindow"
 
   private def requireSpanGeometry(s: org.apache.spark.sql.SparkSession,
-                                  path: String): Unit = {
-    val stored = graft.sources.IndexStore.readStamp(s, path, SpanStamp)
-    require(stored.isDefined,
-      s"no span geometry stamp at $path — the index was never initialized " +
-        "(or a crashed initStoredSpanIndex left it half-written); re-run init")
-    require(stored.get == spanGeometryString,
-      s"span index at $path was built with (${stored.get}) but this build " +
-        s"scrubs ($spanGeometryString) — a mismatched window would silently " +
-        "treat every stored span as foreign; rebuild the index")
-  }
+                                  path: String): Unit =
+    graft.sources.IndexStore.requireStamp(s, path, SpanStamp,
+      spanGeometryString, "span-window geometry")
 
   /** Per-slice span doc-counts: (span, nd) where nd = distinct docs of
     * THIS slice containing the span. Rows are PARTIAL counts — the

@@ -155,15 +155,9 @@ object OlapQueries {
   private def hllGeometry(lgK: Int): String = s"lgK=$lgK"
 
   private def requireHllGeometry(s: org.apache.spark.sql.SparkSession,
-                                 path: String, lgK: Int): Unit = {
-    val stored = graft.sources.IndexStore.readStamp(s, path, HllGeometryStamp)
-    require(stored.isDefined,
-      s"no sketch geometry stamp at $path — the table was never initialized " +
-        "(or a crashed initSketchTable left it half-written); re-run initSketchTable")
-    require(stored.get == hllGeometry(lgK),
-      s"sketch table at $path was built with (${stored.get}) but called with " +
-        s"(${hllGeometry(lgK)}) — pass the lgK the table was initialized with")
-  }
+                                 path: String, lgK: Int): Unit =
+    graft.sources.IndexStore.requireStamp(s, path, HllGeometryStamp,
+      hllGeometry(lgK), "sketch (lgK) geometry")
 
   /** One sketch row per (yr, mo) of the given orders slice, tagged with
     * the append batch it arrived in. Rows are PARTIAL month sketches —

@@ -471,14 +471,8 @@ object VectorQueries {
     * index (crashed init) or one built with different PQ geometry is
     * refused loudly. */
   def readStoredPqIndex(s: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
-    val stamp = graft.sources.IndexStore.readStamp(s, path, PqStamp)
-    require(stamp.isDefined,
-      s"no PQ geometry stamp at $path — the index was never initialized " +
-        "(or a crashed initStoredPqIndex left it half-written); re-run initStoredPqIndex")
-    require(stamp.get == pqGeometryString,
-      s"PQ index at $path was built with (${stamp.get}) but this build expects " +
-        s"($pqGeometryString) — probing with mismatched codebook geometry would " +
-        "decode garbage; re-init the index")
+    graft.sources.IndexStore.requireStamp(s, path, PqStamp,
+      pqGeometryString, "PQ codebook geometry")
     val books = Array.fill(pqM)(Array.fill(pqKSub)(null: Array[Double]))
     s.read.parquet(s"$path/books").collect().foreach { r =>
       books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray

@@ -64,11 +64,15 @@ object IndexStore {
       val it = fs.listFiles(p, true)
       var n = 0L; var len = 0L; var mtime = Long.MinValue
       val digest = new Array[Byte](16)
+      // one digest instance for the whole listing (digest() resets it):
+      // this path walks 1e5-1e6 leaf files on a production corpus and
+      // is recomputed per ensure() call — no per-file provider lookups
+      val md = java.security.MessageDigest.getInstance("MD5")
       while (it.hasNext) {
         val f = it.next()
         n += 1; len += f.getLen
         if (f.getModificationTime > mtime) mtime = f.getModificationTime
-        val h = java.security.MessageDigest.getInstance("MD5").digest(
+        val h = md.digest(
           s"${f.getPath.toUri.getPath}|${f.getLen}|${f.getModificationTime}"
             .getBytes("UTF-8"))
         var i = 0
@@ -92,6 +96,26 @@ object IndexStore {
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(value.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Maintainer-owned stamp gate shared by the appendable index
+    * families (MinHash bands, PQ codebooks, span windows, HLL
+    * sketches): the stamp must EXIST (a crashed init leaves none — a
+    * probe of a half-written index must fail loudly, not read garbage)
+    * and must MATCH the caller's geometry exactly (mismatched
+    * hash/codebook geometry silently finds nothing or decodes
+    * garbage). `what` names the family in the error. */
+  def requireStamp(s: SparkSession, path: String, name: String,
+                   expected: String, what: String): Unit = {
+    val stored = readStamp(s, path, name)
+    require(stored.isDefined,
+      s"no $what stamp at $path — the index was never initialized (or a " +
+        "crashed init left it half-written); re-run the family's init")
+    require(stored.get == expected,
+      s"$what mismatch at $path: the index was built with (${stored.get}) " +
+        s"but the caller expects ($expected) — a mismatched probe would " +
+        "silently misread the index; pass the geometry it was initialized " +
+        "with (or re-init)")
   }
 
   def clearStamp(s: SparkSession, dir: String, name: String): Unit = {
@@ -290,11 +314,26 @@ object IndexStore {
           // deleted it without stamping meta — lockAgeMs() reads
           // MaxValue and routes here): the rename above then fails on a
           // nonexistent file and no takeover path runs, so attempt a
-          // plain acquisition before re-entering the wait. The atomic
-          // create(_, false) resolves any race with a concurrent
-          // builder or takeover winner — we acquire iff no lock exists
-          // again, and a restored live lock correctly refuses us.
-          if (!locked) locked = tryLock()
+          // plain acquisition before re-entering the wait. Guard
+          // against mistaking a takeover-VERIFY window for absence: a
+          // breaker that renamed a (possibly live) lock holds it as a
+          // tombstone while it verifies, so "absent" only counts when
+          // no tombstone exists either — and both must STILL hold a
+          // full poll later (the verify window is sub-poll-length), so
+          // a rename landing between our two observations is caught by
+          // the second one. The atomic create(_, false) then resolves
+          // any remaining race with a concurrent builder.
+          def lockFreeNoTombstone(): Boolean =
+            try {
+              !fs.exists(lockPath) && {
+                val ts = fs.globStatus(new Path(hPath, "_graft_build_lock.broken.*"))
+                ts == null || ts.isEmpty
+              }
+            } catch { case _: java.io.IOException => false }
+          if (!locked && lockFreeNoTombstone()) {
+            Thread.sleep(lockPollMs)
+            if (lockFreeNoTombstone() && !metaCurrent()) locked = tryLock()
+          }
           // rename losers and unverified breakers re-enter the wait on
           // the current holder; the shared deadline bounds the retries
           if (!locked && System.nanoTime() >= deadline)
