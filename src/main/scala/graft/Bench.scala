@@ -88,7 +88,9 @@ object Bench {
       val key = if (collisions(k)) k else shortKey(k)
       "\"" + key + "\":" + fmt(v)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // failed queries report -1 in `queries` but must not SUBTRACT from
+    // the total (r11 shipped total=55.8 with two -1s folded in)
+    val total = results.map(_._2).filter(_ >= 0).sum
     val full = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"),

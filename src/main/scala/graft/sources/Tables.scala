@@ -25,14 +25,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) refuses; read it as a nanos-since-epoch LONG instead. The
-    * DuckDB oracle mirrors this with `epoch_ns(ts)` — exact integer
-    * semantics on both sides, no sub-second precision loss.
+  /** `events.ts` normalized to the engine contract: nanos-since-epoch
+    * LONG, exact integer semantics matching DuckDB's `epoch_ns(ts)`.
+    * The driver has shipped two encodings across rounds: parquet
+    * TIMESTAMP(NANOS) — which Spark's micros TimestampType refuses, so
+    * the legacy conf reads it as a nanos LONG directly — and parquet
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark reads as
+    * TIMESTAMP_NTZ. Both are UTC instants; the NTZ→epoch cast is
+    * session-timezone-sensitive, so pin the zone to UTC (the oracle's
+    * `epoch_ns` on a naive timestamp assumes UTC too).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ =>
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

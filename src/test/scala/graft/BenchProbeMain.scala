@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: run named SparkEntry queries with full stack traces
+  * (Bench swallows exceptions into -1; this is the diagnosis path).
+  * Usage: Test/runMain graft.BenchProbeMain q20_sessionize q21_asof_join
+  */
+object BenchProbeMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      try {
+        val c = SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"PROBE $n OK rows=$c t=${(System.nanoTime() - t0) / 1e9}%.3f")
+      } catch {
+        case e: Throwable =>
+          println(s"PROBE $n FAIL ${e.getClass.getName}: ${e.getMessage}")
+          e.printStackTrace()
+      }
+    }
+    spark.stop()
+  }
+}

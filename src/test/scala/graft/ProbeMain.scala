@@ -51,8 +51,9 @@ object ProbeMain {
       import org.apache.spark.sql.streaming.Trigger
       // end-to-end: real parquet file source -> streaming engine -> memory sink
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       // file stream sources need a directory
@@ -63,7 +64,7 @@ object ProbeMain {
       val src = spark.readStream.schema(schema)
         .parquet(srcDir.toString)
         .select(
-          timestamp_micros((col("ts") / 1000).cast("long")).as("ts"),
+          col("ts").cast(TimestampType).as("ts"),
           col("event_type").as("eventType"), col("value"))
       val q = graft.streaming.EventStreams.windowedCounts(src)
         .writeStream.format("memory").queryName("file_stream_counts")

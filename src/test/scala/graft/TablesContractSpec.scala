@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source-boundary contract net (r11 regression): the driver regenerates
+  * the testdata between rounds and has shipped `events.ts` as both
+  * parquet TIMESTAMP(NANOS) and TIMESTAMP(MICROS)/NTZ. Every downstream
+  * consumer (q20/q21, streaming ingest, the DuckDB oracles via
+  * `epoch_ns`) assumes the normalized contract: ts = nanos-since-epoch
+  * LONG, UTC instants. r11's bench shipped q20/q21 as -1 because the
+  * encoding flipped and the read was not normalized — this spec fails
+  * loudly at `sbt test` time instead.
+  */
+class TablesContractSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("events.ts normalizes to nanos-since-epoch LONG at every sf") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val ev = sources.Tables.events(spark, s"/root/testdata/$sf")
+      assert(ev.schema("ts").dataType == LongType, s"$sf ts type")
+      val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+      // the generator writes 2024+ wall clocks; a micros/nanos mix-up is
+      // off by 1000x and lands outside [2020, 2100]
+      val lo = 1577836800L * 1000000000L // 2020-01-01 in nanos
+      val hi = 4102444800L * 1000000000L // 2100-01-01 in nanos
+      assert(r.getLong(0) >= lo && r.getLong(1) <= hi,
+        s"$sf ts range [${r.getLong(0)}, ${r.getLong(1)}] not nanos-since-epoch")
+    }
+  }
+
+  test("events consumers resolve end-to-end on the current encoding") {
+    val dir = "/root/testdata/sf0.001"
+    for (q <- Seq("q20_sessionize", "q21_asof_join"))
+      assert(SparkEntry.queries(q)(spark, dir).count() > 0L, q)
+  }
+}
