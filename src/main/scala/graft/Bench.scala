@@ -57,7 +57,14 @@ object Bench {
       headline.toSeq.sortBy(_._1).map { case (name, fn) =>
         val memoBefore = graft.operators.DedupQueries.memoState()
         try { fn(spark, sfDir).count() } // warm pass — never timed
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            // a -1 in the JSON is undiagnosable from the driver's tail
+            // capture alone (r11: q20/q21 silently -1 for a round);
+            // stderr carries the cause without touching the JSON line
+            System.err.println(s"[bench] $name warm pass failed: " +
+              s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
         val times = (1 to reps).flatMap { _ =>
           // every timed rep (incl. the first, which now follows the warm
           // pass) starts from the pre-query memo state, so no rep scans

@@ -242,5 +242,136 @@ object PipelineQueries {
       FROM c WHERE cum <= 12000
       GROUP BY source ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(pCuration, pRelease)
+  /** Per-document curation decision manifest (p3) — the governance
+    * artifact behind p1: for EVERY input document, the release decision
+    * and the FIRST pipeline stage that excluded it
+    * (`dropped_duplicate` → `held_out_eval` → `dropped_quality` →
+    * `dropped_contaminated` → `kept_{train,val,test}`). "Why is doc X
+    * not in the release?" is answered by one lookup instead of
+    * re-running the pipeline with probes.
+    *
+    * Every stage set reuses p1's EXACT building blocks (the canonical-
+    * copy window, TextQueries.qualityRuleFrame, the shared eval
+    * predicate and 5-gram machinery, c3's split octet), so the kept
+    * rows here are BY CONSTRUCTION p1's released set — ManifestSpec
+    * asserts the per-(source, split) rollup of this manifest equals
+    * p1's audit exactly.
+    *
+    * Scale shape: identical to p1 (one keyed window, bounded-shuffle
+    * quality battery, guarded-broadcast gram probe) plus two left
+    * joins of the corpus against doc_id-keyed flag sets — each flag
+    * set is a subset of the corpus keyed by the same id, so AQE plans
+    * them as shuffle joins on the natural key; no new all-pairs or
+    * driver-side state. */
+  private[graft] def curationManifest(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      maxBroadcastEvalGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame =
+    curationManifestOf(Tables.documents(s, dir), maxBroadcastEvalGrams)
+
+  /** Frame-parametrized form: the QueryDef reads the driver's documents
+    * table; specs feed constructed corpora (duplicate texts, precedence
+    * collisions) that the synthetic data does not contain. */
+  private[graft] def curationManifestOf(
+      docs: org.apache.spark.sql.DataFrame,
+      maxBroadcastEvalGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("text"))
+    val flagged = docs
+      .withColumn("__m", min(col("doc_id")).over(w))
+      .withColumn("is_canon", col("doc_id") === col("__m")).drop("__m")
+      .staged
+    val qOk = TextQueries.qualityRuleFrame(
+        flagged.filter(col("is_canon") && size(split(col("text"), " ")) >= 2)
+          .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk")))
+      .filter(col("keep")).select(col("doc_id"), lit(true).as("q_ok"))
+    val pre = flagged.filter(col("is_canon")).join(qOk, "doc_id")
+      .filter(!ContaminationQueries.isEval)
+      .staged
+    val evalG = QueryDef.spread(docs).filter(ContaminationQueries.isEval)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
+      .staged
+      .select(explode(col("g")).as("gram")).distinct()
+    val candG = QueryDef.spread(pre)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
+      .staged
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+    val contaminated = candG
+      .join(QueryDef.guardedBroadcast(evalG, maxBroadcastEvalGrams), "gram")
+      .select(col("doc_id")).distinct()
+      .withColumn("is_contam", lit(true))
+    flagged
+      .join(qOk, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(!col("is_canon"), "dropped_duplicate")
+          .when(ContaminationQueries.isEval, "held_out_eval")
+          .when(col("q_ok").isNull, "dropped_quality")
+          .when(coalesce(col("is_contam"), lit(false)), "dropped_contaminated")
+          .otherwise(concat(lit("kept_"), SampleQueries.splitCol)))
+      .select(col("doc_id"), col("source"), col("lang"), col("status"))
+      .orderBy("doc_id")
+  }
+
+  val pManifest = QueryDef(
+    "p3_curation_manifest",
+    (s, dir) => curationManifest(s, dir),
+    Some("""
+      WITH f AS (
+        SELECT doc_id, text, source, lang, n_chars,
+               (doc_id = MIN(doc_id) OVER (PARTITION BY text)) AS is_canon
+        FROM documents),
+      b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        FROM f WHERE is_canon AND len(string_split(text, ' ')) >= 2),
+      tc AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
+      tp AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id),
+      q AS (
+        SELECT b.doc_id FROM b JOIN tp USING (doc_id)
+        WHERE len(tk) BETWEEN 30 AND 1000
+          AND ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
+          AND len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
+          AND CAST(tp.max_c AS DOUBLE) / len(tk) <= 0.2
+          AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) <= 0.3),
+      pre AS (
+        SELECT f.doc_id, f.text FROM f JOIN q USING (doc_id)
+        WHERE is_canon AND doc_id % 37 <> 0),
+      evalg AS (
+        SELECT DISTINCT u.t AS gram
+        FROM (SELECT list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT string_split(text, ' ') AS tk FROM documents
+                    WHERE doc_id % 37 = 0)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      candg AS (
+        SELECT doc_id, u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM pre)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      contaminated AS (SELECT DISTINCT doc_id FROM candg JOIN evalg USING (gram))
+      SELECT f.doc_id, f.source, f.lang,
+             CASE WHEN NOT is_canon THEN 'dropped_duplicate'
+                  WHEN f.doc_id % 37 = 0 THEN 'held_out_eval'
+                  WHEN q.doc_id IS NULL THEN 'dropped_quality'
+                  WHEN ct.doc_id IS NOT NULL THEN 'dropped_contaminated'
+                  ELSE 'kept_' ||
+                    CASE WHEN substring(md5(CAST(f.doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                         WHEN substring(md5(CAST(f.doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                         ELSE 'test' END
+             END AS status
+      FROM f LEFT JOIN q ON f.doc_id = q.doc_id
+             LEFT JOIN contaminated ct ON f.doc_id = ct.doc_id
+      ORDER BY f.doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(pCuration, pRelease, pManifest)
 }

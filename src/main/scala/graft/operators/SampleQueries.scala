@@ -337,6 +337,59 @@ object SampleQueries {
       SELECT lang, source, COUNT(*) AS n_docs, COUNT(*) >= 3 AS k_ok
       FROM documents GROUP BY lang, source ORDER BY lang, source"""))
 
+  /** Temperature-weighted mixture resampling (c7) — the multilingual
+    * rebalancing step of corpus assembly (the "sampling temperature" of
+    * multilingual pretraining: raise rare languages' share, shrink the
+    * head): target share of language ℓ is n_ℓ^τ / Σ n^τ with τ = 0.5,
+    * scaled to a half-corpus release, capped at keep-everything. Unlike
+    * c2's FIXED per-source rates, the rates here are COMPUTED from the
+    * corpus itself — a two-pass plan.
+    *
+    * Determinism across engines: membership is the c1/c3 content-keyed
+    * hash discipline on its own INDEPENDENT octet (md5 chars 5–12 —
+    * chars 1–2 are c1's keep octet, 3–4 are c3's split octet), and the
+    * computed rate is materialized as an 8-hex-char threshold
+    * (⌊rate·2³²⌋, clamped to 2³²−1) so both engines compare fixed-width
+    * hex strings, never floats.
+    *
+    * Scale shape: pass 1 is a lang-keyed count (map-side partials,
+    * |langs| rows); the rate table is broadcast; pass 2 is a pure
+    * map-side filter — the corpus itself is never shuffled (the final
+    * orderBy is presentation for the oracle compare). */
+  val cMixResample = QueryDef(
+    "c7_mix_resample",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      val tot = counts.agg(
+        sum(sqrt(col("n_l"))).as("z"), sum(col("n_l")).as("n_all"))
+      val rate = least(
+        lit(1.0),
+        sqrt(col("n_l")) / col("z") * floor(col("n_all") / lit(2)) / col("n_l"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          lpad(lower(hex(least(floor(rate * lit(4294967296.0)),
+            lit(4294967295.0)).cast("long"))), 8, "0").as("thr"))
+      docs.join(broadcast(rates), "lang")
+        .filter(substring(md5(col("doc_id").cast("string")), 5, 8) < col("thr"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+      t AS (SELECT SUM(SQRT(n_l)) AS z, SUM(n_l) AS n_all FROM c),
+      r AS (
+        SELECT lang,
+               printf('%08x', CAST(LEAST(FLOOR(LEAST(1.0,
+                 (SQRT(n_l) / z) * FLOOR(n_all / 2) / n_l) * 4294967296.0),
+                 4294967295.0) AS BIGINT)) AS thr
+        FROM c, t)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d JOIN r USING (lang)
+      WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 5, 8) < r.thr
+      ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] =
-    Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity)
+    Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
+      cMixResample)
 }

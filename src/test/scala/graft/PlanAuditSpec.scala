@@ -164,6 +164,25 @@ class PlanAuditSpec extends AnyFunSuite {
       "t17 should push a group-limit below the window\n" + p.take(3000))
   }
 
+  test("c7 resampling joins the corpus against a BROADCAST rate table (no corpus shuffle)") {
+    val p = plan("c7_mix_resample")
+    assert(p.contains("BroadcastHashJoin"),
+      "expected the lang->threshold rate table broadcast\n" + p.take(3000))
+    // the corpus side must not sort-merge against the 5-row rate table
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled into a sort-merge join against the rate table\n" + p.take(3000))
+  }
+
+  test("p3 manifest reuses p1's guarded-broadcast gram probe and keyed window") {
+    val p = plan("p3_curation_manifest")
+    assert(p.contains("BroadcastHashJoin"),
+      "expected the eval-gram (and flag-set) joins to broadcast\n" + p.take(3000))
+    // the dedup window is keyed by text — nothing in the manifest may
+    // move the corpus to a single partition (the c5-style scale bug)
+    assert(!p.contains("Exchange SinglePartition"),
+      "manifest plan moves data to a single partition\n" + p.take(3000))
+  }
+
   test("c5 token budget: the only window runs over the one-bin boundary filter") {
     val p = plan("c5_token_budget")
     val windows = "\\bWindow\\b".r.findAllIn(p).size
