@@ -200,16 +200,58 @@ object OlapQueries {
                         newOrders: org.apache.spark.sql.DataFrame, batchTag: String,
                         lgK: Int = 12): Unit = {
     requireHllGeometry(s, path, lgK)
-    require(batchTag.nonEmpty && batchTag != "init",
-      "batchTag must be a fresh non-init tag")
+    require(batchTag.nonEmpty && batchTag != "init" && batchTag != "compact",
+      "batchTag must be a fresh tag ('init'/'compact' are lifecycle-reserved)")
+    // the gate consults live rows AND the tags a compaction absorbed —
+    // merged-away batches must stay rejected forever
     val dup = s.read.parquet(s"$path/months")
       .filter(col("batch") === batchTag).limit(1).count()
-    require(dup == 0L,
+    val absorbed = pathExists(s, s"$path/absorbed_tags") &&
+      s.read.parquet(s"$path/absorbed_tags")
+        .filter(col("batch") === batchTag).limit(1).count() > 0L
+    require(dup == 0L && !absorbed,
       s"batch '$batchTag' was already appended to $path — a double append " +
         "would double-count its orders (sketch union absorbs the customers, " +
         "n_orders does not); use a fresh tag per scheduler run")
     monthlySketches(newOrders, lgK, batchTag).write.mode("append")
       .parquet(s"$path/months")
+  }
+
+  private def pathExists(s: org.apache.spark.sql.SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+  }
+
+  /** Compact the appendable sketch table: merge each month's accumulated
+    * partial rows into ONE row (register-level union — the covered value
+    * set and exact n_orders sums are preserved bit-for-bit; the served
+    * ESTIMATE may move by a sub-rsd amount because DataSketches serves
+    * single-stream sketches from the HIP estimator and union results
+    * from the composite estimator — the same split-month effect
+    * ApproxSketchSpec measures and gates at 2%) and record the absorbed
+    * batch tags.
+    * Under streaming ingest (`SketchIngest`) the table otherwise grows
+    * a row per (month × batch) forever; compaction resets it to
+    * |months| rows while the replay gate keeps rejecting every absorbed
+    * tag. Crash-safe: the tag record is appended BEFORE the
+    * IndexStore.replaceTable two-rename swap — a crash between the two
+    * leaves tags that still exist as live rows, so the gate is
+    * redundant there, never permissive. */
+  def compactSketchTable(s: org.apache.spark.sql.SparkSession, path: String,
+                         lgK: Int = 12): Unit = {
+    requireHllGeometry(s, path, lgK)
+    s.read.parquet(s"$path/months").select(col("batch")).distinct()
+      .filter(col("batch") =!= "compact")
+      .write.mode("append").parquet(s"$path/absorbed_tags")
+    graft.sources.IndexStore.replaceTable(s, path, "months") { (df, tmp) =>
+      df.groupBy(col("yr"), col("mo"))
+        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"),
+          sum(col("n_orders")).as("n_orders"))
+        .withColumn("batch", lit("compact"))
+        // |months| rows — one writer is the right file layout
+        .repartition(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** Quarterly rollup over the STORED sketches only — at scale a scan

@@ -356,25 +356,29 @@ object SampleQueries {
     * |langs| rows); the rate table is broadcast; pass 2 is a pure
     * map-side filter — the corpus itself is never shuffled (the final
     * orderBy is presentation for the oracle compare). */
+  /** Frame-parametrized c7 (specs feed degenerate corpora — empty,
+    * single-language — that the driver tables do not contain). */
+  private[graft] def mixResampleOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val tot = counts.agg(
+      sum(sqrt(col("n_l"))).as("z"), sum(col("n_l")).as("n_all"))
+    val rate = least(
+      lit(1.0),
+      sqrt(col("n_l")) / col("z") * floor(col("n_all") / lit(2)) / col("n_l"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        lpad(lower(hex(least(floor(rate * lit(4294967296.0)),
+          lit(4294967295.0)).cast("long"))), 8, "0").as("thr"))
+    docs.join(broadcast(rates), "lang")
+      .filter(substring(md5(col("doc_id").cast("string")), 5, 8) < col("thr"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   val cMixResample = QueryDef(
     "c7_mix_resample",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
-      val tot = counts.agg(
-        sum(sqrt(col("n_l"))).as("z"), sum(col("n_l")).as("n_all"))
-      val rate = least(
-        lit(1.0),
-        sqrt(col("n_l")) / col("z") * floor(col("n_all") / lit(2)) / col("n_l"))
-      val rates = counts.crossJoin(broadcast(tot))
-        .select(col("lang"),
-          lpad(lower(hex(least(floor(rate * lit(4294967296.0)),
-            lit(4294967295.0)).cast("long"))), 8, "0").as("thr"))
-      docs.join(broadcast(rates), "lang")
-        .filter(substring(md5(col("doc_id").cast("string")), 5, 8) < col("thr"))
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => mixResampleOf(Tables.documents(s, dir)),
     Some("""
       WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
       t AS (SELECT SUM(SQRT(n_l)) AS z, SUM(n_l) AS n_all FROM c),

@@ -154,7 +154,38 @@ object IndexStore {
     * writer set (round-robin would put every partition value in every
     * task — |values| × filesPerTable files). */
   def compactTable(s: SparkSession, indexPath: String, tbl: String,
-                   partitionCol: Option[String], filesPerTable: Int): Unit = {
+                   partitionCol: Option[String], filesPerTable: Int): Unit =
+    replaceTable(s, indexPath, tbl) { (df, tmp) =>
+      // repartition, not coalesce: coalesce(n) would collapse the READ
+      // parallelism of the rewrite itself; the shuffle moves table-sized
+      // data once, which is the point of a compaction job
+      import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, pmod, xxhash64}
+      val w = partitionCol match {
+        case Some(c) =>
+          // files-per-VALUE control needs a salt in the shuffle key:
+          // repartition(n, col(c)) alone puts every row of one partition
+          // value into a single task, so partitionBy(c) writes exactly
+          // one file per value no matter what n says — fine for small
+          // values, a multi-GB monolith for a hot one. Salting spreads
+          // each value over up to filesPerTable writer tasks.
+          df.repartition(col(c),
+              pmod(xxhash64(monotonically_increasing_id()), lit(filesPerTable.toLong)))
+            .write.mode("overwrite").partitionBy(c)
+        case None => df.repartition(filesPerTable).write.mode("overwrite")
+      }
+      w.parquet(tmp)
+    }
+
+  /** Crash-safe REWRITE of one index table: `write(current, tmpPath)`
+    * produces the replacement under a staging dir, then the two-rename
+    * swap (cur → __old, __compacting → cur, delete __old) publishes it.
+    * A crash inside the window is SELF-HEALED on the next call (the
+    * preserved `__old` copy is restored first); a leftover
+    * `__compacting` from a crashed rewrite is discarded. Shared by the
+    * file-level compaction above and semantic rewrites (the q30 sketch
+    * table's month-merge compaction). */
+  def replaceTable(s: SparkSession, indexPath: String, tbl: String)(
+      write: (org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
     val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
     def p(x: String) = new Path(x)
     val cur = s"$indexPath/$tbl"
@@ -167,25 +198,7 @@ object IndexStore {
       require(fs.rename(p(old), p(cur)), s"crash recovery rename failed for $tbl")
     if (fs.exists(p(tmp))) fs.delete(p(tmp), true)
     if (fs.exists(p(old))) fs.delete(p(old), true)
-    val df = s.read.parquet(cur)
-    // repartition, not coalesce: coalesce(n) would collapse the READ
-    // parallelism of the rewrite itself; the shuffle moves table-sized
-    // data once, which is the point of a compaction job
-    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, pmod, xxhash64}
-    val w = partitionCol match {
-      case Some(c) =>
-        // files-per-VALUE control needs a salt in the shuffle key:
-        // repartition(n, col(c)) alone puts every row of one partition
-        // value into a single task, so partitionBy(c) writes exactly
-        // one file per value no matter what n says — fine for small
-        // values, a multi-GB monolith for a hot one. Salting spreads
-        // each value over up to filesPerTable writer tasks.
-        df.repartition(col(c),
-            pmod(xxhash64(monotonically_increasing_id()), lit(filesPerTable.toLong)))
-          .write.mode("overwrite").partitionBy(c)
-      case None => df.repartition(filesPerTable).write.mode("overwrite")
-    }
-    w.parquet(tmp)
+    write(s.read.parquet(cur), tmp)
     // Hadoop rename reports failure by returning false — check both
     require(fs.rename(p(cur), p(old)), s"compaction rename $cur -> $old failed")
     require(fs.rename(p(tmp), p(cur)), s"compaction rename $tmp -> $cur failed")

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.operators.OlapQueries
+
+/** STREAMING maintenance of the stored monthly sketch table (the q30
+  * lifecycle run as a Structured Streaming sink) — the lambda-
+  * architecture dashboard pattern: order events arrive continuously,
+  * each micro-batch folds its monthly HLL partials into the PERSISTED
+  * sketch table (`OlapQueries.appendSketchTable`), and rollups keep
+  * reading months×batches sketch rows with zero raw-order rescan.
+  *
+  *  1. APPEND: the batch's per-(yr, mo) partial sketches land as new
+  *     rows tagged `stream_<batchId>` — O(batch) work, history is
+  *     never rewritten; the lgK geometry stamp is enforced per batch.
+  *  2. `onRollup(quarterlyRollup, batchId)` hands the caller the
+  *     refreshed rollup over the stored table (dashboard refresh,
+  *     sink table, alerting — caller's choice). Register-max union is
+  *     order-independent, so the rollup after batch N equals a batch
+  *     job that appended the same N slices in any order.
+  *
+  * State lives entirely in the stored parquet table — the stream holds
+  * no state-store entries and survives any history size. Delivery is
+  * fail-stop on replay, same as DedupIngest: a batch REPLAYED after
+  * its append committed (crash between append and checkpoint commit)
+  * trips `appendSketchTable`'s reused-tag gate and fails loudly —
+  * never a silent double-count of the batch's orders. A production
+  * deployment stages each append under its batchId and commits via
+  * rename (or an ACID table format) to close that window.
+  *
+  * Reference trigger: the reference's workload summarises simulation
+  * batches as they complete (simulation.R:204-276); this is the same
+  * accumulate-partials-then-summarise shape with mergeable sketch
+  * state instead of exact sums.
+  */
+object SketchIngest {
+
+  /** Build the foreachBatch writer for a streaming orders frame (must
+    * carry `o_orderdate`, `o_custkey`) against the appendable sketch
+    * table at `path` (created by `OlapQueries.initSketchTable` — the
+    * lgK stamped there must match `lgK` here, enforced per batch). The
+    * caller sets trigger/checkpoint options and calls `.start()`. */
+  def sketchIngest(orders: DataFrame, path: String,
+                   onRollup: (DataFrame, Long) => Unit,
+                   lgK: Int = 12): DataStreamWriter[Row] =
+    orders.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val b = batch.persist()
+      try {
+        if (!b.isEmpty) {
+          OlapQueries.appendSketchTable(
+            b.sparkSession, path, b, s"stream_$batchId", lgK)
+          onRollup(OlapQueries.quarterlyRollup(b.sparkSession, path, lgK), batchId)
+        }
+      } finally b.unpersist()
+    }
+}

@@ -122,4 +122,64 @@ class ApproxSketchSpec extends AnyFunSuite {
     }
     assert(exG.getMessage.contains("lgK"))
   }
+
+  test("q30 compaction merges partial months, preserves rollups, and keeps absorbed tags rejected") {
+    import graft.operators.OlapQueries
+    val orders = Tables.orders(spark, dir)
+    val path = java.nio.file.Files.createTempDirectory("graft_hll_cmp").toString + "/sk"
+    val cut1 = col("o_orderdate") < "1997-06-15"
+    val cut2 = col("o_orderdate") < "1997-11-01"
+    OlapQueries.initSketchTable(spark, path, orders.filter(cut1))
+    OlapQueries.appendSketchTable(spark, path, orders.filter(!cut1 && cut2), "b1")
+    val before = OlapQueries.quarterlyRollup(spark, path).collect().toSeq.map(_.toSeq)
+    val rowsBefore = spark.read.parquet(s"$path/months").count()
+
+    OlapQueries.compactSketchTable(spark, path)
+    val monthsAfter = spark.read.parquet(s"$path/months")
+    assert(monthsAfter.count() ==
+      monthsAfter.select("yr", "mo").distinct().count(), "one row per month")
+    assert(monthsAfter.count() < rowsBefore, "compaction did not shrink the table")
+    // the union preserves the covered value set and exact n_orders
+    // bit-for-bit; the ESTIMATE may move sub-rsd (HIP → composite
+    // estimator, the documented split-month effect) — gate at 2%
+    val after = OlapQueries.quarterlyRollup(spark, path).collect().toSeq.map(_.toSeq)
+    assert(after.map(r => (r(0), r(1), r(2))) == before.map(r => (r(0), r(1), r(2))),
+      "quarter keys / exact n_orders changed across compaction")
+    for ((a, b) <- after.zip(before)) {
+      val (ac, bc) = (a(3).asInstanceOf[Long], b(3).asInstanceOf[Long])
+      assert(math.abs(ac - bc).toDouble / bc <= 0.02,
+        s"estimate drifted >2% across compaction: $ac vs $bc")
+    }
+
+    // a batch absorbed by the compaction stays rejected forever
+    val ex = intercept[IllegalArgumentException] {
+      OlapQueries.appendSketchTable(spark, path, orders.filter(!cut1 && cut2), "b1")
+    }
+    assert(ex.getMessage.contains("already appended"))
+    // the lifecycle-reserved tag is refused outright
+    val exR = intercept[IllegalArgumentException] {
+      OlapQueries.appendSketchTable(spark, path, orders.filter(!cut2), "compact")
+    }
+    assert(exR.getMessage.contains("reserved"))
+
+    // fresh appends and a second compaction compose: exact counts match
+    // the all-at-once table, estimates stay within the split-month band
+    OlapQueries.appendSketchTable(spark, path, orders.filter(!cut2), "b2")
+    OlapQueries.compactSketchTable(spark, path)
+    val full = java.nio.file.Files.createTempDirectory("graft_hll_cmp_f").toString + "/sk"
+    OlapQueries.initSketchTable(spark, full, orders)
+    val expected = OlapQueries.quarterlyRollup(spark, full).collect().toSeq
+    val got = OlapQueries.quarterlyRollup(spark, path).collect().toSeq
+    assert(got.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))) ==
+      expected.map(r => (r.getInt(0), r.getInt(1), r.getLong(2))))
+    for ((g, e) <- got.zip(expected)) {
+      val (gc, ec) = (g.getAs[Long]("approx_customers"), e.getAs[Long]("approx_customers"))
+      assert(math.abs(gc - ec).toDouble / ec <= 0.02,
+        s"${g.getInt(0)}Q${g.getInt(1)}: post-compaction estimate drifted >2%")
+    }
+    for (t <- Seq("b1", "b2"))
+      assert(intercept[IllegalArgumentException] {
+        OlapQueries.appendSketchTable(spark, path, orders.filter(!cut2), t)
+      }.getMessage.contains("already appended"))
+  }
 }

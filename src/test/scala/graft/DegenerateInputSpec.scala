@@ -183,4 +183,21 @@ class DegenerateInputSpec extends AnyFunSuite {
       .as[String].collect()
     assert(kept.toSeq == Seq("x"))
   }
+
+  test("c7 resampling: empty corpus yields empty; single language keeps ~half") {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val empty = Seq.empty[(Long, String, String, String, Long)].toDF(cols: _*)
+    assert(graft.operators.SampleQueries.mixResampleOf(empty).count() == 0L)
+    // one language: tau-weight is 1, rate = floor(n/2)/n — roughly half
+    // survives the hash threshold (binomial noise around 100)
+    val mono = (1L to 200L).map(i => (i, s"doc $i", "en", "s", 10L)).toDF(cols: _*)
+    val kept = graft.operators.SampleQueries.mixResampleOf(mono).count()
+    assert(kept > 60L && kept < 140L, s"single-lang keep count $kept implausible")
+  }
+
+  test("p3 manifest: empty corpus yields an empty manifest, not a crash") {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val empty = Seq.empty[(Long, String, String, String, Long)].toDF(cols: _*)
+    assert(graft.operators.PipelineQueries.curationManifestOf(empty).count() == 0L)
+  }
 }

@@ -438,4 +438,56 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("geometry"))
   }
+
+  test("streaming sketch ingest: micro-batches fold into the stored monthly sketch table") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, year}
+    import graft.operators.OlapQueries
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"))
+    def rollupRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("yr", "qtr").collect().map(_.toSeq).toSeq
+
+    // streamed table and batch twin start from the same history snapshot
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_sk").toString
+    val (path, twin) = (base + "/hll", base + "/hll_twin")
+    val snapshot = orders.filter(year(col("o_orderdate")) <= 1996)
+    val batch1 = orders.filter(year(col("o_orderdate")) === 1997)
+    val batch2 = orders.filter(year(col("o_orderdate")) >= 1998)
+    for (p <- Seq(path, twin)) OlapQueries.initSketchTable(spark, p, snapshot)
+
+    val src = MemoryStream[(Long, java.time.LocalDateTime)]
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, java.time.LocalDateTime)].collect().toSeq
+    val emitted = scala.collection.mutable.SortedMap[Long, Seq[Seq[Any]]]()
+    val q = graft.streaming.SketchIngest.sketchIngest(
+        src.toDF().toDF("o_custkey", "o_orderdate"), path,
+        (rollup, batchId) => emitted(batchId) = rollupRows(rollup))
+      .queryName("sketch_ingest").start()
+    try {
+      src.addData(tuples(batch1)); q.processAllAvailable()
+      src.addData(tuples(batch2)); q.processAllAvailable()
+    } finally q.stop()
+    assert(emitted.size == 2, s"expected two micro-batches, got ${emitted.keySet}")
+
+    // each emitted rollup equals the batch-lifecycle twin at the same
+    // point in the append sequence (same batch layout -> identical
+    // register state -> identical estimates)
+    OlapQueries.appendSketchTable(spark, twin, batch1, "stream_0")
+    val want1 = rollupRows(OlapQueries.quarterlyRollup(spark, twin))
+    OlapQueries.appendSketchTable(spark, twin, batch2, "stream_1")
+    val want2 = rollupRows(OlapQueries.quarterlyRollup(spark, twin))
+    assert(emitted.values.head == want1 && emitted.values.last == want2)
+    assert(want1.nonEmpty && want2 != want1,
+      "fixture batches did not change the rollup — test is vacuous")
+
+    // a replayed batch (crash between append and checkpoint commit)
+    // fails loudly instead of double-counting its orders
+    val err = intercept[IllegalArgumentException] {
+      OlapQueries.appendSketchTable(spark, path, batch1, "stream_0")
+    }
+    assert(err.getMessage.contains("already appended"))
+  }
 }
