@@ -37,7 +37,10 @@ import graft.sources.Tables
   */
 object PipelineQueries {
 
-  private[graft] def curationPipeline(
+  /** The released documents (p1's `clean` set + split column) — ONE
+    * definition shared by p1 (aggregates it into the audit) and p4
+    * (writes it through the reproducible release sink). */
+  private[graft] def releasedDocs(
       s: org.apache.spark.sql.SparkSession, dir: String,
       maxBroadcastEvalGrams: Long = 10000000L)
       : org.apache.spark.sql.DataFrame = {
@@ -82,14 +85,21 @@ object PipelineQueries {
         .join(QueryDef.guardedBroadcast(evalG, maxBroadcastEvalGrams), "gram")
         .select(col("doc_id")).distinct()
       val clean = pre.join(contaminated, Seq("doc_id"), "left_anti")
-      // 4. deterministic split — the SAME shared column as c3 + 5. audit
+      // 4. deterministic split — the SAME shared column as c3
       clean.withColumn("split", SampleQueries.splitCol)
-        .groupBy(col("source"), col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          min(col("doc_id")).as("min_doc_id"),
-          sum(col("n_chars").cast("long")).as("total_chars"))
-        .orderBy("source", "split")
   }
+
+  private[graft] def curationPipeline(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      maxBroadcastEvalGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame =
+    // 5. per-(source, split) release audit
+    releasedDocs(s, dir, maxBroadcastEvalGrams)
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        sum(col("n_chars").cast("long")).as("total_chars"))
+      .orderBy("source", "split")
 
   val pCuration = QueryDef(
     "p1_curation_pipeline",
@@ -373,5 +383,80 @@ object PipelineQueries {
              LEFT JOIN contaminated ct ON f.doc_id = ct.doc_id
       ORDER BY f.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(pCuration, pRelease, pManifest)
+  /** p4 — the reproducible release SINK, oracle-checked THROUGH the
+    * filesystem: write p1's released docs with the deterministic layout
+    * (`sources.ReleaseWriter`), read the files back, and emit the
+    * content-audit manifest from what was actually written. The DuckDB
+    * oracle recomputes the manifest from the logical release
+    * definition, so a write that dropped, duplicated or corrupted any
+    * row hash-mismatches — the sink's integrity is inside the
+    * correctness gate, not asserted by construction. */
+  val pReleaseWrite = QueryDef(
+    "p4_release_write",
+    (s, dir) => {
+      // deterministic per-sf output dir; reruns overwrite (release
+      // rewrites are idempotent — ManifestResampleSpec pins that the
+      // manifest reproduces bit-for-bit)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_release_$key"
+      graft.sources.ReleaseWriter.writeRelease(releasedDocs(s, dir), out)
+    },
+    Some("""
+      WITH canon AS (
+        SELECT doc_id, text, source, n_chars
+        FROM (SELECT doc_id, text, source, n_chars,
+                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM documents)
+        WHERE doc_id = m),
+      b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        FROM canon WHERE len(string_split(text, ' ')) >= 2),
+      tc AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
+      tp AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id),
+      q AS (
+        SELECT b.doc_id FROM b JOIN tp USING (doc_id)
+        WHERE len(tk) BETWEEN 30 AND 1000
+          AND ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
+          AND len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
+          AND CAST(tp.max_c AS DOUBLE) / len(tk) <= 0.2
+          AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) <= 0.3),
+      pre AS (
+        SELECT canon.* FROM canon JOIN q USING (doc_id) WHERE doc_id % 37 <> 0),
+      evalg AS (
+        SELECT DISTINCT u.t AS gram
+        FROM (SELECT list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT string_split(text, ' ') AS tk FROM documents
+                    WHERE doc_id % 37 = 0)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      candg AS (
+        SELECT doc_id, u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM pre)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      contaminated AS (SELECT DISTINCT doc_id FROM candg JOIN evalg USING (gram)),
+      clean AS (
+        SELECT * FROM pre
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      a AS (
+        SELECT doc_id, text, n_chars,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 13, 4)) AS BIGINT) % 8
+                 AS bucket
+        FROM clean)
+      SELECT split, bucket, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 10))
+               AS BIGINT)) AS BIGINT) AS digest
+      FROM a GROUP BY split, bucket ORDER BY split, bucket"""))
+
+  val all: Seq[QueryDef] = Seq(pCuration, pRelease, pManifest, pReleaseWrite)
 }

@@ -67,6 +67,30 @@ class ManifestResampleSpec extends AnyFunSuite {
     assert(m(1L).startsWith("kept_") || m(1L) == "dropped_contaminated")
   }
 
+  test("p4 release write: manifest reproduces across rewrites and layouts, and matches the logical frame") {
+    import graft.sources.ReleaseWriter
+    val released = PipelineQueries.releasedDocs(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val logical = rows(ReleaseWriter.manifestOf(released))
+    assert(logical.nonEmpty, "empty release — test is vacuous")
+
+    val out = java.nio.file.Files.createTempDirectory("graft_rel_spec").toString + "/rel"
+    val first = rows(ReleaseWriter.writeRelease(released, out))
+    // the manifest comes from the WRITTEN files and equals the logical frame
+    assert(first == logical)
+    // a rewrite reproduces it bit-for-bit
+    assert(rows(ReleaseWriter.writeRelease(released, out)) == first)
+    // and an adversarial input layout cannot change it (content-keyed
+    // buckets, order-invariant digest)
+    assert(rows(ReleaseWriter.writeRelease(
+      released.repartition(13), out, filesPerSplit = 2)) == first)
+    // a corrupted release (one doc dropped) is CAUGHT by the manifest
+    val tampered = ReleaseWriter.manifestOf(
+      released.filter(col("doc_id") =!= released.select(min("doc_id"))
+        .head().getLong(0)))
+    assert(rows(tampered) != first, "manifest failed to detect a dropped row")
+  }
+
   test("c7 temperature-flattens the language mix and is layout-invariant") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val natural = docs.groupBy("lang").agg(count(lit(1)).as("n"))
