@@ -187,6 +187,10 @@ object OlapQueries {
   def initSketchTable(s: org.apache.spark.sql.SparkSession, path: String,
                       orders: org.apache.spark.sql.DataFrame, lgK: Int = 12): Unit = {
     graft.sources.IndexStore.clearStamp(s, path, HllGeometryStamp)
+    // a re-init starts a NEW lifecycle: tags absorbed by the previous
+    // one must not reject a fresh stream's batch 0 forever
+    val tagsPath = new org.apache.hadoop.fs.Path(s"$path/absorbed_tags")
+    tagsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tagsPath, true)
     monthlySketches(orders, lgK, "init").write.mode("overwrite")
       .parquet(s"$path/months")
     graft.sources.IndexStore.writeStamp(s, path, HllGeometryStamp, hllGeometry(lgK))
@@ -204,7 +208,7 @@ object OlapQueries {
       "batchTag must be a fresh tag ('init'/'compact' are lifecycle-reserved)")
     // the gate consults live rows AND the tags a compaction absorbed —
     // merged-away batches must stay rejected forever
-    val dup = s.read.parquet(s"$path/months")
+    val dup = monthsDf(s, path)
       .filter(col("batch") === batchTag).limit(1).count()
     val absorbed = pathExists(s, s"$path/absorbed_tags") &&
       s.read.parquet(s"$path/absorbed_tags")
@@ -215,6 +219,15 @@ object OlapQueries {
         "n_orders does not); use a fresh tag per scheduler run")
     monthlySketches(newOrders, lgK, batchTag).write.mode("append")
       .parquet(s"$path/months")
+  }
+
+  /** Read the months table, first healing a crashed compaction swap —
+    * without this, a crash inside replaceTable's rename window bricks
+    * every sketch API (the restore code would be unreachable). */
+  private def monthsDf(s: org.apache.spark.sql.SparkSession,
+                       path: String): org.apache.spark.sql.DataFrame = {
+    graft.sources.IndexStore.recoverTable(s, path, "months")
+    s.read.parquet(s"$path/months")
   }
 
   private def pathExists(s: org.apache.spark.sql.SparkSession, p: String): Boolean = {
@@ -233,24 +246,35 @@ object OlapQueries {
     * Under streaming ingest (`SketchIngest`) the table otherwise grows
     * a row per (month × batch) forever; compaction resets it to
     * |months| rows while the replay gate keeps rejecting every absorbed
-    * tag. Crash-safe: the tag record is appended BEFORE the
+    * tag. Crash-safe: the absorbed tags are derived from the SAME
+    * snapshot read the merge consumes and written BEFORE the
     * IndexStore.replaceTable two-rename swap — a crash between the two
-    * leaves tags that still exist as live rows, so the gate is
-    * redundant there, never permissive. */
+    * leaves tags whose rows are still live, so the gate is redundant
+    * there, never permissive. Concurrency contract: compaction is
+    * maintainer-owned and must not race a live append — an append
+    * committing inside the swap window would be lost by ANY
+    * rewrite-by-swap (pause the ingest or use an ACID table format for
+    * multi-writer deployments), the same single-maintainer contract as
+    * d8's snapshot identity. */
   def compactSketchTable(s: org.apache.spark.sql.SparkSession, path: String,
                          lgK: Int = 12): Unit = {
     requireHllGeometry(s, path, lgK)
-    s.read.parquet(s"$path/months").select(col("batch")).distinct()
-      .filter(col("batch") =!= "compact")
-      .write.mode("append").parquet(s"$path/absorbed_tags")
     graft.sources.IndexStore.replaceTable(s, path, "months") { (df, tmp) =>
-      df.groupBy(col("yr"), col("mo"))
-        .agg(hll_union_agg(col("sk"), lit(false)).as("sk"),
-          sum(col("n_orders")).as("n_orders"))
-        .withColumn("batch", lit("compact"))
-        // |months| rows — one writer is the right file layout
-        .repartition(1)
-        .write.mode("overwrite").parquet(tmp)
+      // one snapshot feeds BOTH the tag record and the merge: a tag can
+      // never be absorbed without being recorded (the r12 TOCTOU fix)
+      val snap = df.persist()
+      try {
+        snap.select(col("batch")).distinct()
+          .filter(col("batch") =!= "compact")
+          .write.mode("append").parquet(s"$path/absorbed_tags")
+        snap.groupBy(col("yr"), col("mo"))
+          .agg(hll_union_agg(col("sk"), lit(false)).as("sk"),
+            sum(col("n_orders")).as("n_orders"))
+          .withColumn("batch", lit("compact"))
+          // |months| rows — one writer is the right file layout
+          .repartition(1)
+          .write.mode("overwrite").parquet(tmp)
+      } finally snap.unpersist()
     }
   }
 
@@ -261,7 +285,7 @@ object OlapQueries {
   def quarterlyRollup(s: org.apache.spark.sql.SparkSession, path: String,
                       lgK: Int = 12): org.apache.spark.sql.DataFrame = {
     requireHllGeometry(s, path, lgK)
-    s.read.parquet(s"$path/months")
+    monthsDf(s, path)
       .groupBy(col("yr"), (((col("mo") - 1) / 3).cast("int") + 1).as("qtr"))
       .agg(
         sum(col("n_orders")).as("n_orders"),

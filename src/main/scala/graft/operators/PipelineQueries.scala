@@ -65,28 +65,39 @@ object PipelineQueries {
       // staged: pre feeds the candidate gram pass AND the left-anti base
       val pre = canon.join(keepIds, "doc_id").filter(!ContaminationQueries.isEval)
         .staged
-      // 3. decontamination: any candidate sharing >= 1 distinct 5-gram
-      // with ANY eval doc is dropped. Gram frames are materialized
-      // before the explodes (same InferFiltersFromGenerate discipline
-      // as x1/d7); the eval grams are deduped then broadcast.
-      val evalG = QueryDef.spread(docs).filter(ContaminationQueries.isEval)
-        .select(split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= 5)
-        .select(ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
-        .staged
-        .select(explode(col("g")).as("gram")).distinct()
-      val candG = QueryDef.spread(pre)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= 5)
-        .select(col("doc_id"), ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
-        .staged
-        .select(col("doc_id"), explode(col("g")).as("gram"))
-      val contaminated = candG
-        .join(QueryDef.guardedBroadcast(evalG, maxBroadcastEvalGrams), "gram")
-        .select(col("doc_id")).distinct()
-      val clean = pre.join(contaminated, Seq("doc_id"), "left_anti")
+      // 3. decontamination — the SHARED gram probe (one definition for
+      // p1 and p3, so the manifest's contaminated set can never drift
+      // from the release's)
+      val clean = pre.join(
+        contaminatedIds(docs, pre, maxBroadcastEvalGrams), Seq("doc_id"), "left_anti")
       // 4. deterministic split — the SAME shared column as c3
       clean.withColumn("split", SampleQueries.splitCol)
+  }
+
+  /** Candidates (from `pre`) sharing ≥ 1 distinct 5-gram with ANY eval
+    * doc (from `docs`). Gram frames are materialized before the
+    * explodes (the InferFiltersFromGenerate discipline, x1/d7); the
+    * deduped eval grams go through the MEASURED broadcast guard. ONE
+    * definition consumed by both p1's release and p3's manifest. */
+  private def contaminatedIds(
+      docs: org.apache.spark.sql.DataFrame,
+      pre: org.apache.spark.sql.DataFrame,
+      maxBroadcastEvalGrams: Long): org.apache.spark.sql.DataFrame = {
+    val evalG = QueryDef.spread(docs).filter(ContaminationQueries.isEval)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
+      .staged
+      .select(explode(col("g")).as("gram")).distinct()
+    val candG = QueryDef.spread(pre)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
+      .staged
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+    candG
+      .join(QueryDef.guardedBroadcast(evalG, maxBroadcastEvalGrams), "gram")
+      .select(col("doc_id")).distinct()
   }
 
   private[graft] def curationPipeline(
@@ -298,21 +309,7 @@ object PipelineQueries {
     val pre = flagged.filter(col("is_canon")).join(qOk, "doc_id")
       .filter(!ContaminationQueries.isEval)
       .staged
-    val evalG = QueryDef.spread(docs).filter(ContaminationQueries.isEval)
-      .select(split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 5)
-      .select(ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
-      .staged
-      .select(explode(col("g")).as("gram")).distinct()
-    val candG = QueryDef.spread(pre)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= 5)
-      .select(col("doc_id"), ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
-      .staged
-      .select(col("doc_id"), explode(col("g")).as("gram"))
-    val contaminated = candG
-      .join(QueryDef.guardedBroadcast(evalG, maxBroadcastEvalGrams), "gram")
-      .select(col("doc_id")).distinct()
+    val contaminated = contaminatedIds(docs, pre, maxBroadcastEvalGrams)
       .withColumn("is_contam", lit(true))
     flagged
       .join(qOk, Seq("doc_id"), "left")

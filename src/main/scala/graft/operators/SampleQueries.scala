@@ -341,9 +341,12 @@ object SampleQueries {
     * rebalancing step of corpus assembly (the "sampling temperature" of
     * multilingual pretraining: raise rare languages' share, shrink the
     * head): target share of language ℓ is n_ℓ^τ / Σ n^τ with τ = 0.5,
-    * scaled to a half-corpus release, capped at keep-everything. Unlike
-    * c2's FIXED per-source rates, the rates here are COMPUTED from the
-    * corpus itself — a two-pass plan.
+    * scaled to a half-corpus release, capped at keep-everything —
+    * within the hash resolution: rates quantize to 2^-32 steps and the
+    * strict `<` means a rate-1.0 language still drops a doc whose octet
+    * is exactly ffffffff (one in 4×10⁹). Unlike c2's FIXED per-source
+    * rates, the rates here are COMPUTED from the corpus itself — a
+    * two-pass plan.
     *
     * Determinism across engines: membership is the c1/c3 content-keyed
     * hash discipline on its own INDEPENDENT octet (md5 chars 5–12 —
@@ -361,11 +364,20 @@ object SampleQueries {
   private[graft] def mixResampleOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    // the tau-weight denominator is a float SUM whose accumulation order
+    // differs between engines (Spark partial aggregation vs DuckDB row
+    // order) — the repo's decimal-sum discipline applies: round each
+    // sqrt to 6dp, sum EXACTLY as decimal, and use the same rounded
+    // term in the numerator, so both engines compute bit-identical
+    // rates from identical inputs
+    val snl = round(sqrt(col("n_l")), 6)
     val tot = counts.agg(
-      sum(sqrt(col("n_l"))).as("z"), sum(col("n_l")).as("n_all"))
+      sum(snl.cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("z"),
+      sum(col("n_l")).as("n_all"))
     val rate = least(
       lit(1.0),
-      sqrt(col("n_l")) / col("z") * floor(col("n_all") / lit(2)) / col("n_l"))
+      snl / col("z") * floor(col("n_all") / lit(2)) / col("n_l"))
     val rates = counts.crossJoin(broadcast(tot))
       .select(col("lang"),
         lpad(lower(hex(least(floor(rate * lit(4294967296.0)),
@@ -381,11 +393,12 @@ object SampleQueries {
     (s, dir) => mixResampleOf(Tables.documents(s, dir)),
     Some("""
       WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
-      t AS (SELECT SUM(SQRT(n_l)) AS z, SUM(n_l) AS n_all FROM c),
+      t AS (SELECT CAST(SUM(CAST(ROUND(SQRT(n_l), 6) AS DECIMAL(28,6))) AS DOUBLE) AS z,
+                   SUM(n_l) AS n_all FROM c),
       r AS (
         SELECT lang,
                printf('%08x', CAST(LEAST(FLOOR(LEAST(1.0,
-                 (SQRT(n_l) / z) * FLOOR(n_all / 2) / n_l) * 4294967296.0),
+                 (ROUND(SQRT(n_l), 6) / z) * FLOOR(n_all / 2) / n_l) * 4294967296.0),
                  4294967295.0) AS BIGINT)) AS thr
         FROM c, t)
       SELECT d.doc_id, d.lang, d.source

@@ -191,11 +191,7 @@ object IndexStore {
     val cur = s"$indexPath/$tbl"
     val tmp = s"$indexPath/${tbl}__compacting"
     val old = s"$indexPath/${tbl}__old"
-    // crash recovery: a previous run that died between its two renames
-    // left the data only in __old — restore it before anything else;
-    // a stale __compacting is an incomplete rewrite — discard it
-    if (!fs.exists(p(cur)) && fs.exists(p(old)))
-      require(fs.rename(p(old), p(cur)), s"crash recovery rename failed for $tbl")
+    recoverTable(s, indexPath, tbl)
     if (fs.exists(p(tmp))) fs.delete(p(tmp), true)
     if (fs.exists(p(old))) fs.delete(p(old), true)
     write(s.read.parquet(cur), tmp)
@@ -203,6 +199,19 @@ object IndexStore {
     require(fs.rename(p(cur), p(old)), s"compaction rename $cur -> $old failed")
     require(fs.rename(p(tmp), p(cur)), s"compaction rename $tmp -> $cur failed")
     fs.delete(p(old), true)
+  }
+
+  /** Heal a table caught mid-swap by a crashed replaceTable (the data
+    * survives in `__old`; `cur` is momentarily absent). EVERY reader of
+    * a swappable table must call this before `read.parquet` — the
+    * restore inside replaceTable alone is unreachable when the reader
+    * fails first (the r12 review finding). */
+  def recoverTable(s: SparkSession, indexPath: String, tbl: String): Unit = {
+    val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cur = new Path(s"$indexPath/$tbl")
+    val old = new Path(s"$indexPath/${tbl}__old")
+    if (!fs.exists(cur) && fs.exists(old))
+      require(fs.rename(old, cur), s"crash recovery rename failed for $tbl")
   }
 
   // per-JVM fast path: LAST meta verified on disk per path (a map, not a

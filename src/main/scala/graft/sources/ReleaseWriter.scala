@@ -42,12 +42,16 @@ object ReleaseWriter {
 
   /** Write `docs` (must carry doc_id, text, split, n_chars) under
     * `outDir` partitioned by split, files range-bucketed and sorted by
-    * doc_id, then read the files back and return the manifest. */
+    * doc_id, then read the files back and return the manifest.
+    * `nRangeFiles` is the TOTAL range-partition count across all splits
+    * (range keys are (split, doc_id), so one range partition can
+    * straddle a split boundary and splits share the writer budget ∝
+    * their row share) — size it for the whole release, not per split. */
   def writeRelease(docs: DataFrame, outDir: String, nBuckets: Int = 8,
-                   filesPerSplit: Int = 4): DataFrame = {
+                   nRangeFiles: Int = 4): DataFrame = {
     docs
       .select(col("doc_id"), col("text"), col("n_chars"), col("split"))
-      .repartitionByRange(filesPerSplit, col("split"), col("doc_id"))
+      .repartitionByRange(nRangeFiles, col("split"), col("doc_id"))
       .sortWithinPartitions(col("split"), col("doc_id"))
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
     manifestOf(docs.sparkSession.read.parquet(outDir), nBuckets)

@@ -41,8 +41,20 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType => df
       case _ =>
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        // the NTZ→TIMESTAMP cast resolves its zone AT ANALYSIS (Dataset
+        // creation), so pin UTC only around the withColumn and restore —
+        // a table loader must not leave a session-wide timezone change
+        // behind (tz-sensitive expressions elsewhere would silently
+        // depend on whether events() had been called)
+        val key = "spark.sql.session.timeZone"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "UTC")
+        try df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+        finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        }
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")

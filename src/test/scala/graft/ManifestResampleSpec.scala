@@ -83,7 +83,7 @@ class ManifestResampleSpec extends AnyFunSuite {
     // and an adversarial input layout cannot change it (content-keyed
     // buckets, order-invariant digest)
     assert(rows(ReleaseWriter.writeRelease(
-      released.repartition(13), out, filesPerSplit = 2)) == first)
+      released.repartition(13), out, nRangeFiles = 2)) == first)
     // a corrupted release (one doc dropped) is CAUGHT by the manifest
     val tampered = ReleaseWriter.manifestOf(
       released.filter(col("doc_id") =!= released.select(min("doc_id"))

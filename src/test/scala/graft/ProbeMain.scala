@@ -52,20 +52,23 @@ object ProbeMain {
       // end-to-end: real parquet file source -> streaming engine -> memory sink
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.conf.set("spark.sql.session.timeZone", "UTC")
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
       // file stream sources need a directory
       val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
       java.nio.file.Files.copy(
         java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
         srcDir.resolve("events.parquet"))
+      // the ts encoding varies by driver round (TIMESTAMP(NANOS) read as
+      // LONG under nanosAsLong, or TIMESTAMP(MICROS)/NTZ) — take the
+      // schema from a batch read so this probe follows either, the same
+      // dual-path Tables.events normalizes
+      val schema = spark.read.parquet(srcDir.toString).schema
+      val tsCol = schema("ts").dataType match {
+        case LongType => timestamp_micros((col("ts") / 1000).cast("long"))
+        case _        => col("ts").cast(TimestampType)
+      }
       val src = spark.readStream.schema(schema)
         .parquet(srcDir.toString)
-        .select(
-          col("ts").cast(TimestampType).as("ts"),
-          col("event_type").as("eventType"), col("value"))
+        .select(tsCol.as("ts"), col("event_type").as("eventType"), col("value"))
       val q = graft.streaming.EventStreams.windowedCounts(src)
         .writeStream.format("memory").queryName("file_stream_counts")
         .outputMode("update").trigger(Trigger.AvailableNow()).start()

@@ -41,4 +41,35 @@ class TablesContractSpec extends AnyFunSuite {
     for (q <- Seq("q20_sessionize", "q21_asof_join"))
       assert(SparkEntry.queries(q)(spark, dir).count() > 0L, q)
   }
+
+  test("events() interprets NTZ values as UTC and leaves the session timezone untouched") {
+    val dir = "/root/testdata/sf0.001"
+    val key = "spark.sql.session.timeZone"
+    // make the ambient zone NON-UTC so a leaked mutation or a cast that
+    // resolved against the session zone both fail loudly
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "America/New_York")
+    try {
+      val got = sources.Tables.events(spark, dir)
+        .orderBy("event_id").select("ts").limit(3)
+        .collect().map(_.getLong(0)).toSeq
+      assert(spark.conf.get(key) == "America/New_York",
+        "events() left a session-timezone mutation behind")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType => () // nanos encoding: nothing zone-sensitive to check
+        case _ =>
+          // reference: the raw NTZ wall-clock interpreted as a UTC instant
+          val want = raw.orderBy("event_id").select("ts").limit(3).collect()
+            .map(_.getAs[java.time.LocalDateTime]("ts")
+              .toInstant(java.time.ZoneOffset.UTC))
+            .map(i => i.getEpochSecond * 1000000000L + i.getNano).toSeq
+          assert(got == want,
+            s"NTZ->nanos conversion is session-zone-dependent: $got vs $want")
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
