@@ -135,5 +135,61 @@ object MultimodalQueries {
              md5(substring(text, 1, 32)) AS first_frame_md5
       FROM documents ORDER BY media_id"""))
 
-  val all: Seq[QueryDef] = Seq(mMeta, mDecode, mFrames)
+  /** Resize stage (mm4): stride decimation of the opaque payload to a
+    * ≤64-wide target — the nearest-neighbor downsample shape with the
+    * pixel resampler stubbed at the same codec boundary as mm2 (???
+    * REAL RESAMPLER GOES HERE: byte stride stands in for 2-D pixel
+    * interpolation; the plumbing — stride derived from typed metadata,
+    * binary slicing expressions, metadata struct update — is what this
+    * operator tests). Output is integer-exact (dims, byte count, byte
+    * sum of the resized payload), so the oracle reproduces it from
+    * codepoints (pure-ASCII corpus: byte == unicode(char)).
+    *
+    * Scale: pure map-side expressions per row; payloads never shuffle
+    * (the aggregate output is one row per media). */
+  val mResize = QueryDef(
+    "mm4_resize",
+    (s, dir) => {
+      val m = media(s, dir)
+        .select(col("media_id"), col("payload"), col("meta"))
+        .withColumn("stride", ((col("meta.width") + lit(63)) / lit(64)).cast("int"))
+      val nOut = greatest(
+        (floor((length(col("payload")) - 1) / col("stride")) + 1).cast("long"), lit(0L))
+      // sequence(0, -1) yields [0, -1] (auto-negative step), so the
+      // empty-payload case must short-circuit to an empty index array
+      val idx = when(nOut > 0, sequence(lit(0).cast("long"), nOut - 1))
+        .otherwise(array().cast("array<bigint>"))
+      val byteAt = (i: org.apache.spark.sql.Column) =>
+        conv(hex(col("payload").substr((i * col("stride") + 1).cast("int"), lit(1))),
+          16, 10).cast("long")
+      m.select(
+          col("media_id"), col("stride").cast("long").as("stride"),
+          (((col("meta.width") + col("stride") - 1) / col("stride")).cast("long"))
+            .as("new_width"),
+          (((col("meta.height") + col("stride") - 1) / col("stride")).cast("long"))
+            .as("new_height"),
+          nOut.as("n_bytes_resized"),
+          aggregate(transform(idx, byteAt), lit(0L), (acc, x) => acc + x)
+            .as("resized_byte_sum"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH m AS (
+        SELECT doc_id AS media_id, text,
+               64 + (doc_id % 32) * 16 AS width,
+               64 + (doc_id % 24) * 16 AS height,
+               CAST((64 + (doc_id % 32) * 16 + 63) // 64 AS BIGINT) AS stride
+        FROM documents)
+      SELECT media_id, stride,
+             CAST((width + stride - 1) // stride AS BIGINT) AS new_width,
+             CAST((height + stride - 1) // stride AS BIGINT) AS new_height,
+             CAST((octet_length(encode(text)) - 1) // stride + 1 AS BIGINT)
+               AS n_bytes_resized,
+             CAST(list_reduce(list_prepend(0,
+               list_transform(range(0, CAST((octet_length(encode(text)) - 1) // stride + 1 AS BIGINT)),
+                 i -> unicode(substring(text, CAST(i * stride + 1 AS BIGINT), 1)))),
+               (a, x) -> a + x) AS BIGINT) AS resized_byte_sum
+      FROM m ORDER BY media_id"""))
+
+  val all: Seq[QueryDef] = Seq(mMeta, mDecode, mFrames, mResize)
 }
