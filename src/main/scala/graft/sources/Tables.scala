@@ -58,7 +58,20 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `embeddings.embedding` normalized to array<float> — the native
+    * kernels (DotProduct codegen, PQ encode) are FloatType-typed, and a
+    * driver regeneration that flips the arrow list to double (the same
+    * encoding-drift class that hit events.ts in r11) must not crash the
+    * entire v-family. A float-typed source stays a zero-cost pass-through
+    * (no cast in the plan). */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "embeddings")
+    df.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => df
+      case _ => df.withColumn("embedding", col("embedding").cast("array<float>"))
+    }
+  }
 
   /** Schema of the reference's committed `example_dat.csv`
     * (reference: generate_data.R:77-93, example-analysis.R:34).

@@ -36,6 +36,16 @@ class TablesContractSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddings.embedding normalizes to array<float> (v-family kernel contract)") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val e = sources.Tables.embeddings(spark, s"/root/testdata/$sf")
+      assert(e.schema("embedding").dataType == ArrayType(FloatType, containsNull = true)
+        || e.schema("embedding").dataType == ArrayType(FloatType, containsNull = false),
+        s"$sf embedding type ${e.schema("embedding").dataType}")
+    }
+  }
+
   test("events consumers resolve end-to-end on the current encoding") {
     val dir = "/root/testdata/sf0.001"
     for (q <- Seq("q20_sessionize", "q21_asof_join"))
