@@ -213,9 +213,9 @@ object DedupQueries {
         k, bands)
     }
     MinHashIndex(
-      s.read.parquet(s"$path/ids"),
-      s.read.parquet(s"$path/sig"),
-      s.read.parquet(s"$path/bands"))
+      graft.sources.IndexStore.readSwappable(s, path, "ids"),
+      graft.sources.IndexStore.readSwappable(s, path, "sig"),
+      graft.sources.IndexStore.readSwappable(s, path, "bands"))
   }
 
   // ---- Appendable index lifecycle (the day-over-day production loop) --
@@ -284,7 +284,7 @@ object DedupQueries {
     requireGeometry(s, path, k, bands)
     // disjointness vs the CURRENT index contents — appending an id twice
     // would double-emit its pairs for every future increment
-    checkDisjoint(s.read.parquet(s"$path/ids"), newDocs)
+    checkDisjoint(graft.sources.IndexStore.readSwappable(s, path, "ids"), newDocs)
     newDocs.select(col("doc_id")).write.mode("append").parquet(s"$path/ids")
     val sig = signatures(newDocs, k)
     sig.write.mode("append").parquet(s"$path/sig")
@@ -312,9 +312,9 @@ object DedupQueries {
                        incrementIn: DataFrame, k: Int = 16, bands: Int = 4,
                        threshold: Double = 0.5): DataFrame = {
     requireGeometry(s, path, k, bands)
-    checkDisjoint(s.read.parquet(s"$path/ids"), incrementIn)
-    incrementalPairs(s.read.parquet(s"$path/sig"),
-      s.read.parquet(s"$path/bands"), incrementIn, k, bands, threshold)
+    checkDisjoint(graft.sources.IndexStore.readSwappable(s, path, "ids"), incrementIn)
+    incrementalPairs(graft.sources.IndexStore.readSwappable(s, path, "sig"),
+      graft.sources.IndexStore.readSwappable(s, path, "bands"), incrementIn, k, bands, threshold)
   }
 
   private def incrementalPairs(corpusSig: DataFrame, corpusBands: DataFrame,
@@ -762,7 +762,7 @@ object DedupQueries {
   def appendStoredSpanIndex(s: org.apache.spark.sql.SparkSession, path: String,
                             newDocs: DataFrame): Unit = {
     requireSpanGeometry(s, path)
-    checkDisjoint(s.read.parquet(s"$path/ids"), newDocs)
+    checkDisjoint(graft.sources.IndexStore.readSwappable(s, path, "ids"), newDocs)
     newDocs.select(col("doc_id")).write.mode("append").parquet(s"$path/ids")
     spanCounts(newDocs).write.mode("append").parquet(s"$path/spans")
   }
@@ -780,7 +780,7 @@ object DedupQueries {
   def probeSpanScrub(s: org.apache.spark.sql.SparkSession, path: String,
                      batchIn: DataFrame): DataFrame = {
     requireSpanGeometry(s, path)
-    checkDisjoint(s.read.parquet(s"$path/ids"), batchIn)
+    checkDisjoint(graft.sources.IndexStore.readSwappable(s, path, "ids"), batchIn)
     val base = QueryDef.spread(batchIn)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .staged

@@ -225,10 +225,8 @@ object OlapQueries {
     * without this, a crash inside replaceTable's rename window bricks
     * every sketch API (the restore code would be unreachable). */
   private def monthsDf(s: org.apache.spark.sql.SparkSession,
-                       path: String): org.apache.spark.sql.DataFrame = {
-    graft.sources.IndexStore.recoverTable(s, path, "months")
-    s.read.parquet(s"$path/months")
-  }
+                       path: String): org.apache.spark.sql.DataFrame =
+    graft.sources.IndexStore.readSwappable(s, path, "months")
 
   private def pathExists(s: org.apache.spark.sql.SparkSession, p: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(p)

@@ -481,7 +481,7 @@ object VectorQueries {
     s.read.parquet(s"$path/coarse").collect().foreach { r =>
       coarse(r.getInt(0)) = r.getSeq[Double](1).toArray
     }
-    PqIndex(books, coarse, s.read.parquet(s"$path/codes"))
+    PqIndex(books, coarse, graft.sources.IndexStore.readSwappable(s, path, "codes"))
   }
 
   /** Exact top-3 re-rank of a shortlist: only shortlisted ids touch the

@@ -206,6 +206,15 @@ object IndexStore {
     * a swappable table must call this before `read.parquet` — the
     * restore inside replaceTable alone is unreachable when the reader
     * fails first (the r12 review finding). */
+  /** The reader counterpart: heal-then-read. Use for every table that a
+    * compaction can swap (dedup ids/sig/bands, PQ codes, sketch months)
+    * so a mid-swap crash never bricks the index for its consumers. */
+  def readSwappable(s: SparkSession, indexPath: String,
+                    tbl: String): org.apache.spark.sql.DataFrame = {
+    recoverTable(s, indexPath, tbl)
+    s.read.parquet(s"$indexPath/$tbl")
+  }
+
   def recoverTable(s: SparkSession, indexPath: String, tbl: String): Unit = {
     val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
     val cur = new Path(s"$indexPath/$tbl")

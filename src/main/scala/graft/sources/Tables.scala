@@ -35,26 +35,42 @@ object Tables {
     * session-timezone-sensitive, so pin the zone to UTC (the oracle's
     * `epoch_ns` on a naive timestamp assumes UTC too).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
-    df.schema("ts").dataType match {
-      case LongType => df
-      case _ =>
-        // the NTZ→TIMESTAMP cast resolves its zone AT ANALYSIS (Dataset
-        // creation), so pin UTC only around the withColumn and restore —
-        // a table loader must not leave a session-wide timezone change
-        // behind (tz-sensitive expressions elsewhere would silently
-        // depend on whether events() had been called)
-        val key = "spark.sql.session.timeZone"
-        val prev = spark.conf.getOption(key)
-        spark.conf.set(key, "UTC")
-        try df.withColumn("ts",
-          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
-        finally prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None    => spark.conf.unset(key)
-        }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.synchronized {
+      // nanosAsLong stays set for the session's lifetime ON PURPOSE: the
+      // parquet scan re-reads it at execution-plan time, so a
+      // set/restore window would break a NANOS-encoded scan executed
+      // after the restore. Its only effect is TIMESTAMP(NANOS) columns
+      // reading as LONG, and events.ts is the engine's only such column.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = load(spark, dir, "events")
+      df.schema("ts").dataType match {
+        case LongType => df
+        case _ =>
+          // the NTZ→TIMESTAMP cast resolves its zone AT ANALYSIS
+          // (Dataset creation), so pinning UTC only around the
+          // withColumn is safe — and it must not leak: tz-sensitive
+          // expressions elsewhere would silently depend on whether
+          // events() had been called. The Tables lock serializes the
+          // save/set/restore window against concurrent callers.
+          withConf(spark, "spark.sql.session.timeZone", "UTC") {
+            df.withColumn("ts",
+              unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+          }
+      }
+    }
+
+  /** Set a session conf, run `body` (whose Dataset creation captures the
+    * conf at analysis), restore the previous value. Callers hold the
+    * Tables lock so concurrent save/restore windows cannot interleave. */
+  private def withConf[A](spark: SparkSession, key: String, value: String)(
+      body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
@@ -64,7 +80,12 @@ object Tables {
     * driver regeneration that flips the arrow list to double (the same
     * encoding-drift class that hit events.ts in r11) must not crash the
     * entire v-family. A float-typed source stays a zero-cost pass-through
-    * (no cast in the plan). */
+    * (no cast in the plan). Scope honestly stated: this is
+    * CRASH-avoidance, not oracle parity — under a double-typed source
+    * the DuckDB oracles still compute in full doubles, so v1/v4 would
+    * surface as visible hash mismatches in the correctness artifact
+    * (diagnosable data-drift evidence) instead of an AnalysisException
+    * that takes down every v query and pin. */
   def embeddings(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "embeddings")
     df.schema("embedding").dataType match {

@@ -63,7 +63,9 @@ object ProbeMain {
       // dual-path Tables.events normalizes
       val schema = spark.read.parquet(srcDir.toString).schema
       val tsCol = schema("ts").dataType match {
-        case LongType => timestamp_micros((col("ts") / 1000).cast("long"))
+        // integer div: double division loses sub-µs exactness at
+        // epoch-nanos magnitude (2^63-scale longs round to 256ns steps)
+        case LongType => timestamp_micros(expr("ts div 1000"))
         case _        => col("ts").cast(TimestampType)
       }
       val src = spark.readStream.schema(schema)
