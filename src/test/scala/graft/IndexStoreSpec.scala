@@ -254,4 +254,36 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(!built,
       "after losing the takeover race the loser must wait and adopt the rival's stamp, not build")
   }
+
+  test("a crash inside the replaceTable rename window self-heals at the next swappable read") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{DedupQueries, OlapQueries}
+    val dir = "/root/testdata/sf0.001"
+    def simulateMidSwapCrash(path: String, tbl: String): Unit = {
+      // the exact state a crash between replaceTable's two renames
+      // leaves behind: data only in __old, the live dir absent
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/$tbl"),
+        new org.apache.hadoop.fs.Path(s"$path/${tbl}__old")))
+    }
+
+    // sketch family: every API heals through monthsDf
+    val sk = tmpDir() + "/sk"
+    OlapQueries.initSketchTable(spark, sk, sources.Tables.orders(spark, dir))
+    val before = OlapQueries.quarterlyRollup(spark, sk).collect().toSeq
+    simulateMidSwapCrash(sk, "months")
+    assert(OlapQueries.quarterlyRollup(spark, sk).collect().toSeq == before,
+      "rollup did not self-heal after a mid-swap crash")
+
+    // dedup index family: the probe heals through readSwappable
+    val docs = sources.Tables.documents(spark, dir).select("doc_id", "text")
+    val mh = tmpDir() + "/mh"
+    DedupQueries.initStoredIndex(spark, mh, docs.filter(col("doc_id") >= 100))
+    val inc = docs.filter(col("doc_id") < 100)
+    val want = DedupQueries.probeStoredIndex(spark, mh, inc).collect().length
+    simulateMidSwapCrash(mh, "sig")
+    assert(DedupQueries.probeStoredIndex(spark, mh, inc).collect().length == want,
+      "stored-index probe did not self-heal after a mid-swap crash")
+  }
 }
