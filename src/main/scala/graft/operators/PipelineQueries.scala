@@ -455,5 +455,113 @@ object PipelineQueries {
                AS BIGINT)) AS BIGINT) AS digest
       FROM a GROUP BY split, bucket ORDER BY split, bucket"""))
 
-  val all: Seq[QueryDef] = Seq(pCuration, pRelease, pManifest, pReleaseWrite)
+  /** p5 — the release's dataset card: per-split doc/token/quality and
+    * language-mix statistics over the RELEASED corpus (the summary
+    * table every data release publishes). Reuses releasedDocs and the
+    * ONE shared quality frame (`SampleQueries.qualityTokenFrame` → t2's
+    * qualityExpr), so the card can never disagree with the release or
+    * the filter. `top_lang` ties break to the lexicographically first
+    * language for cross-engine determinism.
+    *
+    * Scale shape: one staged feature pass; split-keyed aggregates with
+    * map-side partials; the per-(split, lang) count table (|splits| ×
+    * |langs| rows) and its arg-max are broadcast back — the corpus
+    * never shuffles more than once. */
+  val pReleaseReport = QueryDef(
+    "p5_release_report",
+    (s, dir) => {
+      val rel = releasedDocs(s, dir)
+      val q = SampleQueries.qualityTokenFrame(rel, extraCols = Seq("split", "lang"))
+      val bySplit = q.groupBy(col("split")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(QueryDef.dsum(col("quality"), 6).cast("double") / count(lit(1)), 6)
+          .as("mean_quality"),
+        countDistinct(col("lang")).as("n_langs"))
+      val lc = q.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("cnt"))
+      val mx = lc.groupBy(col("split")).agg(max(col("cnt")).as("mx"))
+      val top = lc.join(broadcast(mx), "split").filter(col("cnt") === col("mx"))
+        .groupBy(col("split"))
+        .agg(min(col("lang")).as("top_lang"), max(col("mx")).as("top_cnt"))
+      bySplit.join(broadcast(top), "split")
+        .select(col("split"), col("n_docs"), col("total_tokens"),
+          col("mean_quality"), col("n_langs"), col("top_lang"),
+          round(col("top_cnt").cast("double") / col("n_docs"), 6)
+            .as("top_lang_share"))
+        .orderBy("split")
+    },
+    Some("""
+      WITH canon AS (
+        SELECT doc_id, text, source, lang, n_chars
+        FROM (SELECT doc_id, text, source, lang, n_chars,
+                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM documents)
+        WHERE doc_id = m),
+      b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        FROM canon WHERE len(string_split(text, ' ')) >= 2),
+      tc AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
+      tp0 AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id),
+      q AS (
+        SELECT b.doc_id FROM b JOIN tp0 USING (doc_id)
+        WHERE len(tk) BETWEEN 30 AND 1000
+          AND ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
+          AND len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
+          AND CAST(tp0.max_c AS DOUBLE) / len(tk) <= 0.2
+          AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) <= 0.3),
+      pre AS (
+        SELECT canon.* FROM canon JOIN q USING (doc_id) WHERE doc_id % 37 <> 0),
+      evalg AS (
+        SELECT DISTINCT u.t AS gram
+        FROM (SELECT list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT string_split(text, ' ') AS tk FROM documents
+                    WHERE doc_id % 37 = 0)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      candg AS (
+        SELECT doc_id, u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM pre)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      contaminated AS (SELECT DISTINCT doc_id FROM candg JOIN evalg USING (gram)),
+      clean AS (
+        SELECT * FROM pre
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      a AS (
+        SELECT lang, string_split(text, ' ') AS tk,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt, n_chars,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean),
+      f AS (
+        SELECT split, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+               ROUND(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+                 + len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / nt * 0.25
+                 + len(list_distinct(tk)) / nt * 0.25, 6) AS quality
+        FROM a),
+      bs AS (
+        SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               ROUND(CAST(SUM(CAST(quality AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_quality,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM f GROUP BY split),
+      lc AS (SELECT split, lang, COUNT(*) AS cnt FROM f GROUP BY split, lang),
+      mx AS (SELECT split, MAX(cnt) AS mx FROM lc GROUP BY split),
+      tpl AS (
+        SELECT lc.split, MIN(lc.lang) AS top_lang, MAX(lc.cnt) AS top_cnt
+        FROM lc JOIN mx ON lc.split = mx.split AND lc.cnt = mx.mx
+        GROUP BY lc.split)
+      SELECT bs.split, bs.n_docs, bs.total_tokens, bs.mean_quality, bs.n_langs,
+             tpl.top_lang,
+             ROUND(CAST(tpl.top_cnt AS DOUBLE) / bs.n_docs, 6) AS top_lang_share
+      FROM bs JOIN tpl ON bs.split = tpl.split ORDER BY bs.split"""))
+
+  val all: Seq[QueryDef] =
+    Seq(pCuration, pRelease, pManifest, pReleaseWrite, pReleaseReport)
 }

@@ -91,6 +91,16 @@ class ManifestResampleSpec extends AnyFunSuite {
     assert(rows(tampered) != first, "manifest failed to detect a dropped row")
   }
 
+  test("p5 dataset card agrees with p1's audit and covers every released doc") {
+    val card = PipelineQueries.pReleaseReport.fn(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val audit = PipelineQueries.pCuration.fn(spark, dir)
+      .groupBy("split").agg(sum("n_docs").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(card == audit, s"card split counts $card != audit $audit")
+    assert(card.values.sum > 0, "empty release — test is vacuous")
+  }
+
   test("c7 temperature-flattens the language mix and is layout-invariant") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val natural = docs.groupBy("lang").agg(count(lit(1)).as("n"))
