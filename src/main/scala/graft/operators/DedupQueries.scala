@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.Stage.StageOps
@@ -19,17 +18,30 @@ object DedupQueries {
 
   private val toks = split(col("text"), " ")
 
-  /** Exact dedup: md5 content hash, canonical = min doc_id per text. */
+  /** Exact dedup: md5 content hash, canonical = min doc_id per text.
+    *
+    * Scale shape (VERDICT r12 #1): the per-hash stats are a
+    * `groupBy(content_hash)` pass joined back on the 16-byte hash —
+    * NOT a `Window.partitionBy(text)`. A text-keyed window shuffles
+    * and sorts full multi-KB documents on the document itself as the
+    * exchange/sort key; the groupBy gets map-side partial aggregation
+    * (duplicate texts collapse before the shuffle) and both exchanges
+    * are keyed by the compact hash. Identical output by construction
+    * (md5 equality ≡ text equality at any real corpus size).
+    */
   val dExact = QueryDef(
     "d1_dedup_exact",
     (s, dir) => {
-      val w = Window.partitionBy(col("text"))
-      Tables.documents(s, dir)
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      val stats = hashed.groupBy("content_hash")
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("__m"))
+      hashed.join(stats, "content_hash")
         .select(
           col("doc_id"),
-          md5(col("text")).as("content_hash"),
-          count(lit(1)).over(w).as("n_copies"),
-          (col("doc_id") === min(col("doc_id")).over(w)).as("is_canonical"))
+          col("content_hash"),
+          col("n_copies"),
+          (col("doc_id") === col("__m")).as("is_canonical"))
         .orderBy("doc_id")
     },
     Some("""

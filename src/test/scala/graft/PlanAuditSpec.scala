@@ -177,10 +177,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("p3_curation_manifest")
     assert(p.contains("BroadcastHashJoin"),
       "expected the eval-gram (and flag-set) joins to broadcast\n" + p.take(3000))
-    // the dedup window is keyed by text — nothing in the manifest may
-    // move the corpus to a single partition (the c5-style scale bug)
+    // nothing in the manifest may move the corpus to a single
+    // partition (the c5-style scale bug)
     assert(!p.contains("Exchange SinglePartition"),
       "manifest plan moves data to a single partition\n" + p.take(3000))
+  }
+
+  test("canonical dedup shuffles on the 16-byte content hash, never on text (d1/p1/p3)") {
+    // VERDICT r12 #1: Window.partitionBy(text) made the full document
+    // the exchange+sort key; the canonical-copy stats are now a
+    // groupBy(md5(text)) pass, so no exchange or window anywhere in
+    // d1/p1/p3 may key on the raw text column
+    for (q <- Seq("d1_dedup_exact", "p1_curation_pipeline", "p3_curation_manifest")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning(text#"),
+        s"$q shuffles the corpus keyed by the raw text column\n" + p.take(3000))
+      assert(!p.contains("windowspecdefinition(text#"),
+        s"$q runs a window partitioned by the raw text column\n" + p.take(3000))
+    }
+    // and d1's stats exchange carries the hash itself
+    assert(plan("d1_dedup_exact").contains("hashpartitioning(content_hash#"),
+      "d1's aggregate must shuffle on content_hash")
   }
 
   test("c5 token budget: the only window runs over the one-bin boundary filter") {

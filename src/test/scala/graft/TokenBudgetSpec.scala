@@ -71,6 +71,27 @@ class TokenBudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("a huge-id-range one-quality corpus recurses multiple levels and stays exact") {
+    // VERDICT r12 #2: driver state must be O(levels · 4096), not
+    // O(id-range / 4096). Sparse ids over a ~10¹² range force ≥ 3
+    // refinement levels (4096² ≈ 1.7e7 < 1e12) while the corpus itself
+    // is tiny — the old single-level sub-bin fold would have collected
+    // ~2.4e8 (sub-bin, total) tuples on the driver for this input.
+    import spark.implicits._
+    val rows = (1L to 2000L).map(i => (i * 500000007L, 3L + (i % 5), 0.5))
+    val base = rows.toDF("doc_id", "n_tokens", "quality")
+    Seq(0L, 97L, 2500L, 4999L, 1000000L).foreach { b =>
+      val got = SampleQueries.tokenBudgetSelect(base, b)
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+      val w = Window.orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = base.withColumn("cum", sum(col("n_tokens")).over(w))
+        .filter(col("cum") <= b).orderBy("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"budget=$b")
+    }
+  }
+
   test("budget respected and selection is maximal") {
     val out = run()
     val total = out.map(_._2).sum
