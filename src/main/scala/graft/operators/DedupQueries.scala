@@ -248,11 +248,14 @@ object DedupQueries {
     // NO stamp — otherwise the previous init's stamp would validate a
     // half-rewritten (mixed old/new tables) index
     clearGeometry(s, path)
-    docs.select(col("doc_id")).write.mode("overwrite").parquet(s"$path/ids")
+    docs.select(col("doc_id")).write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, path, "ids"))
     val sig = signatures(docs, k)
-    sig.write.mode("overwrite").parquet(s"$path/sig")
+    sig.write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, path, "sig"))
     bandKeys(sig, bands, rowsPerBand)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, path, "bands"))
     // geometry stamp written LAST: a crashed init leaves no stamp and
     // every later probe/append fails loudly instead of reading a
     // half-written index
@@ -297,11 +300,16 @@ object DedupQueries {
     // disjointness vs the CURRENT index contents — appending an id twice
     // would double-emit its pairs for every future increment
     checkDisjoint(graft.sources.IndexStore.readSwappable(s, path, "ids"), newDocs)
-    newDocs.select(col("doc_id")).write.mode("append").parquet(s"$path/ids")
+    // append into the LIVE version dir (tableDataPath), not a hardcoded
+    // path — after a compaction the table lives in a versioned dir
+    newDocs.select(col("doc_id")).write.mode("append")
+      .parquet(graft.sources.IndexStore.tableDataPath(s, path, "ids"))
     val sig = signatures(newDocs, k)
-    sig.write.mode("append").parquet(s"$path/sig")
+    sig.write.mode("append")
+      .parquet(graft.sources.IndexStore.tableDataPath(s, path, "sig"))
     bandKeys(sig, bands, rowsPerBand)
-      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+      .write.mode("append").partitionBy("band")
+      .parquet(graft.sources.IndexStore.tableDataPath(s, path, "bands"))
   }
 
   /** Compact an appendable index (see `IndexStore.compactTable` for the
@@ -762,8 +770,10 @@ object DedupQueries {
   def initStoredSpanIndex(s: org.apache.spark.sql.SparkSession, path: String,
                           docs: DataFrame): Unit = {
     graft.sources.IndexStore.clearStamp(s, path, SpanStamp)
-    docs.select(col("doc_id")).write.mode("overwrite").parquet(s"$path/ids")
-    spanCounts(docs).write.mode("overwrite").parquet(s"$path/spans")
+    docs.select(col("doc_id")).write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, path, "ids"))
+    spanCounts(docs).write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, path, "spans"))
     graft.sources.IndexStore.writeStamp(s, path, SpanStamp, spanGeometryString)
   }
 
@@ -775,8 +785,10 @@ object DedupQueries {
                             newDocs: DataFrame): Unit = {
     requireSpanGeometry(s, path)
     checkDisjoint(graft.sources.IndexStore.readSwappable(s, path, "ids"), newDocs)
-    newDocs.select(col("doc_id")).write.mode("append").parquet(s"$path/ids")
-    spanCounts(newDocs).write.mode("append").parquet(s"$path/spans")
+    newDocs.select(col("doc_id")).write.mode("append")
+      .parquet(graft.sources.IndexStore.tableDataPath(s, path, "ids"))
+    spanCounts(newDocs).write.mode("append")
+      .parquet(graft.sources.IndexStore.tableDataPath(s, path, "spans"))
   }
 
   /** Rewrite a batch of arriving documents against corpus ∪ batch: a
@@ -803,7 +815,7 @@ object DedupQueries {
       .staged
     // stored counts for ONLY the batch's spans: the corpus-sized table
     // streams through one broadcast hash join + partial-agg sum
-    val storedNd = s.read.parquet(s"$path/spans")
+    val storedNd = graft.sources.IndexStore.readSwappable(s, path, "spans")
       .join(broadcast(batchNd.select("span")), Seq("span"), "left_semi")
       .groupBy("span").agg(sum(col("nd")).as("snd"))
     val dup = batchNd.join(storedNd, Seq("span"), "left")

@@ -192,7 +192,7 @@ object OlapQueries {
     val tagsPath = new org.apache.hadoop.fs.Path(s"$path/absorbed_tags")
     tagsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tagsPath, true)
     monthlySketches(orders, lgK, "init").write.mode("overwrite")
-      .parquet(s"$path/months")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, path, "months"))
     graft.sources.IndexStore.writeStamp(s, path, HllGeometryStamp, hllGeometry(lgK))
   }
 
@@ -211,14 +211,69 @@ object OlapQueries {
     val dup = monthsDf(s, path)
       .filter(col("batch") === batchTag).limit(1).count()
     val absorbed = pathExists(s, s"$path/absorbed_tags") &&
-      s.read.parquet(s"$path/absorbed_tags")
-        .filter(col("batch") === batchTag).limit(1).count() > 0L
+      absorbedTags(s, path).filter(col("batch") === batchTag)
+        .limit(1).count() > 0L
     require(dup == 0L && !absorbed,
       s"batch '$batchTag' was already appended to $path — a double append " +
         "would double-count its orders (sketch union absorbs the customers, " +
         "n_orders does not); use a fresh tag per scheduler run")
     monthlySketches(newOrders, lgK, batchTag).write.mode("append")
-      .parquet(s"$path/months")
+      .parquet(graft.sources.IndexStore.tableDataPath(s, path, "months"))
+  }
+
+  /** Replay-safe append for STREAMING ingest (`SketchIngest`). The batch
+    * API above fail-stops on a reused tag — right for a scheduler,
+    * where a reused tag is a caller bug. A Structured Streaming replay
+    * of batch N (crash between the append and the checkpoint commit)
+    * re-delivers EXACTLY the same rows under the same batchId (the
+    * checkpoint pins the batch's source offsets), so the safe semantic
+    * is idempotent re-commit, closing the crash window the r12 docs
+    * could only document:
+    *
+    *  1. tag already ABSORBED by a compaction → the append completed
+    *     before the compaction ran (compaction requires quiesced
+    *     ingest — see below) → skip;
+    *  2. otherwise DELETE whatever files a previous attempt of THIS tag
+    *     left (complete or partial — streaming appends are recognizable
+    *     by their deterministic `graft-<tag>-<k>.parquet` names), write
+    *     the batch's sketch rows to a staging dir, and MOVE the closed
+    *     parquet files in under those names.
+    *
+    * A crash at any point replays into the same sweep-stage-move
+    * sequence, which converges; the partial-visibility window of a
+    * plain `mode("append")` job commit (some task files renamed in,
+    * some not) is exactly what the sweep heals. Quiesce contract:
+    * compaction must only run when the stream is STOPPED with its last
+    * batch checkpoint-committed — compacting a crashed batch's partial
+    * files would absorb its tag and make the replay skip the rest. */
+  def appendSketchTableReplayable(s: org.apache.spark.sql.SparkSession,
+                                  path: String, newOrders: org.apache.spark.sql.DataFrame,
+                                  batchTag: String, lgK: Int = 12): Unit = {
+    requireHllGeometry(s, path, lgK)
+    require(batchTag.matches("[A-Za-z0-9_-]+") && batchTag != "init" && batchTag != "compact",
+      "batchTag must be a fresh filename-safe tag ('init'/'compact' are lifecycle-reserved)")
+    if (pathExists(s, s"$path/absorbed_tags") &&
+        absorbedTags(s, path).filter(col("batch") === batchTag).limit(1).count() > 0L)
+      return // absorbed = this append completed and a compaction merged it
+    val monthsDir = graft.sources.IndexStore.tableDataPath(s, path, "months")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val prev = fs.globStatus(
+      new org.apache.hadoop.fs.Path(monthsDir, s"graft-$batchTag-*.parquet"))
+    if (prev != null) prev.foreach(st => fs.delete(st.getPath, false))
+    val stage = s"$path/months__stage_$batchTag"
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    // coalesce(1): a batch folds to ≤ |months of the batch| rows — one
+    // staged file, one rename, no empty part files
+    monthlySketches(newOrders, lgK, batchTag).coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(stage, "part-*"))
+    parts.zipWithIndex.foreach { case (st, i) =>
+      require(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(monthsDir, s"graft-$batchTag-$i.parquet")),
+        s"publish rename failed for batch '$batchTag'")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
   /** Read the months table, first healing a crashed compaction swap —
@@ -227,6 +282,19 @@ object OlapQueries {
   private def monthsDf(s: org.apache.spark.sql.SparkSession,
                        path: String): org.apache.spark.sql.DataFrame =
     graft.sources.IndexStore.readSwappable(s, path, "months")
+
+  /** The absorbed-tags table, read with an EXPLICIT schema: a crash
+    * during a compaction's tag append can leave the directory existing
+    * with no committed parquet footers (only `_temporary`), and
+    * schema INFERENCE over such a dir throws — bricking every later
+    * append inside the feature whose contract is crash-safety. With
+    * the schema pinned, a footer-less dir reads as empty, which is
+    * safe here: tags are written BEFORE the months swap, so any tag
+    * the crashed compaction failed to record still has its rows live
+    * in `months` and the dup gate covers it. */
+  private def absorbedTags(s: org.apache.spark.sql.SparkSession,
+                           path: String): org.apache.spark.sql.DataFrame =
+    s.read.schema("batch STRING").parquet(s"$path/absorbed_tags")
 
   private def pathExists(s: org.apache.spark.sql.SparkSession, p: String): Boolean = {
     val hp = new org.apache.hadoop.fs.Path(p)

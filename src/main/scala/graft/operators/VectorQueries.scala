@@ -412,7 +412,8 @@ object VectorQueries {
     coarse.zipWithIndex.map { case (cv, i) => (i, cv.toSeq) }.toSeq
       .toDF("i", "center")
       .repartition(1).write.mode("overwrite").parquet(s"$path/coarse")
-    writeCodes(emb, books, coarse, s"$path/codes", append = false)
+    writeCodes(emb, books, coarse,
+      graft.sources.IndexStore.resetTablePath(s, path, "codes"), append = false)
     graft.sources.IndexStore.writeStamp(s, path, PqStamp, pqGeometryString)
   }
 
@@ -426,7 +427,8 @@ object VectorQueries {
     val overlap = idx.codes.select(col("nb").as("vec_id"))
       .join(newEmb.select(col("vec_id")), "vec_id").limit(1).count()
     require(overlap == 0L, "appended vec_ids must be disjoint from the index")
-    writeCodes(newEmb, idx.books, idx.coarse, s"$path/codes", append = true)
+    writeCodes(newEmb, idx.books, idx.coarse,
+      graft.sources.IndexStore.tableDataPath(s, path, "codes"), append = true)
     // a memoized codes DataFrame lists its parquet files at read time —
     // it cannot see files this append just added, so drop every cached
     // entry (a handful of 136-row re-reads, nothing more) rather than

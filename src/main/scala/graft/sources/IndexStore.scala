@@ -138,16 +138,9 @@ object IndexStore {
     * one small file set per increment (the classic small-files problem —
     * at 100 TB a year of daily appends is 365 file groups, and scan
     * planning cost grows with file count). The table is rewritten
-    * coalesced into a sibling directory and swapped in via two CHECKED
-    * renames. The swap has a brief window where the table directory is
-    * absent (HDFS rename is atomic per-op, not per-pair) — run
-    * compaction from the index's maintenance job, not concurrently with
-    * probes; a crash inside the window is SELF-HEALED on the next call
-    * (the preserved `__old` copy is restored first), and a leftover
-    * `__compacting` from a crashed rewrite is discarded. Contents are
-    * unchanged (callers pin probe equality across a compaction). A
-    * shared multi-writer deployment would use a table format with a
-    * commit protocol (Iceberg/Delta) instead of renames.
+    * coalesced into a fresh VERSION directory and published atomically
+    * for readers (see [[replaceTable]]). Contents are unchanged
+    * (callers pin probe equality across a compaction).
     *
     * `partitionCol`: when set, the rewrite shuffles BY that column and
     * keeps the on-disk partitioning, so each partition gets its own
@@ -176,45 +169,133 @@ object IndexStore {
       w.parquet(tmp)
     }
 
-  /** Crash-safe REWRITE of one index table: `write(current, tmpPath)`
-    * produces the replacement under a staging dir, then the two-rename
-    * swap (cur → __old, __compacting → cur, delete __old) publishes it.
-    * A crash inside the window is SELF-HEALED on the next call (the
-    * preserved `__old` copy is restored first); a leftover
-    * `__compacting` from a crashed rewrite is discarded. Shared by the
-    * file-level compaction above and semantic rewrites (the q30 sketch
-    * table's month-merge compaction). */
+  // ---- versioned atomic publication of swappable tables --------------
+  // A rewrite-by-swap scheme in which readers never mutate anything:
+  // each rewrite lands in a fresh `<tbl>__v<N>` directory and is
+  // PUBLISHED by creating a zero-byte marker file `<tbl>__v<N>.__commit`
+  // whose NAME carries the version — a single atomic namespace create,
+  // so a reader either resolves the old version or the new one, never a
+  // half-state. This replaces the r12 two-rename swap, whose reader-side
+  // healing could race a LIVE writer (a reader landing inside the swap
+  // window renamed `__old` back while the writer was about to publish —
+  // the r12 advisor's medium finding): with markers, readers are pure
+  // observers and a crash before the marker simply leaves the previous
+  // version current.
+  //
+  // Retention is LAG-ONE: publishing version N deletes versions ≤ N−2,
+  // so a reader that resolved N−1 just before the publish still has its
+  // files while it scans; only a reader outlived by TWO full compactions
+  // can lose files mid-scan (retriable, documented). A table that was
+  // never rewritten stays in the legacy unversioned `<tbl>` directory —
+  // appends and inits target whatever directory is current.
+  //
+  // Writer concurrency contract (unchanged): compaction/init are
+  // maintainer-owned — never run two writers, and never race an append
+  // with a compaction (an append committing into the superseded version
+  // would be dropped by retention). READERS are now safe at any time.
+
+  private def markerPath(indexPath: String, tbl: String, v: Long) =
+    new Path(indexPath, s"${tbl}__v$v.__commit")
+
+  private def versionDir(indexPath: String, tbl: String, v: Long) =
+    s"$indexPath/${tbl}__v$v"
+
+  /** Committed versions of `tbl`, ascending; empty = legacy layout. */
+  private def committedVersions(s: SparkSession, indexPath: String,
+                                tbl: String): Seq[Long] = {
+    val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val glob = fs.globStatus(new Path(indexPath, s"${tbl}__v*.__commit"))
+    if (glob == null) Seq.empty
+    else glob.toSeq.flatMap { st =>
+      st.getPath.getName.stripPrefix(s"${tbl}__v").stripSuffix(".__commit").toLongOption
+    }.sorted
+  }
+
+  /** The directory currently holding `tbl`'s data: the highest COMMITTED
+    * version, or the legacy unversioned dir when the table was never
+    * rewritten. Appends into a swappable table must target this (not a
+    * hardcoded `$indexPath/$tbl`) so they keep landing in the live
+    * version after a compaction. */
+  def tableDataPath(s: SparkSession, indexPath: String, tbl: String): String = {
+    val vs = committedVersions(s, indexPath, tbl)
+    if (vs.nonEmpty) versionDir(indexPath, tbl, vs.last)
+    else {
+      // legacy heal: a PRE-versioning crash (the old two-rename scheme)
+      // can have left data only under `__old`. Safe to restore here —
+      // versioned-era writers never create this state, so there is no
+      // live writer to race.
+      recoverTable(s, indexPath, tbl)
+      s"$indexPath/$tbl"
+    }
+  }
+
+  /** Reset `tbl` for an init-style overwrite: every version dir, marker
+    * and legacy leftover is deleted and the legacy data path returned
+    * for the caller's `mode("overwrite")` write. Maintainer-owned, same
+    * contract as [[replaceTable]]. */
+  def resetTablePath(s: SparkSession, indexPath: String, tbl: String): String = {
+    val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val glob = fs.globStatus(new Path(indexPath, s"${tbl}__v*"))
+    if (glob != null) glob.foreach(st => fs.delete(st.getPath, true))
+    fs.delete(new Path(s"$indexPath/${tbl}__old"), true)
+    fs.delete(new Path(s"$indexPath/${tbl}__compacting"), true)
+    s"$indexPath/$tbl"
+  }
+
+  /** Crash-safe REWRITE of one index table: `write(current, nextDir)`
+    * produces the replacement under the next version directory, then a
+    * single marker-file create publishes it atomically for readers.
+    * A crash before the marker leaves the previous version current and
+    * its garbage is swept by the next rewrite; a crash after the marker
+    * is a completed publish (retention of older versions simply re-runs
+    * next time). Shared by the file-level compaction above and semantic
+    * rewrites (the q30 sketch table's month-merge compaction). */
   def replaceTable(s: SparkSession, indexPath: String, tbl: String)(
       write: (org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
     val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
-    def p(x: String) = new Path(x)
-    val cur = s"$indexPath/$tbl"
-    val tmp = s"$indexPath/${tbl}__compacting"
-    val old = s"$indexPath/${tbl}__old"
-    recoverTable(s, indexPath, tbl)
-    if (fs.exists(p(tmp))) fs.delete(p(tmp), true)
-    if (fs.exists(p(old))) fs.delete(p(old), true)
-    write(s.read.parquet(cur), tmp)
-    // Hadoop rename reports failure by returning false — check both
-    require(fs.rename(p(cur), p(old)), s"compaction rename $cur -> $old failed")
-    require(fs.rename(p(tmp), p(cur)), s"compaction rename $tmp -> $cur failed")
-    fs.delete(p(old), true)
+    val committed = committedVersions(s, indexPath, tbl)
+    val cs = committed.toSet
+    // sweep a crashed writer's uncommitted version dirs (no marker) and
+    // legacy-scheme staging leftovers
+    val dirs = fs.globStatus(new Path(indexPath, s"${tbl}__v*"))
+    if (dirs != null) dirs.foreach { st =>
+      if (st.isDirectory &&
+          st.getPath.getName.stripPrefix(s"${tbl}__v").toLongOption.exists(!cs.contains(_)))
+        fs.delete(st.getPath, true)
+    }
+    fs.delete(new Path(s"$indexPath/${tbl}__compacting"), true)
+    val cur = tableDataPath(s, indexPath, tbl) // heals pre-versioning crash state
+    val next = committed.lastOption.getOrElse(0L) + 1
+    write(s.read.parquet(cur), versionDir(indexPath, tbl, next))
+    // publish: the zero-byte marker is created LAST and its name is the
+    // commit record — create(_, overwrite=false) fails loudly if it
+    // somehow exists (a second writer = broken maintainer contract)
+    fs.create(markerPath(indexPath, tbl, next), false).close()
+    // lag-one retention: marker deleted BEFORE its dir so no reader can
+    // resolve a version whose files are mid-delete
+    committed.filter(_ <= next - 2).foreach { v =>
+      fs.delete(markerPath(indexPath, tbl, v), false)
+      fs.delete(new Path(versionDir(indexPath, tbl, v)), true)
+    }
+    if (next >= 2) { // the legacy dir leaves retention at the 2nd publish
+      fs.delete(new Path(s"$indexPath/$tbl"), true)
+      fs.delete(new Path(s"$indexPath/${tbl}__old"), true)
+    }
   }
 
-  /** Heal a table caught mid-swap by a crashed replaceTable (the data
-    * survives in `__old`; `cur` is momentarily absent). EVERY reader of
-    * a swappable table must call this before `read.parquet` — the
-    * restore inside replaceTable alone is unreachable when the reader
-    * fails first (the r12 review finding). */
-  /** The reader counterpart: heal-then-read. Use for every table that a
-    * compaction can swap (dedup ids/sig/bands, PQ codes, sketch months)
-    * so a mid-swap crash never bricks the index for its consumers. */
+  /** Read a table that a compaction can rewrite (dedup ids/sig/bands, PQ
+    * codes, sketch months): resolves the current committed version —
+    * pure observation, safe concurrently with a live [[replaceTable]]
+    * (the reader sees the old version until the marker lands). */
   def readSwappable(s: SparkSession, indexPath: String,
-                    tbl: String): org.apache.spark.sql.DataFrame = {
-    recoverTable(s, indexPath, tbl)
-    s.read.parquet(s"$indexPath/$tbl")
-  }
+                    tbl: String): org.apache.spark.sql.DataFrame =
+    s.read.parquet(tableDataPath(s, indexPath, tbl))
 
+  /** Heal PRE-VERSIONING crash state (the retired two-rename scheme
+    * could crash with data only under `__old` and the live dir absent).
+    * Only reachable for tables still in the legacy layout; versioned-era
+    * writers never create this state, so there is no live writer to
+    * race (the r12 advisor finding this scheme replaces). */
   def recoverTable(s: SparkSession, indexPath: String, tbl: String): Unit = {
     val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
     val cur = new Path(s"$indexPath/$tbl")

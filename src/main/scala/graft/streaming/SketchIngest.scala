@@ -23,12 +23,14 @@ import graft.operators.OlapQueries
   *
   * State lives entirely in the stored parquet table — the stream holds
   * no state-store entries and survives any history size. Delivery is
-  * fail-stop on replay, same as DedupIngest: a batch REPLAYED after
-  * its append committed (crash between append and checkpoint commit)
-  * trips `appendSketchTable`'s reused-tag gate and fails loudly —
-  * never a silent double-count of the batch's orders. A production
-  * deployment stages each append under its batchId and commits via
-  * rename (or an ACID table format) to close that window.
+  * EXACTLY-ONCE under crash/replay: each batch lands via
+  * `appendSketchTableReplayable` — sweep any previous attempt's
+  * deterministically-named files, stage, publish by rename — so a
+  * batch replayed after a crash between its append and the checkpoint
+  * commit converges to the same table instead of fail-stopping
+  * (StreamingSpec pins replay equality against the batch twin). A tag
+  * already absorbed by a compaction is skipped: compaction requires
+  * quiesced ingest, so an absorbed tag was a completed append.
   *
   * Reference trigger: the reference's workload summarises simulation
   * batches as they complete (simulation.R:204-276); this is the same
@@ -49,7 +51,7 @@ object SketchIngest {
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
-          OlapQueries.appendSketchTable(
+          OlapQueries.appendSketchTableReplayable(
             b.sparkSession, path, b, s"stream_$batchId", lgK)
           onRollup(OlapQueries.quarterlyRollup(b.sparkSession, path, lgK), batchId)
         }

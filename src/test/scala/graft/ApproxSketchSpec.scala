@@ -132,10 +132,11 @@ class ApproxSketchSpec extends AnyFunSuite {
     OlapQueries.initSketchTable(spark, path, orders.filter(cut1))
     OlapQueries.appendSketchTable(spark, path, orders.filter(!cut1 && cut2), "b1")
     val before = OlapQueries.quarterlyRollup(spark, path).collect().toSeq.map(_.toSeq)
-    val rowsBefore = spark.read.parquet(s"$path/months").count()
+    val rowsBefore = graft.sources.IndexStore
+      .readSwappable(spark, path, "months").count()
 
     OlapQueries.compactSketchTable(spark, path)
-    val monthsAfter = spark.read.parquet(s"$path/months")
+    val monthsAfter = graft.sources.IndexStore.readSwappable(spark, path, "months")
     assert(monthsAfter.count() ==
       monthsAfter.select("yr", "mo").distinct().count(), "one row per month")
     assert(monthsAfter.count() < rowsBefore, "compaction did not shrink the table")

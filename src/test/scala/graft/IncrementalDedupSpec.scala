@@ -96,7 +96,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
     def fileCount(tbl: String): Int = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$path/$tbl")).count(_.getName.endsWith(".parquet"))
+      // resolve the LIVE version dir — after a compaction the table
+      // lives in a versioned directory, not `$path/$tbl`
+      walk(new java.io.File(
+        graft.sources.IndexStore.tableDataPath(spark, path, tbl)))
+        .count(_.getName.endsWith(".parquet"))
     }
     val before = fileCount("sig")
     DedupQueries.compactStoredIndex(spark, path, filesPerTable = 1)

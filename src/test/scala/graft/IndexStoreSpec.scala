@@ -221,11 +221,48 @@ class IndexStoreSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val files = walk(new java.io.File(s"$idx/tbl"))
+    val files = walk(new java.io.File(IndexStore.tableDataPath(spark, idx, "tbl")))
       .count(_.getName.endsWith(".parquet"))
     assert(files >= 2, s"hot value must split across writer files, got $files")
-    assert(spark.read.parquet(s"$idx/tbl").count() == 2000,
+    assert(IndexStore.readSwappable(spark, idx, "tbl").count() == 2000,
       "compaction must not change contents")
+  }
+
+  test("versioned publication: old version survives one compaction (lag-one), legacy dir retires at the second") {
+    import spark.implicits._
+    val idx = tmpDir() + "/idx"
+    (0L until 100L).toDF("x").repartition(4).write.parquet(s"$idx/tbl")
+    IndexStore.compactTable(spark, idx, "tbl", None, filesPerTable = 1)
+    // publish #1: data now in tbl__v1; the legacy dir is RETAINED so a
+    // reader that resolved it just before the publish keeps its files
+    assert(new java.io.File(s"$idx/tbl__v1.__commit").exists(), "missing commit marker")
+    assert(new java.io.File(s"$idx/tbl").exists(), "lag-one retention must keep the prior version")
+    assert(IndexStore.tableDataPath(spark, idx, "tbl").endsWith("tbl__v1"))
+    IndexStore.compactTable(spark, idx, "tbl", None, filesPerTable = 1)
+    // publish #2 retires the legacy dir; v1 is now the lag-one copy
+    assert(!new java.io.File(s"$idx/tbl").exists(), "legacy dir must retire at the second publish")
+    assert(new java.io.File(s"$idx/tbl__v1").exists())
+    IndexStore.compactTable(spark, idx, "tbl", None, filesPerTable = 1)
+    assert(!new java.io.File(s"$idx/tbl__v1").exists(), "versions beyond lag-one must be deleted")
+    assert(!new java.io.File(s"$idx/tbl__v1.__commit").exists())
+    assert(IndexStore.readSwappable(spark, idx, "tbl").count() == 100,
+      "contents must survive every publish")
+  }
+
+  test("a crash BEFORE the commit marker leaves the previous version current and is swept") {
+    import spark.implicits._
+    val idx = tmpDir() + "/idx"
+    (0L until 50L).toDF("x").write.parquet(s"$idx/tbl")
+    // a writer that crashed after writing its version dir but before the
+    // marker create: garbage data in tbl__v1, NO tbl__v1.__commit
+    (0L until 3L).toDF("garbage").write.parquet(s"$idx/tbl__v1")
+    assert(IndexStore.readSwappable(spark, idx, "tbl").count() == 50,
+      "readers must keep serving the committed state, never the unpublished dir")
+    // the next rewrite sweeps the garbage and publishes cleanly
+    IndexStore.compactTable(spark, idx, "tbl", None, filesPerTable = 1)
+    val live = IndexStore.readSwappable(spark, idx, "tbl")
+    assert(live.count() == 50 && live.columns.toSeq == Seq("x"),
+      "the recovered publish must carry the committed contents")
   }
 
   test("losing the stale-lock takeover race re-enters the wait, never builds locklessly") {
@@ -255,35 +292,87 @@ class IndexStoreSpec extends AnyFunSuite {
       "after losing the takeover race the loser must wait and adopt the rival's stamp, not build")
   }
 
-  test("a crash inside the replaceTable rename window self-heals at the next swappable read") {
+  // ---- crash contract, parameterized over ALL THREE swappable-index
+  // families (dedup MinHash tables, PQ codes, sketch months): every
+  // probe path must survive (a) the PRE-VERSIONING legacy crash state
+  // (data only under `__old`, live dir absent — healed on read), (b) a
+  // family compaction (results pinned equal), and (c) a versioned-era
+  // crash BEFORE the commit marker (unpublished garbage version dir —
+  // ignored by readers, swept by the next compaction).
+  private case class SwapFamily(
+      name: String,
+      init: String => Unit,                 // build the index at path
+      probe: String => Seq[Any],            // deterministic probe result
+      compact: String => Unit,              // the family's compaction
+      legacyCrashTbl: String)               // table for the legacy-state sim
+
+  private lazy val swapFamilies: Seq[SwapFamily] = {
     import org.apache.spark.sql.functions.col
-    import graft.operators.{DedupQueries, OlapQueries}
+    import graft.operators.{DedupQueries, OlapQueries, VectorQueries}
     val dir = "/root/testdata/sf0.001"
-    def simulateMidSwapCrash(path: String, tbl: String): Unit = {
-      // the exact state a crash between replaceTable's two renames
-      // leaves behind: data only in __old, the live dir absent
+    lazy val docs = sources.Tables.documents(spark, dir).select("doc_id", "text")
+    lazy val emb = sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    lazy val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"))
+    Seq(
+      SwapFamily("sketch_months",
+        p => OlapQueries.initSketchTable(spark, p, sources.Tables.orders(spark, dir)),
+        p => OlapQueries.quarterlyRollup(spark, p).collect().toSeq
+          .map(r => (r.get(0), r.get(1), r.get(2))), // exact cols; the estimate may move sub-rsd across compaction
+        p => OlapQueries.compactSketchTable(spark, p),
+        legacyCrashTbl = "months"),
+      SwapFamily("dedup_minhash",
+        p => DedupQueries.initStoredIndex(spark, p, docs.filter(col("doc_id") >= 100)),
+        p => DedupQueries.probeStoredIndex(spark, p, docs.filter(col("doc_id") < 100))
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString),
+        p => DedupQueries.compactStoredIndex(spark, p),
+        legacyCrashTbl = "sig"),
+      SwapFamily("pq_codes",
+        p => VectorQueries.initStoredPqIndex(spark, p, emb),
+        p => VectorQueries.ivfAdcProbe(spark,
+            VectorQueries.readStoredPqIndex(spark, p), emb, probes)
+          .collect().map(_.toSeq).toSeq.sortBy(_.toString),
+        p => VectorQueries.compactStoredPqIndex(spark, p),
+        legacyCrashTbl = "codes"))
+  }
+
+  for (fam <- Seq("sketch_months", "dedup_minhash", "pq_codes"))
+    test(s"crash contract [$fam]: legacy mid-swap heal, compaction equality, pre-marker crash sweep") {
+      val f = swapFamilies.find(_.name == fam).get
+      val path = tmpDir() + "/" + fam
+      f.init(path)
+      val want = f.probe(path)
+      assert(want.nonEmpty, s"$fam: empty probe baseline proves nothing")
+
+      // (a) PRE-VERSIONING crash state: live dir renamed away, data only
+      // in __old — the exact state the retired two-rename swap could
+      // leave; readers must heal it (migration path)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/$tbl"),
-        new org.apache.hadoop.fs.Path(s"$path/${tbl}__old")))
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$path/${f.legacyCrashTbl}"),
+        new org.apache.hadoop.fs.Path(s"$path/${f.legacyCrashTbl}__old")))
+      assert(f.probe(path) == want, s"$fam: probe did not heal the legacy crash state")
+
+      // (b) compaction publishes a fresh version; probe results pinned
+      f.compact(path)
+      assert(f.probe(path) == want, s"$fam: probe changed across compaction")
+      assert(IndexStore.tableDataPath(spark, path, f.legacyCrashTbl).contains("__v"),
+        s"$fam: compaction must publish a versioned dir")
+
+      // (c) versioned-era crash BEFORE the marker: an unpublished
+      // garbage version dir must be invisible to readers and swept by
+      // the next compaction
+      import spark.implicits._
+      val liveDir = IndexStore.tableDataPath(spark, path, f.legacyCrashTbl)
+      val crashedV = liveDir.substring(liveDir.lastIndexOf("__v") + 3).toLong + 1
+      Seq.empty[Long].toDF("garbage").write
+        .parquet(s"$path/${f.legacyCrashTbl}__v$crashedV")
+      assert(f.probe(path) == want, s"$fam: probe must ignore an unpublished version dir")
+      f.compact(path)
+      assert(f.probe(path) == want, s"$fam: probe changed after the sweep-and-republish")
+      assert(!new java.io.File(s"$path/${f.legacyCrashTbl}__v$crashedV/garbage").exists() ||
+        IndexStore.readSwappable(spark, path, f.legacyCrashTbl).columns.toSeq != Seq("garbage"),
+        s"$fam: the crashed writer's garbage must never become the live table")
     }
-
-    // sketch family: every API heals through monthsDf
-    val sk = tmpDir() + "/sk"
-    OlapQueries.initSketchTable(spark, sk, sources.Tables.orders(spark, dir))
-    val before = OlapQueries.quarterlyRollup(spark, sk).collect().toSeq
-    simulateMidSwapCrash(sk, "months")
-    assert(OlapQueries.quarterlyRollup(spark, sk).collect().toSeq == before,
-      "rollup did not self-heal after a mid-swap crash")
-
-    // dedup index family: the probe heals through readSwappable
-    val docs = sources.Tables.documents(spark, dir).select("doc_id", "text")
-    val mh = tmpDir() + "/mh"
-    DedupQueries.initStoredIndex(spark, mh, docs.filter(col("doc_id") >= 100))
-    val inc = docs.filter(col("doc_id") < 100)
-    val want = DedupQueries.probeStoredIndex(spark, mh, inc).collect().length
-    simulateMidSwapCrash(mh, "sig")
-    assert(DedupQueries.probeStoredIndex(spark, mh, inc).collect().length == want,
-      "stored-index probe did not self-heal after a mid-swap crash")
-  }
 }

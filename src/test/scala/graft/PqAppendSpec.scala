@@ -74,7 +74,11 @@ class PqAppendSpec extends AnyFunSuite {
     def codeFiles(): Int = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$path/codes")).count(_.getName.endsWith(".parquet"))
+      // resolve the LIVE version dir — after a compaction the codes
+      // table lives in a versioned directory, not `$path/codes`
+      walk(new java.io.File(
+        graft.sources.IndexStore.tableDataPath(spark, path, "codes")))
+        .count(_.getName.endsWith(".parquet"))
     }
     val beforeRows = VectorQueries.ivfAdcProbe(
       spark, VectorQueries.readStoredPqIndex(spark, path), emb, probes)

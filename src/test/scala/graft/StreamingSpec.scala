@@ -484,10 +484,44 @@ class StreamingSpec extends AnyFunSuite {
       "fixture batches did not change the rollup — test is vacuous")
 
     // a replayed batch (crash between append and checkpoint commit)
-    // fails loudly instead of double-counting its orders
+    // CONVERGES: foreachBatch re-delivers the same rows under the same
+    // batchId, and the replay-safe append sweeps its previous attempt's
+    // files before re-publishing — the table equals the batch twin, no
+    // double count, no manual healing (the r12 crash window, closed)
+    OlapQueries.appendSketchTableReplayable(spark, path, batch1, "stream_0")
+    assert(rollupRows(OlapQueries.quarterlyRollup(spark, path)) == want2,
+      "a full replay must leave the table unchanged")
+
+    // crash MID-append: a leftover staging dir and a swept publish file
+    // (the partial job-commit state a plain append cannot heal) — the
+    // replay converges from there too
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val monthsDir = graft.sources.IndexStore.tableDataPath(spark, path, "months")
+    val published = fs.globStatus(
+      new org.apache.hadoop.fs.Path(monthsDir, "graft-stream_1-*.parquet"))
+    assert(published.nonEmpty, "replayable appends must publish deterministic names")
+    published.foreach(st => fs.delete(st.getPath, false)) // crash before the move
+    spark.range(1).write.parquet(s"$path/months__stage_stream_1") // crashed stage litter
+    OlapQueries.appendSketchTableReplayable(spark, path, batch2, "stream_1")
+    assert(rollupRows(OlapQueries.quarterlyRollup(spark, path)) == want2,
+      "replay after a mid-append crash must converge to the batch twin")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/months__stage_stream_1")),
+      "the replay must sweep crashed staging state")
+
+    // the BATCH API keeps its fail-stop gate: a reused tag there is a
+    // scheduler bug, not a checkpoint replay
     val err = intercept[IllegalArgumentException] {
-      OlapQueries.appendSketchTable(spark, path, batch1, "stream_0")
+      OlapQueries.appendSketchTable(spark, twin, batch1, "stream_0")
     }
     assert(err.getMessage.contains("already appended"))
+
+    // an absorbed tag (compaction ran against the quiesced stream, then
+    // the tag replays) is skipped — never re-appended, never a stall
+    OlapQueries.compactSketchTable(spark, path)
+    val afterCompact = rollupRows(OlapQueries.quarterlyRollup(spark, path))
+    OlapQueries.appendSketchTableReplayable(spark, path, batch1, "stream_0")
+    assert(rollupRows(OlapQueries.quarterlyRollup(spark, path)) == afterCompact,
+      "an absorbed tag's replay must be a no-op")
   }
 }
