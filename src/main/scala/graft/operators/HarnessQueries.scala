@@ -73,7 +73,16 @@ object HarnessQueries {
 
   /** Sensitivity scenarios (sensitivity.R:23,53,368-370, H10): rerun the
     * harness under perturbed data-generating processes
-    * (x2_coef, x21sq_coef) ∈ {(0,0), (2,0), (-3,0.3)}. */
+    * (x2_coef, x21sq_coef) ∈ {(0,0), (2,0), (-3,0.3)}.
+    *
+    * Oracle (r13, upgraded from a pin — the same committed-per-rep
+    * fixture discipline as h1/h3/s4): the deterministic per-scenario
+    * per-rep estimates live in oracles/h2_per_rep.csv (regenerate:
+    * `Test/runMain graft.ProbeMain oraclefix` after an intentional
+    * estimator/DGP change); DuckDB recomputes the metric aggregation
+    * from them, so the compare checks both that the live perturbed-DGP
+    * pipeline reproduces the committed per-rep values and that the
+    * aggregation math is cross-engine exact. */
   val hSensitivity = QueryDef(
     "h2_sensitivity_scenarios",
     (s, _) => {
@@ -99,7 +108,14 @@ object HarnessQueries {
             org.apache.spark.sql.functions.round(col("avg_estimate"), 6).as("avg_estimate"),
             org.apache.spark.sql.functions.round(col("analytical_se"), 6).as("analytical_se"))
       }.reduce(_ unionByName _).orderBy("scenario", "coef")
-    })
+    },
+    Some("""
+      WITH pr AS (SELECT * FROM read_csv_auto('/root/repo/oracles/h2_per_rep.csv', header=true))
+      SELECT scenario, coef, method,
+             ROUND(AVG(estimate), 6) AS avg_estimate,
+             ROUND(AVG(se), 6) AS analytical_se
+      FROM pr GROUP BY scenario, coef, method
+      ORDER BY scenario, coef"""))
 
   /** H5-H8 pretty-table emission over a mini grid (the reference's
     * 13-column result schema with formatted cells).

@@ -33,7 +33,6 @@ class FixturePinSpec extends AnyFunSuite {
     "d5_dedup_clusters"        -> "329f0ddcd222f8650213c75d1bcd870b",
     "d8_incremental_dedup"     -> "f89d5243e5b53a68087bd2969f1a3907",
     "g1_panel_summary"         -> "ec263564355c1e5a81565545027cba56",
-    "h2_sensitivity_scenarios" -> "8e1c175495776e94475d3d716c82199c",
     "q29_sketch_stats"         -> "04077381830a72d04d535c0f065ad8fb",
     "q30_sketch_union"         -> "7991473430476d2b3ef76565c6b7c732",
     "s3_logistic_irls"         -> "3142949dbddbd4c5163a2c857e2cb0c4",

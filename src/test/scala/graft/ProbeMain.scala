@@ -359,6 +359,24 @@ object ProbeMain {
         perRepCsv(3, Seq("WCLS-Internal", "WCLS-Pooled", "P-WCLS-Pooled")))
       writeCsv("/root/repo/oracles/h3_per_rep.csv", hdr,
         perRepCsv(2, Seq("WCLS-Internal", "WCLS-Pooled")))
+      // h2: the same per-rep shape under each perturbed DGP, prefixed
+      // with the scenario's display label (must mirror h2's label map)
+      val h2labels = Map(
+        "x2_0" -> "no_x2_effect", "x2_2" -> "positive_x2", "x12sq" -> "quadratic")
+      val h2rows = graft.harness.SensitivityGrid.scenarios.flatMap { sc =>
+        val name = h2labels.getOrElse(sc.label, sc.label)
+        graft.harness.SimulationRunner.perRepResults(
+            spark, Seq(graft.harness.SimulationRunner.Cell(30, 30)),
+            nReps = 2, methods = Seq("WCLS-Internal"),
+            cfg0 = graft.gen.PanelGenerator.Config(
+              x2Coef = sc.x2Coef, x21sqCoef = sc.x21sqCoef))
+          .collect().map { r =>
+            (name +: Seq(r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3),
+              r.getString(4), r.getDouble(5), r.getDouble(6),
+              r.getBoolean(7), r.getBoolean(8))).mkString(",")
+          }.toSeq
+      }
+      writeCsv("/root/repo/oracles/h2_per_rep.csv", "scenario," + hdr, h2rows)
       val s4 = graft.SparkEntry.queries("s4_estimator_battery")(spark, "")
         .collect().map { r =>
           Seq(r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3),
