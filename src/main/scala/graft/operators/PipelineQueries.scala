@@ -402,12 +402,17 @@ object PipelineQueries {
   val pReleaseWrite = QueryDef(
     "p4_release_write",
     (s, dir) => {
-      // deterministic per-sf output dir; reruns overwrite (release
-      // rewrites are idempotent — ManifestResampleSpec pins that the
-      // manifest reproduces bit-for-bit)
+      // per-(sf, application) output dir: the appId component keeps two
+      // concurrent runs (a bench racing a verify, two sessions) from
+      // overwriting each other's release while the other is reading it
+      // back for the manifest. Reruns WITHIN an app overwrite — release
+      // rewrites are idempotent (ManifestResampleSpec pins that the
+      // manifest reproduces bit-for-bit). Dirs live under java.io.tmpdir
+      // and are swept with it; nothing else references them.
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_release_$key"
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_release_${key}_" +
+        s.sparkContext.applicationId
       graft.sources.ReleaseWriter.writeRelease(releasedDocs(s, dir), out)
     },
     Some("""

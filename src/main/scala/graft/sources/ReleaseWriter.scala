@@ -40,18 +40,37 @@ object ReleaseWriter {
     conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("text"))),
       1, 10), 16, 10).cast("long")
 
+  /** Default target bytes per release file: ~512 MB of text per file is
+    * the classic parquet sweet spot (big enough that scan planning and
+    * footer overhead amortize, small enough that one file is a sane
+    * task unit at 100 TB). */
+  val DefaultTargetFileBytes: Long = 512L << 20
+
+  /** The file-count rule, DERIVED FROM DATA (not a fixture constant —
+    * the r12 review finding): total text chars / target file bytes,
+    * rounded up, minimum 1. n_chars is the serialized-size proxy for
+    * this corpus (ASCII text dominates the row); a production release
+    * would plug in a sampled bytes-per-row estimate the same way. */
+  def nRangeFilesFor(totalChars: Long, targetFileBytes: Long): Int =
+    math.max(1L, (totalChars + targetFileBytes - 1) / targetFileBytes).toInt
+
   /** Write `docs` (must carry doc_id, text, split, n_chars) under
     * `outDir` partitioned by split, files range-bucketed and sorted by
-    * doc_id, then read the files back and return the manifest.
-    * `nRangeFiles` is the TOTAL range-partition count across all splits
-    * (range keys are (split, doc_id), so one range partition can
-    * straddle a split boundary and splits share the writer budget ∝
-    * their row share) — size it for the whole release, not per split. */
+    * doc_id, then read the files back and return the manifest. The
+    * range-partition count is sized from the release's own byte total
+    * via [[nRangeFilesFor]] (range keys are (split, doc_id), so one
+    * range partition can straddle a split boundary and splits share the
+    * writer budget ∝ their row share). The sizing pass is one
+    * map-side-partial `sum(n_chars)` over the release — noise next to
+    * the write itself. */
   def writeRelease(docs: DataFrame, outDir: String, nBuckets: Int = 8,
-                   nRangeFiles: Int = 4): DataFrame = {
-    docs
-      .select(col("doc_id"), col("text"), col("n_chars"), col("split"))
-      .repartitionByRange(nRangeFiles, col("split"), col("doc_id"))
+                   targetFileBytes: Long = DefaultTargetFileBytes): DataFrame = {
+    val slim = docs.select(col("doc_id"), col("text"), col("n_chars"), col("split"))
+    val totalChars = slim.agg(coalesce(sum(col("n_chars").cast("long")), lit(0L)))
+      .head().getLong(0)
+    slim
+      .repartitionByRange(nRangeFilesFor(totalChars, targetFileBytes),
+        col("split"), col("doc_id"))
       .sortWithinPartitions(col("split"), col("doc_id"))
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
     manifestOf(docs.sparkSession.read.parquet(outDir), nBuckets)
@@ -65,4 +84,27 @@ object ReleaseWriter {
         sum(col("n_chars").cast("long")).as("total_chars"),
         sum(digestTerm).as("digest"))
       .orderBy("split", "bucket")
+
+  /** FILE-granular audit rows over a WRITTEN release: one row per
+    * physical file with its row count, char total and the same
+    * order-invariant digest as the aggregate manifest — a consumer can
+    * verify a single damaged/truncated file without recomputing the
+    * whole release. `file` is the STABLE layout key — partition dir +
+    * writer ordinal (`split=train/part-00001`) — not the physical name:
+    * parquet part names embed a per-job UUID, so the raw name can never
+    * reproduce across the rewrites the manifest exists to check. The
+    * key maps 1:1 to a physical file (glob `<key>-*.parquet` under
+    * `outDir`). Scale shape: one pass over the read-back, grouped by
+    * the `_metadata.file_path` hidden column — map-side partials, no
+    * extra shuffle beyond the |files|-row aggregate. */
+  def fileManifestOf(release: DataFrame): DataFrame =
+    release
+      .select(col("split"), col("doc_id"), col("text"), col("n_chars"),
+        regexp_extract(col("_metadata.file_path"),
+          "(split=[^/]+/part-[0-9]+)", 1).as("file"))
+      .groupBy(col("split"), col("file"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        sum(digestTerm).as("digest"))
+      .orderBy("split", "file")
 }

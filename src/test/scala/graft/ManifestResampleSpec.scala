@@ -80,15 +80,75 @@ class ManifestResampleSpec extends AnyFunSuite {
     assert(first == logical)
     // a rewrite reproduces it bit-for-bit
     assert(rows(ReleaseWriter.writeRelease(released, out)) == first)
-    // and an adversarial input layout cannot change it (content-keyed
-    // buckets, order-invariant digest)
+    // and an adversarial input layout + a different file layout cannot
+    // change it (content-keyed buckets, order-invariant digest) — a
+    // tiny targetFileBytes forces a multi-file relayout
     assert(rows(ReleaseWriter.writeRelease(
-      released.repartition(13), out, nRangeFiles = 2)) == first)
+      released.repartition(13), out, targetFileBytes = 64L << 10)) == first)
     // a corrupted release (one doc dropped) is CAUGHT by the manifest
     val tampered = ReleaseWriter.manifestOf(
       released.filter(col("doc_id") =!= released.select(min("doc_id"))
         .head().getLong(0)))
     assert(rows(tampered) != first, "manifest failed to detect a dropped row")
+  }
+
+  test("p4 file layout derives from data, and per-file digests verify file-granular integrity") {
+    import graft.sources.ReleaseWriter
+    // the sizing rule itself: ceil(totalChars / target), floor 1
+    assert(ReleaseWriter.nRangeFilesFor(0L, 1000L) == 1)
+    assert(ReleaseWriter.nRangeFilesFor(1000L, 1000L) == 1)
+    assert(ReleaseWriter.nRangeFilesFor(1001L, 1000L) == 2)
+    assert(ReleaseWriter.nRangeFilesFor(10L * (512L << 20), ReleaseWriter.DefaultTargetFileBytes) == 10)
+
+    val released = PipelineQueries.releasedDocs(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    val out = java.nio.file.Files.createTempDirectory("graft_relf_spec").toString + "/rel"
+    // tiny target -> the rule forces a multi-file layout on this corpus
+    ReleaseWriter.writeRelease(released, out, targetFileBytes = 64L << 10)
+    val read = () => spark.read.parquet(out)
+    val fm1 = rows(ReleaseWriter.fileManifestOf(read()))
+    assert(fm1.size > 1, "target of 64KiB must yield multiple files on this corpus")
+    assert(fm1.forall(_(1).asInstanceOf[String].startsWith("split=")),
+      "file keys must be outDir-relative (travel with the release)")
+    // file rows roll up EXACTLY to the aggregate manifest totals
+    val agg = rows(ReleaseWriter.manifestOf(read()))
+    assert(fm1.map(_(2).asInstanceOf[Long]).sum == agg.map(_(2).asInstanceOf[Long]).sum)
+    assert(fm1.map(_(4).asInstanceOf[Long]).sum == agg.map(_(4).asInstanceOf[Long]).sum,
+      "per-file digests must sum to the aggregate digest total")
+    // a rewrite (relayout from a different input partitioning)
+    // reproduces the per-file rows bit-for-bit — deterministic layout
+    ReleaseWriter.writeRelease(released.repartition(7), out, targetFileBytes = 64L << 10)
+    assert(rows(ReleaseWriter.fileManifestOf(read())) == fm1,
+      "per-file manifest must reproduce across a rewrite")
+    // a damaged FILE is caught by ITS row (file-granular, not just the
+    // release-wide aggregate): replace one file with a valid parquet
+    // missing one row, staged OUTSIDE the release dir so the read-back
+    // never lists the staging files
+    val victim = fm1.head(1).asInstanceOf[String] // stable key: split=<s>/part-NNNNN
+    val victimDir = java.nio.file.Paths.get(out, victim).getParent
+    val ordinal = victim.split("/").last
+    val victimPath = victimDir.toFile.listFiles()
+      .find(f => f.getName.startsWith(ordinal + "-") && f.getName.endsWith(".parquet"))
+      .get.toPath
+    val stage = java.nio.file.Files.createTempDirectory("graft_relf_tamper").toString
+    val keep = spark.read.parquet(victimPath.toString)
+    val minId = keep.agg(min("doc_id")).head().getLong(0)
+    keep.filter(col("doc_id") =!= minId).coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, victimPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // drop the Hadoop local-FS checksum sidecar the copy just made
+    // stale (a real attacker/bitrot wouldn't leave one either)
+    java.nio.file.Files.deleteIfExists(
+      victimPath.resolveSibling("." + victimPath.getFileName + ".crc"))
+    val fmBad = rows(ReleaseWriter.fileManifestOf(read()))
+    val badRow = fmBad.find(_(1) == victim)
+    val goodRow = fm1.find(_(1) == victim)
+    assert(badRow != goodRow, "a tampered file must change its own manifest row")
+    assert(fmBad.filter(_(1) != victim).toSet == fm1.filter(_(1) != victim).toSet,
+      "tampering one file must not disturb other files' rows")
   }
 
   test("p5 dataset card agrees with p1's audit and covers every released doc") {
