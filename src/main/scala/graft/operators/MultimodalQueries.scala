@@ -180,13 +180,18 @@ object MultimodalQueries {
                64 + (doc_id % 24) * 16 AS height,
                CAST((64 + (doc_id % 32) * 16 + 63) // 64 AS BIGINT) AS stride
         FROM documents)
+      -- empty-payload guard mirrors the Spark side's greatest(..., 0)
+      -- short-circuit: DuckDB's // truncates toward zero so an empty
+      -- payload would yield (0-1)//s + 1 = 1, not 0
       SELECT media_id, stride,
              CAST((width + stride - 1) // stride AS BIGINT) AS new_width,
              CAST((height + stride - 1) // stride AS BIGINT) AS new_height,
-             CAST((octet_length(encode(text)) - 1) // stride + 1 AS BIGINT)
-               AS n_bytes_resized,
+             CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                       ELSE (octet_length(encode(text)) - 1) // stride + 1 END
+               AS BIGINT) AS n_bytes_resized,
              CAST(list_reduce(list_prepend(0,
-               list_transform(range(0, CAST((octet_length(encode(text)) - 1) // stride + 1 AS BIGINT)),
+               list_transform(range(0, CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                   ELSE (octet_length(encode(text)) - 1) // stride + 1 END AS BIGINT)),
                  i -> unicode(substring(text, CAST(i * stride + 1 AS BIGINT), 1)))),
                (a, x) -> a + x) AS BIGINT) AS resized_byte_sum
       FROM m ORDER BY media_id"""))
