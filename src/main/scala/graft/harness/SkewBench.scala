@@ -65,13 +65,27 @@ object SkewBench {
     val template = (1 to 30).map(w => s"boilerplate$w").mkString(" ")
     val boiler = concat(lit(template), lit(" variantword"), pmod(i, lit(7)),
       lit(" trailer"), pmod(i, lit(7)))
-    // pseudo-random 40-token prose, counter-keyed (doc id × position)
+    // pseudo-random 40-token prose, counter-keyed (doc id × position);
+    // every 5th token is a stopword so prose PASSES the t9 quality
+    // rules (without them the p1/p4 release pipeline keeps zero docs
+    // and measures nothing) — mean word length ~5.5, 8 stopwords,
+    // no dominant token, unique bigrams
+    val stop = array(Seq("the", "a", "and", "of", "to", "in").map(lit): _*)
     val prose = concat_ws(" ", transform(sequence(lit(1), lit(40)),
-      j => concat(lit("w"), pmod(xxhash64(i, j), lit(200000)))))
+      j => when(pmod(j, lit(5)) === 0,
+          element_at(stop, (pmod(xxhash64(i, j, lit(3)), lit(6)) + 1).cast("int")))
+        .otherwise(concat(lit("w"), pmod(xxhash64(i, j), lit(200000))))))
     s.range(nDocs).select(
       i.as("doc_id"),
       when(pmod(i, lit(25)) === 0, boiler).otherwise(prose).as("text"),
-      concat(lit("src"), pmod(i, lit(4))).as("source"))
+      concat(lit("src"), pmod(i, lit(4))).as("source"),
+      // hot-language mix for the p1/p4 release pipeline (r12 #7): 85%
+      // of docs in one language, the rest spread over 5 tails — the
+      // shape a real crawl has and the per-(lang) aggregates must absorb
+      when(pmod(xxhash64(i, lit(99)), lit(100)) < 85, lit("en"))
+        .otherwise(concat(lit("l"), pmod(xxhash64(i, lit(98)), lit(5))))
+        .as("lang"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
   }
 
   /** 50k skewed embeddings (sf1-scale vs sf0.1's 5,000): 30% form one
@@ -112,8 +126,16 @@ object SkewBench {
     val docsPath = s"$dir/documents.parquet"
     val fs = new org.apache.hadoop.fs.Path(docsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$docsPath/_SUCCESS")))
+    // rewrite when absent OR generated by an older skewedDocs (the
+    // version stamp keeps a code change from silently measuring a
+    // stale corpus; bump it whenever the generator changes)
+    val corpusVersion = "r13-stopword-prose-lang"
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$docsPath/_SUCCESS")) ||
+        !graft.sources.IndexStore.readStamp(spark, dir, "_corpus_version")
+          .contains(corpusVersion)) {
       skewedDocs(spark, nDocs).write.mode("overwrite").parquet(docsPath)
+      graft.sources.IndexStore.writeStamp(spark, dir, "_corpus_version", corpusVersion)
+    }
     val docs = spark.read.parquet(docsPath)
 
     def measure(name: String)(run: => Long): Unit = {
@@ -195,6 +217,19 @@ object SkewBench {
       graft.operators.VectorQueries.vLshAnn.fn(spark, dir).count())
     measure("v7_ivfadc_ann")(
       graft.operators.VectorQueries.vIvfAdcAnn.fn(spark, dir).count())
+
+    // p1/p4 shapes (r12 #7): the END-TO-END release pipeline on the
+    // duplicate-heavy hot-language corpus — canonical dedup (2,000
+    // boilerplate docs collapsing to 7 canonicals through the
+    // content-hash stats pass), quality filter, decontamination
+    // (boilerplate eval docs share every 5-gram with all train
+    // boilerplate — the guarded-broadcast gram join under maximal
+    // overlap), split + audit; p4 adds the range-shuffled sorted write
+    // and the manifest read-back over the written files.
+    measure("p1_curation_audit")(
+      graft.operators.PipelineQueries.pCuration.fn(spark, dir).count())
+    measure("p4_release_write")(
+      graft.operators.PipelineQueries.pReleaseWrite.fn(spark, dir).count())
 
     spark.stop()
   }
