@@ -371,8 +371,17 @@ class IndexStoreSpec extends AnyFunSuite {
       assert(f.probe(path) == want, s"$fam: probe must ignore an unpublished version dir")
       f.compact(path)
       assert(f.probe(path) == want, s"$fam: probe changed after the sweep-and-republish")
-      assert(!new java.io.File(s"$path/${f.legacyCrashTbl}__v$crashedV/garbage").exists() ||
-        IndexStore.readSwappable(spark, path, f.legacyCrashTbl).columns.toSeq != Seq("garbage"),
+      assert(IndexStore.readSwappable(spark, path, f.legacyCrashTbl)
+        .columns.toSeq != Seq("garbage"),
         s"$fam: the crashed writer's garbage must never become the live table")
+
+      // (d) RE-INIT over the compacted (versioned) index: a fresh
+      // lifecycle must clear every version dir + marker and serve from
+      // the fresh legacy layout — a stale committed version surviving
+      // a re-init would shadow the new data forever
+      f.init(path)
+      assert(f.probe(path) == want, s"$fam: probe changed after re-init over a versioned index")
+      assert(!IndexStore.tableDataPath(spark, path, f.legacyCrashTbl).contains("__v"),
+        s"$fam: re-init must reset the table to the fresh unversioned layout")
     }
 }
