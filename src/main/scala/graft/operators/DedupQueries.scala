@@ -312,6 +312,44 @@ object DedupQueries {
       .parquet(graft.sources.IndexStore.tableDataPath(s, path, "bands"))
   }
 
+  /** Heal a crashed/replayed STREAMING batch's files before re-probing:
+    * a crashed `appendStoredIndexTagged` may have left partial rows in
+    * any of the three tables — they must not feed the probe (phantom
+    * corpus docs) or trip the disjointness gate on the replay. Called
+    * by `DedupIngest` at the top of every batch; idempotent. */
+  def sweepStreamBatch(s: org.apache.spark.sql.SparkSession, path: String,
+                       tag: String): Unit =
+    for (tbl <- Seq("ids", "sig", "bands"))
+      graft.sources.IndexStore.sweepTaggedFiles(s, path, tbl, tag)
+
+  /** Replay-safe variant of [[appendStoredIndex]] for STREAMING ingest:
+    * the batch's rows publish under deterministic per-tag file names
+    * (sweep-stage-rename, `IndexStore.publishTaggedAppend`), so a batch
+    * replayed after a crash between its append and the checkpoint
+    * commit converges instead of tripping the disjointness gate — the
+    * gate still trips loudly for a GENUINE duplicate (different tag, or
+    * a replay after a contract-violating compaction absorbed the tag's
+    * files), never a silent double-append. */
+  def appendStoredIndexTagged(s: org.apache.spark.sql.SparkSession, path: String,
+                              newDocs: DataFrame, tag: String,
+                              k: Int = 16, bands: Int = 4): Unit = {
+    val rowsPerBand = k / bands
+    requireGeometry(s, path, k, bands)
+    sweepStreamBatch(s, path, tag) // a prior attempt's rows must not trip the gate
+    checkDisjoint(graft.sources.IndexStore.readSwappable(s, path, "ids"), newDocs)
+    graft.sources.IndexStore.publishTaggedAppend(s, path, "ids", tag) { stage =>
+      newDocs.select(col("doc_id")).write.mode("overwrite").parquet(stage)
+    }
+    val sig = signatures(newDocs, k)
+    graft.sources.IndexStore.publishTaggedAppend(s, path, "sig", tag) { stage =>
+      sig.write.mode("overwrite").parquet(stage)
+    }
+    graft.sources.IndexStore.publishTaggedAppend(s, path, "bands", tag) { stage =>
+      bandKeys(sig, bands, rowsPerBand)
+        .write.mode("overwrite").partitionBy("band").parquet(stage)
+    }
+  }
+
   /** Compact an appendable index (see `IndexStore.compactTable` for the
     * rename-swap/crash-recovery semantics — one shared copy for both
     * index families): the three dedup tables rewritten into
@@ -789,6 +827,31 @@ object DedupQueries {
       .parquet(graft.sources.IndexStore.tableDataPath(s, path, "ids"))
     spanCounts(newDocs).write.mode("append")
       .parquet(graft.sources.IndexStore.tableDataPath(s, path, "spans"))
+  }
+
+  /** Heal a crashed/replayed streaming batch's span-index files before
+    * re-probing (the dedup-family `sweepStreamBatch` shape for the span
+    * tables). Idempotent. */
+  def sweepSpanStreamBatch(s: org.apache.spark.sql.SparkSession, path: String,
+                           tag: String): Unit =
+    for (tbl <- Seq("ids", "spans"))
+      graft.sources.IndexStore.sweepTaggedFiles(s, path, tbl, tag)
+
+  /** Replay-safe variant of [[appendStoredSpanIndex]] for STREAMING
+    * ingest — same sweep-stage-rename publication and replay semantics
+    * as [[appendStoredIndexTagged]]. */
+  def appendStoredSpanIndexTagged(s: org.apache.spark.sql.SparkSession,
+                                  path: String, newDocs: DataFrame,
+                                  tag: String): Unit = {
+    requireSpanGeometry(s, path)
+    sweepSpanStreamBatch(s, path, tag)
+    checkDisjoint(graft.sources.IndexStore.readSwappable(s, path, "ids"), newDocs)
+    graft.sources.IndexStore.publishTaggedAppend(s, path, "ids", tag) { stage =>
+      newDocs.select(col("doc_id")).write.mode("overwrite").parquet(stage)
+    }
+    graft.sources.IndexStore.publishTaggedAppend(s, path, "spans", tag) { stage =>
+      spanCounts(newDocs).write.mode("overwrite").parquet(stage)
+    }
   }
 
   /** Rewrite a batch of arriving documents against corpus ∪ batch: a

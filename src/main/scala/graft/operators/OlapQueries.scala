@@ -250,30 +250,17 @@ object OlapQueries {
                                   path: String, newOrders: org.apache.spark.sql.DataFrame,
                                   batchTag: String, lgK: Int = 12): Unit = {
     requireHllGeometry(s, path, lgK)
-    require(batchTag.matches("[A-Za-z0-9_-]+") && batchTag != "init" && batchTag != "compact",
-      "batchTag must be a fresh filename-safe tag ('init'/'compact' are lifecycle-reserved)")
+    require(batchTag != "init" && batchTag != "compact",
+      "batchTag must be a fresh tag ('init'/'compact' are lifecycle-reserved)")
     if (pathExists(s, s"$path/absorbed_tags") &&
         absorbedTags(s, path).filter(col("batch") === batchTag).limit(1).count() > 0L)
       return // absorbed = this append completed and a compaction merged it
-    val monthsDir = graft.sources.IndexStore.tableDataPath(s, path, "months")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val prev = fs.globStatus(
-      new org.apache.hadoop.fs.Path(monthsDir, s"graft-$batchTag-*.parquet"))
-    if (prev != null) prev.foreach(st => fs.delete(st.getPath, false))
-    val stage = s"$path/months__stage_$batchTag"
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    // coalesce(1): a batch folds to ≤ |months of the batch| rows — one
-    // staged file, one rename, no empty part files
-    monthlySketches(newOrders, lgK, batchTag).coalesce(1)
-      .write.mode("overwrite").parquet(stage)
-    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(stage, "part-*"))
-    parts.zipWithIndex.foreach { case (st, i) =>
-      require(fs.rename(st.getPath,
-        new org.apache.hadoop.fs.Path(monthsDir, s"graft-$batchTag-$i.parquet")),
-        s"publish rename failed for batch '$batchTag'")
+    graft.sources.IndexStore.publishTaggedAppend(s, path, "months", batchTag) { stage =>
+      // coalesce(1): a batch folds to ≤ |months of the batch| rows — one
+      // staged file, one rename, no empty part files
+      monthlySketches(newOrders, lgK, batchTag).coalesce(1)
+        .write.mode("overwrite").parquet(stage)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
   }
 
   /** Read the months table, first healing a crashed compaction swap —

@@ -447,6 +447,33 @@ object VectorQueries {
       .partitionBy("list_id").parquet(codesPath)
   }
 
+  /** Heal a crashed/replayed streaming batch's code files before
+    * re-probing (the dedup-family sweep shape for the codes table).
+    * Idempotent; drops the read-back memo since the file set moved. */
+  def sweepPqStreamBatch(s: org.apache.spark.sql.SparkSession, path: String,
+                         tag: String): Unit = {
+    graft.sources.IndexStore.sweepTaggedFiles(s, path, "codes", tag)
+    pqIndexMemo.clear()
+  }
+
+  /** Replay-safe variant of [[appendStoredPqIndex]] for STREAMING
+    * ingest — sweep-stage-rename publication under deterministic
+    * per-tag file names, so a checkpoint replay converges while a
+    * genuine duplicate vec_id still trips the disjointness gate. */
+  def appendStoredPqIndexTagged(s: org.apache.spark.sql.SparkSession,
+                                path: String, newEmb: DataFrame,
+                                tag: String): Unit = {
+    sweepPqStreamBatch(s, path, tag)
+    val idx = readStoredPqIndex(s, path)
+    val overlap = idx.codes.select(col("nb").as("vec_id"))
+      .join(newEmb.select(col("vec_id")), "vec_id").limit(1).count()
+    require(overlap == 0L, "appended vec_ids must be disjoint from the index")
+    graft.sources.IndexStore.publishTaggedAppend(s, path, "codes", tag) { stage =>
+      writeCodes(newEmb, idx.books, idx.coarse, stage, append = false)
+    }
+    pqIndexMemo.clear()
+  }
+
   /** Compact an appendable PQ index: daily `appendStoredPqIndex` calls
     * accumulate one small code-file set per increment; the codes table
     * is rewritten into filesPerList files per coarse list (books/coarse

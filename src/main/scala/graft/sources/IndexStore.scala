@@ -291,6 +291,80 @@ object IndexStore {
                     tbl: String): org.apache.spark.sql.DataFrame =
     s.read.parquet(tableDataPath(s, indexPath, tbl))
 
+  // ---- replay-safe tagged appends (streaming ingest) -----------------
+  // Streaming foreachBatch replays re-deliver EXACTLY the same rows
+  // under the same batchId (the checkpoint pins source offsets), so an
+  // append can be made exactly-once by publishing each batch's files
+  // under DETERMINISTIC per-tag names: a replay sweeps whatever a
+  // previous attempt left (complete or partial) and re-publishes.
+  // Shared by all four streaming ingests (sketch months, dedup
+  // ids/sig/bands, span ids/spans, PQ codes). Quiesce contract: run
+  // compaction only against a CLEANLY-stopped stream (last batch
+  // checkpoint-committed) — a compaction absorbs tag files into
+  // version files, after which a replay can no longer recognize its
+  // prior attempt (the dedup/span/PQ disjointness gates then fail
+  // loudly rather than double-append; the sketch family skips via its
+  // absorbed-tags record).
+
+  private def tagPrefix(tag: String) = s"graft-$tag-"
+
+  /** Delete the files a previous [[publishTaggedAppend]] attempt of
+    * `tag` left in `tbl`'s LIVE dir (recursive — partitioned tables
+    * keep tag files inside partition subdirs). Idempotent. Call before
+    * re-probing or re-publishing a replayed batch: a crashed append's
+    * partial rows must not feed the probe or trip disjointness. */
+  def sweepTaggedFiles(s: SparkSession, indexPath: String, tbl: String,
+                       tag: String): Unit = {
+    val live = new Path(tableDataPath(s, indexPath, tbl))
+    val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) {
+      val it = fs.listFiles(live, true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith(tagPrefix(tag)))
+          fs.delete(f.getPath, false)
+      }
+    }
+    fs.delete(new Path(s"$indexPath/${tbl}__stage_$tag"), true)
+  }
+
+  /** Publish an append under deterministic per-tag file names:
+    * `write(stagingDir)` materializes the batch's rows (using the SAME
+    * partitioning layout as the table), then every staged data file is
+    * renamed into the live dir as `graft-<tag>-<k>.parquet` with its
+    * partition subpath preserved. Always sweeps `tag`'s previous files
+    * first, so calling this twice with the same (tag, data) converges —
+    * the exactly-once half of the streaming ingest contract. The tag
+    * must be filename-safe (enforced) so the sweep glob is exact. */
+  def publishTaggedAppend(s: SparkSession, indexPath: String, tbl: String,
+                          tag: String)(write: String => Unit): Unit = {
+    require(tag.matches("[A-Za-z0-9_-]+"),
+      s"tag '$tag' must be filename-safe ([A-Za-z0-9_-]+)")
+    sweepTaggedFiles(s, indexPath, tbl, tag)
+    val liveDir = tableDataPath(s, indexPath, tbl)
+    val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stage = s"$indexPath/${tbl}__stage_$tag"
+    write(stage)
+    val stagePath = new Path(stage)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[Path]
+    val it = fs.listFiles(stagePath, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) staged += f.getPath
+    }
+    staged.zipWithIndex.foreach { case (src, i) =>
+      // partition subpath (e.g. band=3/) preserved relative to stage
+      val rel = src.getParent.toUri.getPath
+        .stripPrefix(stagePath.toUri.getPath).stripPrefix("/")
+      val destDir = if (rel.isEmpty) new Path(liveDir) else new Path(liveDir, rel)
+      fs.mkdirs(destDir)
+      require(fs.rename(src, new Path(destDir, s"${tagPrefix(tag)}$i.parquet")),
+        s"tagged-append publish rename failed for $tbl tag '$tag'")
+    }
+    fs.delete(stagePath, true)
+  }
+
   /** Heal PRE-VERSIONING crash state (the retired two-rename scheme
     * could crash with data only under `__old` and the live dir absent).
     * Only reachable for tables still in the legacy layout; versioned-era

@@ -31,14 +31,17 @@ import graft.operators.DedupQueries
   *
   * Delivery semantics: pairs are emitted at-least-once relative to the
   * streaming checkpoint (key `onPairs` writes by `batchId` to make the
-  * sink idempotent, the standard foreachBatch discipline). The append
-  * is fail-stop rather than idempotent: a batch REPLAYED after its
-  * append committed (crash between append and checkpoint commit) trips
-  * the index's raw-id disjointness gate and fails the query loudly —
-  * never silent duplicate signatures, which would double-emit every
-  * future pair involving those docs. A production deployment would
-  * stage each append under its batchId and commit via rename (or an
-  * ACID table format) to close that window.
+  * sink idempotent, the standard foreachBatch discipline). The INDEX
+  * append is EXACTLY-ONCE under crash/replay: each batch's rows
+  * publish under deterministic per-batchId file names (sweep-stage-
+  * rename, `DedupQueries.appendStoredIndexTagged`), and the batch
+  * start sweeps any crashed prior attempt's files BEFORE probing — so
+  * a replay probes the same corpus state and converges to the same
+  * index, while a genuine duplicate doc (a different batch re-sending
+  * an id) still trips the disjointness gate loudly. Quiesce contract:
+  * compact only a cleanly-stopped stream (a compaction absorbs tag
+  * files, after which a replay cannot recognize its prior attempt —
+  * the gate then fail-stops rather than double-appending).
   */
 object DedupIngest {
 
@@ -57,10 +60,15 @@ object DedupIngest {
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
+          val tag = s"stream_$batchId"
+          // heal a crashed prior attempt of THIS batch before probing:
+          // its partial rows are phantom corpus docs to the probe and
+          // would trip the disjointness gate on the replay
+          DedupQueries.sweepStreamBatch(b.sparkSession, indexPath, tag)
           val pairs = DedupQueries.probeStoredIndex(
             b.sparkSession, indexPath, b, k, bands, threshold)
           onPairs(pairs, batchId)
-          DedupQueries.appendStoredIndex(b.sparkSession, indexPath, b, k, bands)
+          DedupQueries.appendStoredIndexTagged(b.sparkSession, indexPath, b, tag, k, bands)
         }
       } finally b.unpersist()
     }

@@ -30,8 +30,14 @@ import graft.operators.VectorQueries
   * itself is stateless and the per-batch cost is O(batch routing +
   * pruned code scan + batch encode), independent of history length.
   * Same delivery semantics as DedupIngest: at-least-once emission
-  * (key `onNeighbors` writes by batchId), fail-stop append (a replay
-  * after a committed append trips the vec_id disjointness gate).
+  * (key `onNeighbors` writes by batchId); the INDEX append is
+  * EXACTLY-ONCE under crash/replay — per-batchId sweep-stage-rename
+  * publication (`appendStoredPqIndexTagged`), with the batch start
+  * sweeping any crashed prior attempt's code files BEFORE the probe
+  * (partial codes would otherwise surface as phantom catalog items on
+  * the replay). A genuine duplicate vec_id still trips the gate;
+  * compact only a cleanly-stopped stream (DedupIngest's quiesce
+  * contract).
   */
 object EmbedIngest {
 
@@ -47,10 +53,12 @@ object EmbedIngest {
       try {
         if (!b.isEmpty) {
           val s = b.sparkSession
+          val tag = s"stream_$batchId"
+          VectorQueries.sweepPqStreamBatch(s, indexPath, tag)
           val idx = VectorQueries.readStoredPqIndex(s, indexPath)
           val probes = b.select(col("vec_id").as("q"), col("embedding").as("qe"))
           onNeighbors(VectorQueries.adcProbe(s, idx, probes, nprobe, topK), batchId)
-          VectorQueries.appendStoredPqIndex(s, indexPath, b)
+          VectorQueries.appendStoredPqIndexTagged(s, indexPath, b, tag)
         }
       } finally b.unpersist()
     }

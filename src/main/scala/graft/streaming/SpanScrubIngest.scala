@@ -24,11 +24,14 @@ import graft.operators.DedupQueries
   *
   * Delivery semantics mirror DedupIngest: rewritten docs are emitted
   * at-least-once relative to the streaming checkpoint (key `onScrubbed`
-  * writes by `batchId` for idempotent sinks); the append is fail-stop —
-  * a batch replayed after its append committed trips the raw-id
-  * disjointness gate and fails loudly, never silently double-counted
-  * spans (which would turn every unique batch span into a "duplicate"
-  * for all future batches).
+  * writes by `batchId` for idempotent sinks); the INDEX append is
+  * EXACTLY-ONCE under crash/replay — per-batchId sweep-stage-rename
+  * publication (`appendStoredSpanIndexTagged`), with the batch start
+  * sweeping any crashed prior attempt BEFORE the scrub probe (partial
+  * span counts would otherwise inflate duplicate decisions on the
+  * replay). A genuine duplicate doc still trips the raw-id gate
+  * loudly; compact only a cleanly-stopped stream (DedupIngest's
+  * quiesce contract).
   */
 object SpanScrubIngest {
 
@@ -44,9 +47,11 @@ object SpanScrubIngest {
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
+          val tag = s"stream_$batchId"
+          DedupQueries.sweepSpanStreamBatch(b.sparkSession, indexPath, tag)
           onScrubbed(DedupQueries.probeSpanScrub(b.sparkSession, indexPath, b),
             batchId)
-          DedupQueries.appendStoredSpanIndex(b.sparkSession, indexPath, b)
+          DedupQueries.appendStoredSpanIndexTagged(b.sparkSession, indexPath, b, tag)
         }
       } finally b.unpersist()
     }

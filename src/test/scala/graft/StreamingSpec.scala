@@ -273,6 +273,33 @@ class StreamingSpec extends AnyFunSuite {
       spark, path, docs.filter(col("doc_id") < 25)))
     assert(heldOut == pairRows(DedupQueries.minHashPairsIncremental(
       docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25))))
+
+    // crash/replay CONVERGES (the r13 exactly-once contract): replaying
+    // the last batch's tagged append — what a foreachBatch restart does
+    // after a crash between append and checkpoint commit — leaves the
+    // index identical, proven by the held-out probe
+    val b2 = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
+    DedupQueries.appendStoredIndexTagged(spark, path, b2, "stream_1")
+    def heldOutNow() = pairRows(DedupQueries.probeStoredIndex(
+      spark, path, docs.filter(col("doc_id") < 25)))
+    assert(heldOutNow() == heldOut, "full replay must leave the index unchanged")
+    // mid-append crash: one of the batch's published sig files gone,
+    // stage litter left behind — the batch-start sweep + re-append heal
+    val sigDir = new java.io.File(
+      graft.sources.IndexStore.tableDataPath(spark, path, "sig"))
+    val tagFiles = sigDir.listFiles().filter(_.getName.startsWith("graft-stream_1-"))
+    assert(tagFiles.nonEmpty, "tagged append must publish deterministic names")
+    tagFiles.foreach(_.delete())
+    spark.range(1).write.parquet(s"$path/sig__stage_stream_1")
+    DedupQueries.sweepStreamBatch(spark, path, "stream_1") // the ingest's batch start
+    DedupQueries.appendStoredIndexTagged(spark, path, b2, "stream_1")
+    assert(heldOutNow() == heldOut, "replay after a mid-append crash must converge")
+    // a GENUINE duplicate (different tag re-sending the same ids) still
+    // fail-stops — replay safety never weakens the disjointness gate
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.appendStoredIndexTagged(spark, path, b2, "stream_99")
+    }
+    assert(ex.getMessage.contains("disjoint"))
   }
 
   test("streaming span scrub ingest: each micro-batch is rewritten against corpus ∪ batch, then folds in") {
@@ -326,11 +353,20 @@ class StreamingSpec extends AnyFunSuite {
     // tokens to a cross-document duplicated passage
     assert(batches.flatten.exists { case (_, nTok, nKept, _) => nKept < nTok },
       "no passage was scrubbed — fixture is vacuous")
-    // replay of an already-folded batch is fail-stop, never silent
-    // double-counted spans
+    // crash/replay CONVERGES: re-running the last batch's tagged append
+    // leaves the span counts identical — a held-out batch scrubs the
+    // same either way (double-counted spans would turn unique batch
+    // spans into "duplicates" here)
+    val heldOut = () => scrubRows(DedupQueries.probeSpanScrub(
+      spark, path, docs.filter(col("doc_id") < 25)))
+    val before = heldOut()
+    DedupQueries.appendStoredSpanIndexTagged(spark, path,
+      docs.filter(col("doc_id") >= 25 && col("doc_id") < 50), "stream_1")
+    assert(heldOut() == before, "span-index replay must converge, not double-count")
+    // a genuine duplicate under a fresh tag still fail-stops
     val ex = intercept[IllegalArgumentException] {
-      DedupQueries.appendStoredSpanIndex(spark, path,
-        docs.filter(col("doc_id") >= 50 && col("doc_id") < 100))
+      DedupQueries.appendStoredSpanIndexTagged(spark, path,
+        docs.filter(col("doc_id") >= 50 && col("doc_id") < 100), "stream_99")
     }
     assert(ex.getMessage.contains("disjoint"))
   }
@@ -385,9 +421,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(VectorQueries.readStoredPqIndex(spark, path).codes.count() == emb.count())
     val probes = emb.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q"), col("embedding").as("qe"))
-    assert(nbRows(VectorQueries.adcProbe(
-        spark, VectorQueries.readStoredPqIndex(spark, path), probes)) ==
-      nbRows(VectorQueries.adcProbe(spark, twinIdx(), probes)))
+    def pathProbe() = nbRows(VectorQueries.adcProbe(
+      spark, VectorQueries.readStoredPqIndex(spark, path), probes))
+    val twinProbe = nbRows(VectorQueries.adcProbe(spark, twinIdx(), probes))
+    assert(pathProbe() == twinProbe)
+
+    // crash/replay CONVERGES: replaying the last batch's tagged append
+    // (frozen books re-encode the same vectors) reproduces the probe
+    VectorQueries.appendStoredPqIndexTagged(spark, path, batch2, "stream_1")
+    assert(pathProbe() == twinProbe, "PQ replay must converge to the twin")
+    assert(VectorQueries.readStoredPqIndex(spark, path).codes.count() == emb.count(),
+      "replay must not duplicate codes")
+    // a genuine duplicate vec_id under a fresh tag still fail-stops
+    val ex = intercept[IllegalArgumentException] {
+      VectorQueries.appendStoredPqIndexTagged(spark, path, batch2, "stream_99")
+    }
+    assert(ex.getMessage.contains("disjoint"))
   }
 
   test("streaming scrub ingest: arrivals are flagged against the stored eval index") {
