@@ -235,8 +235,12 @@ object IndexStore {
     * contract as [[replaceTable]]. */
   def resetTablePath(s: SparkSession, indexPath: String, tbl: String): String = {
     val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val glob = fs.globStatus(new Path(indexPath, s"${tbl}__v*"))
-    if (glob != null) glob.foreach(st => fs.delete(st.getPath, true))
+    // versions+markers, legacy-scheme leftovers AND any crashed
+    // streaming batch's staging dirs — a re-init starts a clean slate
+    for (pat <- Seq(s"${tbl}__v*", s"${tbl}__stage_*")) {
+      val glob = fs.globStatus(new Path(indexPath, pat))
+      if (glob != null) glob.foreach(st => fs.delete(st.getPath, true))
+    }
     fs.delete(new Path(s"$indexPath/${tbl}__old"), true)
     fs.delete(new Path(s"$indexPath/${tbl}__compacting"), true)
     s"$indexPath/$tbl"
