@@ -413,6 +413,27 @@ object ProbeMain {
       }
     }
 
+    if (args.contains("figures")) {
+      // render the committed SVG figures from the committed figure
+      // frames / per-rep checkpoints (SvgFiguresSpec asserts byte
+      // equality — same discipline as the LaTeX fixtures above)
+      val se = spark.read.option("header", "true")
+        .schema("panel STRING, coef STRING, method STRING, x INT, " +
+          "empirical_se DOUBLE, n_reps_used BIGINT")
+        .csv("results/acceptance/fig_se_curve")
+      val bp = graft.harness.FigureFrames.boxplotFrame(
+        spark.read.parquet("results/acceptance/cell_400_400"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get("results/figures"))
+      for ((name, svg) <- Seq(
+          "sample_size_se.svg" -> graft.harness.SvgFigures.seCurveSvg(se),
+          "estimates_400_400.svg" -> graft.harness.SvgFigures.boxplotSvg(bp))) {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"results/figures/$name"), svg)
+        println(s"FIGURE_WRITTEN $name bytes=" + svg.length)
+      }
+    }
+
     if (args.contains("htime")) {
       for (q <- Seq("h1_simulation_metrics", "h2_sensitivity_scenarios", "h3_pretty_table",
                     "g1_panel_summary")) {
