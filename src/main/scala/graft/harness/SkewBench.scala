@@ -230,6 +230,14 @@ object SkewBench {
       graft.operators.PipelineQueries.pCuration.fn(spark, dir).count())
     measure("p4_release_write")(
       graft.operators.PipelineQueries.pReleaseWrite.fn(spark, dir).count())
+    // p3/p5 complete the pipeline family: the per-doc manifest takes
+    // the corpus through TWO doc_id-keyed left joins (evenness under
+    // the duplicate pile-up), the card re-aggregates the released docs
+    // by (split, lang) under the 85%-hot-language mix
+    measure("p3_curation_manifest")(
+      graft.operators.PipelineQueries.pManifest.fn(spark, dir).count())
+    measure("p5_release_report")(
+      graft.operators.PipelineQueries.pReleaseReport.fn(spark, dir).count())
 
     spark.stop()
   }
