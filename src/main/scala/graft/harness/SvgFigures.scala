@@ -92,7 +92,9 @@ object SvgFigures {
       def ym(v: Double) = py0 + ph - (math.log10(v) - ly0) / (ly1 - ly0) * ph
       val sub = if (panel == "internal_100") "internal" else "external"
       sb ++= s"""<text x="${f(px0 + pw / 2)}" y="20" font-size="13" text-anchor="middle">$letter $coef, n $sub = 100</text>\n"""
-      // frame
+      // frame + clip: a series outside the reference's fixed ylim
+      // (0.2..8) clips at the panel edge, as base R's plot region does
+      sb ++= s"""<clipPath id="p$pi"><rect x="${f(px0)}" y="${f(py0)}" width="${f(pw)}" height="${f(ph)}"/></clipPath>\n"""
       sb ++= s"""<rect x="${f(px0)}" y="${f(py0)}" width="${f(pw)}" height="${f(ph)}" fill="none" stroke="black" stroke-width="1"/>\n"""
       // x ticks (simulation.R:345-346) with R's comma formatting
       SampleSizes.foreach { t =>
@@ -107,6 +109,7 @@ object SvgFigures {
         sb ++= s"""<text x="${f(px0 - 7)}" y="${f(ym(t) + 3)}" font-size="10" text-anchor="end">$lbl</text>\n"""
       }
       // one type="b" series per method (line + point markers)
+      sb ++= s"""<g clip-path="url(#p$pi)">\n"""
       methods.foreach { m =>
         val pts = rows.filter(r => r._1 == panel && r._2 == coef && r._3 == m)
           .sortBy(_._4).map(r => (xm(r._4.toDouble), ym(r._5)))
@@ -118,6 +121,7 @@ object SvgFigures {
           }
         }
       }
+      sb ++= "</g>\n"
     }
     sb ++= "</svg>\n"
     sb.toString
@@ -169,6 +173,8 @@ object SvgFigures {
     val w = 1000.0; val h = 300.0
     val (px0, pw, py0, ph) = (80.0, 700.0, 15.0, 230.0)
     val allVals = boxes.flatMap(b => b.loWhisk +: b.hiWhisk +: b.outliers)
+    require(allVals.max > allVals.min,
+      "degenerate boxplot input (all estimation errors identical) — nothing to scale")
     val pad = 0.05 * (allVals.max - allVals.min)
     val (vLo, vHi) = (math.min(allVals.min - pad, -pad), allVals.max + pad)
     def ym(v: Double) = py0 + ph - (v - vLo) / (vHi - vLo) * ph
