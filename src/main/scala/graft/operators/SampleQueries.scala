@@ -439,7 +439,56 @@ object SampleQueries {
       WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 5, 8) < r.thr
       ORDER BY d.doc_id"""))
 
+  /** Deterministic global shuffle (c8) — the training-order assignment
+    * step between curation and the trainer: every doc gets a shard and
+    * an explicit position inside it, both derived from content-keyed
+    * hash octets (chars 17–20 → shard, chars 21–28 → in-shard order;
+    * independent of c1's keep, c3's split, c7's resample and p4's
+    * bucket octets). The result is a reproducible corpus-wide
+    * permutation — rerun on any cluster layout, or after an
+    * incremental rebuild, docs land in the same shard at the same
+    * relative order — which is what makes training runs repeatable and
+    * data ablations diffable.
+    *
+    * Scale shape: the shard column is a pure map-side expression; the
+    * only shuffle is the per-shard rank — ONE exchange keyed by the
+    * compact shard id followed by a per-shard sort on an 8-hex-char
+    * key (at 100 TB, `nShards` scales with the corpus so each shard's
+    * sort fits an executor: 10k shards × ~10 GB; shard populations are
+    * binomial around n/nShards, so no skew by construction). There is
+    * no global ORDER BY — position is per-shard, which is exactly what
+    * a sharded trainer consumes. */
+  private[graft] def shardShuffleOf(
+      docs: org.apache.spark.sql.DataFrame, nShards: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("doc_id").cast("string"))
+    val shard = (conv(substring(h, 17, 4), 16, 10).cast("long") % nShards)
+    docs.select(col("doc_id"), shard.as("shard"),
+        substring(h, 21, 8).as("__o"))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__o"), col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val cShardShuffle = QueryDef(
+    "c8_shard_shuffle",
+    (s, dir) => shardShuffleOf(Tables.documents(s, dir), nShards = 8)
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 4))
+               AS BIGINT) % 8 AS shard,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 4))
+                 AS BIGINT) % 8
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 21, 8), doc_id)
+               AS BIGINT) AS pos
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
-      cMixResample)
+      cMixResample, cShardShuffle)
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.PiiQueries
+
+/** t18 semantics on constructed corpora the synthetic tables cannot
+  * contain: exact counts and redacted strings for known entities, the
+  * progressive-redaction overlap contract (a dotted quad inside an
+  * email domain is ONE email), idempotence, and clean passthrough.
+  */
+class PiiScrubSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def scrub(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    PiiQueries.piiScrub(rows.toDF("doc_id", "text"))
+      .select("doc_id", "n_emails", "n_phones", "n_ipv4", "redacted")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+  }
+
+  test("known entities: exact counts and redacted text") {
+    val out = scrub(Seq(
+      1L -> "mail a.b-c+tag@sub.domain.co today",
+      2L -> "dial 415-555-0199 or 800-555-0100",
+      3L -> "peer 10.0.0.1 gateway 192.168.255.254",
+      4L -> "mixed bob@x.io then 212-555-0188 then 8.8.8.8"))
+    assert(out(1L) == ((1L, 0L, 0L, "mail [EMAIL] today")))
+    assert(out(2L) == ((0L, 2L, 0L, "dial [PHONE] or [PHONE]")))
+    assert(out(3L) == ((0L, 0L, 2L, "peer [IP] gateway [IP]")))
+    assert(out(4L) == ((1L, 1L, 1L, "mixed [EMAIL] then [PHONE] then [IP]")))
+  }
+
+  test("overlap contract: dotted quad inside an email domain counts once, as email") {
+    val out = scrub(Seq(5L -> "odd user@10.0.0.1x.com here"))
+    // the domain [A-Za-z0-9.-]+[.][A-Za-z]{2,} consumes 10.0.0.1x.com
+    val (e, p, ip, red) = out(5L)
+    assert(e == 1L && p == 0L && ip == 0L)
+    assert(red == "odd [EMAIL] here")
+  }
+
+  test("phone digits never re-match as IP after phone redaction") {
+    // without the fixed order, 415.555.0123 style artifacts could arise;
+    // dashes keep classes disjoint but the contract is still pinned
+    val out = scrub(Seq(6L -> "n 123-456-7890 ip 1.2.3.4"))
+    assert(out(6L) == ((0L, 1L, 1L, "n [PHONE] ip [IP]")))
+  }
+
+  test("idempotent: scrubbing a scrubbed corpus is the identity") {
+    import spark.implicits._
+    val once = PiiQueries.piiScrub(Seq(
+      (7L, "a bob@x.io b 1.2.3.4 c 415-555-0100"))
+      .toDF("doc_id", "text"))
+      .select(col("doc_id"), col("redacted").as("text"))
+    val twice = PiiQueries.piiScrub(once).collect().head
+    assert(twice.getAs[Long]("n_emails") == 0L)
+    assert(twice.getAs[Long]("n_phones") == 0L)
+    assert(twice.getAs[Long]("n_ipv4") == 0L)
+    assert(twice.getAs[String]("redacted") == "a [EMAIL] b [IP] c [PHONE]")
+  }
+
+  test("clean corpus passes through untouched") {
+    val out = scrub(Seq(8L -> "plain words only no entities at all"))
+    assert(out(8L) == ((0L, 0L, 0L, "plain words only no entities at all")))
+  }
+}
