@@ -210,4 +210,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "quality#\\d+ = ".r.findFirstIn(p).isDefined,
       "expected a quality = <crossing-bin> equality filter below the window\n" + p.take(3000))
   }
+
+  test("t18 PII scrub is a pure scan + one source-keyed aggregate (no join, no window)") {
+    val p = plan("t18_pii_scrub")
+    assert(!p.contains("Join"), "t18 must not join\n" + p.take(1500))
+    assert(!p.contains("Window ["), "t18 must not window\n" + p.take(1500))
+    // the only hash exchange is the audit aggregate keyed by source
+    assert(p.contains("hashpartitioning(source#"),
+      "t18's audit aggregate must shuffle on source\n" + p.take(1500))
+    assert("hashpartitioning\\((?!source#)".r.findFirstIn(p).isEmpty,
+      "t18 shuffles on something other than the audit key\n" + p.take(1500))
+  }
+
+  test("c8 shard shuffle: one exchange keyed by the compact shard id, window keyed too") {
+    val p = plan("c8_shard_shuffle")
+    assert(!p.contains("SinglePartition") || !p.contains("Window ["),
+      "c8's rank window fell back to a single partition\n" + p.take(1500))
+    assert(p.contains("hashpartitioning(shard#"),
+      "c8's only hash exchange must be keyed by the shard id\n" + p.take(1500))
+    assert(!p.contains("hashpartitioning(text#") && !p.contains("hashpartitioning(doc_id#"),
+      "c8 shuffles on a non-shard key\n" + p.take(1500))
+    assert(!p.contains("Join"), "c8 must not join\n" + p.take(1500))
+  }
 }
