@@ -578,6 +578,124 @@ object PipelineQueries {
              ROUND(CAST(tpl.top_cnt AS DOUBLE) / bs.n_docs, 6) AS top_lang_share
       FROM bs JOIN tpl ON bs.split = tpl.split ORDER BY bs.split"""))
 
+  /** p6 — split-leakage audit over the RELEASED corpus: pairs of
+    * released documents that landed in DIFFERENT splits yet share
+    * df-capped distinct 5-grams (near-duplicates the exact-dedup stage
+    * cannot catch — docs differing by a few words). Cross-split
+    * near-dups silently inflate eval metrics, so a release publishes
+    * this audit next to its dataset card; an empty audit is the
+    * clean-release certificate.
+    *
+    * The df cap (grams kept only when 2 ≤ document frequency ≤ 32) is
+    * the standard decontamination trick: singleton grams cannot pair,
+    * and head grams are boilerplate whose pair explosion (df² per
+    * gram) would both swamp the join and carry no near-dup signal.
+    *
+    * Scale shape: ONE staged gram-postings pass feeds both the df
+    * aggregate and the pair join; the capped gram set goes through the
+    * MEASURED broadcast guard (worst-case it is postings-sized); the
+    * self-join is gram-keyed — both sides co-partition on the gram, so
+    * each task pairs one gram's ≤ 32 postings locally (work bounded by
+    * Σ df² ≤ cap · |postings|, never corpus²); the pair aggregate is
+    * keyed by the (doc_a, doc_b) pair and the final rollup by the
+    * 3×3-bounded split pair. No driver-side state. */
+  private[graft] def splitLeakage(
+      rel: org.apache.spark.sql.DataFrame,
+      dfCap: Long = 32,
+      maxBroadcastGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = QueryDef.spread(rel)
+      .select(col("doc_id"), col("split"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), col("split"),
+        ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
+      .staged
+      .select(col("doc_id"), col("split"), explode(col("g")).as("gram"))
+      .staged
+    val capped = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap).select("gram")
+    val p = grams.join(QueryDef.guardedBroadcast(capped, maxBroadcastGrams), "gram")
+    val pairs = p.select(col("gram"), col("doc_id").as("doc_a"), col("split").as("split_a"))
+      .join(p.select(col("gram"), col("doc_id").as("doc_b"), col("split").as("split_b")),
+        "gram")
+      .filter(col("split_a") < col("split_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs.groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("shared")).as("max_shared"),
+        sum(col("shared")).as("total_shared"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val pSplitLeakage = QueryDef(
+    "p6_split_leakage",
+    (s, dir) => splitLeakage(releasedDocs(s, dir)),
+    Some("""
+      WITH canon AS (
+        SELECT doc_id, text, source, n_chars
+        FROM (SELECT doc_id, text, source, n_chars,
+                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM documents)
+        WHERE doc_id = m),
+      b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        FROM canon WHERE len(string_split(text, ' ')) >= 2),
+      tc AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
+      tp AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id),
+      q AS (
+        SELECT b.doc_id FROM b JOIN tp USING (doc_id)
+        WHERE len(tk) BETWEEN 30 AND 1000
+          AND ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
+          AND len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
+          AND CAST(tp.max_c AS DOUBLE) / len(tk) <= 0.2
+          AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) <= 0.3),
+      pre AS (
+        SELECT canon.* FROM canon JOIN q USING (doc_id) WHERE doc_id % 37 <> 0),
+      evalg AS (
+        SELECT DISTINCT u.t AS gram
+        FROM (SELECT list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT string_split(text, ' ') AS tk FROM documents
+                    WHERE doc_id % 37 = 0)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      candg AS (
+        SELECT doc_id, u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM pre)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      contaminated AS (SELECT DISTINCT doc_id FROM candg JOIN evalg USING (gram)),
+      rel AS (
+        SELECT doc_id, text,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM pre WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      g AS (
+        SELECT doc_id, split, u.t AS gram
+        FROM (SELECT doc_id, split, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS gs
+              FROM (SELECT doc_id, split, string_split(text, ' ') AS tk FROM rel)
+              WHERE len(tk) >= 5) d, UNNEST(d.gs) AS u(t)),
+      capped AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 32),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.split AS split_a, b.split AS split_b, COUNT(*) AS shared
+        FROM g a JOIN capped USING (gram) JOIN g b USING (gram)
+        WHERE a.split < b.split
+        GROUP BY 1, 2, 3, 4)
+      SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(MAX(shared) AS BIGINT) AS max_shared,
+             CAST(SUM(shared) AS BIGINT) AS total_shared
+      FROM pairs GROUP BY split_a, split_b ORDER BY split_a, split_b"""))
+
   val all: Seq[QueryDef] =
-    Seq(pCuration, pRelease, pManifest, pReleaseWrite, pReleaseReport)
+    Seq(pCuration, pRelease, pManifest, pReleaseWrite, pReleaseReport,
+      pSplitLeakage)
 }
