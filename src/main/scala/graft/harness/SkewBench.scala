@@ -238,6 +238,14 @@ object SkewBench {
       graft.operators.PipelineQueries.pManifest.fn(spark, dir).count())
     measure("p5_release_report")(
       graft.operators.PipelineQueries.pReleaseReport.fn(spark, dir).count())
+    // p6: the leakage audit's gram-keyed self-join under the same
+    // boilerplate pile-up — pre-dedup, one variant's ~2,000 docs share
+    // every 5-gram, but the audit runs on the RELEASED corpus where
+    // they already collapsed to canonicals and the df cap (2..32)
+    // bounds what survives to the pair join; this measures that the
+    // postings/df pass, not the pair stage, carries the cost
+    measure("p6_split_leakage")(
+      graft.operators.PipelineQueries.pSplitLeakage.fn(spark, dir).count())
 
     spark.stop()
   }
