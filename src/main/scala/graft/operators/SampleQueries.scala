@@ -488,7 +488,89 @@ object SampleQueries {
                AS BIGINT) AS pos
       FROM documents ORDER BY doc_id"""))
 
+  /** Corpus snapshot diff (c9) — the data-versioning audit between two
+    * corpus snapshots: per (source, status) counts of added / removed /
+    * changed / unchanged documents, where "changed" means the same
+    * doc_id now carries different content. Every dataset release
+    * publishes this diff next to its card, and incremental rebuild
+    * correctness is checked against it ("yesterday + diff ≡ today").
+    *
+    * Scale shape: both snapshots are reduced MAP-SIDE to
+    * (doc_id, md5(text), source) — the full-outer join carries 16-byte
+    * fingerprints keyed by the compact id, never document bytes, so
+    * the diff's shuffle is ~32 bytes/row at any corpus size; the audit
+    * is one (source, status)-keyed aggregate with map-side partials.
+    */
+  private[graft] def snapshotDiffOf(
+      oldSnap: org.apache.spark.sql.DataFrame,
+      newSnap: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("__ho"),
+      col("source").as("__so"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("__hn"),
+      col("source").as("__sn"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("__sn"), col("__so")).as("source"),
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") === col("__hn"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("doc_id"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy("source", "status")
+  }
+
+  /** The deterministic "previous snapshot" (QueryDef-only scaffolding;
+    * both engines state the same closed form): yesterday's corpus is
+    * today's minus every 17th doc (today's "added"), plus every 19th
+    * doc carrying an older revision of its text ("changed"), plus a
+    * retired doc per 23rd id at an id range today no longer has
+    * ("removed"). */
+  private def previousSnapshot(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val retained = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(19)) === 0,
+          concat(col("text"), lit(" legacy revision"))).otherwise(col("text")))
+    val retired = docs.filter(pmod(col("doc_id"), lit(23)) === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+        col("source"))
+    retained.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(retired)
+  }
+
+  val cSnapshotDiff = QueryDef(
+    "c9_snapshot_diff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      snapshotDiffOf(previousSnapshot(docs), docs)
+    },
+    Some("""
+      WITH old AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 19 = 0 THEN text || ' legacy revision'
+                    ELSE text END AS text,
+               source
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, text, source
+        FROM documents WHERE doc_id % 23 = 0),
+      o AS (SELECT doc_id, md5(text) AS ho, source AS so FROM old),
+      n AS (SELECT doc_id, md5(text) AS hn, source AS sn FROM documents),
+      d AS (
+        SELECT COALESCE(n.sn, o.so) AS source,
+               CASE WHEN o.ho IS NULL THEN 'added'
+                    WHEN n.hn IS NULL THEN 'removed'
+                    WHEN o.ho = n.hn THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               COALESCE(n.doc_id, o.doc_id) AS doc_id
+        FROM o FULL OUTER JOIN n USING (doc_id))
+      SELECT source, status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+      FROM d GROUP BY source, status ORDER BY source, status"""))
+
   val all: Seq[QueryDef] =
     Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
-      cMixResample, cShardShuffle)
+      cMixResample, cShardShuffle, cSnapshotDiff)
 }
