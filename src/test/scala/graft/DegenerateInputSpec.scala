@@ -200,4 +200,42 @@ class DegenerateInputSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, String, String, String, Long)].toDF(cols: _*)
     assert(graft.operators.PipelineQueries.curationManifestOf(empty).count() == 0L)
   }
+
+  test("t18 PII scrub: empty corpus and empty-string text survive") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.PiiQueries.piiScrub(empty).count() == 0L)
+    val blank = graft.operators.PiiQueries.piiScrub(
+      Seq((1L, "")).toDF("doc_id", "text")).collect().head
+    assert(blank.getAs[Long]("n_emails") == 0L &&
+      blank.getAs[String]("redacted") == "")
+  }
+
+  test("c8 shard shuffle: empty corpus and a single doc") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.SampleQueries.shardShuffleOf(empty, 8).count() == 0L)
+    val one = graft.operators.SampleQueries.shardShuffleOf(
+      Seq((7L, "x")).toDF("doc_id", "text"), 8).collect()
+    assert(one.length == 1 && one(0).getLong(2) == 1L)
+  }
+
+  test("c9 snapshot diff: both snapshots empty, and one side empty") {
+    val cols = Seq("doc_id", "text", "source")
+    val empty = Seq.empty[(Long, String, String)].toDF(cols: _*)
+    assert(graft.operators.SampleQueries.snapshotDiffOf(empty, empty).count() == 0L)
+    val one = Seq((1L, "a", "s")).toDF(cols: _*)
+    val added = graft.operators.SampleQueries.snapshotDiffOf(empty, one).collect()
+    assert(added.length == 1 && added(0).getString(1) == "added")
+    val removed = graft.operators.SampleQueries.snapshotDiffOf(one, empty).collect()
+    assert(removed.length == 1 && removed(0).getString(1) == "removed")
+  }
+
+  test("p6 split leakage: empty release and single-split release audit empty") {
+    val cols = Seq("doc_id", "split", "text")
+    val empty = Seq.empty[(Long, String, String)].toDF(cols: _*)
+    assert(graft.operators.PipelineQueries.splitLeakage(empty).count() == 0L)
+    val mono = Seq(
+      (1L, "train", "alpha beta gamma delta epsilon zeta"),
+      (2L, "train", "alpha beta gamma delta epsilon zeta")).toDF(cols: _*)
+    assert(graft.operators.PipelineQueries.splitLeakage(mono).count() == 0L)
+  }
 }
