@@ -64,18 +64,21 @@ object PiiQueries {
     * phone, 2 → dotted quad, 3 → (mod 8 == 3 ? email+phone : clean). */
   private[graft] def injectedText: Column = {
     val id = col("doc_id")
-    def m(k: Int) = pmod(id, lit(k)).cast("string")
-    def mm(f: Int, k: Int) = pmod(id * f, lit(k)).cast("string")
-    when(pmod(id, lit(4)) === 0,
+    // sign-preserving % (the repo's modulo convention): identical to
+    // DuckDB's % for any id, where pmod would diverge on negatives —
+    // the cross-engine drift class mm2/mm4 already guard against
+    def m(k: Int) = (id % k).cast("string")
+    def mm(f: Int, k: Int) = ((id * f) % k).cast("string")
+    when(id % 4 === 0,
       concat(col("text"), lit(" contact user"), id.cast("string"),
         lit("@mail-"), m(7), lit(".example.com")))
-      .when(pmod(id, lit(4)) === 1,
+      .when(id % 4 === 1,
         concat(col("text"), lit(" call 415-"), lpad(mm(7, 1000), 3, "0"),
           lit("-"), lpad(mm(13, 10000), 4, "0")))
-      .when(pmod(id, lit(4)) === 2,
+      .when(id % 4 === 2,
         concat(col("text"), lit(" from host "), m(256), lit("."),
           mm(3, 256), lit("."), mm(5, 256), lit("."), mm(7, 256)))
-      .when(pmod(id, lit(8)) === 3,
+      .when(id % 8 === 3,
         concat(col("text"), lit(" reach admin"), id.cast("string"),
           lit("@ops.example.org or 800-555-"), lpad(m(10000), 4, "0")))
       .otherwise(col("text"))

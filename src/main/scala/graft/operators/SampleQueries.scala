@@ -530,11 +530,12 @@ object SampleQueries {
     * ("removed"). */
   private def previousSnapshot(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val retained = docs.filter(pmod(col("doc_id"), lit(17)) =!= 0)
+    // sign-preserving % (repo modulo convention — matches DuckDB on any id)
+    val retained = docs.filter(col("doc_id") % 17 =!= 0)
       .withColumn("text",
-        when(pmod(col("doc_id"), lit(19)) === 0,
+        when(col("doc_id") % 19 === 0,
           concat(col("text"), lit(" legacy revision"))).otherwise(col("text")))
-    val retired = docs.filter(pmod(col("doc_id"), lit(23)) === 0)
+    val retired = docs.filter(col("doc_id") % 23 === 0)
       .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
         col("source"))
     retained.select(col("doc_id"), col("text"), col("source"))
