@@ -64,21 +64,25 @@ object PiiQueries {
     * phone, 2 → dotted quad, 3 → (mod 8 == 3 ? email+phone : clean). */
   private[graft] def injectedText: Column = {
     val id = col("doc_id")
-    // sign-preserving % (the repo's modulo convention): identical to
-    // DuckDB's % for any id, where pmod would diverge on negatives —
-    // the cross-engine drift class mm2/mm4 already guard against
-    def m(k: Int) = (id % k).cast("string")
-    def mm(f: Int, k: Int) = ((id * f) % k).cast("string")
-    when(id % 4 === 0,
+    // portable non-negative residue, stated identically in both
+    // engines as ((x % k) + k) % k: Spark pmod would diverge from
+    // DuckDB's sign-preserving % on negative ids (the mm2/mm4
+    // cross-engine drift class), while a bare % would leave every
+    // non-zero branch below unreachable for negative ids — silently
+    // emptying the phone/IPv4 injection coverage instead of failing
+    def r(x: Column, k: Int): Column = ((x % k) + k) % k
+    def m(k: Int) = r(id, k).cast("string")
+    def mm(f: Int, k: Int) = r(id * f, k).cast("string")
+    when(r(id, 4) === 0,
       concat(col("text"), lit(" contact user"), id.cast("string"),
         lit("@mail-"), m(7), lit(".example.com")))
-      .when(id % 4 === 1,
+      .when(r(id, 4) === 1,
         concat(col("text"), lit(" call 415-"), lpad(mm(7, 1000), 3, "0"),
           lit("-"), lpad(mm(13, 10000), 4, "0")))
-      .when(id % 4 === 2,
+      .when(r(id, 4) === 2,
         concat(col("text"), lit(" from host "), m(256), lit("."),
           mm(3, 256), lit("."), mm(5, 256), lit("."), mm(7, 256)))
-      .when(id % 8 === 3,
+      .when(r(id, 8) === 3,
         concat(col("text"), lit(" reach admin"), id.cast("string"),
           lit("@ops.example.org or 800-555-"), lpad(m(10000), 4, "0")))
       .otherwise(col("text"))
@@ -105,22 +109,22 @@ object PiiQueries {
     Some("""
       WITH inj AS (
         SELECT source,
-               CASE WHEN doc_id % 4 = 0 THEN
+               CASE WHEN ((doc_id % 4) + 4) % 4 = 0 THEN
                       text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-                      '@mail-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
-                    WHEN doc_id % 4 = 1 THEN
+                      '@mail-' || CAST(((doc_id % 7) + 7) % 7 AS VARCHAR) || '.example.com'
+                    WHEN ((doc_id % 4) + 4) % 4 = 1 THEN
                       text || ' call 415-' ||
-                      lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
-                      lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
-                    WHEN doc_id % 4 = 2 THEN
-                      text || ' from host ' || CAST(doc_id % 256 AS VARCHAR) ||
-                      '.' || CAST((doc_id * 3) % 256 AS VARCHAR) ||
-                      '.' || CAST((doc_id * 5) % 256 AS VARCHAR) ||
-                      '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
-                    WHEN doc_id % 8 = 3 THEN
+                      lpad(CAST((((doc_id * 7) % 1000) + 1000) % 1000 AS VARCHAR), 3, '0') || '-' ||
+                      lpad(CAST((((doc_id * 13) % 10000) + 10000) % 10000 AS VARCHAR), 4, '0')
+                    WHEN ((doc_id % 4) + 4) % 4 = 2 THEN
+                      text || ' from host ' || CAST(((doc_id % 256) + 256) % 256 AS VARCHAR) ||
+                      '.' || CAST((((doc_id * 3) % 256) + 256) % 256 AS VARCHAR) ||
+                      '.' || CAST((((doc_id * 5) % 256) + 256) % 256 AS VARCHAR) ||
+                      '.' || CAST((((doc_id * 7) % 256) + 256) % 256 AS VARCHAR)
+                    WHEN ((doc_id % 8) + 8) % 8 = 3 THEN
                       text || ' reach admin' || CAST(doc_id AS VARCHAR) ||
                       '@ops.example.org or 800-555-' ||
-                      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      lpad(CAST(((doc_id % 10000) + 10000) % 10000 AS VARCHAR), 4, '0')
                     ELSE text END AS text
         FROM documents),
       sc AS (

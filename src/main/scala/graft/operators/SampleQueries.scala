@@ -526,17 +526,22 @@ object SampleQueries {
     * both engines state the same closed form): yesterday's corpus is
     * today's minus every 17th doc (today's "added"), plus every 19th
     * doc carrying an older revision of its text ("changed"), plus a
-    * retired doc per 23rd id at an id range today no longer has
-    * ("removed"). */
-  private def previousSnapshot(docs: org.apache.spark.sql.DataFrame)
+    * retired doc per 23rd id at an id range today provably does not
+    * have — offset by max(doc_id)+1, MEASURED from the corpus (a
+    * fixed constant would collide with live ids once the corpus
+    * outgrows it, silently fanning out the diff join), broadcast as a
+    * single-row frame ("removed"). */
+  private[graft] def previousSnapshot(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // sign-preserving % (repo modulo convention — matches DuckDB on any id)
     val retained = docs.filter(col("doc_id") % 17 =!= 0)
       .withColumn("text",
         when(col("doc_id") % 19 === 0,
           concat(col("text"), lit(" legacy revision"))).otherwise(col("text")))
+    val mx = docs.agg(max(col("doc_id")).as("__mx"))
     val retired = docs.filter(col("doc_id") % 23 === 0)
-      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"),
+      .crossJoin(broadcast(mx))
+      .select((col("doc_id") + col("__mx") + 1L).as("doc_id"), col("text"),
         col("source"))
     retained.select(col("doc_id"), col("text"), col("source"))
       .unionByName(retired)
@@ -556,7 +561,8 @@ object SampleQueries {
                source
         FROM documents WHERE doc_id % 17 <> 0
         UNION ALL
-        SELECT doc_id + 10000000 AS doc_id, text, source
+        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+               text, source
         FROM documents WHERE doc_id % 23 = 0),
       o AS (SELECT doc_id, md5(text) AS ho, source AS so FROM old),
       n AS (SELECT doc_id, md5(text) AS hn, source AS sn FROM documents),

@@ -70,4 +70,20 @@ class PiiScrubSpec extends AnyFunSuite {
     val out = scrub(Seq(8L -> "plain words only no entities at all"))
     assert(out(8L) == ((0L, 0L, 0L, "plain words only no entities at all")))
   }
+
+  test("injection branches fire for negative doc_ids too (review finding)") {
+    import spark.implicits._
+    // residues use the portable ((x % k) + k) % k form — a bare
+    // sign-preserving % would leave the phone/IPv4/email+phone
+    // branches unreachable for negative ids, silently emptying the
+    // oracle's regex-parity coverage on such a corpus
+    val docs = (-8L to -1L).map(i => (i, "base text")).toDF("doc_id", "text")
+    val out = PiiQueries.piiScrub(
+        docs.withColumn("text", PiiQueries.injectedText))
+      .agg(sum("n_emails"), sum("n_phones"), sum("n_ipv4"))
+      .collect().head
+    assert(out.getLong(0) > 0L, "no emails injected for negative ids")
+    assert(out.getLong(1) > 0L, "no phones injected for negative ids")
+    assert(out.getLong(2) > 0L, "no dotted quads injected for negative ids")
+  }
 }

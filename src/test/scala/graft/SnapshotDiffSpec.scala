@@ -52,6 +52,26 @@ class SnapshotDiffSpec extends AnyFunSuite {
       ("s", "added") -> ((2L, 3L)), ("s", "removed") -> ((2L, 1L))))
   }
 
+  test("derived previous snapshot: retired ids never collide with live ids (review finding)") {
+    import spark.implicits._
+    // ids straddle the old fixed 10M offset — with the measured
+    // max(doc_id)+1 offset every retired alias lands above ALL live
+    // ids, so 'removed' counts exactly the retired set
+    val ids = (0L to 9L) ++ (10000000L to 10000009L)
+    val docs = ids.map(i => (i, s"text$i", "s")).toDF("doc_id", "text", "source")
+    val out = SampleQueries.snapshotDiffOf(
+      SampleQueries.previousSnapshot(docs), docs)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val retired = ids.count(_ % 23 == 0)
+    val added = ids.count(_ % 17 == 0)
+    assert(out.getOrElse("removed", 0L) == retired)
+    assert(out.getOrElse("added", 0L) == added)
+    // every status count is non-negative and partitions old ∪ new
+    val oldN = ids.count(_ % 17 != 0) + retired
+    assert(out.getOrElse("unchanged", 0L) + out.getOrElse("changed", 0L) +
+      out.getOrElse("removed", 0L) == oldN)
+  }
+
   test("reconstruction: |today| = unchanged + changed + added; |yesterday| = unchanged + changed + removed") {
     val old = (1L to 40L).map(i => (i, if (i % 4 == 0) s"old$i" else s"t$i", "s"))
     val nw = (11L to 50L).map(i => (i, if (i % 4 == 0) s"new$i" else s"t$i", "s"))
