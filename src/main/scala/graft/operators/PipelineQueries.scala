@@ -413,7 +413,10 @@ object PipelineQueries {
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_release_${key}_" +
         s.sparkContext.applicationId
-      graft.sources.ReleaseWriter.writeRelease(releasedDocs(s, dir), out)
+      // the versioned crash-safe publish path (commit-marker discipline):
+      // the oracle-checked manifest is computed from the PUBLISHED files,
+      // so the whole publish contract sits inside the correctness gate
+      graft.sources.ReleaseWriter.publishRelease(releasedDocs(s, dir), out)
     },
     Some("""
       WITH canon AS (

@@ -65,6 +65,13 @@ object ReleaseWriter {
     * the write itself. */
   def writeRelease(docs: DataFrame, outDir: String, nBuckets: Int = 8,
                    targetFileBytes: Long = DefaultTargetFileBytes): DataFrame = {
+    writeLayout(docs, outDir, targetFileBytes)
+    manifestOf(docs.sparkSession.read.parquet(outDir), nBuckets)
+  }
+
+  /** The deterministic layout write alone (no manifest). */
+  private def writeLayout(docs: DataFrame, outDir: String,
+                          targetFileBytes: Long): Unit = {
     val slim = docs.select(col("doc_id"), col("text"), col("n_chars"), col("split"))
     val totalChars = slim.agg(coalesce(sum(col("n_chars").cast("long")), lit(0L)))
       .head().getLong(0)
@@ -73,7 +80,71 @@ object ReleaseWriter {
         col("split"), col("doc_id"))
       .sortWithinPartitions(col("split"), col("doc_id"))
       .write.mode("overwrite").partitionBy("split").parquet(outDir)
-    manifestOf(docs.sparkSession.read.parquet(outDir), nBuckets)
+  }
+
+  // ---- versioned atomic publication of a release -------------------
+  // The IndexStore commit-marker discipline applied to the release
+  // sink: `writeRelease` alone overwrites its target in place, so a
+  // crash mid-write destroys the PREVIOUS release and leaves a partial
+  // new one — the one sink that lacked the crash contract every
+  // swappable index table already has. `publishRelease` writes into a
+  // fresh `v<N>` directory under the release root and commits it by
+  // creating a zero-byte `v<N>.__commit` marker LAST (a single atomic
+  // namespace create): a consumer resolving [[currentReleasePath]]
+  // sees the old release until the marker lands, and a crash before
+  // the marker leaves the old release current (the orphaned dir is
+  // swept by the next publish). Lag-one retention keeps exactly one
+  // superseded release for in-flight readers. Writer concurrency is
+  // maintainer-owned (two concurrent publishes of one root = the
+  // second marker create fails loudly), same contract as IndexStore.
+
+  private def releaseMarker(root: String, v: Long) =
+    new org.apache.hadoop.fs.Path(root, s"v$v.__commit")
+
+  private def committedReleases(s: org.apache.spark.sql.SparkSession,
+                                root: String): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val glob = fs.globStatus(new org.apache.hadoop.fs.Path(root, "v*.__commit"))
+    if (glob == null) Seq.empty
+    else glob.toSeq.flatMap(
+      _.getPath.getName.stripPrefix("v").stripSuffix(".__commit").toLongOption)
+      .sorted
+  }
+
+  /** The directory of the current COMMITTED release, if any. */
+  def currentReleasePath(s: org.apache.spark.sql.SparkSession,
+                         root: String): Option[String] =
+    committedReleases(s, root).lastOption.map(v => s"$root/v$v")
+
+  /** Crash-safe release publish: write the deterministic layout into
+    * the next version dir, commit via marker, retain lag-one. Returns
+    * the manifest computed from the PUBLISHED files (read back through
+    * [[currentReleasePath]], so the manifest can only describe a
+    * committed release). */
+  def publishRelease(docs: DataFrame, root: String, nBuckets: Int = 8,
+                     targetFileBytes: Long = DefaultTargetFileBytes): DataFrame = {
+    val s = docs.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val committed = committedReleases(s, root)
+    val cs = committed.toSet
+    // sweep crashed (uncommitted) version dirs from a previous writer
+    val dirs = fs.globStatus(new org.apache.hadoop.fs.Path(root, "v*"))
+    if (dirs != null) dirs.foreach { st =>
+      if (st.isDirectory &&
+          st.getPath.getName.stripPrefix("v").toLongOption.exists(!cs.contains(_)))
+        fs.delete(st.getPath, true)
+    }
+    val next = committed.lastOption.getOrElse(0L) + 1
+    writeLayout(docs, s"$root/v$next", targetFileBytes)
+    fs.create(releaseMarker(root, next), false).close()
+    // lag-one retention: marker first, then files
+    committed.filter(_ <= next - 2).foreach { v =>
+      fs.delete(releaseMarker(root, v), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true)
+    }
+    manifestOf(s.read.parquet(currentReleasePath(s, root).get), nBuckets)
   }
 
   /** The audit aggregate over a (written or logical) release frame. */
