@@ -404,11 +404,13 @@ object PipelineQueries {
     (s, dir) => {
       // per-(sf, application) output dir: the appId component keeps two
       // concurrent runs (a bench racing a verify, two sessions) from
-      // overwriting each other's release while the other is reading it
-      // back for the manifest. Reruns WITHIN an app overwrite — release
-      // rewrites are idempotent (ManifestResampleSpec pins that the
-      // manifest reproduces bit-for-bit). Dirs live under java.io.tmpdir
-      // and are swept with it; nothing else references them.
+      // publishing into the same root — publishRelease's writer
+      // contract is single-maintainer. Reruns WITHIN an app version up
+      // (v1, v2, ...) with lag-one retention, so the tmp root holds at
+      // most two release copies regardless of rerun count, and the
+      // manifest reproduces bit-for-bit across republishes
+      // (ReleasePublishSpec). Dirs live under java.io.tmpdir and are
+      // swept with it; nothing else references them.
       val key = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_release_${key}_" +

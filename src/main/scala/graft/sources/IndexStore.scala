@@ -194,22 +194,65 @@ object IndexStore {
   // with a compaction (an append committing into the superseded version
   // would be dropped by retention). READERS are now safe at any time.
 
+  // Generic commit-marker versioning primitives, shared with
+  // ReleaseWriter (ONE copy of the crash contract — the parse rules,
+  // sweep filter and retention order must never drift between the
+  // index tables and the release sink). `prefix` is the version-dir
+  // name prefix under `parent` ("tbl__v" here, "v" for releases).
+  private[sources] def vMarker(parent: String, prefix: String, v: Long): Path =
+    new Path(parent, s"$prefix$v.__commit")
+
+  private[sources] def vDir(parent: String, prefix: String, v: Long): String =
+    s"$parent/$prefix$v"
+
+  /** Committed versions under `parent` for `prefix`, ascending. */
+  private[sources] def vCommitted(s: SparkSession, parent: String,
+                                  prefix: String): Seq[Long] = {
+    val fs = new Path(parent).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val glob = fs.globStatus(new Path(parent, s"$prefix*.__commit"))
+    if (glob == null) Seq.empty
+    else glob.toSeq.flatMap { st =>
+      st.getPath.getName.stripPrefix(prefix).stripSuffix(".__commit").toLongOption
+    }.sorted
+  }
+
+  /** Delete version DIRS whose number is not in `committed` — a crashed
+    * writer's uncommitted leftovers. Markers survive the glob via the
+    * isDirectory guard. */
+  private[sources] def vSweepUncommitted(s: SparkSession, parent: String,
+                                         prefix: String,
+                                         committed: Set[Long]): Unit = {
+    val fs = new Path(parent).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dirs = fs.globStatus(new Path(parent, s"$prefix*"))
+    if (dirs != null) dirs.foreach { st =>
+      if (st.isDirectory &&
+          st.getPath.getName.stripPrefix(prefix).toLongOption.exists(!committed.contains(_)))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Lag-one retention after publishing `next`: marker deleted BEFORE
+    * its dir so no reader can resolve a version mid-delete. */
+  private[sources] def vRetainLagOne(s: SparkSession, parent: String,
+                                     prefix: String, committed: Seq[Long],
+                                     next: Long): Unit = {
+    val fs = new Path(parent).getFileSystem(s.sparkContext.hadoopConfiguration)
+    committed.filter(_ <= next - 2).foreach { v =>
+      fs.delete(vMarker(parent, prefix, v), false)
+      fs.delete(new Path(vDir(parent, prefix, v)), true)
+    }
+  }
+
   private def markerPath(indexPath: String, tbl: String, v: Long) =
-    new Path(indexPath, s"${tbl}__v$v.__commit")
+    vMarker(indexPath, s"${tbl}__v", v)
 
   private def versionDir(indexPath: String, tbl: String, v: Long) =
-    s"$indexPath/${tbl}__v$v"
+    vDir(indexPath, s"${tbl}__v", v)
 
   /** Committed versions of `tbl`, ascending; empty = legacy layout. */
   private def committedVersions(s: SparkSession, indexPath: String,
-                                tbl: String): Seq[Long] = {
-    val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
-    val glob = fs.globStatus(new Path(indexPath, s"${tbl}__v*.__commit"))
-    if (glob == null) Seq.empty
-    else glob.toSeq.flatMap { st =>
-      st.getPath.getName.stripPrefix(s"${tbl}__v").stripSuffix(".__commit").toLongOption
-    }.sorted
-  }
+                                tbl: String): Seq[Long] =
+    vCommitted(s, indexPath, s"${tbl}__v")
 
   /** The directory currently holding `tbl`'s data: the highest COMMITTED
     * version, or the legacy unversioned dir when the table was never
@@ -258,15 +301,9 @@ object IndexStore {
       write: (org.apache.spark.sql.DataFrame, String) => Unit): Unit = {
     val fs = new Path(indexPath).getFileSystem(s.sparkContext.hadoopConfiguration)
     val committed = committedVersions(s, indexPath, tbl)
-    val cs = committed.toSet
     // sweep a crashed writer's uncommitted version dirs (no marker) and
     // legacy-scheme staging leftovers
-    val dirs = fs.globStatus(new Path(indexPath, s"${tbl}__v*"))
-    if (dirs != null) dirs.foreach { st =>
-      if (st.isDirectory &&
-          st.getPath.getName.stripPrefix(s"${tbl}__v").toLongOption.exists(!cs.contains(_)))
-        fs.delete(st.getPath, true)
-    }
+    vSweepUncommitted(s, indexPath, s"${tbl}__v", committed.toSet)
     fs.delete(new Path(s"$indexPath/${tbl}__compacting"), true)
     val cur = tableDataPath(s, indexPath, tbl) // heals pre-versioning crash state
     val next = committed.lastOption.getOrElse(0L) + 1
@@ -275,12 +312,7 @@ object IndexStore {
     // commit record — create(_, overwrite=false) fails loudly if it
     // somehow exists (a second writer = broken maintainer contract)
     fs.create(markerPath(indexPath, tbl, next), false).close()
-    // lag-one retention: marker deleted BEFORE its dir so no reader can
-    // resolve a version whose files are mid-delete
-    committed.filter(_ <= next - 2).foreach { v =>
-      fs.delete(markerPath(indexPath, tbl, v), false)
-      fs.delete(new Path(versionDir(indexPath, tbl, v)), true)
-    }
+    vRetainLagOne(s, indexPath, s"${tbl}__v", committed, next)
     if (next >= 2) { // the legacy dir leaves retention at the 2nd publish
       fs.delete(new Path(s"$indexPath/$tbl"), true)
       fs.delete(new Path(s"$indexPath/${tbl}__old"), true)

@@ -94,57 +94,48 @@ object ReleaseWriter {
   // sees the old release until the marker lands, and a crash before
   // the marker leaves the old release current (the orphaned dir is
   // swept by the next publish). Lag-one retention keeps exactly one
-  // superseded release for in-flight readers. Writer concurrency is
-  // maintainer-owned (two concurrent publishes of one root = the
-  // second marker create fails loudly), same contract as IndexStore.
-
-  private def releaseMarker(root: String, v: Long) =
-    new org.apache.hadoop.fs.Path(root, s"v$v.__commit")
-
-  private def committedReleases(s: org.apache.spark.sql.SparkSession,
-                                root: String): Seq[Long] = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val glob = fs.globStatus(new org.apache.hadoop.fs.Path(root, "v*.__commit"))
-    if (glob == null) Seq.empty
-    else glob.toSeq.flatMap(
-      _.getPath.getName.stripPrefix("v").stripSuffix(".__commit").toLongOption)
-      .sorted
-  }
+  // superseded release for in-flight readers. The versioning
+  // primitives (marker parse, sweep filter, retention order) are
+  // IndexStore's — ONE copy of the crash contract for both consumers.
+  //
+  // Writer concurrency is STRICTLY maintainer-owned: two publishers
+  // racing one root both compute the same next version and
+  // mode("overwrite") into the SAME v<N> directory, so the loser can
+  // corrupt the winner's files BEFORE either marker lands — the
+  // loser's failed marker create is only a tripwire that the contract
+  // was broken, not a safety mechanism. Never run two publishers
+  // against one root (p4 isolates roots per application id).
 
   /** The directory of the current COMMITTED release, if any. */
   def currentReleasePath(s: org.apache.spark.sql.SparkSession,
                          root: String): Option[String] =
-    committedReleases(s, root).lastOption.map(v => s"$root/v$v")
+    IndexStore.vCommitted(s, root, "v").lastOption
+      .map(v => IndexStore.vDir(root, "v", v))
 
   /** Crash-safe release publish: write the deterministic layout into
-    * the next version dir, commit via marker, retain lag-one. Returns
-    * the manifest computed from the PUBLISHED files (read back through
-    * [[currentReleasePath]], so the manifest can only describe a
-    * committed release). */
+    * the next version dir, VALIDATE it by computing the manifest from
+    * the written files, and only then commit via the marker — an
+    * unreadable or empty layout (zero part files) fails BEFORE the
+    * commit, leaving the previous release current. Returns the
+    * validated manifest of the just-published version. */
   def publishRelease(docs: DataFrame, root: String, nBuckets: Int = 8,
                      targetFileBytes: Long = DefaultTargetFileBytes): DataFrame = {
     val s = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val committed = committedReleases(s, root)
-    val cs = committed.toSet
+    val committed = IndexStore.vCommitted(s, root, "v")
     // sweep crashed (uncommitted) version dirs from a previous writer
-    val dirs = fs.globStatus(new org.apache.hadoop.fs.Path(root, "v*"))
-    if (dirs != null) dirs.foreach { st =>
-      if (st.isDirectory &&
-          st.getPath.getName.stripPrefix("v").toLongOption.exists(!cs.contains(_)))
-        fs.delete(st.getPath, true)
-    }
+    IndexStore.vSweepUncommitted(s, root, "v", committed.toSet)
     val next = committed.lastOption.getOrElse(0L) + 1
-    writeLayout(docs, s"$root/v$next", targetFileBytes)
-    fs.create(releaseMarker(root, next), false).close()
-    // lag-one retention: marker first, then files
-    committed.filter(_ <= next - 2).foreach { v =>
-      fs.delete(releaseMarker(root, v), false)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true)
-    }
-    manifestOf(s.read.parquet(currentReleasePath(s, root).get), nBuckets)
+    val nextDir = IndexStore.vDir(root, "v", next)
+    writeLayout(docs, nextDir, targetFileBytes)
+    // read-back validation BEFORE the marker: the manifest both proves
+    // the files are readable and is the return value — a throw here
+    // aborts the publish with the previous release still current
+    val manifest = manifestOf(s.read.parquet(nextDir), nBuckets).localCheckpoint()
+    fs.create(IndexStore.vMarker(root, "v", next), false).close()
+    IndexStore.vRetainLagOne(s, root, "v", committed, next)
+    manifest
   }
 
   /** The audit aggregate over a (written or logical) release frame. */

@@ -66,6 +66,21 @@ class ReleasePublishSpec extends AnyFunSuite {
     assert(ReleaseWriter.currentReleasePath(spark, root).contains(s"$root/v3"))
   }
 
+  test("an unpublishable release (empty docs, zero part files) fails BEFORE commit; previous release stays current") {
+    val root = freshRoot()
+    ReleaseWriter.publishRelease(docs(15), root)
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long, String)]
+      .toDF("doc_id", "text", "n_chars", "split")
+    intercept[Exception] { ReleaseWriter.publishRelease(empty, root) }
+    // the failed publish must NOT have committed: v1 is still current
+    // and readable, and the next good publish recovers normally
+    assert(ReleaseWriter.currentReleasePath(spark, root).contains(s"$root/v1"))
+    assert(spark.read.parquet(s"$root/v1").count() == 15)
+    ReleaseWriter.publishRelease(docs(15), root)
+    assert(ReleaseWriter.currentReleasePath(spark, root).contains(s"$root/v2"))
+  }
+
   test("the published manifest equals writeRelease's manifest for the same docs") {
     val root = freshRoot()
     val viaPublish = ReleaseWriter.publishRelease(docs(30), root).collect().toSeq
