@@ -64,22 +64,48 @@ object ReleaseWriter {
     * map-side-partial `sum(n_chars)` over the release — noise next to
     * the write itself. */
   def writeRelease(docs: DataFrame, outDir: String, nBuckets: Int = 8,
-                   targetFileBytes: Long = DefaultTargetFileBytes): DataFrame = {
-    writeLayout(docs, outDir, targetFileBytes)
-    manifestOf(docs.sparkSession.read.parquet(outDir), nBuckets)
+                   targetFileBytes: Long = DefaultTargetFileBytes,
+                   format: String = "parquet"): DataFrame = {
+    writeLayout(docs, outDir, targetFileBytes, format)
+    manifestOf(readRelease(docs.sparkSession, outDir, format), nBuckets)
   }
 
-  /** The deterministic layout write alone (no manifest). */
+  /** Read a written release back with the CONTRACT schema (explicit,
+    * never inferred — JSONL inference would both re-scan the data and
+    * risk type drift on an empty split). `split` comes from the
+    * partition directories in both formats. */
+  def readRelease(s: org.apache.spark.sql.SparkSession, dir: String,
+                  format: String = "parquet"): DataFrame = format match {
+    case "parquet" => s.read.parquet(dir)
+    case "jsonl" =>
+      s.read.schema("doc_id LONG, text STRING, n_chars LONG, split STRING")
+        .json(dir)
+    case other => throw new IllegalArgumentException(
+      s"unknown release format '$other' (parquet | jsonl)")
+  }
+
+  /** The deterministic layout write alone (no manifest). `jsonl` emits
+    * gzipped JSON-lines — the interchange format LLM training stacks
+    * consume — with the SAME split-partitioned, range-bucketed, sorted
+    * layout and therefore the same manifest as the parquet release
+    * (ReleasePublishSpec pins cross-format manifest equality). */
   private def writeLayout(docs: DataFrame, outDir: String,
-                          targetFileBytes: Long): Unit = {
+                          targetFileBytes: Long,
+                          format: String = "parquet"): Unit = {
     val slim = docs.select(col("doc_id"), col("text"), col("n_chars"), col("split"))
     val totalChars = slim.agg(coalesce(sum(col("n_chars").cast("long")), lit(0L)))
       .head().getLong(0)
-    slim
+    val ranged = slim
       .repartitionByRange(nRangeFilesFor(totalChars, targetFileBytes),
         col("split"), col("doc_id"))
       .sortWithinPartitions(col("split"), col("doc_id"))
-      .write.mode("overwrite").partitionBy("split").parquet(outDir)
+      .write.mode("overwrite").partitionBy("split")
+    format match {
+      case "parquet" => ranged.parquet(outDir)
+      case "jsonl"   => ranged.option("compression", "gzip").json(outDir)
+      case other => throw new IllegalArgumentException(
+        s"unknown release format '$other' (parquet | jsonl)")
+    }
   }
 
   // ---- versioned atomic publication of a release -------------------
@@ -119,7 +145,8 @@ object ReleaseWriter {
     * commit, leaving the previous release current. Returns the
     * validated manifest of the just-published version. */
   def publishRelease(docs: DataFrame, root: String, nBuckets: Int = 8,
-                     targetFileBytes: Long = DefaultTargetFileBytes): DataFrame = {
+                     targetFileBytes: Long = DefaultTargetFileBytes,
+                     format: String = "parquet"): DataFrame = {
     val s = docs.sparkSession
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -128,11 +155,19 @@ object ReleaseWriter {
     IndexStore.vSweepUncommitted(s, root, "v", committed.toSet)
     val next = committed.lastOption.getOrElse(0L) + 1
     val nextDir = IndexStore.vDir(root, "v", next)
-    writeLayout(docs, nextDir, targetFileBytes)
+    writeLayout(docs, nextDir, targetFileBytes, format)
     // read-back validation BEFORE the marker: the manifest both proves
     // the files are readable and is the return value — a throw here
     // aborts the publish with the previous release still current
-    val manifest = manifestOf(s.read.parquet(nextDir), nBuckets).localCheckpoint()
+    val manifest =
+      manifestOf(readRelease(s, nextDir, format), nBuckets).localCheckpoint()
+    // an empty read-back almost always means a broken upstream (and for
+    // parquet would have thrown at schema inference anyway; the jsonl
+    // reader's explicit schema reads an empty dir silently) — refuse
+    // uniformly, leaving the previous release current
+    if (manifest.head(1).isEmpty)
+      throw new IllegalStateException(
+        s"refusing to publish an empty release (0 rows read back from $nextDir)")
     fs.create(IndexStore.vMarker(root, "v", next), false).close()
     IndexStore.vRetainLagOne(s, root, "v", committed, next)
     manifest

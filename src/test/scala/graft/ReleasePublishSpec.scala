@@ -88,4 +88,39 @@ class ReleasePublishSpec extends AnyFunSuite {
       .collect().toSeq
     assert(viaPublish.map(_.toString).sorted == viaWrite.map(_.toString).sorted)
   }
+
+  test("jsonl release: identical manifest to the parquet release (cross-format integrity)") {
+    val d = docs(40)
+    val viaParquet = ReleaseWriter.publishRelease(d, freshRoot()).collect().toSeq
+    val jsonRoot = freshRoot()
+    val viaJson = ReleaseWriter.publishRelease(d, jsonRoot, format = "jsonl")
+      .collect().toSeq
+    assert(viaJson.map(_.toString).sorted == viaParquet.map(_.toString).sorted,
+      "the content digest must not depend on the serialization format")
+    // the written files really are gzipped JSON-lines under split dirs
+    val f = fs(jsonRoot)
+    val parts = f.globStatus(new org.apache.hadoop.fs.Path(
+      s"$jsonRoot/v1/split=*/part-*.json.gz"))
+    assert(parts != null && parts.nonEmpty, "expected .json.gz part files")
+    // and the read-back round-trips rows exactly
+    assert(ReleaseWriter.readRelease(spark, s"$jsonRoot/v1", "jsonl").count() == 40)
+  }
+
+  test("empty jsonl publish is refused before commit (explicit-schema read cannot rely on inference failure)") {
+    val root = freshRoot()
+    ReleaseWriter.publishRelease(docs(5), root, format = "jsonl")
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long, String)]
+      .toDF("doc_id", "text", "n_chars", "split")
+    intercept[IllegalStateException] {
+      ReleaseWriter.publishRelease(empty, root, format = "jsonl")
+    }
+    assert(ReleaseWriter.currentReleasePath(spark, root).contains(s"$root/v1"))
+  }
+
+  test("unknown format fails loudly") {
+    intercept[IllegalArgumentException] {
+      ReleaseWriter.publishRelease(docs(5), freshRoot(), format = "orc")
+    }
+  }
 }
