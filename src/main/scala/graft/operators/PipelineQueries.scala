@@ -619,7 +619,11 @@ object PipelineQueries {
       .staged
     val capped = grams.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= dfCap).select("gram")
+    // staged: the df-capped postings feed BOTH sides of the pair
+    // self-join — without the stage break the grams⋈capped filter
+    // (which drops the singleton majority) would re-execute per side
     val p = grams.join(QueryDef.guardedBroadcast(capped, maxBroadcastGrams), "gram")
+      .staged
     val pairs = p.select(col("gram"), col("doc_id").as("doc_a"), col("split").as("split_a"))
       .join(p.select(col("gram"), col("doc_id").as("doc_b"), col("split").as("split_b")),
         "gram")

@@ -527,10 +527,12 @@ object SampleQueries {
     * today's minus every 17th doc (today's "added"), plus every 19th
     * doc carrying an older revision of its text ("changed"), plus a
     * retired doc per 23rd id at an id range today provably does not
-    * have — offset by max(doc_id)+1, MEASURED from the corpus (a
-    * fixed constant would collide with live ids once the corpus
-    * outgrows it, silently fanning out the diff join), broadcast as a
-    * single-row frame ("removed"). */
+    * have — alias = doc_id − min + max + 1, with min/max MEASURED from
+    * the corpus (a fixed constant would collide with live ids once the
+    * corpus outgrows it, and a bare max+1 offset still collides when
+    * ids are negative: −23 + max+1 can land inside [min, max]; the
+    * min-shift maps every alias injectively into (max, ∞)), broadcast
+    * as a single-row frame ("removed"). */
   private[graft] def previousSnapshot(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     // sign-preserving % (repo modulo convention — matches DuckDB on any id)
@@ -538,11 +540,11 @@ object SampleQueries {
       .withColumn("text",
         when(col("doc_id") % 19 === 0,
           concat(col("text"), lit(" legacy revision"))).otherwise(col("text")))
-    val mx = docs.agg(max(col("doc_id")).as("__mx"))
+    val mx = docs.agg(max(col("doc_id")).as("__mx"), min(col("doc_id")).as("__mn"))
     val retired = docs.filter(col("doc_id") % 23 === 0)
       .crossJoin(broadcast(mx))
-      .select((col("doc_id") + col("__mx") + 1L).as("doc_id"), col("text"),
-        col("source"))
+      .select((col("doc_id") - col("__mn") + col("__mx") + 1L).as("doc_id"),
+        col("text"), col("source"))
     retained.select(col("doc_id"), col("text"), col("source"))
       .unionByName(retired)
   }
@@ -561,7 +563,8 @@ object SampleQueries {
                source
         FROM documents WHERE doc_id % 17 <> 0
         UNION ALL
-        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+        SELECT doc_id - (SELECT MIN(doc_id) FROM documents)
+                      + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
                text, source
         FROM documents WHERE doc_id % 23 = 0),
       o AS (SELECT doc_id, md5(text) AS ho, source AS so FROM old),

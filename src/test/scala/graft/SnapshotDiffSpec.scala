@@ -54,10 +54,12 @@ class SnapshotDiffSpec extends AnyFunSuite {
 
   test("derived previous snapshot: retired ids never collide with live ids (review finding)") {
     import spark.implicits._
-    // ids straddle the old fixed 10M offset — with the measured
-    // max(doc_id)+1 offset every retired alias lands above ALL live
-    // ids, so 'removed' counts exactly the retired set
-    val ids = (0L to 9L) ++ (10000000L to 10000009L)
+    // ids straddle the old fixed 10M offset AND include negatives —
+    // the measured doc_id − min + max + 1 alias maps every retired id
+    // injectively above ALL live ids (a bare max+1 offset would land
+    // negative retirees back inside the live range), so 'removed'
+    // counts exactly the retired set
+    val ids = (-10L to 9L) ++ (10000000L to 10000009L)
     val docs = ids.map(i => (i, s"text$i", "s")).toDF("doc_id", "text", "source")
     val out = SampleQueries.snapshotDiffOf(
       SampleQueries.previousSnapshot(docs), docs)
