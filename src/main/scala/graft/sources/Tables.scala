@@ -75,6 +75,24 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
 
+  /** Ingest a JSONL corpus (plain or gzipped — Spark decompresses by
+    * extension) into the `documents` contract. Real corpora arrive as
+    * JSON-lines, so this is the boundary where they enter the engine:
+    * the schema is EXPLICIT (an inference pass would both re-scan the
+    * data and type-drift on sparse fields), and a missing `n_chars` —
+    * raw corpora rarely carry it — is derived as length(text), the
+    * same definition the driver tables use. Missing lang/source read
+    * as null: the loader normalizes encoding, it does not invent
+    * metadata. Scale shape: a plain line-splittable scan (gzip files
+    * are one split each — shard the corpus into many files, which the
+    * release writer's layout already does). */
+  def documentsJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .json(path)
+      .withColumn("n_chars",
+        coalesce(col("n_chars"), length(col("text")).cast("long")))
+
   /** `embeddings.embedding` normalized to array<float> — the native
     * kernels (DotProduct codegen, PQ encode) are FloatType-typed, and a
     * driver regeneration that flips the arrow list to double (the same

@@ -82,4 +82,23 @@ class TablesContractSpec extends AnyFunSuite {
       case None    => spark.conf.unset(key)
     }
   }
+
+  test("documentsJsonl round-trips the documents contract and derives a missing n_chars") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val src = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    // full-contract round trip: parquet corpus -> jsonl -> ingest
+    src.coalesce(1).write.mode("overwrite").json(s"$dir/full")
+    val back = graft.sources.Tables.documentsJsonl(spark, s"$dir/full")
+    assert(back.schema.fieldNames.sorted.toSeq ==
+      Seq("doc_id", "lang", "n_chars", "source", "text"))
+    val a = src.orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = back.select(src.columns.map(col): _*).orderBy("doc_id")
+      .collect().map(_.toString).toSeq
+    assert(a == b, "jsonl ingest must reproduce the parquet corpus row-for-row")
+    // raw corpora rarely carry n_chars: it must be derived as length(text)
+    src.drop("n_chars").coalesce(1).write.mode("overwrite").json(s"$dir/raw")
+    val derived = graft.sources.Tables.documentsJsonl(spark, s"$dir/raw")
+    assert(derived.filter(col("n_chars") =!= length(col("text")).cast(LongType))
+      .count() == 0L)
+  }
 }
