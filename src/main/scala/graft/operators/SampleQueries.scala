@@ -442,9 +442,13 @@ object SampleQueries {
   /** Deterministic global shuffle (c8) — the training-order assignment
     * step between curation and the trainer: every doc gets a shard and
     * an explicit position inside it, both derived from content-keyed
-    * hash octets (chars 17–20 → shard, chars 21–28 → in-shard order;
+    * hash octets (chars 17–24 → shard, chars 25–32 → in-shard order;
     * independent of c1's keep, c3's split, c7's resample and p4's
-    * bucket octets). The result is a reproducible corpus-wide
+    * bucket octets). The shard draw is 8 hex chars (32 bits), not 4:
+    * a 16-bit draw mod nShards carries relative modulo bias
+    * ≈ nShards/65536 — 15% at the 10k shards a 100 TB corpus wants —
+    * while 32 bits makes it ≈ nShards/2³², negligible at any sane
+    * shard count. The result is a reproducible corpus-wide
     * permutation — rerun on any cluster layout, or after an
     * incremental rebuild, docs land in the same shard at the same
     * relative order — which is what makes training runs repeatable and
@@ -463,9 +467,9 @@ object SampleQueries {
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = md5(col("doc_id").cast("string"))
-    val shard = (conv(substring(h, 17, 4), 16, 10).cast("long") % nShards)
+    val shard = (conv(substring(h, 17, 8), 16, 10).cast("long") % nShards)
     docs.select(col("doc_id"), shard.as("shard"),
-        substring(h, 21, 8).as("__o"))
+        substring(h, 25, 8).as("__o"))
       .withColumn("pos",
         row_number().over(
           Window.partitionBy(col("shard")).orderBy(col("__o"), col("doc_id")))
@@ -479,12 +483,12 @@ object SampleQueries {
       .orderBy("doc_id"),
     Some("""
       SELECT doc_id,
-             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 4))
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 8))
                AS BIGINT) % 8 AS shard,
              CAST(ROW_NUMBER() OVER (
-               PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 4))
+               PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 17, 8))
                  AS BIGINT) % 8
-               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 21, 8), doc_id)
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 25, 8), doc_id)
                AS BIGINT) AS pos
       FROM documents ORDER BY doc_id"""))
 
