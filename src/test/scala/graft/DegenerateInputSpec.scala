@@ -121,6 +121,20 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(broadcastPlan.nonEmpty)
   }
 
+  test("p6 broadcast guard: forced shuffle fallback of the capped-gram join returns identical leakage audit") {
+    val cols = Seq("doc_id", "split", "text")
+    val rel = Seq(
+      (1L, "train", "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "test", "alpha beta gamma delta epsilon zeta other tail"),
+      (3L, "val", "completely different words here with no overlap at all")).toDF(cols: _*)
+    val broadcastPlan =
+      graft.operators.PipelineQueries.splitLeakage(rel).collect().toSeq
+    val shufflePlan = graft.operators.PipelineQueries
+      .splitLeakage(rel, maxBroadcastGrams = 0L).collect().toSeq
+    assert(shufflePlan == broadcastPlan)
+    assert(broadcastPlan.nonEmpty)
+  }
+
   test("p2 broadcast guard: forced shuffle fallback of the dropped-set anti-join returns identical audit") {
     val dir = "/root/testdata/sf0.001"
     val broadcastPlan =
