@@ -344,6 +344,16 @@ object IndexStore {
 
   private def tagPrefix(tag: String) = s"graft-$tag-"
 
+  /** EXACT tag-file match: `graft-<tag>-<ordinal>.parquet`. A bare
+    * prefix test is NOT exact for the permitted tag charset — '-' is
+    * legal in tags, so tag `day1`'s prefix `graft-day1-` also matches
+    * tag `day1-retry`'s files, and a prefix-based sweep would silently
+    * delete the other batch's committed rows. */
+  private def isTagDataFile(name: String, tag: String): Boolean = {
+    val p = tagPrefix(tag)
+    name.startsWith(p) && name.stripPrefix(p).matches("[0-9]+\\.parquet")
+  }
+
   /** Delete the files a previous [[publishTaggedAppend]] attempt of
     * `tag` left in `tbl`'s LIVE dir (recursive — partitioned tables
     * keep tag files inside partition subdirs). Idempotent. Call before
@@ -357,7 +367,7 @@ object IndexStore {
       val it = fs.listFiles(live, true)
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.startsWith(tagPrefix(tag)))
+        if (isTagDataFile(f.getPath.getName, tag))
           fs.delete(f.getPath, false)
       }
     }
@@ -454,23 +464,44 @@ object IndexStore {
     * `onLockBroken` runs between breaking a stale lock and attempting to
     * re-acquire it — the spec uses it to force the "another breaker won
     * the re-create race" interleaving deterministically. */
+  // per-path monitors: ensure() serializes callers of the SAME path;
+  // a slow build (or a 15-minute cross-JVM lock wait) on one index
+  // family must not block first-time ensure() of every other family
+  // in the JVM (review finding) — shared state (`ensured`) is already
+  // a concurrent map, and everything else in the body is path-local
+  private val pathMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[graft] def ensure(s: SparkSession, path: String, meta: String,
                             lockStaleMs: Long, lockWaitMs: Long,
                             lockPollMs: Long,
                             onLockBroken: () => Unit = () => ())(build: => Unit): Unit = {
     if (ensured.get(path) == meta) return
-    synchronized {
+    pathMonitors.computeIfAbsent(path, _ => new Object).synchronized {
       if (ensured.get(path) == meta) return
       val hPath = new Path(path)
-      val metaPath = new Path(hPath, "_graft_meta")
       val lockPath = new Path(hPath, "_graft_build_lock")
       val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      def metaCurrent(): Boolean = fs.exists(metaPath) && {
-        val in = fs.open(metaPath)
-        try new String(in.readAllBytes(), "UTF-8") == meta finally in.close()
-      }
+      def metaCurrent(): Boolean = readStamp(s, path, "_graft_meta").contains(meta)
+      // owner token INSIDE the lock file: release deletes the lock only
+      // when the content is still ours — a holder suspended past the
+      // stale window (sleep, long GC) whose lock was legitimately taken
+      // over must NOT delete the new holder's live lock on resume
+      // (review finding). The takeover itself cannot fence the
+      // suspended holder's in-flight writes; that residual exposure is
+      // documented above, and the token at least stops the lock-file
+      // cascade (resumed holder deletes new lock → third builder).
+      val ownerToken = java.util.UUID.randomUUID().toString
       def tryLock(): Boolean =
-        try { fs.mkdirs(hPath); fs.create(lockPath, false).close(); true }
+        try {
+          fs.mkdirs(hPath)
+          val out = fs.create(lockPath, false)
+          try out.write(ownerToken.getBytes("UTF-8")) finally out.close()
+          true
+        }
+        catch { case _: java.io.IOException => false }
+      def ownsLock(): Boolean =
+        try readStamp(s, path, "_graft_build_lock").contains(ownerToken)
         catch { case _: java.io.IOException => false }
       def lockAgeMs(): Long = try {
         if (fs.exists(lockPath))
@@ -589,16 +620,19 @@ object IndexStore {
       hb.start()
       try {
         if (!metaCurrent()) { // re-check under the lock
+          val metaPath = new Path(hPath, "_graft_meta")
           if (fs.exists(metaPath)) fs.delete(metaPath, false) // invalidate first
           build
-          val out = fs.create(metaPath, true)
-          try out.write(meta.getBytes("UTF-8")) finally out.close()
+          writeStamp(s, path, "_graft_meta", meta)
         }
       } finally {
         hbStop = true
         hb.interrupt()
-        // release is owner-only: this JVM created the lock above
-        try fs.delete(lockPath, false) catch { case _: java.io.IOException => () }
+        // release is owner-only, VERIFIED by token: if our lock went
+        // stale and was taken over while we were suspended, the file
+        // now carries the new holder's token and we must leave it alone
+        try { if (ownsLock()) fs.delete(lockPath, false) }
+        catch { case _: java.io.IOException => () }
       }
       ensured.put(path, meta)
     }

@@ -70,29 +70,47 @@ object ReleaseWriter {
     manifestOf(readRelease(docs.sparkSession, outDir, format), nBuckets)
   }
 
-  /** Read a written release back with the CONTRACT schema (explicit,
-    * never inferred — JSONL inference would both re-scan the data and
-    * risk type drift on an empty split). `split` comes from the
-    * partition directories in both formats. */
+  private val contractSchema = "doc_id LONG, text STRING, n_chars LONG, split STRING"
+
+  private def requireKnownFormat(format: String): Unit =
+    if (format != "parquet" && format != "jsonl")
+      throw new IllegalArgumentException(
+        s"unknown release format '$format' (parquet | jsonl)")
+
+  /** Read a written release back with the CONTRACT schema — explicit
+    * for BOTH formats: JSONL inference would re-scan the data and
+    * type-drift on an empty split, and the parquet branch must pin the
+    * `split` partition column to STRING too — partition-column type
+    * inference would read split labels like '2024' as int (and '01' as
+    * 1), breaking the cross-format and written-vs-logical manifest
+    * equality the sink exists to guarantee. */
   def readRelease(s: org.apache.spark.sql.SparkSession, dir: String,
-                  format: String = "parquet"): DataFrame = format match {
-    case "parquet" => s.read.parquet(dir)
-    case "jsonl" =>
-      s.read.schema("doc_id LONG, text STRING, n_chars LONG, split STRING")
-        .json(dir)
-    case other => throw new IllegalArgumentException(
-      s"unknown release format '$other' (parquet | jsonl)")
+                  format: String = "parquet"): DataFrame = {
+    requireKnownFormat(format)
+    val r = s.read.schema(contractSchema)
+    if (format == "parquet") r.parquet(dir) else r.json(dir)
   }
 
   /** The deterministic layout write alone (no manifest). `jsonl` emits
     * gzipped JSON-lines — the interchange format LLM training stacks
     * consume — with the SAME split-partitioned, range-bucketed, sorted
     * layout and therefore the same manifest as the parquet release
-    * (ReleasePublishSpec pins cross-format manifest equality). */
+    * (ReleasePublishSpec pins cross-format manifest equality).
+    *
+    * The release frame is STAGED before the sizing aggregate: `docs`
+    * is typically the whole curation pipeline (p4 passes
+    * releasedDocs), and without the stage break the sum(n_chars)
+    * sizing action would execute that multi-join pipeline once and
+    * the write would execute it again (review finding). Staged, the
+    * pipeline runs once and both the sizing pass and the write scan
+    * the materialized release — which is also the smallest frame in
+    * the lineage, so the staged copy is as cheap as a copy gets. */
   private def writeLayout(docs: DataFrame, outDir: String,
                           targetFileBytes: Long,
                           format: String = "parquet"): Unit = {
-    val slim = docs.select(col("doc_id"), col("text"), col("n_chars"), col("split"))
+    requireKnownFormat(format)
+    val slim = graft.plans.Stage(
+      docs.select(col("doc_id"), col("text"), col("n_chars"), col("split")))
     val totalChars = slim.agg(coalesce(sum(col("n_chars").cast("long")), lit(0L)))
       .head().getLong(0)
     val ranged = slim
@@ -100,12 +118,8 @@ object ReleaseWriter {
         col("split"), col("doc_id"))
       .sortWithinPartitions(col("split"), col("doc_id"))
       .write.mode("overwrite").partitionBy("split")
-    format match {
-      case "parquet" => ranged.parquet(outDir)
-      case "jsonl"   => ranged.option("compression", "gzip").json(outDir)
-      case other => throw new IllegalArgumentException(
-        s"unknown release format '$other' (parquet | jsonl)")
-    }
+    if (format == "parquet") ranged.parquet(outDir)
+    else ranged.option("compression", "gzip").json(outDir)
   }
 
   // ---- versioned atomic publication of a release -------------------

@@ -83,12 +83,17 @@ object Tables {
     * raw corpora rarely carry it — is derived as length(text), the
     * same definition the driver tables use. Missing lang/source read
     * as null: the loader normalizes encoding, it does not invent
-    * metadata. Scale shape: a plain line-splittable scan (gzip files
+    * metadata. FAILFAST mode: a malformed line (truncated upload,
+    * garbled shard) must abort the read, not decode to a silent
+    * all-null row that flows null doc_ids into dedup joins and the
+    * split hash — at an ingestion boundary, loud beats lossy.
+    * Scale shape: a plain line-splittable scan (gzip files
     * are one split each — shard the corpus into many files, which the
     * release writer's layout already does). */
   def documentsJsonl(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("mode", "FAILFAST")
       .json(path)
       .withColumn("n_chars",
         coalesce(col("n_chars"), length(col("text")).cast("long")))

@@ -384,4 +384,45 @@ class IndexStoreSpec extends AnyFunSuite {
       assert(!IndexStore.tableDataPath(spark, path, f.legacyCrashTbl).contains("__v"),
         s"$fam: re-init must reset the table to the fresh unversioned layout")
     }
+
+  test("tag sweep is exact: tag 'day1' never deletes tag 'day1-retry' files (review finding)") {
+    import spark.implicits._
+    val idx = tmpDir() + "/tags"
+    def publish(tag: String, v: Long): Unit =
+      IndexStore.publishTaggedAppend(spark, idx, "t", tag) { stage =>
+        Seq(v).toDF("x").coalesce(1).write.parquet(stage)
+      }
+    publish("day1-retry", 1L)
+    publish("day1", 2L) // its pre-publish sweep must NOT touch day1-retry's files
+    def rows() = spark.read.parquet(s"$idx/t").collect().map(_.getLong(0)).toSet
+    assert(rows() == Set(1L, 2L), "prefix-collision sweep deleted the other tag's rows")
+    // sweeping 'day1' explicitly removes exactly its own file
+    IndexStore.sweepTaggedFiles(spark, idx, "t", "day1")
+    assert(rows() == Set(1L))
+    // and the replay path (re-publish same tag) still converges
+    publish("day1", 2L)
+    assert(rows() == Set(1L, 2L))
+  }
+
+  test("a resumed holder whose lock was taken over leaves the new holder's lock intact (review finding)") {
+    val path = tmpDir() + "/lockown"
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => IndexStore.ensure(spark, path, "metaA") {
+      started.countDown(); release.await()
+    })
+    t.start()
+    assert(started.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // simulate a takeover while the holder is 'suspended': the lock file
+    // now carries ANOTHER builder's owner token
+    IndexStore.writeStamp(spark, path, "_graft_build_lock", "foreign-owner")
+    release.countDown(); t.join(30000)
+    assert(!t.isAlive)
+    // the resumed holder must NOT have deleted the foreign lock
+    assert(IndexStore.readStamp(spark, path, "_graft_build_lock")
+      .contains("foreign-owner"),
+      "resumed holder deleted a lock it no longer owns")
+    // (the build itself completed and stamped — token only guards release)
+    assert(IndexStore.readStamp(spark, path, "_graft_meta").contains("metaA"))
+  }
 }

@@ -118,6 +118,18 @@ class ReleasePublishSpec extends AnyFunSuite {
     assert(ReleaseWriter.currentReleasePath(spark, root).contains(s"$root/v1"))
   }
 
+  test("numeric split labels stay strings through the parquet read-back (review finding)") {
+    import spark.implicits._
+    // partition-column type inference would read split=2024 as int and
+    // split=01 as 1, breaking written-vs-logical manifest equality
+    val d = (1 to 20).map(i => (i.toLong, s"doc body $i", 10L + i,
+      if (i % 2 == 0) "2024" else "01")).toDF("doc_id", "text", "n_chars", "split")
+    val written = ReleaseWriter.publishRelease(d, freshRoot()).collect().toSeq
+    val logical = ReleaseWriter.manifestOf(d).collect().toSeq
+    assert(written.map(_.toString).sorted == logical.map(_.toString).sorted)
+    assert(written.map(_.getString(0)).toSet == Set("2024", "01"))
+  }
+
   test("unknown format fails loudly") {
     intercept[IllegalArgumentException] {
       ReleaseWriter.publishRelease(docs(5), freshRoot(), format = "orc")

@@ -101,4 +101,17 @@ class TablesContractSpec extends AnyFunSuite {
     assert(derived.filter(col("n_chars") =!= length(col("text")).cast(LongType))
       .count() == 0L)
   }
+
+  test("documentsJsonl fails loudly on a malformed line instead of decoding null rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_bad").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      """{"doc_id": 1, "text": "fine", "lang": "en", "source": "s"}
+        |{"doc_id": 2, "text": "truncated""".stripMargin)
+    val ex = intercept[Exception] {
+      graft.sources.Tables.documentsJsonl(spark, dir).count()
+    }
+    // FAILFAST surfaces the decode failure; PERMISSIVE would have
+    // yielded a silent all-null row flowing null doc_ids downstream
+    assert(ex.getMessage != null)
+  }
 }
