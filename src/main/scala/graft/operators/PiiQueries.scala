@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -59,40 +59,12 @@ object PiiQueries {
       .withColumn("redacted", t3)
   }
 
-  /** The deterministic doc_id-derived entity injection (QueryDef-only
-    * scaffolding; see object doc). Residues mod 4: 0 → email, 1 →
-    * phone, 2 → dotted quad, 3 → (mod 8 == 3 ? email+phone : clean). */
-  private[graft] def injectedText: Column = {
-    val id = col("doc_id")
-    // portable non-negative residue, stated identically in both
-    // engines as ((x % k) + k) % k: Spark pmod would diverge from
-    // DuckDB's sign-preserving % on negative ids (the mm2/mm4
-    // cross-engine drift class), while a bare % would leave every
-    // non-zero branch below unreachable for negative ids — silently
-    // emptying the phone/IPv4 injection coverage instead of failing
-    def r(x: Column, k: Int): Column = ((x % k) + k) % k
-    def m(k: Int) = r(id, k).cast("string")
-    def mm(f: Int, k: Int) = r(id * f, k).cast("string")
-    when(r(id, 4) === 0,
-      concat(col("text"), lit(" contact user"), id.cast("string"),
-        lit("@mail-"), m(7), lit(".example.com")))
-      .when(r(id, 4) === 1,
-        concat(col("text"), lit(" call 415-"), lpad(mm(7, 1000), 3, "0"),
-          lit("-"), lpad(mm(13, 10000), 4, "0")))
-      .when(r(id, 4) === 2,
-        concat(col("text"), lit(" from host "), m(256), lit("."),
-          mm(3, 256), lit("."), mm(5, 256), lit("."), mm(7, 256)))
-      .when(r(id, 8) === 3,
-        concat(col("text"), lit(" reach admin"), id.cast("string"),
-          lit("@ops.example.org or 800-555-"), lpad(m(10000), 4, "0")))
-      .otherwise(col("text"))
-  }
-
   val tPiiScrub = QueryDef(
     "t18_pii_scrub",
     (s, dir) => {
+      // entity injection is QueryDef-only scaffolding — Scaffold.injectedText
       val scrubbed = piiScrub(
-        Tables.documents(s, dir).withColumn("text", injectedText))
+        Tables.documents(s, dir).withColumn("text", Scaffold.injectedText))
       scrubbed.groupBy(col("source"))
         .agg(
           count(lit(1)).as("n_docs"),
@@ -114,13 +86,13 @@ object PiiQueries {
                       '@mail-' || CAST(((doc_id % 7) + 7) % 7 AS VARCHAR) || '.example.com'
                     WHEN ((doc_id % 4) + 4) % 4 = 1 THEN
                       text || ' call 415-' ||
-                      lpad(CAST((((doc_id * 7) % 1000) + 1000) % 1000 AS VARCHAR), 3, '0') || '-' ||
-                      lpad(CAST((((doc_id * 13) % 10000) + 10000) % 10000 AS VARCHAR), 4, '0')
+                      lpad(CAST(((((doc_id % 1000) + 1000) % 1000) * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+                      lpad(CAST(((((doc_id % 10000) + 10000) % 10000) * 13) % 10000 AS VARCHAR), 4, '0')
                     WHEN ((doc_id % 4) + 4) % 4 = 2 THEN
                       text || ' from host ' || CAST(((doc_id % 256) + 256) % 256 AS VARCHAR) ||
-                      '.' || CAST((((doc_id * 3) % 256) + 256) % 256 AS VARCHAR) ||
-                      '.' || CAST((((doc_id * 5) % 256) + 256) % 256 AS VARCHAR) ||
-                      '.' || CAST((((doc_id * 7) % 256) + 256) % 256 AS VARCHAR)
+                      '.' || CAST(((((doc_id % 256) + 256) % 256) * 3) % 256 AS VARCHAR) ||
+                      '.' || CAST(((((doc_id % 256) + 256) % 256) * 5) % 256 AS VARCHAR) ||
+                      '.' || CAST(((((doc_id % 256) + 256) % 256) * 7) % 256 AS VARCHAR)
                     WHEN ((doc_id % 8) + 8) % 8 = 3 THEN
                       text || ' reach admin' || CAST(doc_id AS VARCHAR) ||
                       '@ops.example.org or 800-555-' ||

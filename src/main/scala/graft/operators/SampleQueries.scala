@@ -526,38 +526,12 @@ object SampleQueries {
       .orderBy("source", "status")
   }
 
-  /** The deterministic "previous snapshot" (QueryDef-only scaffolding;
-    * both engines state the same closed form): yesterday's corpus is
-    * today's minus every 17th doc (today's "added"), plus every 19th
-    * doc carrying an older revision of its text ("changed"), plus a
-    * retired doc per 23rd id at an id range today provably does not
-    * have — alias = doc_id − min + max + 1, with min/max MEASURED from
-    * the corpus (a fixed constant would collide with live ids once the
-    * corpus outgrows it, and a bare max+1 offset still collides when
-    * ids are negative: −23 + max+1 can land inside [min, max]; the
-    * min-shift maps every alias injectively into (max, ∞)), broadcast
-    * as a single-row frame ("removed"). */
-  private[graft] def previousSnapshot(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    // sign-preserving % (repo modulo convention — matches DuckDB on any id)
-    val retained = docs.filter(col("doc_id") % 17 =!= 0)
-      .withColumn("text",
-        when(col("doc_id") % 19 === 0,
-          concat(col("text"), lit(" legacy revision"))).otherwise(col("text")))
-    val mx = docs.agg(max(col("doc_id")).as("__mx"), min(col("doc_id")).as("__mn"))
-    val retired = docs.filter(col("doc_id") % 23 === 0)
-      .crossJoin(broadcast(mx))
-      .select((col("doc_id") - col("__mn") + col("__mx") + 1L).as("doc_id"),
-        col("text"), col("source"))
-    retained.select(col("doc_id"), col("text"), col("source"))
-      .unionByName(retired)
-  }
-
   val cSnapshotDiff = QueryDef(
     "c9_snapshot_diff",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      snapshotDiffOf(previousSnapshot(docs), docs)
+      // "yesterday" is QueryDef-only scaffolding — Scaffold.previousSnapshot
+      snapshotDiffOf(Scaffold.previousSnapshot(docs), docs)
     },
     Some("""
       WITH old AS (

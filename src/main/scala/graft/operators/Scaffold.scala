@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** QueryDef-ONLY oracle scaffolding — deterministic closed forms that
+  * exist so BOTH engines (Spark and the DuckDB oracle) can state the
+  * same synthetic input when the driver tables alone would make an
+  * oracle vacuous (no PII in the corpus, no second snapshot on disk).
+  *
+  * Contract: nothing here is production operator surface. Each member
+  * is referenced only from a QueryDef body (and its spec) and has a
+  * verbatim SQL restatement inside that QueryDef's oracle; the
+  * production operators (`PiiQueries.piiScrub`,
+  * `SampleQueries.snapshotDiffOf`) take ANY caller frame. Keeping the
+  * closed forms in one file keeps the operator files pure (VERDICT r13
+  * #7) and gives future oracle-only inputs a single documented home.
+  */
+object Scaffold {
+
+  /** Deterministic doc_id-derived PII entity injection for t18 (see
+    * PiiQueries object doc). Residues mod 4: 0 → email, 1 → phone,
+    * 2 → dotted quad, 3 → (mod 8 == 3 ? email+phone : clean). */
+  private[graft] def injectedText: Column = {
+    val id = col("doc_id")
+    // portable non-negative residue, stated identically in both
+    // engines as ((x % k) + k) % k: Spark pmod would diverge from
+    // DuckDB's sign-preserving % on negative ids (the mm2/mm4
+    // cross-engine drift class), while a bare % would leave every
+    // non-zero branch below unreachable for negative ids — silently
+    // emptying the phone/IPv4 injection coverage instead of failing
+    def r(x: Column, k: Int): Column = ((x % k) + k) % k
+    def m(k: Int) = r(id, k).cast("string")
+    // reduce BEFORE multiplying: (id·f) mod k ≡ ((id mod k)·f) mod k,
+    // and r(id,k)·f ≤ (k−1)·13 can never overflow Long — while a raw
+    // id*f wraps silently in Spark (non-ANSI) but RAISES in DuckDB on
+    // extreme ids, splitting the "same closed form" across engines.
+    // r(id,k) is already non-negative, so a plain % suffices outside.
+    def mm(f: Int, k: Int) = ((r(id, k) * f) % k).cast("string")
+    when(r(id, 4) === 0,
+      concat(col("text"), lit(" contact user"), id.cast("string"),
+        lit("@mail-"), m(7), lit(".example.com")))
+      .when(r(id, 4) === 1,
+        concat(col("text"), lit(" call 415-"), lpad(mm(7, 1000), 3, "0"),
+          lit("-"), lpad(mm(13, 10000), 4, "0")))
+      .when(r(id, 4) === 2,
+        concat(col("text"), lit(" from host "), m(256), lit("."),
+          mm(3, 256), lit("."), mm(5, 256), lit("."), mm(7, 256)))
+      .when(r(id, 8) === 3,
+        concat(col("text"), lit(" reach admin"), id.cast("string"),
+          lit("@ops.example.org or 800-555-"), lpad(m(10000), 4, "0")))
+      .otherwise(col("text"))
+  }
+
+  /** The deterministic "previous snapshot" for c9 (QueryDef-only
+    * scaffolding; both engines state the same closed form): yesterday's
+    * corpus is today's minus every 17th doc (today's "added"), plus
+    * every 19th doc carrying an older revision of its text ("changed"),
+    * plus a retired doc per 23rd id at an id range today provably does
+    * not have — alias = doc_id − min + max + 1, with min/max MEASURED
+    * from the corpus (a fixed constant would collide with live ids once
+    * the corpus outgrows it, and a bare max+1 offset still collides
+    * when ids are negative: −23 + max+1 can land inside [min, max]; the
+    * min-shift maps every alias injectively into (max, ∞)), broadcast
+    * as a single-row frame ("removed"). */
+  private[graft] def previousSnapshot(docs: DataFrame): DataFrame = {
+    // sign-preserving % (repo modulo convention — matches DuckDB on any id)
+    val retained = docs.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 19 === 0,
+          concat(col("text"), lit(" legacy revision"))).otherwise(col("text")))
+    val mx = docs.agg(max(col("doc_id")).as("__mx"), min(col("doc_id")).as("__mn"))
+    val retired = docs.filter(col("doc_id") % 23 === 0)
+      .crossJoin(broadcast(mx))
+      .select((col("doc_id") - col("__mn") + col("__mx") + 1L).as("doc_id"),
+        col("text"), col("source"))
+    retained.select(col("doc_id"), col("text"), col("source"))
+      .unionByName(retired)
+  }
+}

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -87,16 +87,30 @@ object Tables {
     * garbled shard) must abort the read, not decode to a silent
     * all-null row that flows null doc_ids into dedup joins and the
     * split hash — at an ingestion boundary, loud beats lossy.
-    * Scale shape: a plain line-splittable scan (gzip files
+    * FAILFAST only catches SYNTACTICALLY malformed lines; a well-formed
+    * line that omits `doc_id`/`text` (or carries an explicit null) would
+    * still decode to a null key and flow into exactly those joins — so
+    * the key contract is enforced per row with `raise_error` (a pure
+    * map-side guard: zero cost on valid corpora, loud with the offending
+    * line's context on the first violation, never a driver-side count
+    * pass). Scale shape: a plain line-splittable scan (gzip files
     * are one split each — shard the corpus into many files, which the
     * release writer's layout already does). */
-  def documentsJsonl(spark: SparkSession, path: String): DataFrame =
+  def documentsJsonl(spark: SparkSession, path: String): DataFrame = {
+    def required(c: String): Column =
+      when(col(c).isNull, raise_error(concat(
+        lit(s"documentsJsonl: null/missing required key '$c' (doc_id="),
+        coalesce(col("doc_id").cast("string"), lit("null")), lit(")"))))
+        .otherwise(col(c))
     spark.read
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
       .option("mode", "FAILFAST")
       .json(path)
+      .withColumn("doc_id", required("doc_id"))
+      .withColumn("text", required("text"))
       .withColumn("n_chars",
         coalesce(col("n_chars"), length(col("text")).cast("long")))
+  }
 
   /** `embeddings.embedding` normalized to array<float> — the native
     * kernels (DotProduct codegen, PQ encode) are FloatType-typed, and a

@@ -79,7 +79,7 @@ class PiiScrubSpec extends AnyFunSuite {
     // oracle's regex-parity coverage on such a corpus
     val docs = (-8L to -1L).map(i => (i, "base text")).toDF("doc_id", "text")
     val out = PiiQueries.piiScrub(
-        docs.withColumn("text", PiiQueries.injectedText))
+        docs.withColumn("text", graft.operators.Scaffold.injectedText))
       .agg(sum("n_emails"), sum("n_phones"), sum("n_ipv4"))
       .collect().head
     assert(out.getLong(0) > 0L, "no emails injected for negative ids")

@@ -224,7 +224,11 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("c8 shard shuffle: one exchange keyed by the compact shard id, window keyed too") {
     val p = plan("c8_shard_shuffle")
-    assert(!p.contains("SinglePartition") || !p.contains("Window ["),
+    // assert the window's presence POSITIVELY first (the t9 discipline):
+    // if a plan-render change drops the 'Window [' token, this fails
+    // loudly instead of silently disarming the SinglePartition guard
+    assert(p.contains("Window ["), "c8's rank window is missing\n" + p.take(1500))
+    assert(!p.contains("SinglePartition"),
       "c8's rank window fell back to a single partition\n" + p.take(1500))
     assert(p.contains("hashpartitioning(shard#"),
       "c8's only hash exchange must be keyed by the shard id\n" + p.take(1500))

@@ -62,7 +62,7 @@ class SnapshotDiffSpec extends AnyFunSuite {
     val ids = (-10L to 9L) ++ (10000000L to 10000009L)
     val docs = ids.map(i => (i, s"text$i", "s")).toDF("doc_id", "text", "source")
     val out = SampleQueries.snapshotDiffOf(
-      SampleQueries.previousSnapshot(docs), docs)
+      graft.operators.Scaffold.previousSnapshot(docs), docs)
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     val retired = ids.count(_ % 23 == 0)
     val added = ids.count(_ % 17 == 0)
