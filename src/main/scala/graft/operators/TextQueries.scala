@@ -516,21 +516,30 @@ object TextQueries {
     * the partition key would be (source, ingest-shard) — packing is
     * per-shard in any real pipeline, which keeps every window partition
     * bounded — same semantics, narrower key. */
+  /** Sequence length shared by t13 (packing) and t20 (pack audit). */
+  private[graft] val packLen = 128
+
+  /** The t13 packed frame over any documents-shaped input — ONE
+    * definition shared by t13 and the spec-side corruption fixtures, so
+    * the audited layout can never drift from the packing operator. */
+  private[graft] def sequencePackFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val L = packLen
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_offset"),
+        floor(col("tok_offset") / L).cast("long").as("pack_first"),
+        floor((col("tok_offset") + col("n_tokens") - 1) / L).cast("long").as("pack_last"))
+  }
+
   val tSequencePack = QueryDef(
     "t13_sequence_pack",
-    (s, dir) => {
-      val L = 128
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("source")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tokens"))
-        .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_offset"),
-          floor(col("tok_offset") / L).cast("long").as("pack_first"),
-          floor((col("tok_offset") + col("n_tokens") - 1) / L).cast("long").as("pack_last"))
-        .orderBy("source", "doc_id")
-    },
+    (s, dir) => sequencePackFrame(Tables.documents(s, dir))
+      .orderBy("source", "doc_id"),
     Some("""
       WITH b AS (
         SELECT doc_id, source,
@@ -811,7 +820,98 @@ object TextQueries {
              CAST(rank AS BIGINT) AS rank
       FROM r WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+  /** Sequence-pack integrity audit (t20) — the release-governance
+    * artifact for the PACKING stage, mirroring what p3's manifest does
+    * for curation: before a packed corpus ships to a trainer, verify
+    * from the packed table itself that the layout reconstructs the
+    * canonical corpus exactly. Per source, three invariants:
+    *  - offsets CONTIGUOUS: every doc's tok_offset equals the previous
+    *    doc's offset + length (lag check; the first doc's lag defaults
+    *    to 0, so a nonzero start is also a gap) — no token gap, no
+    *    overlap, every token appears exactly once;
+    *  - end_offset == total_tokens (the prefix-sum closes the books);
+    *  - the stored pack_first/pack_last ids agree with the offsets
+    *    (n_pack_errors — a corrupted pack-id column would feed the
+    *    trainer the wrong sequence boundaries even with clean offsets).
+    * Plus the shipping numbers: pack count and tail padding.
+    *
+    * Takes ANY packed frame (a materialized packed table in
+    * production); the QueryDef audits t13's layout. Scale shape: one
+    * lag window keyed by source and one aggregate on the SAME key —
+    * the aggregate reuses the window's hash exchange, so the audit
+    * costs a single source-keyed shuffle; output is |sources| rows.
+    * (Offset arithmetic uses the same floor(double) form as t13 —
+    * exact below 2⁵³ tokens/source, far above a 100 TB corpus.) */
+  private[graft] def packAuditOf(packed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val L = packLen
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val expected =
+      coalesce(lag(col("tok_offset") + col("n_tokens"), 1).over(wl), lit(0L))
+    val packErr =
+      col("pack_first") =!= floor(col("tok_offset") / L).cast("long") ||
+        col("pack_last") =!=
+          floor((col("tok_offset") + col("n_tokens") - 1) / L).cast("long")
+    packed
+      .withColumn("__gap", (col("tok_offset") =!= expected).cast("long"))
+      .withColumn("__perr", packErr.cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("tok_offset") + col("n_tokens")).as("end_offset"),
+        sum(col("__gap")).as("n_gaps"),
+        sum(col("__perr")).as("n_pack_errors"),
+        (max(col("pack_last")) + 1L).as("n_packs"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("end_offset"), col("n_gaps"), col("n_pack_errors"),
+        (col("n_gaps") === 0 && col("end_offset") === col("total_tokens"))
+          .as("contiguous"),
+        col("n_packs"),
+        (col("n_packs") * L - col("total_tokens")).as("pad_tokens"))
+      .orderBy("source")
+  }
+
+  val tPackAudit = QueryDef(
+    "t20_pack_audit",
+    (s, dir) => packAuditOf(sequencePackFrame(Tables.documents(s, dir))),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      o AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS tok_offset
+        FROM b),
+      p AS (
+        SELECT *,
+               CAST(FLOOR(tok_offset / 128.0) AS BIGINT) AS pack_first,
+               CAST(FLOOR((tok_offset + n_tokens - 1) / 128.0) AS BIGINT) AS pack_last
+        FROM o),
+      g AS (
+        SELECT *,
+               CASE WHEN tok_offset <> COALESCE(LAG(tok_offset + n_tokens)
+                 OVER (PARTITION BY source ORDER BY doc_id), 0) THEN 1 ELSE 0 END AS gap,
+               CASE WHEN pack_first <> CAST(FLOOR(tok_offset / 128.0) AS BIGINT)
+                      OR pack_last <> CAST(FLOOR((tok_offset + n_tokens - 1) / 128.0) AS BIGINT)
+                    THEN 1 ELSE 0 END AS perr
+        FROM p)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             MAX(tok_offset + n_tokens) AS end_offset,
+             CAST(SUM(gap) AS BIGINT) AS n_gaps,
+             CAST(SUM(perr) AS BIGINT) AS n_pack_errors,
+             (SUM(gap) = 0 AND MAX(tok_offset + n_tokens) = SUM(n_tokens)) AS contiguous,
+             MAX(pack_last) + 1 AS n_packs,
+             (MAX(pack_last) + 1) * 128 - CAST(SUM(n_tokens) AS BIGINT) AS pad_tokens
+      FROM g GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
-    tCompression, tChunks, tSequencePack, tNgramLm, tHeavyHitters, tBm25)
+    tCompression, tChunks, tSequencePack, tNgramLm, tHeavyHitters, tBm25,
+    tPackAudit)
 }

@@ -67,4 +67,44 @@ class ChunkPackSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("t20 pack audit is green on t13's layout and flags corrupted layouts") {
+    import org.apache.spark.sql.functions._
+    val packed = graft.operators.TextQueries.sequencePackFrame(
+      graft.sources.Tables.documents(spark, dir))
+    val clean = graft.operators.TextQueries.packAuditOf(packed).collect()
+    assert(clean.nonEmpty)
+    clean.foreach { r =>
+      assert(r.getAs[Boolean]("contiguous"), s"clean layout not contiguous: $r")
+      assert(r.getAs[Long]("n_gaps") == 0L && r.getAs[Long]("n_pack_errors") == 0L)
+      assert(r.getAs[Long]("end_offset") == r.getAs[Long]("total_tokens"))
+      // tail padding is what's left of the last 128-sequence
+      val pad = r.getAs[Long]("pad_tokens")
+      assert(pad >= 0L && pad < 128L, s"pad out of range: $r")
+      assert(r.getAs[Long]("n_packs") * 128L ==
+        r.getAs[Long]("total_tokens") + pad)
+    }
+    // corrupt 1: shift one doc's offset by +3 → a gap appears at that
+    // doc AND at its successor (expected-offset mismatch both sides)
+    val victim = packed.orderBy("source", "doc_id").select("doc_id").head.getLong(0)
+    val shifted = packed.withColumn("tok_offset",
+      when(col("doc_id") === victim, col("tok_offset") + 3L)
+        .otherwise(col("tok_offset")))
+    val a1 = graft.operators.TextQueries.packAuditOf(shifted).collect()
+    assert(a1.exists(r => r.getAs[Long]("n_gaps") > 0L && !r.getAs[Boolean]("contiguous")),
+      "offset corruption not flagged")
+    // corrupt 2: break one stored pack id without touching offsets
+    val badPack = packed.withColumn("pack_last",
+      when(col("doc_id") === victim, col("pack_last") + 1L)
+        .otherwise(col("pack_last")))
+    val a2 = graft.operators.TextQueries.packAuditOf(badPack).collect()
+    assert(a2.exists(_.getAs[Long]("n_pack_errors") > 0L),
+      "pack-id corruption not flagged")
+    // corrupt 3: drop a doc entirely → every later doc in its source
+    // gaps; total_tokens no longer closes the books
+    val dropped = packed.filter(col("doc_id") =!= victim)
+    val a3 = graft.operators.TextQueries.packAuditOf(dropped).collect()
+    assert(a3.exists(r => !r.getAs[Boolean]("contiguous")),
+      "dropped-doc corruption not flagged")
+  }
 }
