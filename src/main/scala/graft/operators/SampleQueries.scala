@@ -140,35 +140,50 @@ object SampleQueries {
     * (source, doc_id, hash) projection is staged once and feeds both
     * passes — two scans of 3 columns, zero full sorts.
     */
+  /** The c4 two-phase exact top-n-per-group machinery as a SHARED
+    * helper (c4 stratified draw, c10 per-source cap — both need "the n
+    * smallest `ord` per group" without a corpus-wide rank window).
+    * `base` carries (groupCol, doc_id, "ord" = a 32-hex md5 ranking
+    * key, + any pass-through columns); returns the rank-≤-n rows with
+    * `sample_rank`. Phase 1: per-group counts (tiny agg, broadcast) →
+    * keep-probability p = min(1, margin·n/N_g); the first-8-hex-char
+    * pre-filter keeps ~margin·n candidate rows per group, so the rank
+    * window runs over O(n) rows per group, never N_g. Phase 2
+    * exactness guard: the pre-filter is monotone in the ranking order
+    * (both md5-lexicographic), so survivors_g ≥ n PROVES the true
+    * top-n survived; any group with fewer survivors (P ≈ e^{-n} by
+    * Chernoff, impossible when p=1) is re-ranked unfiltered. Either
+    * path yields exactly the full-window answer. */
+  private[graft] def exactTopNPerGroup(base0: org.apache.spark.sql.DataFrame,
+                                       groupCol: String, n: Int,
+                                       margin: Double = 4.0)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.Stage.StageOps
+    val base = base0.staged // one materialization feeds counts + both branches
+    val counts = base.groupBy(groupCol).agg(count(lit(1)).as("__n_g"))
+    val hfrac = conv(substring(col("ord"), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+    val surv = base.join(broadcast(counts), groupCol)
+      .filter(hfrac < least(lit(1.0), lit(margin * n) / col("__n_g")))
+      .drop("__n_g")
+    val okS = surv.groupBy(groupCol).agg(count(lit(1)).as("__n_surv"))
+      .filter(col("__n_surv") >= n).select(groupCol)
+    val candidates = surv.join(broadcast(okS), Seq(groupCol), "left_semi")
+      .unionByName(base.join(broadcast(okS), Seq(groupCol), "left_anti"))
+    val w = Window.partitionBy(groupCol).orderBy("ord", "doc_id")
+    candidates
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+  }
+
   val cStratified = QueryDef(
     "c4_stratified_sample",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val n = 10
-      val margin = 4.0 * n
-      val base = {
-        import graft.plans.Stage.StageOps
-        Tables.documents(s, dir)
-          .select(col("doc_id"), col("source"),
-            md5(col("doc_id").cast("string")).as("ord"))
-          .staged
-      }
-      val counts = base.groupBy("source").agg(count(lit(1)).as("n_s"))
-      val hfrac = conv(substring(col("ord"), 1, 8), 16, 10).cast("double") /
-        lit(4294967296.0)
-      val surv = base.join(broadcast(counts), "source")
-        .filter(hfrac < least(lit(1.0), lit(margin) / col("n_s")))
-        .select("source", "doc_id", "ord")
-      val okS = surv.groupBy("source").agg(count(lit(1)).as("n_surv"))
-        .filter(col("n_surv") >= n).select("source")
-      val candidates = surv.join(broadcast(okS), Seq("source"), "left_semi")
-        .unionByName(
-          base.join(broadcast(okS), Seq("source"), "left_anti")
-            .select("source", "doc_id", "ord"))
-      val w = Window.partitionBy("source").orderBy("ord", "doc_id")
-      candidates
-        .withColumn("sample_rank", row_number().over(w).cast("long"))
-        .filter(col("sample_rank") <= n)
+      val base = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("ord"))
+      exactTopNPerGroup(base, "source", n = 10)
         .select("source", "doc_id", "sample_rank")
         .orderBy("source", "sample_rank")
     },
@@ -393,8 +408,10 @@ object SampleQueries {
     * map-side filter — the corpus itself is never shuffled (the final
     * orderBy is presentation for the oracle compare). */
   /** Frame-parametrized c7 (specs feed degenerate corpora — empty,
-    * single-language — that the driver tables do not contain). */
-  private[graft] def mixResampleOf(docs: org.apache.spark.sql.DataFrame)
+    * single-language — that the driver tables do not contain).
+    * [[mixResampleKept]] returns the kept rows with ALL input columns
+    * (c10 composes the per-source cap on top and needs `text`). */
+  private[graft] def mixResampleKept(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
     // the tau-weight denominator is a float SUM whose accumulation order
@@ -417,9 +434,14 @@ object SampleQueries {
           lit(4294967295.0)).cast("long"))), 8, "0").as("thr"))
     docs.join(broadcast(rates), "lang")
       .filter(substring(md5(col("doc_id").cast("string")), 5, 8) < col("thr"))
+      .drop("thr")
+  }
+
+  private[graft] def mixResampleOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    mixResampleKept(docs)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
-  }
 
   val cMixResample = QueryDef(
     "c7_mix_resample",
@@ -558,7 +580,90 @@ object SampleQueries {
       SELECT source, status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
       FROM d GROUP BY source, status ORDER BY source, status"""))
 
+  /** Per-source document cap + epoch planner (c10) — the standard
+    * anti-boilerplate discipline of corpus assembly (Dolma/CCNet
+    * style): after the c7 temperature resample sets each LANGUAGE's
+    * share, no single SOURCE may contribute more than `nCap` documents
+    * (a boilerplate-heavy crawl dump would otherwise dominate its
+    * language's slice), and an under-target source is repeated for up
+    * to `maxEpochs` training epochs to reach its token target rather
+    * than upsampled doc-by-doc.
+    *
+    * Deterministic end to end: the cap keeps each source's `nCap`
+    * smallest values of an INDEPENDENT content-keyed draw. Every octet
+    * of md5(doc_id) is already claimed (c1 keep 1–2, c3 split 3–4, c7
+    * resample 5–12, p4 bucket 13–16, c8 shard/order 17–32), so the cap
+    * salts the hash INPUT instead: md5('cap:' || doc_id) — a fresh
+    * 128-bit draw, independent of all of the above, same reproducibility
+    * contract (any cluster layout, any corpus increment: a new doc
+    * enters the cap only by displacing the current rank-nCap).
+    * Epochs: n_epochs = clamp(ceil(targetTokens / kept_tokens), 1,
+    * maxEpochs) per source — whole-corpus repetition, the form trainers
+    * consume (exact integer semantics in both engines below 2⁵³).
+    *
+    * Scale shape: c7's membership is a broadcast-rate map-side filter;
+    * the cap rank goes through [[exactTopNPerGroup]] (the c4 two-phase
+    * machinery — O(nCap) rows per source reach the rank window, never
+    * the source's corpus share); the epoch table is |sources| rows,
+    * broadcast back. No corpus-sized shuffle anywhere. */
+  private[graft] def sourceCapOf(docs: org.apache.spark.sql.DataFrame,
+                                 nCap: Int, targetTokens: Long,
+                                 maxEpochs: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val base = mixResampleKept(docs)
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("ord"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val capped = exactTopNPerGroup(base, "source", nCap)
+    val epochs = capped.groupBy("source")
+      .agg(sum(col("n_tokens")).as("kept_tokens"))
+      .withColumn("n_epochs",
+        least(lit(maxEpochs.toLong),
+          greatest(lit(1L),
+            ceil(lit(targetTokens.toDouble) / col("kept_tokens")).cast("long"))))
+    capped.join(broadcast(epochs), "source")
+      .select(col("source"), col("doc_id"),
+        col("sample_rank").as("cap_rank"), col("n_tokens"),
+        col("kept_tokens"), col("n_epochs"))
+      .orderBy("source", "cap_rank")
+  }
+
+  val cSourceCap = QueryDef(
+    "c10_source_cap",
+    (s, dir) => sourceCapOf(Tables.documents(s, dir),
+      nCap = 8, targetTokens = 1000L, maxEpochs = 4),
+    Some("""
+      WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(CAST(ROUND(SQRT(n_l), 6) AS DECIMAL(28,6))) AS DOUBLE) AS z,
+                   SUM(n_l) AS n_all FROM c),
+      r AS (
+        SELECT lang,
+               printf('%08x', CAST(LEAST(FLOOR(LEAST(1.0,
+                 (ROUND(SQRT(n_l), 6) / z) * FLOOR(n_all / 2) / n_l) * 4294967296.0),
+                 4294967295.0) AS BIGINT)) AS thr
+        FROM c, t),
+      kept AS (
+        SELECT d.doc_id, d.source,
+               md5('cap:' || CAST(d.doc_id AS VARCHAR)) AS ord,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d JOIN r USING (lang)
+        WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 5, 8) < r.thr),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY ord, doc_id) AS cap_rank
+        FROM kept),
+      cap AS (SELECT * FROM rk WHERE cap_rank <= 8),
+      ep AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+               CAST(LEAST(4, GREATEST(1, CEIL(1000.0 / SUM(n_tokens)))) AS BIGINT)
+                 AS n_epochs
+        FROM cap GROUP BY source)
+      SELECT cap.source, cap.doc_id, CAST(cap.cap_rank AS BIGINT) AS cap_rank,
+             cap.n_tokens, ep.kept_tokens, ep.n_epochs
+      FROM cap JOIN ep USING (source)
+      ORDER BY cap.source, cap.cap_rank"""))
+
   val all: Seq[QueryDef] =
     Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
-      cMixResample, cShardShuffle, cSnapshotDiff)
+      cMixResample, cShardShuffle, cSnapshotDiff, cSourceCap)
 }

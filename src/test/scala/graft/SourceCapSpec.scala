@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SampleQueries
+
+/** c10 per-source cap / epoch planner invariants the oracle hash alone
+  * cannot vouch for: the cap binds per source, the two-phase rank
+  * equals the naive full window, the capped set composes with (is a
+  * subset of) the c7 resample, the epoch clamp is exact, and the
+  * result is partition-layout-invariant.
+  */
+class SourceCapSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+  private val (nCap, target, maxEp) = (8, 1000L, 4)
+
+  private lazy val docs = graft.sources.Tables.documents(spark, dir)
+  private lazy val got = SampleQueries.sourceCapOf(docs, nCap, target, maxEp)
+    .collect()
+    .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("cap_rank"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("kept_tokens"), r.getAs[Long]("n_epochs")))
+
+  test("cap binds per source: <= nCap rows, exactly nCap when the resample offers enough") {
+    assert(got.nonEmpty)
+    val resampleSizes = SampleQueries.mixResampleOf(docs)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bySource = got.groupBy(_._1)
+    assert(bySource.exists(_._2.length == nCap),
+      "fixture never binds the cap — test is vacuous")
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length <= nCap, s"$src exceeds the cap")
+      assert(rows.length == math.min(nCap.toLong, resampleSizes(src)),
+        s"$src: cap kept ${rows.length} of ${resampleSizes(src)} offered")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"$src: cap_rank not contiguous from 1")
+    }
+  }
+
+  test("two-phase cap equals the naive full-window rank on the salted draw") {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("cap:"), col("doc_id").cast("string"))), col("doc_id"))
+    val want = SampleQueries.mixResampleKept(docs)
+      .withColumn("cap_rank", row_number().over(w).cast("long"))
+      .filter(col("cap_rank") <= nCap)
+      .select("source", "doc_id", "cap_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == want)
+  }
+
+  test("capped docs are a subset of the c7 resample (composition)") {
+    val resampled = SampleQueries.mixResampleOf(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.map(_._2).toSet.subsetOf(resampled))
+  }
+
+  test("epoch plan is the exact clamp of the per-source token deficit") {
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val keptTokens = rows.map(_._4).sum
+      assert(rows.forall(_._5 == keptTokens), s"$src: kept_tokens inconsistent")
+      val wantEp = math.min(maxEp.toLong,
+        math.max(1L, math.ceil(target.toDouble / keptTokens).toLong))
+      assert(rows.forall(_._6 == wantEp),
+        s"$src: n_epochs ${rows.head._6} != $wantEp for $keptTokens tokens")
+    }
+    // the fixture must exercise both a clamped and an unclamped source
+    assert(got.exists(_._6 > 1L), "no source needed repetition — vacuous")
+  }
+
+  test("result is partition-layout-invariant") {
+    val reparted = SampleQueries.sourceCapOf(docs.repartition(13), nCap, target, maxEp)
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("cap_rank"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("kept_tokens"), r.getAs[Long]("n_epochs")))
+    assert(reparted.toSet == got.toSet)
+  }
+}
