@@ -160,10 +160,15 @@ object SkewBench {
         f""""peak_exec_mem_max_kb":${memMax / 1024.0}%.1f}""")
     }
 
-    // d2 shape: full corpus near-dup mine, salted vs unsalted — the
-    // pair SET is identical (DedupSkewSpec); the task spread is not
-    measure("d2_salted8")(DedupQueries.minHashPairs(docs, nSalts = 8).count())
+    // d2 shape: full corpus near-dup mine, FORCED-salted vs unsalted vs
+    // adaptive — the pair SET is identical on every path (DedupSkewSpec);
+    // the task spread and the replication tax are not. The adaptive row
+    // shows the measured-probe routing: at 50k (max bucket ~285 < 512)
+    // it should track d2_unsalted; at 200k (~1.1k-doc buckets) d2_salted8.
+    measure("d2_salted8")(
+      DedupQueries.minHashPairs(docs, nSalts = 8, saltAbove = 0L).count())
     measure("d2_unsalted")(DedupQueries.minHashPairs(docs, nSalts = 1).count())
+    measure("d2_adaptive")(DedupQueries.minHashPairs(docs).count())
     // d7: duplicate spans (span-frequency skew from the boilerplate)
     measure("d7_dup_spans")(
       graft.operators.DedupQueries.dDupSpans.fn(spark, dir).count())

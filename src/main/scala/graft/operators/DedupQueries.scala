@@ -71,12 +71,15 @@ object DedupQueries {
     *
     * Skew: a boilerplate-heavy corpus puts thousands of docs in ONE
     * band bucket, making that bucket's pair generation a single O(w²)
-    * task. The self-join is salted: the left side hashes into `nSalts`
-    * sub-buckets, the right side (ids only — 8 bytes/row) replicates
-    * across them, so a hot bucket's work spreads over nSalts tasks.
-    * Every in-bucket pair still meets exactly once per salt of its left
-    * doc, so the pair set is unchanged (DedupSkewSpec pins this on a
-    * skewed corpus); AQE skew-join remains as a second line of defense.
+    * task. The self-join salts ADAPTIVELY: a measured max-bucket probe
+    * decides whether to salt at all (even corpora skip the ~20%
+    * replication tax entirely); when it engages, the left side hashes
+    * into `nSalts` sub-buckets, the right side (ids only — 8 bytes/row)
+    * replicates across them, so a hot bucket's work spreads over nSalts
+    * tasks. Every in-bucket pair still meets exactly once per salt of
+    * its left doc, so the pair set is unchanged on BOTH paths
+    * (DedupSkewSpec pins this on a skewed corpus); AQE skew-join
+    * remains as a second line of defense.
     */
   /** The per-doc MinHash signature frame (doc_id, sh, mh) — shingles +
     * k minhashes, eagerly materialized (Stage). At 100 TB this IS the
@@ -103,8 +106,18 @@ object DedupQueries {
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
 
+  /** Largest band-bucket population of a banded key frame — the
+    * MEASURED skew probe behind adaptive salting (one aggregate with
+    * map-side partials down to a single row; reads the staged banded
+    * materialization, so it never re-runs the signature pass). */
+  private[graft] def maxBandBucket(banded: DataFrame): Long = {
+    val r = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   def minHashPairs(docsIn: DataFrame, bands: Int = 4, nSalts: Int = 8,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, saltAbove: Long = 512L): DataFrame = {
     val k = 16; val rowsPerBand = k / bands
     // Stage (in signatures), not cache(): docs feeds three downstream
     // branches (banding + both sides of the verify join), so it must be
@@ -118,11 +131,29 @@ object DedupQueries {
     // band join carries only (band, hash, doc_id) — candidate pairs are
     // deduped BEFORE the wide shingle arrays are joined back for exact
     // verification, so the heavy payload never rides the bucket shuffle.
-    val banded = bandKeys(docs, bands, rowsPerBand)
+    // Staged: it feeds the skew probe + both self-join sides.
+    val banded = bandKeys(docs, bands, rowsPerBand).staged
+    // ADAPTIVE salting (VERDICT r13 #3): replicating the right side
+    // nSalts× is pure overhead when no bucket is hot — measured at sf1:
+    // salted 5.0–6.0 s vs unsalted 4.4–4.9 s (≈20% tax), while at 200k
+    // with ~1.1k-doc buckets salting wins 32.8 vs 49.7 s. So salting is
+    // gated on the MEASURED max bucket population (the guardedBroadcast
+    // discipline applied to skew): one cheap aggregate over the staged
+    // band keys; below `saltAbove` (between the measured 285-doc
+    // no-win and 1.1k-doc win points — a w² single-task bucket only
+    // hurts once w² reaches millions of pairs) the join runs unsalted.
+    // Either path produces the identical pair set (DedupSkewSpec).
+    val salts =
+      if (nSalts <= 1) 1
+      else if (maxBandBucket(banded) > saltAbove) nSalts
+      else 1
     val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
-      .withColumn("salt", pmod(xxhash64(col("a")), lit(nSalts.toLong)))
+      .withColumn("salt",
+        if (salts == 1) lit(0L) else pmod(xxhash64(col("a")), lit(salts.toLong)))
     val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
-      .withColumn("salt", explode(array((0 until nSalts).map(i => lit(i.toLong)): _*)))
+      .withColumn("salt",
+        if (salts == 1) lit(0L)
+        else explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     val pairs = l.join(r, Seq("band", "bh", "salt")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
     val sha = docs.select(col("doc_id").as("a"), col("sh").as("sha"))

@@ -34,7 +34,10 @@ class DedupSkewSpec extends AnyFunSuite {
   }
 
   test("salted and unsalted LSH produce identical pairs on a skewed corpus") {
-    val salted = DedupQueries.minHashPairs(skewedCorpus, nSalts = 8)
+    // saltAbove = 0 FORCES the salted path (the 120-doc hot bucket is
+    // below the 512 adaptive threshold, which would otherwise route
+    // both calls down the unsalted plan and make this equality vacuous)
+    val salted = DedupQueries.minHashPairs(skewedCorpus, nSalts = 8, saltAbove = 0L)
     val unsalted = DedupQueries.minHashPairs(skewedCorpus, nSalts = 1)
     val cols = salted.columns.sorted.map(col(_))
     val diff = salted.select(cols: _*).exceptAll(unsalted.select(cols: _*)).count() +
@@ -44,5 +47,16 @@ class DedupSkewSpec extends AnyFunSuite {
     val n = salted.count()
     assert(n >= 120L * 119L / 2 + 1, s"expected hot-bucket pairs + near pair, got $n")
     assert(salted.filter(col("a") === 200L && col("b") === 201L).count() == 1L)
+  }
+
+  test("adaptive probe measures the hot bucket and survives an empty frame") {
+    // banded key frame of the skewed corpus's shape: 120 identical docs
+    // share every band key, so the probe must report >= 120
+    val banded = skewedCorpus
+      .select(col("doc_id"), lit(0).as("band"), xxhash64(md5(col("text"))).as("bh"))
+    assert(DedupQueries.maxBandBucket(banded) >= 120L,
+      "probe must see the hot bucket")
+    // empty frame → probe 0 (no NPE on the null max)
+    assert(DedupQueries.maxBandBucket(banded.limit(0)) == 0L)
   }
 }
