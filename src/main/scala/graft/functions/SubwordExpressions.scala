@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+
+/** Greedy longest-match subword ENCODER against a frozen stored vocab —
+  * the engine's BPE-style tokenizer kernel (SURVEY.md §2.12 preference
+  * order: native codegen'd Expression over UDF). One pass over a
+  * document's whitespace-token array: each word is consumed left to
+  * right, at every position taking the LONGEST vocab piece (4, 3, then
+  * 2 chars) that prefixes the remainder, else one character — exactly
+  * the closed form the t19 DuckDB oracle states as a recursive CTE.
+  *
+  * Returns struct(n_tokens_bpe, bpe_digest): the subword token count a
+  * trainer would bill, and a position-keyed digest of the full piece
+  * sequence — per word w (1-based), dig_w = fold over its pieces of
+  * (acc·31 + len(piece) + code(piece[0])) mod 1e9+7, summed per doc as
+  * Σ (w·1000003 + dig_w). The digest is exact integer arithmetic in
+  * both engines (corpus is ASCII; `code` = DuckDB ascii()), so any
+  * mis-encoded piece anywhere in the doc moves the oracle hash.
+  *
+  * The vocab is a driver-frozen Array[String] (the PQ-codebook
+  * discipline: fit once per corpus snapshot, stored, injected as a
+  * reference object); per-length hash sets are built lazily once per
+  * executor JVM, and codegen emits a single matcher call so the row
+  * stays inside whole-stage codegen.
+  */
+final class BpeMatcher(val vocab: Array[String]) extends Serializable {
+  require(vocab.forall(p => p.length >= 2 && p.length <= 4),
+    "vocab pieces must be 2..4 chars (1-char fallback is implicit)")
+
+  // sets(l-2) holds the length-l pieces; lazy so the driver-serialized
+  // matcher rebuilds them once per executor JVM
+  @transient private lazy val sets: Array[java.util.HashSet[String]] = {
+    val s = Array.fill(3)(new java.util.HashSet[String]())
+    vocab.foreach(p => s(p.length - 2).add(p))
+    s
+  }
+
+  /** The per-doc one-pass encode (see class doc). Called from both
+    * interpreted eval and generated code. */
+  def stats(tokens: ArrayData): InternalRow = {
+    val byLen = sets
+    var nPieces = 0L
+    var acc = 0L
+    val n = tokens.numElements()
+    var wi = 0
+    while (wi < n) {
+      // a null token encodes like the empty word: zero pieces (matches
+      // the oracle, whose split() never produces SQL NULL elements)
+      val w = if (tokens.isNullAt(wi)) "" else tokens.getUTF8String(wi).toString
+      var dig = 0L
+      val len = w.length
+      var i = 0
+      while (i < len) {
+        val maxL = math.min(4, len - i)
+        var take = 1
+        var l = maxL
+        while (l >= 2 && take == 1) {
+          if (byLen(l - 2).contains(w.substring(i, i + l))) take = l
+          l -= 1
+        }
+        dig = (dig * 31L + take.toLong + w.charAt(i).toLong) % 1000000007L
+        nPieces += 1L
+        i += take
+      }
+      acc += (wi + 1).toLong * 1000003L + dig
+      wi += 1
+    }
+    InternalRow(nPieces, acc)
+  }
+}
+
+/** struct(n_tokens_bpe, bpe_digest) over an array<string> token column
+  * — see [[BpeMatcher]]. */
+case class BpeStats(child: Expression, matcher: BpeMatcher)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"bpe_stats expects array<string>, got $t")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens_bpe", LongType, nullable = false),
+    StructField("bpe_digest", LongType, nullable = false)))
+
+  override protected def withNewChildInternal(c: Expression): BpeStats =
+    copy(child = c)
+
+  override def nullSafeEval(a: Any): Any =
+    matcher.stats(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeMatcher", matcher, classOf[BpeMatcher].getName)
+    defineCodeGen(ctx, ev, x => s"$m.stats($x)")
+  }
+}
+
+object SubwordExpressions {
+  /** Column-level subword stats over an array<string> token column. */
+  def bpeStats(tokens: Column, matcher: BpeMatcher): Column =
+    org.apache.spark.sql.graft.Bridge.toColumn(
+      BpeStats(org.apache.spark.sql.graft.Bridge.toExpression(tokens), matcher))
+}

@@ -10,7 +10,7 @@ object Registry {
       Seq(DedupClusters.dClusters, DedupClusters.dClustersOracle) ++
       VectorQueries.all ++ MultimodalQueries.all ++ HarnessQueries.all ++
       SampleQueries.all ++ ContaminationQueries.all ++ PipelineQueries.all ++
-      ClassifierQueries.all ++ PiiQueries.all
+      ClassifierQueries.all ++ PiiQueries.all ++ SubwordQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     suites.map(q => q.name -> q.fn).toMap

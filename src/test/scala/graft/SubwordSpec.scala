@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BpeMatcher, SubwordExpressions}
+import graft.operators.SubwordQueries
+
+/** t19 subword tokenizer: hand-computed greedy-longest-match cases
+  * (the oracle mirrors the same closed form, so a shared formula bug
+  * would hash-match — these pin the INTENDED semantics), vocab-fit
+  * determinism/layout invariance, the vocab contract, and the
+  * ws-vs-subword billing divergence the operator exists to expose.
+  */
+class SubwordSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+
+  /** digest step: acc*31 + len(piece) + code(first char), mod 1e9+7 */
+  private def dig(pieces: Seq[String]): Long =
+    pieces.foldLeft(0L)((a, p) => (a * 31 + p.length + p.charAt(0).toLong) % 1000000007L)
+
+  test("greedy longest-match encodes hand-computed cases (codegen path)") {
+    import spark.implicits._
+    val m = new BpeMatcher(Array("ab", "abc", "bcd", "xy"))
+    val docs = Seq(
+      (1L, Seq("abcd")),         // abc+d: longest match wins over ab
+      (2L, Seq("ababab")),       // ab,ab,ab: no 3/4-char match
+      (3L, Seq("zzz")),          // no match at all: 3 single chars
+      (4L, Seq("")),             // empty word: zero pieces
+      (5L, Seq("xy", "q")),      // exact 2-char piece + 1-char word
+      (6L, Seq("bcdbcd"))        // bcd,bcd
+    ).toDF("doc_id", "tk")
+    val got = docs.select(col("doc_id"),
+        SubwordExpressions.bpeStats(col("tk"), m).as("s"))
+      .select(col("doc_id"), col("s.n_tokens_bpe"), col("s.bpe_digest"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (2L, 1000003L + dig(Seq("abc", "d"))))
+    assert(got(2L) == (3L, 1000003L + dig(Seq("ab", "ab", "ab"))))
+    assert(got(3L) == (3L, 1000003L + dig(Seq("z", "z", "z"))))
+    assert(got(4L) == (0L, 1000003L))
+    assert(got(5L) == (2L, (1000003L + dig(Seq("xy"))) + (2L * 1000003L + dig(Seq("q")))))
+    assert(got(6L) == (2L, 1000003L + dig(Seq("bcd", "bcd"))))
+  }
+
+  test("interpreted eval agrees with the hand-computed closed form") {
+    val m = new BpeMatcher(Array("ab", "abc"))
+    val row = m.stats(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("abcab"))))
+    // abcab → abc + ab
+    assert(row.getLong(0) == 2L)
+    assert(row.getLong(1) == 1000003L + dig(Seq("abc", "ab")))
+  }
+
+  test("vocab contract: pieces 2..4 chars only; 1-char pieces are rejected") {
+    intercept[IllegalArgumentException](new BpeMatcher(Array("a")))
+    intercept[IllegalArgumentException](new BpeMatcher(Array("abcde")))
+  }
+
+  test("vocab fit is deterministic and partition-layout-invariant") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val v1 = SubwordQueries.fitVocab(docs)
+    val v2 = SubwordQueries.fitVocab(docs.repartition(13))
+    assert(v1.length == SubwordQueries.vocabSize)
+    assert(v1.toSeq == v2.toSeq, "vocab must not depend on partition layout")
+    assert(v1.forall(p => p.length >= 2 && p.length <= 4))
+    assert(v1.distinct.length == v1.length)
+  }
+
+  test("stored vocab round-trips and the memo serves the same array") {
+    val a = SubwordQueries.storedVocab(spark, dir)
+    val b = SubwordQueries.storedVocab(spark, dir)
+    assert(a.toSeq == b.toSeq && a.length == SubwordQueries.vocabSize)
+  }
+
+  test("t19 exposes the ws-vs-subword billing divergence on the fixture") {
+    val rows = SubwordQueries.tBpeTokens.fn(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      // every word yields >= 1 piece, so subword count >= whitespace count
+      assert(r.getAs[Long]("n_tokens_bpe") >= r.getAs[Long]("n_tokens_ws"), r.toString)
+    }
+    val ws = rows.map(_.getAs[Long]("n_tokens_ws")).sum
+    val bpe = rows.map(_.getAs[Long]("n_tokens_bpe")).sum
+    // a whitespace-budgeted corpus materially misses a subword budget
+    assert(bpe.toDouble / ws > 1.3, s"divergence vanished: $bpe vs $ws")
+  }
+}
