@@ -214,6 +214,92 @@ object MinHashK {
   }
 }
 
+/** All `nTables` random-hyperplane LSH signatures of an embedding in
+  * ONE compiled pass — packed as array<long>, table t's b-bit signature
+  * at index t, bit p set iff Σᵢ e[i]·planes[t·b+p][i] ≥ 0 (ascending-
+  * index double accumulation, exactly the composed
+  * `when(DotProduct(e, planeLits) >= 0, 1<<p)` form it replaces).
+  *
+  * Why native: at b bits × nTables tables the composed form inlines
+  * 8·b dot loops over 64-element literal arrays into ONE generated
+  * method; past ~b=8 that method exceeds HotSpot's JIT bytecode budget
+  * (DontCompileHugeMethods) and the whole stage silently drops to the
+  * BYTECODE INTERPRETER — measured 16 ms/row (3,262 task-seconds for a
+  * 200k-row signature pass, the r14 v2 straggler) vs ~µs/row compiled.
+  * The kernel is one static method far under the JIT limit at any
+  * geometry; codegen emits a single call (the MinHashK discipline).
+  *
+  * Null handling mirrors the composed form: any null element made
+  * every plane's dot NULL, and `when(null >= 0)` took the otherwise(0)
+  * branch — so a vector with a null element gets all-zero signatures.
+  */
+case class HyperplaneSigs(child: Expression, planes: Array[Array[Double]],
+                          nTables: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.length == nTables * bits,
+    s"need ${nTables * bits} planes, got ${planes.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sigs expects array<float|double>, got $t")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSigs =
+    copy(child = c)
+
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneSigs.compute(a.asInstanceOf[ArrayData], planes, nTables, bits, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.HyperplaneSigs.compute($x, $p, $nTables, $bits, $isFloat)")
+  }
+}
+
+object HyperplaneSigs {
+  /** Static kernel shared by interpreted eval and generated code. */
+  def compute(e: ArrayData, planes: Array[Array[Double]], nTables: Int,
+              bits: Int, isFloat: Boolean): ArrayData = {
+    val n = e.numElements()
+    var i = 0
+    var hasNull = false
+    while (i < n && !hasNull) { hasNull = e.isNullAt(i); i += 1 }
+    val out = new Array[Long](nTables)
+    if (!hasNull) {
+      var t = 0
+      while (t < nTables) {
+        var sig = 0L
+        var p = 0
+        while (p < bits) {
+          val plane = planes(t * bits + p)
+          val m = math.min(n, plane.length)
+          var acc = 0.0
+          var j = 0
+          while (j < m) {
+            acc += (if (isFloat) e.getFloat(j).toDouble else e.getDouble(j)) * plane(j)
+            j += 1
+          }
+          if (acc >= 0.0) sig |= (1L << p)
+          p += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExpressions {
   /** Column-level dot product over array<float> columns. */
   def fdot(a: Column, b: Column): Column =
@@ -230,4 +316,12 @@ object VectorExpressions {
   def minhashK(tokens: Column, k: Int): Column =
     org.apache.spark.sql.graft.Bridge.toColumn(
       MinHashK(org.apache.spark.sql.graft.Bridge.toExpression(tokens), k))
+
+  /** Column-level packed LSH table signatures (array<long>, one per
+    * table) over an array<float|double> embedding column. */
+  def hyperplaneSigs(emb: Column, planes: Array[Array[Double]],
+                     nTables: Int, bits: Int): Column =
+    org.apache.spark.sql.graft.Bridge.toColumn(
+      HyperplaneSigs(org.apache.spark.sql.graft.Bridge.toExpression(emb),
+        planes, nTables, bits))
 }

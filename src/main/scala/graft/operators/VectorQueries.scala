@@ -134,11 +134,6 @@ object VectorQueries {
                             bucketCap: Long = 2048L): DataFrame = {
     val bitsPerTable = bitsOverride.getOrElse(lshBitsFor(embIn.count()))
     val planes = hyperplanes(nTables * bitsPerTable, 64, seed = 42L)
-    def tableSig(t: Int)(e: Column): Column =
-      (0 until bitsPerTable).map { p =>
-        val lits = array(planes(t * bitsPerTable + p).map(lit): _*)
-        when(dot(e, lits) >= 0.0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce(_ + _)
     // spread BEFORE the per-row signature/fanout work: the probe side
     // is broadcast, so ALL candidate generation happens in the corpus
     // scan stage — on a small file that is 1-4 tasks carrying the
@@ -146,21 +141,21 @@ object VectorQueries {
     // vs 0.3 s median on the skewed corpus; spread pulls the stage
     // back to even). At production split counts spread is a no-op.
     val emb = QueryDef.spread(embIn.select(col("vec_id"), col("embedding")))
-    // candidate generation and dedup carry IDS ONLY — the 64-dim
-    // embeddings would otherwise ride the bucket join and the distinct
-    // shuffle ~64× wider (VERDICT r1); they are joined back just for
-    // the exact re-rank.
-    // STAGED: probes, the bucket-size probe and cands all consume
-    // tabled — without the stage break the corpus is signature-hashed
-    // per consumer, and worse, the (8·b)×64-literal signature
-    // expressions get fused into the bucket-join stage, kicking the
-    // whole stage out of codegen (SkewBench r10: 8.5 s interpreted vs
-    // 0.4 s staged for the join on the 50k skew corpus — 19×)
+    // ALL 8·b plane dots run inside ONE native kernel (HyperplaneSigs)
+    // — the composed per-bit dot-expression form blew past HotSpot's
+    // JIT method budget once the geometry scaled (b=12: 96 inlined
+    // 64-element loops in one generated method → bytecode interpreter,
+    // 16 ms/row, a 3,262-task-second signature stage on the 200k skew
+    // corpus). Candidate generation and dedup carry IDS ONLY — the
+    // 64-dim embeddings would otherwise ride the bucket join and the
+    // distinct shuffle ~64× wider (VERDICT r1); they are joined back
+    // just for the exact re-rank. STAGED: probes, the bucket-size
+    // probe and cands all consume tabled, so the corpus is
+    // signature-hashed exactly once.
     val tabled = emb.select(col("vec_id"),
-      explode(array((0 until nTables).map { t =>
-        struct(lit(t).as("tbl"), tableSig(t)(col("embedding")).as("sig"))
-      }: _*)).as("ts"))
-      .select(col("vec_id"), col("ts.tbl"), col("ts.sig"))
+        posexplode(graft.functions.VectorExpressions.hyperplaneSigs(
+          col("embedding"), planes.toArray, nTables, bitsPerTable)))
+      .select(col("vec_id"), col("pos").as("tbl"), col("col").as("sig"))
       .staged
     // measured degenerate-bucket probe (the d2 adaptive-salt pattern)
     val maxBucket = {
@@ -190,13 +185,22 @@ object VectorQueries {
       .select(col("vec_id").as("q"), col("embedding").as("qe"))
     val ne = emb.select(col("vec_id").as("nb"), col("embedding").as("ne"))
     val uniq = pairIds.join(broadcast(qe), "q").join(ne, "nb")
-    val w = Window.partitionBy(col("q")).orderBy(col("__sim").desc, col("nb").asc)
+    // bounded top-k AGGREGATE, not a probe-keyed window (r14): a hot
+    // probe's candidate set — flip-neighborhood × capped buckets — all
+    // landed in that probe's ONE window partition (200k skew run: a
+    // 125 s straggler task carrying ~4 colliding hot probes). The
+    // aggregate's map-side partials keep ≤3 entries/probe/partition
+    // under the same (sim desc, nb asc) total order, so the result is
+    // bit-identical and the skewed shuffle disappears — the v6/v7
+    // shortlist discipline applied to v2's own re-rank.
     uniq
       .withColumn("__sim", dot(col("qe"), col("ne")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-      .select(col("q"), col("nb"), round(col("__sim"), 6).as("cosine"),
-        col("rank").cast("long").as("rank"))
+      .groupBy(col("q"))
+      .agg(graft.stats.Aggregates.topK(col("__sim"), col("nb"), 3).as("top"))
+      .select(col("q"), posexplode(col("top")))
+      .select(col("q"), col("col.id").as("nb"),
+        round(col("col.sim"), 6).as("cosine"),
+        (col("pos") + 1).cast("long").as("rank"))
       .orderBy("q", "rank")
   }
 
