@@ -16,8 +16,10 @@ import graft.operators.DedupQueries
   * deterministically from `spark.range` + hash expressions (counter-
   * based like PanelGenerator — partition-invariant, no driver loop):
   * 4% boilerplate docs spread over 7 near-identical template variants
-  * (each variant's ~285 docs share every shingle → one LSH band bucket
-  * holds them all, ~285× the mean bucket width), 96% pseudo-random
+  * (each variant's ~285 docs share every shingle; variants share the
+  * 30-token template, so band slices drawn entirely from template
+  * shingles MERGE variants into one bucket — measured max band bucket
+  * 1,714 docs at 50k, 6,857 at 200k), 96% pseudo-random
   * 40-token prose. Written once to GRAFT_SKEW_DIR (default
   * /tmp/graft_skew) as documents.parquet so the d8 stored-index path
   * runs against it exactly as in production.
@@ -163,8 +165,8 @@ object SkewBench {
     // d2 shape: full corpus near-dup mine, FORCED-salted vs unsalted vs
     // adaptive — the pair SET is identical on every path (DedupSkewSpec);
     // the task spread and the replication tax are not. The adaptive row
-    // shows the measured-probe routing: at 50k (max bucket ~285 < 512)
-    // it should track d2_unsalted; at 200k (~1.1k-doc buckets) d2_salted8.
+    // shows the measured-probe routing: at 50k (max band bucket 1,714 < 2048)
+    // it should track d2_unsalted; at 200k (6,857-doc buckets) d2_salted8.
     measure("d2_salted8")(
       DedupQueries.minHashPairs(docs, nSalts = 8, saltAbove = 0L).count())
     measure("d2_unsalted")(DedupQueries.minHashPairs(docs, nSalts = 1).count())

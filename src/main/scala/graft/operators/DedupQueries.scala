@@ -117,7 +117,7 @@ object DedupQueries {
   }
 
   def minHashPairs(docsIn: DataFrame, bands: Int = 4, nSalts: Int = 8,
-                   threshold: Double = 0.5, saltAbove: Long = 512L): DataFrame = {
+                   threshold: Double = 0.5, saltAbove: Long = 2048L): DataFrame = {
     val k = 16; val rowsPerBand = k / bands
     // Stage (in signatures), not cache(): docs feeds three downstream
     // branches (banding + both sides of the verify join), so it must be
@@ -134,15 +134,19 @@ object DedupQueries {
     // Staged: it feeds the skew probe + both self-join sides.
     val banded = bandKeys(docs, bands, rowsPerBand).staged
     // ADAPTIVE salting (VERDICT r13 #3): replicating the right side
-    // nSalts× is pure overhead when no bucket is hot — measured at sf1:
-    // salted 5.0–6.0 s vs unsalted 4.4–4.9 s (≈20% tax), while at 200k
-    // with ~1.1k-doc buckets salting wins 32.8 vs 49.7 s. So salting is
-    // gated on the MEASURED max bucket population (the guardedBroadcast
-    // discipline applied to skew): one cheap aggregate over the staged
-    // band keys; below `saltAbove` (between the measured 285-doc
-    // no-win and 1.1k-doc win points — a w² single-task bucket only
-    // hurts once w² reaches millions of pairs) the join runs unsalted.
-    // Either path produces the identical pair set (DedupSkewSpec).
+    // nSalts× is pure overhead when no bucket is hot — measured on the
+    // 50k skew corpus (max band bucket 1,714 docs — near-identical
+    // template variants COLLIDE on band slices, so buckets merge well
+    // beyond the per-variant width): salted 5.9 s vs unsalted 4.5 s,
+    // the ~20-30% tax with no straggler to cure (a 1.7k bucket is only
+    // ~1.5M single-task pairs ≈ 3 s). At 200k the max bucket is 6,857
+    // (~23M single-task pairs) and the unsalted mine pays a 101 s
+    // straggler vs 35 s salted. So salting is gated on the MEASURED
+    // max bucket population (the guardedBroadcast discipline applied
+    // to skew): one cheap aggregate over the staged band keys; the
+    // 2048 default sits where a bucket's w²/2 single-task pair cost
+    // (~2M) starts to dominate a task. Either path produces the
+    // identical pair set (DedupSkewSpec).
     val salts =
       if (nSalts <= 1) 1
       else if (maxBandBucket(banded) > saltAbove) nSalts

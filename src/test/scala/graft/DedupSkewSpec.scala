@@ -35,7 +35,7 @@ class DedupSkewSpec extends AnyFunSuite {
 
   test("salted and unsalted LSH produce identical pairs on a skewed corpus") {
     // saltAbove = 0 FORCES the salted path (the 120-doc hot bucket is
-    // below the 512 adaptive threshold, which would otherwise route
+    // below the 2048 adaptive threshold, which would otherwise route
     // both calls down the unsalted plan and make this equality vacuous)
     val salted = DedupQueries.minHashPairs(skewedCorpus, nSalts = 8, saltAbove = 0L)
     val unsalted = DedupQueries.minHashPairs(skewedCorpus, nSalts = 1)
