@@ -155,5 +155,94 @@ object SubwordQueries {
              agg.bpe_digest
       FROM ws JOIN agg USING (doc_id) ORDER BY ws.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(tBpeTokens)
+  /** Token-EXACT budget selection (c11) — c5's budget machinery
+    * denominated in SUBWORD tokens: the r13 verdict's core critique of
+    * the token-denominated operators was that a whitespace-budgeted
+    * release materially misses a trainer's subword token target (the
+    * fixture already diverges >1.3×; real stacks 30–60%). c11 closes
+    * it by composition: the same t2 quality rule, the same
+    * bin-threshold + recursive-range budget selector (no un-partitioned
+    * window — `SampleQueries.tokenBudgetSelect` scaladoc), but
+    * `n_tokens` is `BpeStats` against the stored t19 vocab. One staged
+    * feature pass (quality + subword count in the same projection);
+    * everything downstream is c5's bounded-state plan.
+    *
+    * The oracle restates the full composition closed-form: t19's vocab
+    * fit + recursive greedy encode feeding c5's naive global cumsum
+    * window — the plan that dies at scale is exactly what DuckDB can
+    * afford at sf, which is the point of the oracle split. */
+  private[graft] def bpeQualityFrame(docs: DataFrame,
+                                     matcher: BpeMatcher): DataFrame = {
+    import graft.plans.Stage.StageOps
+    QueryDef.spread(docs)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"),
+        SubwordExpressions.bpeStats(col("tk"), matcher)
+          .getField("n_tokens_bpe").as("n_tokens"),
+        TextQueries.qualityExpr(col("tk"), col("n_chars")).as("quality"))
+      .staged // feeds the bin aggregate + both filtered reads (c5 shape)
+  }
+
+  val cTokenBudgetBpe = QueryDef(
+    "c11_token_budget_bpe",
+    (s, dir) => {
+      val matcher = new BpeMatcher(storedVocab(s, dir))
+      SampleQueries.tokenBudgetSelect(
+          bpeQualityFrame(Tables.documents(s, dir), matcher), budget = 40000L)
+        .select(col("doc_id"), col("n_tokens").as("n_tokens_bpe"), col("quality"))
+        .orderBy(col("quality").desc, col("doc_id"))
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, tk[i] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             UNNEST(range(1, len(tk) + 1)) AS t(i)),
+      cand AS (
+        SELECT substring(w, i, l) AS piece
+        FROM words,
+             UNNEST(range(1, len(w) + 1)) AS t(i),
+             (VALUES (2), (3), (4)) AS ll(l)
+        WHERE i + l - 1 <= len(w)),
+      vc AS (
+        SELECT piece FROM (
+          SELECT piece, COUNT(*) AS c FROM cand GROUP BY piece
+          ORDER BY c DESC, piece ASC LIMIT 64)),
+      enc AS (
+        WITH RECURSIVE e(doc_id, rem, n_pieces) AS (
+          SELECT doc_id, w, 0 FROM words
+          UNION ALL
+          SELECT doc_id, substring(rem, len(best) + 1), n_pieces + 1
+          FROM (
+            SELECT doc_id, rem, n_pieces,
+                   CASE WHEN substring(rem, 1, 4) IN (SELECT piece FROM vc)
+                          THEN substring(rem, 1, 4)
+                        WHEN substring(rem, 1, 3) IN (SELECT piece FROM vc)
+                          THEN substring(rem, 1, 3)
+                        WHEN substring(rem, 1, 2) IN (SELECT piece FROM vc)
+                          THEN substring(rem, 1, 2)
+                        ELSE substring(rem, 1, 1) END AS best
+            FROM e WHERE rem <> ''))
+        SELECT doc_id, n_pieces FROM e WHERE rem = ''),
+      bpe AS (
+        SELECT doc_id, CAST(SUM(n_pieces) AS BIGINT) AS n_tokens_bpe
+        FROM enc GROUP BY doc_id),
+      b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+        FROM documents),
+      q AS (
+        SELECT doc_id,
+               ROUND(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+                 + len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / nt * 0.25
+                 + len(list_distinct(tk)) / nt * 0.25, 6) AS quality
+        FROM b),
+      sel AS (
+        SELECT q.doc_id, bpe.n_tokens_bpe, q.quality,
+               SUM(bpe.n_tokens_bpe) OVER (ORDER BY q.quality DESC, q.doc_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM q JOIN bpe USING (doc_id))
+      SELECT doc_id, n_tokens_bpe, quality FROM sel WHERE cum <= 40000
+      ORDER BY quality DESC, doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(tBpeTokens, cTokenBudgetBpe)
 }

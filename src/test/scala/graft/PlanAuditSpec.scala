@@ -222,6 +222,41 @@ class PlanAuditSpec extends AnyFunSuite {
       "t18 shuffles on something other than the audit key\n" + p.take(1500))
   }
 
+  test("t19 subword encode is one map pass: no join, no window, one BpeStats eval") {
+    val p = plan("t19_bpe_tokens")
+    assert(!p.contains("Join"), "t19 must not join\n" + p.take(1500))
+    assert(!p.contains("Window ["), "t19 must not window\n" + p.take(1500))
+    // the struct-returning encode must not be duplicated per consumed
+    // field (CollapseProject would re-evaluate the whole greedy encode
+    // per projected column)
+    assert("(?i)bpestats".r.findAllIn(p).size == 1,
+      "t19's encode expression must appear exactly once\n" + p.take(2000))
+  }
+
+  test("c10 cap rank never windows the full per-source corpus") {
+    // the two-phase machinery: the rank window's input must sit above
+    // the hash pre-filter (a substring(ord,1,8) conv comparison), so a
+    // source's full corpus share never reaches the sort
+    val p = plan("c10_source_cap")
+    assert(p.contains("Window ["), "c10's cap rank window is missing\n" + p.take(1500))
+    assert(!p.contains("SinglePartition"),
+      "c10's rank window fell back to a single partition\n" + p.take(1500))
+    assert(p.contains("conv(substring(ord"),
+      "c10's rank input lost the two-phase hash pre-filter\n" + p.take(2500))
+  }
+
+  test("t20 pack audit reuses the source exchange: exactly one hash exchange") {
+    val p = plan("t20_pack_audit")
+    val exchanges = "hashpartitioning\\(".r.findAllIn(p).size
+    assert(exchanges >= 1 && p.contains("hashpartitioning(source#"),
+      "t20 must shuffle keyed by source\n" + p.take(1500))
+    // the aggregate must reuse the window's source exchange — a second
+    // source-keyed exchange would mean the reuse regressed
+    val sourceKeyed = "hashpartitioning\\(source#".r.findAllIn(p).size
+    assert(sourceKeyed == 1,
+      s"t20 should have ONE source-keyed exchange, got $sourceKeyed\n" + p.take(2500))
+  }
+
   test("c8 shard shuffle: one exchange keyed by the compact shard id, window keyed too") {
     val p = plan("c8_shard_shuffle")
     // assert the window's presence POSITIVELY first (the t9 discipline):

@@ -80,6 +80,30 @@ class SubwordSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq && a.length == SubwordQueries.vocabSize)
   }
 
+  test("c11 is the exact maximal (quality desc, doc_id) prefix under the subword budget") {
+    val budget = 40000L
+    val sel = SubwordQueries.cTokenBudgetBpe.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens_bpe"),
+        r.getAs[Double]("quality")))
+    assert(sel.nonEmpty && sel.length < 500, "budget must bind on the fixture")
+    // recompute the naive global answer from t19's counts + t2's quality
+    val counts = SubwordQueries.tBpeTokens.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens_bpe")).toMap
+    val quality = graft.operators.TextQueries.tQuality.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    val ranked = counts.keys.toSeq.sortBy(d => (-quality(d), d))
+    var cum = 0L
+    val want = ranked.takeWhile { d => cum += counts(d); cum <= budget }.toSet
+    assert(sel.map(_._1).toSet == want, "c11 must equal the naive global prefix")
+    // budget respected AND maximal: the next-ranked doc would overflow
+    val total = sel.map(_._2).sum
+    assert(total <= budget)
+    val next = ranked.drop(want.size).headOption
+    next.foreach(d => assert(total + counts(d) > budget, "prefix not maximal"))
+    // the selection is billed in SUBWORD tokens, not whitespace tokens
+    sel.foreach { case (d, n, _) => assert(n == counts(d)) }
+  }
+
   test("t19 exposes the ws-vs-subword billing divergence on the fixture") {
     val rows = SubwordQueries.tBpeTokens.fn(spark, dir).collect()
     assert(rows.length == 500)
