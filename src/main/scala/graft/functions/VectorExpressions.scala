@@ -229,9 +229,15 @@ object MinHashK {
   * The kernel is one static method far under the JIT limit at any
   * geometry; codegen emits a single call (the MinHashK discipline).
   *
-  * Null handling mirrors the composed form: any null element made
-  * every plane's dot NULL, and `when(null >= 0)` took the otherwise(0)
-  * branch — so a vector with a null element gets all-zero signatures.
+  * Null handling: a null ELEMENT mirrors the composed form it replaced
+  * (every plane's dot was NULL, `when(null >= 0)` took otherwise(0) —
+  * all-zero signatures). A fully-NULL embedding is a DELIBERATE
+  * divergence: the expression is null-intolerant (UnaryExpression
+  * default), so the signature array is NULL and the vector drops out
+  * at the posexplode — where the composed form filed null vectors into
+  * bucket 0 of every table as phantom candidates. Dropping missing
+  * vectors from an approximate index is the defensible semantics;
+  * callers that must surface them should filter/flag upstream.
   */
 case class HyperplaneSigs(child: Expression, planes: Array[Array[Double]],
                           nTables: Int, bits: Int)

@@ -107,14 +107,10 @@ object DedupQueries {
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
 
   /** Largest band-bucket population of a banded key frame — the
-    * MEASURED skew probe behind adaptive salting (one aggregate with
-    * map-side partials down to a single row; reads the staged banded
-    * materialization, so it never re-runs the signature pass). */
-  private[graft] def maxBandBucket(banded: DataFrame): Long = {
-    val r = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
-      .agg(max(col("c"))).head
-    if (r.isNullAt(0)) 0L else r.getLong(0)
-  }
+    * MEASURED skew probe behind adaptive salting (the shared
+    * [[QueryDef.maxGroupCount]] guard over the staged band keys). */
+  private[graft] def maxBandBucket(banded: DataFrame): Long =
+    QueryDef.maxGroupCount(banded, "band", "bh")
 
   def minHashPairs(docsIn: DataFrame, bands: Int = 4, nSalts: Int = 8,
                    threshold: Double = 0.5, saltAbove: Long = 2048L): DataFrame = {

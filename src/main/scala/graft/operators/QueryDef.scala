@@ -65,4 +65,16 @@ object QueryDef {
     val m = graft.plans.Stage(small)
     if (m.count() <= maxRows) broadcast(m) else m
   }
+
+  /** Measured max-group-population probe — the skew twin of
+    * [[guardedBroadcast]]: one aggregate with map-side partials down to
+    * a single row, read off an already-staged frame so the probe never
+    * re-runs the producing plan. Shared by the d2 adaptive-salt gate
+    * (keys = band, bh) and v2's degenerate-bucket cap (keys = tbl,
+    * sig); 0 on an empty frame. */
+  def maxGroupCount(df: DataFrame, keys: String*): Long = {
+    val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c"))).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
 }

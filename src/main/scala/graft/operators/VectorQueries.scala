@@ -132,6 +132,15 @@ object VectorQueries {
   private[graft] def lshAnn(embIn: DataFrame, nTables: Int = 8,
                             bitsOverride: Option[Int] = None,
                             bucketCap: Long = 2048L): DataFrame = {
+    // geometry probe: one COLUMNLESS count scan (empty ReadSchema —
+    // row-group headers, no column bytes; the strideSample discipline
+    // v5/v6 already pay for their quantizer fits). Deliberately NOT
+    // served by staging embIn once for all consumers: localCheckpointing
+    // the full (vec_id, embedding) corpus materializes a second copy of
+    // the entire embedding table — at the scale where this matters the
+    // pruned parquet re-reads (qe/ne re-rank sides) are far cheaper
+    // than that write. Callers with a known corpus size pass
+    // bitsOverride and skip the probe entirely.
     val bitsPerTable = bitsOverride.getOrElse(lshBitsFor(embIn.count()))
     val planes = hyperplanes(nTables * bitsPerTable, 64, seed = 42L)
     // spread BEFORE the per-row signature/fanout work: the probe side
@@ -157,12 +166,9 @@ object VectorQueries {
           col("embedding"), planes.toArray, nTables, bitsPerTable)))
       .select(col("vec_id"), col("pos").as("tbl"), col("col").as("sig"))
       .staged
-    // measured degenerate-bucket probe (the d2 adaptive-salt pattern)
-    val maxBucket = {
-      val r = tabled.groupBy("tbl", "sig").agg(count(lit(1)).as("c"))
-        .agg(max(col("c"))).head
-      if (r.isNullAt(0)) 0L else r.getLong(0)
-    }
+    // measured degenerate-bucket probe (the shared QueryDef.maxGroupCount
+    // guard — same probe the d2 adaptive salt runs over its band keys)
+    val maxBucket = QueryDef.maxGroupCount(tabled, "tbl", "sig")
     val candTable =
       if (maxBucket <= bucketCap) tabled
       else {
@@ -209,10 +215,15 @@ object VectorQueries {
     * probability on near-orthogonal vectors is (1-θ/π)^bits — multiple
     * short tables restore recall), each probe searching its flip
     * neighborhood per table (multi-probe LSH, Lv et al. VLDB'07), with
-    * a measured degenerate-bucket cap — see [[lshAnn]]. On the sf
-    * fixtures (≤ 5k vectors) the geometry resolves to the historical
-    * 8×4-bit/1-flip form, so the committed pin is unchanged. Rows-only
-    * (deterministic; recall floor gated in LshRecallSpec). */
+    * a measured degenerate-bucket cap — see [[lshAnn]]. The PINNED
+    * fixtures (sf0.001/sf0.01, 500 vectors) resolve to the historical
+    * 8×4-bit/1-flip form, so the committed pin and the driver's
+    * correctness row are unchanged; the sf0.1 bench corpus (2,000
+    * vectors) auto-selects b=5 — rows-only there, and LshRecallSpec
+    * gates every flip-radius tier the auto-scaling can pick (b=4/1-flip
+    * 0.987, b=5 boundary of the 1-flip tier 0.967, b=6 first 2-flip
+    * tier 1.0, b=8 0.973 — all ≥ the 0.95 gate on the fixture's exact
+    * top-3). */
   val vLshAnn = QueryDef(
     "v2_lsh_ann",
     (s, dir) => lshAnn(Tables.embeddings(s, dir)))

@@ -93,7 +93,11 @@ object Tables {
     * the key contract is enforced per row with `raise_error` (a pure
     * map-side guard: zero cost on valid corpora, loud with the offending
     * line's context on the first violation, never a driver-side count
-    * pass). Scale shape: a plain line-splittable scan (gzip files
+    * pass). Honest scope: the guard rides the guarded COLUMN, so it
+    * fires when that column is consumed — which covers every flow the
+    * guard exists for (a null doc_id/text can only do damage where it
+    * is read), but a projection that never touches `text` will not
+    * police it. Scale shape: a plain line-splittable scan (gzip files
     * are one split each — shard the corpus into many files, which the
     * release writer's layout already does). */
   def documentsJsonl(spark: SparkSession, path: String): DataFrame = {

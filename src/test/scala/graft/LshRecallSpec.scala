@@ -41,6 +41,20 @@ class LshRecallSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH ANN recall@3 = $recall")
   }
 
+  test("v2 intermediate geometries (b=5 last 1-flip tier, b=6 first 2-flip tier) recall@3 >= 0.95") {
+    // the auto-scaling picks b=5 at the sf0.1 bench corpus (2,000
+    // vectors) and b=6/7 between 2k and 16k — the tier boundaries where
+    // the flip radius changes are exactly where a recall cliff would
+    // hide, so both sides are gated (measured: b=5 0.967, b=6 1.0)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    for ((bits, floor) <- Seq(5 -> 0.95, 6 -> 0.95)) {
+      val approx = VectorQueries.lshAnn(emb, bitsOverride = Some(bits))
+        .select("q", "nb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exactTop3 & approx).size.toDouble / exactTop3.size
+      assert(recall >= floor, s"b=$bits LSH ANN recall@3 = $recall")
+    }
+  }
+
   test("v2 scaled geometry (b=8, 2-bit multi-probe) recall@3 >= 0.95 (measured 0.973)") {
     // the geometry a ~16k-vector corpus would auto-select — forced onto
     // the fixture so the widened probe radius that compensates longer

@@ -114,4 +114,36 @@ class TablesContractSpec extends AnyFunSuite {
     // yielded a silent all-null row flowing null doc_ids downstream
     assert(ex.getMessage != null)
   }
+
+  test("documentsJsonl fails loudly on a WELL-FORMED line missing a required key") {
+    // FAILFAST cannot catch these — the line parses fine and decodes a
+    // null key; the per-row raise_error guard must fire instead. The
+    // consuming action is collect(), not count(): a bare count prunes
+    // every column including the guard (the documented honest-scope
+    // caveat — guards fire where the guarded column is read)
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_key").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part.jsonl"),
+      """{"doc_id": 1, "text": "fine", "lang": "en", "source": "s"}
+        |{"text": "no id here", "lang": "en", "source": "s"}""".stripMargin)
+    val exId = intercept[Exception] {
+      graft.sources.Tables.documentsJsonl(spark, dir).select("doc_id").collect()
+    }
+    assert(String.valueOf(exId.getMessage).contains("doc_id") ||
+      String.valueOf(exId.getCause).contains("doc_id"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_jsonl_key2").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir2/part.jsonl"),
+      """{"doc_id": 1, "lang": "en", "source": "s"}""")
+    val exText = intercept[Exception] {
+      graft.sources.Tables.documentsJsonl(spark, dir2).select("doc_id", "text").collect()
+    }
+    assert(String.valueOf(exText.getMessage).contains("text") ||
+      String.valueOf(exText.getCause).contains("text"))
+    // an explicit null is the same violation as a missing key
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_jsonl_key3").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir3/part.jsonl"),
+      """{"doc_id": null, "text": "x", "lang": "en", "source": "s"}""")
+    intercept[Exception] {
+      graft.sources.Tables.documentsJsonl(spark, dir3).select("doc_id").collect()
+    }
+  }
 }
