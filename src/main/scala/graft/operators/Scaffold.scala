@@ -52,6 +52,25 @@ object Scaffold {
       .otherwise(col("text"))
   }
 
+  /** Deterministic boundary-boilerplate injection for t21 (QueryDef-only
+    * scaffolding; both engines state the same closed form): the driver
+    * corpus is random word soup, so no two pack-boundary windows ever
+    * repeat and the t21 oracle would be vacuous. Every doc_id % 5 == 0
+    * doc gains a FIXED 8-token header, every doc_id % 7 == 0 doc a
+    * FIXED 8-token footer — the shape real corpora have (templated
+    * page chrome): any packed adjacency (footer-doc, header-doc)
+    * produces the same straddling window, so the duplicated-boundary
+    * population is non-empty and exactly derivable. Sign-preserving %
+    * (repo modulo convention). */
+  private[graft] def boundaryInjectedText: Column = {
+    val header = (1 to 8).map(i => s"hdrboiler$i").mkString(" ")
+    val footer = (1 to 8).map(i => s"ftrboiler$i").mkString(" ")
+    val withHdr = when(col("doc_id") % 5 === 0,
+      concat(lit(header + " "), col("text"))).otherwise(col("text"))
+    when(col("doc_id") % 7 === 0, concat(withHdr, lit(" " + footer)))
+      .otherwise(withHdr)
+  }
+
   /** The deterministic "previous snapshot" for c9 (QueryDef-only
     * scaffolding; both engines state the same closed form): yesterday's
     * corpus is today's minus every 17th doc (today's "added"), plus

@@ -910,8 +910,83 @@ object TextQueries {
              (MAX(pack_last) + 1) * 128 - CAST(SUM(n_tokens) AS BIGINT) AS pad_tokens
       FROM g GROUP BY source ORDER BY source"""))
 
+  /** Pack-boundary span dedup (t21) — the span class t13's packing
+    * CREATES and doc-level dedup cannot see: when documents are
+    * concatenated into training sequences, the windows that STRADDLE a
+    * doc boundary (tail of doc i ‖ head of doc i+1 in pack order) are
+    * new content that exists only in the stream. Templated page chrome
+    * (boilerplate headers/footers) makes the same straddling window
+    * recur at thousands of boundaries — repeated training spans that
+    * d7's per-doc windows (interior spans) never inspect. t21 hashes
+    * every boundary window (k-token tail ‖ k-token head, k = 8) and
+    * reports each window that occurs more than once, with its
+    * occurrence count, source spread, and first position.
+    *
+    * Scale shape: head/tail k-token slices are projected MAP-SIDE
+    * (the lag window carries 8-token arrays, never documents); the
+    * only shuffles are the t13-keyed source window (same partitioning
+    * as packing itself) and the hash-keyed duplicate aggregate with
+    * map-side partials (output bounded by distinct duplicated windows,
+    * not corpus size). At 100 TB the boundary stream is one row per
+    * document — the cheapest possible full-coverage audit of what
+    * packing concatenates. */
+  private[graft] def packBoundarySpans(docs: org.apache.spark.sql.DataFrame,
+                                       k: Int = 8)
+      : org.apache.spark.sql.DataFrame = {
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val head = array_join(slice(col("tk"), 1, k), " ")
+    val tail = array_join(
+      slice(col("tk"), greatest(lit(1), size(col("tk")) - (k - 1)), lit(k)), " ")
+    docs
+      .select(col("doc_id"), col("source"), toks.as("tk"))
+      .select(col("doc_id"), col("source"), head.as("__h"), tail.as("__t"))
+      .withColumn("__bw",
+        concat(lag(col("__t"), 1).over(wl), lit(" "), col("__h")))
+      .filter(col("__bw").isNotNull) // each source's first doc has no boundary
+      .groupBy(md5(col("__bw")).as("window_hash"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy("window_hash")
+  }
+
+  val tBoundarySpans = QueryDef(
+    "t21_boundary_spans",
+    (s, dir) => packBoundarySpans(
+      // boundary boilerplate is QueryDef-only scaffolding — Scaffold
+      Tables.documents(s, dir).withColumn("text", Scaffold.boundaryInjectedText)),
+    Some("""
+      WITH inj AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 7 = 0 THEN
+                 CASE WHEN doc_id % 5 = 0
+                      THEN 'hdrboiler1 hdrboiler2 hdrboiler3 hdrboiler4 hdrboiler5 hdrboiler6 hdrboiler7 hdrboiler8 ' || text
+                      ELSE text END
+                 || ' ftrboiler1 ftrboiler2 ftrboiler3 ftrboiler4 ftrboiler5 ftrboiler6 ftrboiler7 ftrboiler8'
+               WHEN doc_id % 5 = 0 THEN
+                 'hdrboiler1 hdrboiler2 hdrboiler3 hdrboiler4 hdrboiler5 hdrboiler6 hdrboiler7 hdrboiler8 ' || text
+               ELSE text END AS text
+        FROM documents),
+      b AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tk FROM inj),
+      ht AS (
+        SELECT doc_id, source,
+               array_to_string(list_slice(tk, 1, 8), ' ') AS h8,
+               array_to_string(list_slice(tk, GREATEST(1, len(tk) - 7), len(tk)), ' ') AS t8
+        FROM b),
+      w AS (
+        SELECT doc_id, source,
+               LAG(t8) OVER (PARTITION BY source ORDER BY doc_id) || ' ' || h8 AS bw
+        FROM ht),
+      d AS (SELECT doc_id, source, md5(bw) AS h FROM w WHERE bw IS NOT NULL)
+      SELECT h AS window_hash, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT source) AS n_sources, MIN(doc_id) AS min_doc_id
+      FROM d GROUP BY h HAVING COUNT(*) > 1 ORDER BY window_hash"""))
+
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
     tCompression, tChunks, tSequencePack, tNgramLm, tHeavyHitters, tBm25,
-    tPackAudit)
+    tPackAudit, tBoundarySpans)
 }

@@ -107,4 +107,44 @@ class ChunkPackSpec extends AnyFunSuite {
     assert(a3.exists(r => !r.getAs[Boolean]("contiguous")),
       "dropped-doc corruption not flagged")
   }
+
+  test("t21 flags repeated pack-boundary windows and ignores interior duplicates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def words(prefix: String, n: Int, salt: Int) =
+      (1 to n).map(i => s"$prefix${salt}_$i").mkString(" ")
+    val footer = (1 to 8).map(i => s"foot$i").mkString(" ")
+    val header = (1 to 8).map(i => s"head$i").mkString(" ")
+    val interior = (1 to 16).map(i => s"mid$i").mkString(" ")
+    // srcA pack order: (1 footer)(2 header)(3 footer)(4 header) → the
+    // boundary window footer||header occurs at 1→2 and 3→4 (dup), and
+    // 2→3's window (random tail || random... footer? doc 3 ends with
+    // footer but the BOUNDARY window uses doc 2's tail + doc 3's head
+    // — both random → unique)
+    val rows = Seq(
+      (1L, "srcA", words("a", 12, 1) + " " + footer),
+      (2L, "srcA", header + " " + words("b", 12, 2)),
+      (3L, "srcA", words("c", 12, 3) + " " + footer),
+      (4L, "srcA", header + " " + words("d", 12, 4)),
+      // srcB: interior duplicate only — both docs contain the same
+      // 16-token middle run, but heads/tails are distinct: d7's
+      // domain, must NOT appear as a boundary dup
+      (10L, "srcB", words("e", 10, 5) + " " + interior + " " + words("f", 10, 6)),
+      (11L, "srcB", words("g", 10, 7) + " " + interior + " " + words("h", 10, 8)),
+      // srcC: the same footer||header adjacency as srcA — cross-source
+      // occurrences of the SAME window must count into one hash
+      (20L, "srcC", words("i", 12, 9) + " " + footer),
+      (21L, "srcC", header + " " + words("j", 12, 10)))
+      .toDF("doc_id", "source", "text")
+    val got = graft.operators.TextQueries.packBoundarySpans(rows).collect()
+    assert(got.length == 1, s"expected exactly the footer||header window: ${got.toSeq}")
+    val r = got.head
+    assert(r.getAs[Long]("n_occurrences") == 3L) // 1→2, 3→4, 20→21
+    assert(r.getAs[Long]("n_sources") == 2L)     // srcA, srcC
+    assert(r.getAs[Long]("min_doc_id") == 2L)    // boundary row carries the RIGHT doc
+    // the hash is of the straddling window itself
+    val wantHash = rows.sparkSession.range(1)
+      .select(md5(lit(footer + " " + header))).head.getString(0)
+    assert(r.getAs[String]("window_hash") == wantHash)
+  }
 }
