@@ -245,6 +245,24 @@ object SkewBench {
       graft.operators.PipelineQueries.pManifest.fn(spark, dir).count())
     measure("p5_release_report")(
       graft.operators.PipelineQueries.pReleaseReport.fn(spark, dir).count())
+    // r14 operators over the skew corpus: t19's one-time vocab fit is
+    // paid in the warm pass (the d8/v6 index-build discipline), so the
+    // timed pass is the steady-state encode — one codegen'd map pass;
+    // c11 composes that encode with c5's bounded-state budget selector;
+    // t20/t21 are the packing-stage audits (source-keyed window +
+    // keyed aggregate — t21's window carries 8-token slices only);
+    // c10 is the capped resample through the c4 two-phase rank.
+    measure("t19_bpe_tokens")(
+      graft.operators.SubwordQueries.tBpeTokens.fn(spark, dir).count())
+    measure("c11_token_budget_bpe")(
+      graft.operators.SubwordQueries.cTokenBudgetBpe.fn(spark, dir).count())
+    measure("t20_pack_audit")(
+      graft.operators.TextQueries.tPackAudit.fn(spark, dir).count())
+    measure("t21_boundary_spans")(
+      graft.operators.TextQueries.tBoundarySpans.fn(spark, dir).count())
+    measure("c10_source_cap")(
+      graft.operators.SampleQueries.cSourceCap.fn(spark, dir).count())
+
     // p6: the leakage audit's gram-keyed self-join under the same
     // boilerplate pile-up — pre-dedup, one variant's ~2,000 docs share
     // every 5-gram, but the audit runs on the RELEASED corpus where
