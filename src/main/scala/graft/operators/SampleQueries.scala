@@ -663,7 +663,97 @@ object SampleQueries {
       FROM cap JOIN ep USING (source)
       ORDER BY cap.source, cap.cap_rank"""))
 
+  /** Epoch-expanded training shard plan (c12) — the manifest a trainer
+    * actually consumes, produced by composing the round's sampling
+    * stack: c10 decides WHICH docs and HOW MANY epochs per source; c12
+    * expands each kept doc into its epochs and assigns every (doc,
+    * epoch) a shard and an in-shard position via an EPOCH-SALTED
+    * content hash (md5('epoch:'‖e‖':'‖doc_id) — the c10 salted-input
+    * discipline, independent of every plain-hash octet), so each epoch
+    * is an INDEPENDENT deterministic reshuffle of the corpus — the
+    * per-epoch reordering training runs require, yet bit-reproducible
+    * on any cluster layout and diffable across corpus increments.
+    *
+    * Scale shape: the epoch explode is bounded by maxEpochs× the
+    * CAPPED corpus; the shard/order draws are pure map-side
+    * expressions; the only shuffle is c8's per-(epoch, shard) rank,
+    * keyed by the compact (epoch, shard) pair — shard populations stay
+    * binomial per epoch by construction, and nShards scales with the
+    * corpus exactly as in c8. */
+  private[graft] def epochShardPlanOf(docs: org.apache.spark.sql.DataFrame,
+                                      nCap: Int, targetTokens: Long,
+                                      maxEpochs: Int, nShards: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(concat(lit("epoch:"), col("epoch").cast("string"),
+      lit(":"), col("doc_id").cast("string")))
+    sourceCapOf(docs, nCap, targetTokens, maxEpochs)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
+      .withColumn("__h", h)
+      .select(col("epoch"),
+        (conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % nShards)
+          .as("shard"),
+        substring(col("__h"), 9, 8).as("__o"),
+        col("doc_id"), col("source"), col("n_tokens"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("__o"), col("doc_id"))).cast("long"))
+      .select("epoch", "shard", "pos", "doc_id", "source", "n_tokens")
+      .orderBy("epoch", "shard", "pos")
+  }
+
+  val cEpochShardPlan = QueryDef(
+    "c12_epoch_shard_plan",
+    (s, dir) => epochShardPlanOf(Tables.documents(s, dir),
+      nCap = 8, targetTokens = 1000L, maxEpochs = 4, nShards = 8),
+    Some("""
+      WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(CAST(ROUND(SQRT(n_l), 6) AS DECIMAL(28,6))) AS DOUBLE) AS z,
+                   SUM(n_l) AS n_all FROM c),
+      r AS (
+        SELECT lang,
+               printf('%08x', CAST(LEAST(FLOOR(LEAST(1.0,
+                 (ROUND(SQRT(n_l), 6) / z) * FLOOR(n_all / 2) / n_l) * 4294967296.0),
+                 4294967295.0) AS BIGINT)) AS thr
+        FROM c, t),
+      kept AS (
+        SELECT d.doc_id, d.source,
+               md5('cap:' || CAST(d.doc_id AS VARCHAR)) AS ord,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d JOIN r USING (lang)
+        WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 5, 8) < r.thr),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY ord, doc_id) AS cap_rank
+        FROM kept),
+      cap AS (SELECT * FROM rk WHERE cap_rank <= 8),
+      ep AS (
+        SELECT source,
+               CAST(LEAST(4, GREATEST(1, CEIL(1000.0 / SUM(n_tokens)))) AS BIGINT)
+                 AS n_epochs
+        FROM cap GROUP BY source),
+      expand AS (
+        SELECT cap.doc_id, cap.source, cap.n_tokens, e.epoch
+        FROM cap JOIN ep USING (source),
+             UNNEST(generate_series(1, ep.n_epochs)) AS e(epoch)),
+      h AS (
+        SELECT doc_id, source, n_tokens, epoch,
+               md5('epoch:' || CAST(epoch AS VARCHAR) || ':' ||
+                   CAST(doc_id AS VARCHAR)) AS hh
+        FROM expand),
+      sh AS (
+        SELECT doc_id, source, n_tokens, epoch,
+               CAST(('0x' || substring(hh, 1, 8)) AS BIGINT) % 8 AS shard,
+               substring(hh, 9, 8) AS o
+        FROM h)
+      SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+               ORDER BY o, doc_id) AS BIGINT) AS pos,
+             doc_id, source, n_tokens
+      FROM sh ORDER BY epoch, shard, pos"""))
+
   val all: Seq[QueryDef] =
     Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
-      cMixResample, cShardShuffle, cSnapshotDiff, cSourceCap)
+      cMixResample, cShardShuffle, cSnapshotDiff, cSourceCap, cEpochShardPlan)
 }

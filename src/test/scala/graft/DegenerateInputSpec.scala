@@ -252,4 +252,58 @@ class DegenerateInputSpec extends AnyFunSuite {
       (2L, "train", "alpha beta gamma delta epsilon zeta")).toDF(cols: _*)
     assert(graft.operators.PipelineQueries.splitLeakage(mono).count() == 0L)
   }
+
+  test("t19/c11 vocab + encode survive empty and single-char corpora") {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    // empty corpus: vocab fit yields zero pieces (an empty but VALID
+    // vocab — every word falls back to single chars)
+    val empty = Seq.empty[(Long, String, String, String, Long)].toDF(cols: _*)
+    assert(graft.operators.SubwordQueries.fitVocab(empty).isEmpty)
+    // single-char words: no 2..4-char candidates exist either
+    val chars = Seq((1L, "a b c", "en", "s", 5L)).toDF(cols: _*)
+    assert(graft.operators.SubwordQueries.fitVocab(chars).isEmpty)
+    // encode with an EMPTY vocab: everything single-char fallback
+    val m = new graft.functions.BpeMatcher(Array.empty)
+    val row = m.stats(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("abc"))))
+    assert(row.getLong(0) == 3L) // a, b, c
+    // empty token array: zero pieces, zero digest
+    val none = m.stats(new org.apache.spark.sql.catalyst.util.GenericArrayData(Array[Any]()))
+    assert(none.getLong(0) == 0L && none.getLong(1) == 0L)
+  }
+
+  test("t20 pack audit and t21 boundary spans: empty and single-doc corpora") {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val empty = Seq.empty[(Long, String, String, String, Long)].toDF(cols: _*)
+    assert(graft.operators.TextQueries.packAuditOf(
+      graft.operators.TextQueries.sequencePackFrame(empty)).count() == 0L)
+    assert(graft.operators.TextQueries.packBoundarySpans(empty).count() == 0L)
+    // one doc: a pack stream with no boundary — audit green, no spans
+    val one = Seq((1L, "alpha beta gamma", "en", "s", 16L)).toDF(cols: _*)
+    val audit = graft.operators.TextQueries.packAuditOf(
+      graft.operators.TextQueries.sequencePackFrame(one)).collect()
+    assert(audit.length == 1 && audit.head.getAs[Boolean]("contiguous"))
+    assert(audit.head.getAs[Long]("n_packs") == 1L)
+    assert(graft.operators.TextQueries.packBoundarySpans(one).count() == 0L)
+    // two IDENTICAL docs in one source: still no boundary DUPLICATE —
+    // a single boundary window occurs once; duplication needs >= 2
+    // occurrences of the same straddling window
+    val two = Seq(
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (2L, "alpha beta gamma", "en", "s", 16L)).toDF(cols: _*)
+    assert(graft.operators.TextQueries.packBoundarySpans(two).count() == 0L)
+  }
+
+  test("c10 source cap: empty corpus, and a target below every source's tokens") {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val empty = Seq.empty[(Long, String, String, String, Long)].toDF(cols: _*)
+    assert(graft.operators.SampleQueries.sourceCapOf(empty, 8, 1000L, 4).count() == 0L)
+    // a tiny target: epochs clamp to 1 (never 0, never negative)
+    val docs = (1L to 40L).map(i => (i, s"w$i x$i y$i", "en", "s", 10L)).toDF(cols: _*)
+    val rows = graft.operators.SampleQueries.sourceCapOf(docs, 8, 1L, 4).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("n_epochs") == 1L))
+    // an enormous target: epochs clamp to maxEpochs
+    val rows2 = graft.operators.SampleQueries.sourceCapOf(docs, 8, 1000000L, 4).collect()
+    assert(rows2.nonEmpty && rows2.forall(_.getAs[Long]("n_epochs") == 4L))
+  }
 }

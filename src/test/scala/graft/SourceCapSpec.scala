@@ -78,6 +78,41 @@ class SourceCapSpec extends AnyFunSuite {
     assert(got.exists(_._6 > 1L), "no source needed repetition — vacuous")
   }
 
+  test("c12 epoch plan: exact c10 composition, contiguous positions, independent per-epoch reshuffle") {
+    val plan = SampleQueries.epochShardPlanOf(docs, nCap, target, maxEp, nShards = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(plan.nonEmpty)
+    // composition: every c10 doc appears in EXACTLY its n_epochs epochs,
+    // each epoch containing the full capped doc set
+    val epochsBySource = got.groupBy(_._1).map { case (s, rows) => s -> rows.head._6 }
+    val byDoc = plan.groupBy(_._4)
+    assert(byDoc.keySet == got.map(_._2).toSet)
+    byDoc.foreach { case (d, rows) =>
+      val src = rows.head._5
+      assert(rows.map(_._1).sorted.toSeq == (1L to epochsBySource(src)).toSeq,
+        s"doc $d epochs wrong")
+    }
+    // positions contiguous from 1 per (epoch, shard)
+    plan.groupBy(r => (r._1, r._2)).foreach { case (k, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq, s"$k positions")
+    }
+    // per-epoch reshuffle: some doc present in both epochs 1 and 2 must
+    // change shard (P(all ~150 docs keep their shard) ≈ 8^-150)
+    val e1 = plan.filter(_._1 == 1L).map(r => r._4 -> r._2).toMap
+    val e2 = plan.filter(_._1 == 2L).map(r => r._4 -> r._2).toMap
+    val both = e1.keySet & e2.keySet
+    assert(both.nonEmpty, "no doc runs 2 epochs — fixture vacuous")
+    assert(both.exists(d => e1(d) != e2(d)), "epochs are not reshuffled")
+    // determinism across layouts
+    val reparted = SampleQueries.epochShardPlanOf(docs.repartition(11), nCap, target, maxEp, 8)
+      .collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("doc_id"), r.getAs[String]("source")))
+    assert(reparted.toSet == plan.toSet)
+  }
+
   test("result is partition-layout-invariant") {
     val reparted = SampleQueries.sourceCapOf(docs.repartition(13), nCap, target, maxEp)
       .collect()
