@@ -12,4 +12,63 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Compile every WholeStageCodegen stage of a physical plan and
+    * report (codegenStageId, max generated-method bytecode size).
+    *
+    * Why this exists: HotSpot refuses to JIT methods over 8000
+    * bytecodes (-XX:-DontCompileHugeMethods' HugeMethodLimit), while
+    * Spark's own fallback threshold (`spark.sql.codegen.hugeMethodLimit`)
+    * defaults to 65535 — so a generated method between 8000 and 65535
+    * bytecodes runs in the BYTECODE INTERPRETER with no warning in the
+    * plan or the UI (the r14 v2 cliff: a composed 96-dot-loop signature
+    * expression at 16 ms/row). PlanAuditSpec asserts every kernel-
+    * bearing query's stages stay under the JIT budget so the next wide
+    * expression tree fails loudly at test time, not as a 100× stage
+    * slowdown in production.
+    *
+    * CALLER CONTRACT: build the plan with AQE DISABLED
+    * (`spark.sql.adaptive.enabled=false`) — under AQE codegen collapse
+    * happens per query stage at materialization, so the un-executed
+    * adaptive plan carries no WholeStageCodegenExec to measure (and
+    * collapsing it by hand skips the columnar-transition rules, which
+    * produces code that was never going to run). Stage code shape does
+    * not depend on AQE's runtime exchange re-planning, so the
+    * non-adaptive plan measures the same generated methods. NOTE:
+    * generating code for a broadcast-join stage executes its broadcast
+    * subtree (Spark embeds the built relation), so this is not
+    * side-effect-free on join-bearing plans. */
+  def codegenStageSizes(plan: org.apache.spark.sql.execution.SparkPlan): Seq[(Int, Int)] = {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val stages = plan.collect { case w: WholeStageCodegenExec => w }
+    stages.map { w =>
+      val (_, code) = w.doCodeGen()
+      val (_, stats) =
+        org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.compile(code)
+      (w.codegenStageId, stats.maxMethodCodeSize)
+    }
+  }
+
+  /** Every SCALAR expression in the plan that cannot participate in
+    * codegen (CodegenFallback — evaluated interpreted per row even
+    * inside a codegen'd stage). Native kernels must never appear here.
+    * Imperative AGGREGATE functions (typed Aggregators and other
+    * TypedImperativeAggregates) are excluded: they run inside the
+    * aggregate operator's designed imperative path (ObjectHashAggregate
+    * buffers), not as a per-row interpreted detour in a projection. */
+  def fallbackExpressions(plan: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.Unevaluable
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plans = plan.collect {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plans.flatMap(_.expressions.flatMap(_.collect {
+      case e: CodegenFallback
+          if !e.isInstanceOf[Unevaluable] && !e.isInstanceOf[AggregateFunction] =>
+        e.prettyName
+    }))
+  }
 }

@@ -21,7 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, St
   * sequence — per word w (1-based), dig_w = fold over its pieces of
   * (acc·31 + len(piece) + code(piece[0])) mod 1e9+7, summed per doc as
   * Σ (w·1000003 + dig_w). The digest is exact integer arithmetic in
-  * both engines (corpus is ASCII; `code` = DuckDB ascii()), so any
+  * both engines: `code` is the Unicode CODE POINT of the piece's first
+  * character (`codePointAt`, matching DuckDB ascii()), not a UTF-16
+  * code unit, so the two engines agree beyond ASCII and surrogate
+  * pairs don't make the digest code-unit-dependent. Piece BOUNDARIES
+  * are still char-indexed (vocab pieces are 2..4 UTF-16 units), so a
+  * vocab fit over non-BMP text can split a surrogate pair into
+  * lone-surrogate pieces — fine for counting/digesting, but callers
+  * feeding non-BMP corpora should treat piece strings as opaque. Any
   * mis-encoded piece anywhere in the doc moves the oracle hash.
   *
   * The vocab is a driver-frozen Array[String] (the PQ-codebook
@@ -65,7 +72,7 @@ final class BpeMatcher(val vocab: Array[String]) extends Serializable {
           if (byLen(l - 2).contains(w.substring(i, i + l))) take = l
           l -= 1
         }
-        dig = (dig * 31L + take.toLong + w.charAt(i).toLong) % 1000000007L
+        dig = (dig * 31L + take.toLong + w.codePointAt(i).toLong) % 1000000007L
         nPieces += 1L
         i += take
       }

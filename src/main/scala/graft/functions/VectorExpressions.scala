@@ -231,7 +231,13 @@ object MinHashK {
   *
   * Null handling: a null ELEMENT mirrors the composed form it replaced
   * (every plane's dot was NULL, `when(null >= 0)` took otherwise(0) —
-  * all-zero signatures). A fully-NULL embedding is a DELIBERATE
+  * all-zero signatures). A WRONG-DIMENSION embedding (length ≠ plane
+  * length) takes the same route: the composed form's DotProduct
+  * returned NULL on a length mismatch, so all signatures were zero —
+  * the kernel reproduces that (all-zero signature array) rather than
+  * silently truncating the dot to the shorter prefix, so a malformed
+  * vector never participates in ANN as an apparently valid one.
+  * A fully-NULL embedding is a DELIBERATE
   * divergence: the expression is null-intolerant (UnaryExpression
   * default), so the signature array is NULL and the vector drops out
   * at the posexplode — where the composed form filed null vectors into
@@ -280,18 +286,21 @@ object HyperplaneSigs {
     var i = 0
     var hasNull = false
     while (i < n && !hasNull) { hasNull = e.isNullAt(i); i += 1 }
+    // dimension mismatch ≡ null element: DotProduct's contract is NULL
+    // on length mismatch, which the composed form routed to an all-zero
+    // signature — never a prefix-truncated dot (see class doc)
+    val dimOk = planes.length == 0 || planes(0).length == n
     val out = new Array[Long](nTables)
-    if (!hasNull) {
+    if (!hasNull && dimOk) {
       var t = 0
       while (t < nTables) {
         var sig = 0L
         var p = 0
         while (p < bits) {
           val plane = planes(t * bits + p)
-          val m = math.min(n, plane.length)
           var acc = 0.0
           var j = 0
-          while (j < m) {
+          while (j < n) {
             acc += (if (isFloat) e.getFloat(j).toDouble else e.getDouble(j)) * plane(j)
             j += 1
           }

@@ -128,7 +128,16 @@ object VectorQueries {
     * routing. On healthy geometry the guard never engages and the
     * output is bit-identical to the uncapped form (LshRecallSpec).
     * The capping window shuffles ids-only rows keyed by (tbl, sig) —
-    * paid ONLY when the probe says a bucket is degenerate. */
+    * paid ONLY when the probe says a bucket is degenerate.
+    *
+    * EAGER-WORK CAVEAT: when `bitsOverride` is None this method runs
+    * Spark jobs at DataFrame-CONSTRUCTION time — the geometry count()
+    * plus the staged signature pass and max-bucket aggregate. For a
+    * file-backed input (the `vLshAnn` path) the count is a columnless
+    * row-group-header scan; for a COMPUTED frame it re-executes the
+    * producing plan, so callers composing lshAnn over derived inputs
+    * should pass `bitsOverride` (corpus size is usually known upstream)
+    * to skip the probe entirely. */
   private[graft] def lshAnn(embIn: DataFrame, nTables: Int = 8,
                             bitsOverride: Option[Int] = None,
                             bucketCap: Long = 2048L): DataFrame = {

@@ -36,6 +36,21 @@ class DotProductSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("HyperplaneSigs zeroes the signature on a wrong-dimension embedding (DotProduct's contract)") {
+    // a 2-dim vector against 3-dim planes must NOT hash over the prefix
+    // — the composed when(DotProduct >= 0) form it replaces returned
+    // NULL dots (→ all-zero signature), so a malformed vector never
+    // lands in a nonzero ANN bucket looking valid
+    val planes = Array(Array(1.0, 1.0, 1.0), Array(-1.0, 1.0, 1.0))
+    def sigs(c: org.apache.spark.sql.Column) =
+      graft.functions.VectorExpressions.hyperplaneSigs(c, planes, nTables = 1, bits = 2)
+    val r = spark.range(1).select(
+      sigs(array(lit(1.0f), lit(2.0f))).as("short"),
+      sigs(array(lit(1.0f), lit(2.0f), lit(3.0f))).as("ok")).head()
+    assert(r.getSeq[Long](0) == Seq(0L), "wrong-dimension vector must get an all-zero signature")
+    assert(r.getSeq[Long](1) == Seq(3L), "well-formed vector hashes normally")
+  }
+
   test("DotProduct rejects non-numeric-array inputs with a clear error") {
     val e = intercept[Exception] {
       spark.range(1).select(fdot(array(lit("a")), array(lit("b")))).head()

@@ -257,6 +257,49 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t20 should have ONE source-keyed exchange, got $sourceKeyed\n" + p.take(2500))
   }
 
+  test("kernel-bearing queries: every codegen stage stays under HotSpot's JIT budget") {
+    // the r14 v2 cliff: a generated method between HotSpot's 8000-byte
+    // JIT limit and Spark's 65535 hugeMethodLimit runs in the bytecode
+    // interpreter with NO plan/UI warning (measured 16 ms/row). Compile
+    // every WholeStageCodegen stage of each native-kernel query and
+    // assert its largest generated method would actually JIT.
+    val hotspotJitLimit = 8000
+    // AQE defers codegen collapse to stage materialization; the
+    // measurement needs the non-adaptive prepared plan (Bridge contract)
+    withoutAqe {
+      for (q <- kernelQueries) {
+        val physical = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+        val sizes = org.apache.spark.sql.graft.Bridge.codegenStageSizes(physical)
+        assert(sizes.nonEmpty, s"$q produced no WholeStageCodegen stage at all")
+        for ((stage, maxMethod) <- sizes)
+          assert(maxMethod < hotspotJitLimit,
+            s"$q codegen stage $stage has a $maxMethod-byte method — past the " +
+              s"HotSpot JIT budget ($hotspotJitLimit); it will run interpreted")
+      }
+    }
+  }
+
+  test("kernel-bearing queries carry no CodegenFallback expression") {
+    withoutAqe {
+      for (q <- kernelQueries) {
+        val physical = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+        val fallbacks = org.apache.spark.sql.graft.Bridge.fallbackExpressions(physical)
+        assert(fallbacks.isEmpty,
+          s"$q evaluates interpreted expressions in-stage: ${fallbacks.distinct.mkString(", ")}")
+      }
+    }
+  }
+
+  private val kernelQueries = Seq("v2_lsh_ann", "d2_minhash_lsh_pairs",
+    "t19_bpe_tokens", "d3_simhash_pairs", "v1_cosine_topk")
+
+  private def withoutAqe[T](body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   test("c8 shard shuffle: one exchange keyed by the compact shard id, window keyed too") {
     val p = plan("c8_shard_shuffle")
     // assert the window's presence POSITIVELY first (the t9 discipline):
