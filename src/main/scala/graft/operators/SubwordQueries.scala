@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BpeMatcher, SubwordExpressions}
+import graft.functions.{BpeMatcher, MergeTable, SubwordExpressions}
 import graft.sources.Tables
 
 /** Stored-vocab subword (BPE-style) tokenization (t19) — the
@@ -244,5 +244,197 @@ object SubwordQueries {
       SELECT doc_id, n_tokens_bpe, quality FROM sel WHERE cum <= 40000
       ORDER BY quality DESC, doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(tBpeTokens, cTokenBudgetBpe)
+  // ---------------------------------------------------------------- t22
+  // Merge-RULE BPE (the semantics real tokenizers bill in) — upgrade of
+  // t19's greedy longest-match approximation. Two-tier closed-form fit
+  // (SQL-restatable, no iterative training loop), standard merge-order
+  // encode (lowest rank first, leftmost on ties) via the MergeTable
+  // kernel.
+
+  private[graft] val mergeTier = 32 // pairs per fit tier; table = 2 tiers
+  private val SEP = "\u0001"
+
+  private def corpusWords(docs: DataFrame): DataFrame =
+    QueryDef.spread(docs).select(explode(split(col("text"), " ")).as("w"))
+
+  /** Adjacent pairs of an array<string> token column, SEP-joined —
+    * shared by both fit tiers (tier 1 feeds single chars). */
+  private def adjacentPairs(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(SEP, element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(typedlit(Seq.empty[String]))
+
+  private def topPairs(pairs: DataFrame, n: Int): Array[(String, String)] =
+    pairs.groupBy("pair").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pair").asc)
+      .limit(n)
+      .select("pair").collect()
+      .map { r => val Array(l, rr) = r.getString(0).split(SEP, 2); (l, rr) }
+
+  /** Two-tier merge fit: tier 1 ranks adjacent CHARACTER pairs over the
+    * corpus's words (top `mergeTier` by count desc, pair asc); tier 2
+    * re-encodes every word with the tier-1 table (the kernel's real
+    * merge loop) and ranks adjacent TOKEN pairs of that stream — no
+    * tier-1 pair can reappear (a final tier-1 encode state contains
+    * none by construction), so the concatenation is duplicate-free.
+    * One fit pass per tier; both restated closed-form by the oracle
+    * (tier 2's re-encode as a recursive CTE). */
+  private[graft] def fitMerges(docs: DataFrame): Array[(String, String)] = {
+    val words = graft.plans.Stage(corpusWords(docs))
+    // guard the empty word: Spark sequence(1, 0) is the DESCENDING
+    // [1, 0], not the empty range DuckDB's range(1, 0) yields
+    val chars = when(length(col("w")) >= 1,
+      transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))
+      .otherwise(typedlit(Seq.empty[String]))
+    val tier1 = topPairs(
+      words.select(explode(adjacentPairs(chars)).as("pair")), mergeTier)
+    val t1 = new MergeTable(tier1)
+    val tier2 = topPairs(
+      words.select(SubwordExpressions.bpeMergeEncode(col("w"), t1).as("tk"))
+        .select(explode(adjacentPairs(col("tk"))).as("pair")), mergeTier)
+    tier1 ++ tier2
+  }
+
+  private val mergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Array[(String, String)]]()
+
+  /** Build-once-then-read the persisted merge table (rank, left, right)
+    * — the storedVocab discipline: IndexStore + source-fingerprint meta,
+    * per-application memo with superseded-snapshot eviction. */
+  def storedMerges(s: SparkSession, dir: String): Array[(String, String)] = {
+    val path = graft.sources.IndexStore.indexPath(dir, s"bpe_merges_${mergeTier * 2}")
+    val meta = s"v1|tier=$mergeTier|" +
+      s"src=${graft.sources.IndexStore.sourceStamp(s, s"$dir/documents.parquet")}"
+    val appId = s.sparkContext.applicationId
+    mergeMemo.keySet.removeIf(k => k._1 == appId && k._2 == dir && k._3 != meta)
+    mergeMemo.computeIfAbsent((appId, dir, meta), _ => {
+      graft.sources.IndexStore.ensure(s, path, meta) {
+        import s.implicits._
+        fitMerges(Tables.documents(s, dir)).zipWithIndex
+          .map { case ((l, r), i) => (i, l, r) }.toSeq.toDF("rank", "left", "right")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/merges")
+      }
+      s.read.parquet(s"$path/merges").orderBy("rank")
+        .collect().map(r => (r.getString(1), r.getString(2)))
+    })
+  }
+
+  /** t22: merge-order BPE token stats per document — one codegen'd map
+    * pass over the stored merge table (the t19 scale shape: zero
+    * shuffles beyond the presentation sort; the fit is paid once per
+    * corpus snapshot and stored). The oracle restates BOTH fit tiers
+    * and the merge-order encode closed-form — the encode as a recursive
+    * CTE that repeatedly merges the lowest-ranked (leftmost) adjacent
+    * pair via list_position over the rank-ordered chr(1)-joined pair
+    * list, exactly the kernel's loop — and hash-compares the
+    * position-keyed piece-sequence digest, so a single divergent merge
+    * decision anywhere in the corpus fails the row. */
+  val tBpeMergeTokens = QueryDef(
+    "t22_bpe_merge_tokens",
+    (s, dir) => {
+      val table = new MergeTable(storedMerges(s, dir))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens_ws"),
+          SubwordExpressions.bpeMergeStats(col("tk"), table).as("s"))
+        .select(col("doc_id"), col("n_tokens_ws"),
+          col("s.n_tokens_merge").as("n_tokens_merge"),
+          round(col("s.n_tokens_merge").cast("double") / col("n_tokens_ws"), 6)
+            .as("merge_per_ws"),
+          col("s.merge_digest").as("merge_digest"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, tk[i] AS w, i AS widx
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             UNNEST(range(1, len(tk) + 1)) AS t(i)),
+      p1 AS (
+        SELECT substring(w, i, 1) || chr(1) || substring(w, i + 1, 1) AS pair
+        FROM words, UNNEST(range(1, len(w))) AS t(i)),
+      m1 AS (
+        SELECT pair, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair ASC) AS rank
+        FROM p1 GROUP BY pair
+        QUALIFY rank <= 32),
+      m1l AS (SELECT list(pair ORDER BY rank) AS ml FROM m1),
+      e1 AS (
+        WITH RECURSIVE e(doc_id, widx, toks) AS (
+          SELECT doc_id, widx,
+                 list_transform(range(1, len(w) + 1), i -> substring(w, i, 1))
+          FROM words
+          UNION ALL
+          SELECT doc_id, widx,
+                 list_concat(list_concat(toks[1:bp-1], [toks[bp] || toks[bp+1]]),
+                             toks[bp+2:])
+          FROM (
+            SELECT doc_id, widx, toks,
+                   CASE WHEN list_aggregate(rk, 'min') < 9999999
+                        THEN list_position(rk, list_aggregate(rk, 'min')) END AS bp
+            FROM (
+              SELECT e.doc_id, e.widx, e.toks,
+                     list_transform(range(1, len(e.toks)),
+                       i -> coalesce(nullif(list_position(ml, e.toks[i] || chr(1) || e.toks[i+1]), 0),
+                                     9999999)) AS rk
+              FROM e, m1l))
+          WHERE bp IS NOT NULL)
+        SELECT doc_id, widx, toks FROM e, m1l
+        WHERE len(list_filter(range(1, len(toks)),
+              i -> list_contains(ml, toks[i] || chr(1) || toks[i+1]))) = 0),
+      p2 AS (
+        SELECT toks[i] || chr(1) || toks[i+1] AS pair
+        FROM e1, UNNEST(range(1, len(toks))) AS t(i)),
+      m2 AS (
+        SELECT pair, 32 + ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pair ASC) AS rank
+        FROM p2 GROUP BY pair
+        QUALIFY rank <= 64),
+      mall AS (SELECT list(pair ORDER BY rank) AS ml
+               FROM (SELECT pair, rank FROM m1 UNION ALL SELECT pair, rank FROM m2)),
+      e2 AS (
+        WITH RECURSIVE f(doc_id, widx, toks) AS (
+          SELECT doc_id, widx,
+                 list_transform(range(1, len(w) + 1), i -> substring(w, i, 1))
+          FROM words
+          UNION ALL
+          SELECT doc_id, widx,
+                 list_concat(list_concat(toks[1:bp-1], [toks[bp] || toks[bp+1]]),
+                             toks[bp+2:])
+          FROM (
+            SELECT doc_id, widx, toks,
+                   CASE WHEN list_aggregate(rk, 'min') < 9999999
+                        THEN list_position(rk, list_aggregate(rk, 'min')) END AS bp
+            FROM (
+              SELECT f.doc_id, f.widx, f.toks,
+                     list_transform(range(1, len(f.toks)),
+                       i -> coalesce(nullif(list_position(ml, f.toks[i] || chr(1) || f.toks[i+1]), 0),
+                                     9999999)) AS rk
+              FROM f, mall))
+          WHERE bp IS NOT NULL)
+        SELECT doc_id, widx, toks FROM f, mall
+        WHERE len(list_filter(range(1, len(toks)),
+              i -> list_contains(ml, toks[i] || chr(1) || toks[i+1]))) = 0),
+      st AS (
+        SELECT doc_id, widx, CAST(len(toks) AS BIGINT) AS np,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks, t -> CAST(len(t) + ascii(t) AS BIGINT))),
+                 (a, v) -> (a * 31 + v) % 1000000007) AS dig
+        FROM e2),
+      agg AS (
+        SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_tokens_merge,
+               CAST(SUM(widx * 1000003 + dig) AS BIGINT) AS merge_digest
+        FROM st GROUP BY doc_id),
+      ws AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws
+        FROM documents)
+      SELECT ws.doc_id, ws.n_tokens_ws, agg.n_tokens_merge,
+             ROUND(CAST(agg.n_tokens_merge AS DOUBLE) / ws.n_tokens_ws, 6)
+               AS merge_per_ws,
+             agg.merge_digest
+      FROM ws JOIN agg USING (doc_id) ORDER BY ws.doc_id"""))
+
+  val all: Seq[QueryDef] = Seq(tBpeTokens, cTokenBudgetBpe, tBpeMergeTokens)
 }

@@ -233,6 +233,14 @@ class PlanAuditSpec extends AnyFunSuite {
       "t19's encode expression must appear exactly once\n" + p.take(2000))
   }
 
+  test("t22 merge encode is one map pass: no join, no window, one BpeMergeStats eval") {
+    val p = plan("t22_bpe_merge_tokens")
+    assert(!p.contains("Join"), "t22 must not join\n" + p.take(1500))
+    assert(!p.contains("Window ["), "t22 must not window\n" + p.take(1500))
+    assert("(?i)bpemergestats".r.findAllIn(p).size == 1,
+      "t22's encode expression must appear exactly once\n" + p.take(2000))
+  }
+
   test("c10 cap rank never windows the full per-source corpus") {
     // the two-phase machinery: the rank window's input must sit above
     // the hash pre-filter (a substring(ord,1,8) conv comparison), so a
@@ -291,7 +299,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   private val kernelQueries = Seq("v2_lsh_ann", "d2_minhash_lsh_pairs",
-    "t19_bpe_tokens", "d3_simhash_pairs", "v1_cosine_topk")
+    "t19_bpe_tokens", "t22_bpe_merge_tokens", "d3_simhash_pairs", "v1_cosine_topk")
 
   private def withoutAqe[T](body: => T): T = {
     val key = "spark.sql.adaptive.enabled"

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{BpeMatcher, SubwordExpressions}
+import graft.functions.{BpeMatcher, MergeTable, SubwordExpressions}
 import graft.operators.SubwordQueries
 
 /** t19 subword tokenizer: hand-computed greedy-longest-match cases
@@ -102,6 +102,99 @@ class SubwordSpec extends AnyFunSuite {
     next.foreach(d => assert(total + counts(d) > budget, "prefix not maximal"))
     // the selection is billed in SUBWORD tokens, not whitespace tokens
     sel.foreach { case (d, n, _) => assert(n == counts(d)) }
+  }
+
+  test("merge-order encode: rank priority, leftmost tie, termination (t22 kernel)") {
+    // rank priority: (b,c) outranks (a,b), so "abc" merges b+c first
+    val t = new MergeTable(Array(("b", "c"), ("a", "b")))
+    assert(t.encode("abc").toSeq == Seq("a", "bc"))
+    // leftmost occurrence of the best rank wins
+    val tie = new MergeTable(Array(("a", "a")))
+    assert(tie.encode("aaaa").toSeq == Seq("aa", "aa"))
+    // chained merges grow tokens past pair length
+    val chain = new MergeTable(Array(("a", "b"), ("ab", "c")))
+    assert(chain.encode("abc").toSeq == Seq("abc"))
+    // (ab,c) and (a,bc) are distinct rules: only the exact split fires
+    val split = new MergeTable(Array(("b", "c"), ("ab", "c")))
+    assert(split.encode("abc").toSeq == Seq("a", "bc"),
+      "(ab,c) must not fire on the (a,bc) token split")
+    assert(t.encode("").toSeq == Seq.empty)
+  }
+
+  test("greedy and merge-order disagree exactly on boundary-ambiguous strings") {
+    // same-count, different-segmentation: greedy {ab,bc} takes ab|c,
+    // the merge table ranking (b,c) first yields a|bc
+    val greedy = new BpeMatcher(Array("ab", "bc"))
+    val merge = new MergeTable(Array(("b", "c"), ("a", "b")))
+    assert(merge.encode("abc").toSeq == Seq("a", "bc"))
+    val g = greedy.stats(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("abc"))))
+    assert(g.getLong(0) == 2L && g.getLong(1) == 1000003L + dig(Seq("ab", "c")))
+    val m = merge.stats(new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("abc"))))
+    assert(m.getLong(0) == 2L && m.getLong(1) == 1000003L + dig(Seq("a", "bc")))
+    assert(g.getLong(1) != m.getLong(1), "digest must expose the segmentation difference")
+    // count divergence: greedy {aa,ab,bb} bills "aabb" as 2 pieces;
+    // a table ranking (a,b) first blocks both end merges → 3 tokens
+    val g2 = new BpeMatcher(Array("aa", "ab", "bb"))
+    val m2 = new MergeTable(Array(("a", "b"), ("a", "a"), ("b", "b")))
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString("aabb")))
+    assert(g2.stats(arr).getLong(0) == 2L)
+    assert(m2.encode("aabb").toSeq == Seq("a", "ab", "b"))
+    assert(m2.stats(arr).getLong(0) == 3L,
+      "merge-order must bill 3 tokens where greedy bills 2")
+  }
+
+  test("merge-encode expression (codegen path) agrees with the kernel") {
+    import spark.implicits._
+    val t = new MergeTable(Array(("a", "b"), ("ab", "c"), ("x", "y")))
+    val got = Seq("abc", "xyab", "", "zzz").toDF("w")
+      .select(col("w"), SubwordExpressions.bpeMergeEncode(col("w"), t).as("tk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("abc") == Seq("abc"))
+    assert(got("xyab") == Seq("xy", "ab"))
+    assert(got("") == Seq.empty)
+    assert(got("zzz") == Seq("z", "z", "z"))
+  }
+
+  test("merge fit is deterministic, layout-invariant, duplicate-free, two-tier") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val m1 = SubwordQueries.fitMerges(docs)
+    val m2 = SubwordQueries.fitMerges(docs.repartition(13))
+    assert(m1.toSeq == m2.toSeq, "merge table must not depend on partition layout")
+    assert(m1.length == SubwordQueries.mergeTier * 2)
+    assert(m1.distinct.length == m1.length, "tier 2 must not repeat a tier-1 pair")
+    // tier 1 is single-char pairs; tier 2 contains at least one
+    // longer-token rule (the point of re-encoding before counting)
+    val (t1, t2) = m1.splitAt(SubwordQueries.mergeTier)
+    assert(t1.forall { case (l, r) => l.length == 1 && r.length == 1 })
+    assert(t2.exists { case (l, r) => l.length > 1 || r.length > 1 })
+  }
+
+  test("stored merges round-trip through the index store") {
+    val a = SubwordQueries.storedMerges(spark, dir)
+    val b = SubwordQueries.storedMerges(spark, dir)
+    assert(a.toSeq == b.toSeq && a.length == SubwordQueries.mergeTier * 2)
+  }
+
+  test("t22 vs t19 on the fixture: same billing direction, measurable segmentation divergence") {
+    val greedy = SubwordQueries.tBpeTokens.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens_bpe"), r.getAs[Long]("bpe_digest"))).toMap
+    val merge = SubwordQueries.tBpeMergeTokens.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens_merge"), r.getAs[Long]("merge_digest"),
+          r.getAs[Long]("n_tokens_ws"))).toMap
+    assert(merge.size == 500)
+    merge.foreach { case (d, (nm, _, nws)) =>
+      assert(nm >= nws, s"doc $d: merge tokens below whitespace tokens") }
+    // the two encoders disagree on a substantial share of documents —
+    // the reason the merge-order encoder exists (billing-exactness);
+    // measured share documented in SCALE.md
+    val diverged = merge.count { case (d, (nm, dg, _)) =>
+      greedy(d)._1 != nm || greedy(d)._2 != dg }
+    assert(diverged > 100, s"only $diverged/500 docs diverge — fixture too tame")
   }
 
   test("t19 exposes the ws-vs-subword billing divergence on the fixture") {
