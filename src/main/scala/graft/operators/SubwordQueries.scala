@@ -436,5 +436,234 @@ object SubwordQueries {
              agg.merge_digest
       FROM ws JOIN agg USING (doc_id) ORDER BY ws.doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(tBpeTokens, cTokenBudgetBpe, tBpeMergeTokens)
+  // -------------------------------------------------------- t13b / p5b
+  // TOKEN-EXACT release artifacts (r15 queue #1): the packing stage and
+  // the release card re-denominated in the subword tokens a trainer
+  // bills. t13 offsets and p5 card totals counted WHITESPACE tokens —
+  // a layout/card that misses trainer billing by the measured 2.9×
+  // (and the t19-vs-ws divergence is not a constant factor per doc, so
+  // pack boundaries genuinely move, not just rescale).
+
+  /** t13b: the t13 packing layout with `BpeStats` subword counts as the
+    * denomination — same window key, same integer offset math, same
+    * audit contract (t20's packAuditOf runs unchanged on this frame;
+    * ChunkPackSpec asserts zero violations). One extra map-side
+    * expression on the packing scan; the plan is t13's. */
+  val tSequencePackBpe = QueryDef(
+    "t13b_sequence_pack_bpe",
+    (s, dir) => {
+      val matcher = new BpeMatcher(storedVocab(s, dir))
+      TextQueries.sequencePackFrameBy(
+          Tables.documents(s, dir),
+          SubwordExpressions.bpeStats(split(col("text"), " "), matcher)
+            .getField("n_tokens_bpe"))
+        .orderBy("source", "doc_id")
+    },
+    Some("""
+      WITH words AS (
+        SELECT doc_id, tk[i] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             UNNEST(range(1, len(tk) + 1)) AS t(i)),
+      cand AS (
+        SELECT substring(w, i, l) AS piece
+        FROM words,
+             UNNEST(range(1, len(w) + 1)) AS t(i),
+             (VALUES (2), (3), (4)) AS ll(l)
+        WHERE i + l - 1 <= len(w)),
+      vc AS (
+        SELECT piece FROM (
+          SELECT piece, COUNT(*) AS c FROM cand GROUP BY piece
+          ORDER BY c DESC, piece ASC LIMIT 64)),
+      enc AS (
+        WITH RECURSIVE e(doc_id, rem, n_pieces) AS (
+          SELECT doc_id, w, 0 FROM words
+          UNION ALL
+          SELECT doc_id, substring(rem, len(best) + 1), n_pieces + 1
+          FROM (
+            SELECT doc_id, rem, n_pieces,
+                   CASE WHEN substring(rem, 1, 4) IN (SELECT piece FROM vc)
+                          THEN substring(rem, 1, 4)
+                        WHEN substring(rem, 1, 3) IN (SELECT piece FROM vc)
+                          THEN substring(rem, 1, 3)
+                        WHEN substring(rem, 1, 2) IN (SELECT piece FROM vc)
+                          THEN substring(rem, 1, 2)
+                        ELSE substring(rem, 1, 1) END AS best
+            FROM e WHERE rem <> ''))
+        SELECT doc_id, n_pieces FROM e WHERE rem = ''),
+      bpe AS (
+        SELECT doc_id, CAST(SUM(n_pieces) AS BIGINT) AS n_tokens
+        FROM enc GROUP BY doc_id),
+      b AS (
+        SELECT d.doc_id, d.source, bpe.n_tokens
+        FROM documents d JOIN bpe USING (doc_id)),
+      o AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS tok_offset
+        FROM b)
+      SELECT doc_id, source, n_tokens, tok_offset,
+             CAST(FLOOR(tok_offset / 128.0) AS BIGINT) AS pack_first,
+             CAST(FLOOR((tok_offset + n_tokens - 1) / 128.0) AS BIGINT) AS pack_last
+      FROM o ORDER BY source, doc_id"""))
+
+  /** p5b: the p5 dataset card over the SAME released corpus (identical
+    * release stack: canonical dedup → quality battery → holdout drop →
+    * decontamination → split), with token totals in BOTH denominations
+    * — `total_tokens_ws` (p5's whitespace count, kept for comparison)
+    * and `total_tokens_bpe` (`BpeStats` against the stored t19 vocab:
+    * what a trainer invoices). One staged feature pass carries split,
+    * lang, both counts and the shared t2 quality rule; everything
+    * downstream is p5's plan (split-keyed aggregates with map-side
+    * partials, broadcast top-lang join). */
+  val pReleaseReportBpe = QueryDef(
+    "p5b_release_report_bpe",
+    (s, dir) => {
+      import graft.plans.Stage.StageOps
+      val matcher = new BpeMatcher(storedVocab(s, dir))
+      val rel = PipelineQueries.releasedDocs(s, dir)
+      val q = QueryDef.spread(rel)
+        .select(col("doc_id"), col("split"), col("lang"), col("n_chars"),
+          split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("split"), col("lang"),
+          size(col("tk")).cast("long").as("n_tokens_ws"),
+          SubwordExpressions.bpeStats(col("tk"), matcher)
+            .getField("n_tokens_bpe").as("n_tokens_bpe"),
+          TextQueries.qualityExpr(col("tk"), col("n_chars")).as("quality"))
+        .staged
+      val bySplit = q.groupBy(col("split")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens_ws")).as("total_tokens_ws"),
+        sum(col("n_tokens_bpe")).as("total_tokens_bpe"),
+        round(QueryDef.dsum(col("quality"), 6).cast("double") / count(lit(1)), 6)
+          .as("mean_quality"),
+        countDistinct(col("lang")).as("n_langs"))
+      val lc = q.groupBy(col("split"), col("lang")).agg(count(lit(1)).as("cnt"))
+      val mx = lc.groupBy(col("split")).agg(max(col("cnt")).as("mx"))
+      val top = lc.join(broadcast(mx), "split").filter(col("cnt") === col("mx"))
+        .groupBy(col("split"))
+        .agg(min(col("lang")).as("top_lang"), max(col("mx")).as("top_cnt"))
+      bySplit.join(broadcast(top), "split")
+        .select(col("split"), col("n_docs"),
+          col("total_tokens_ws"), col("total_tokens_bpe"),
+          col("mean_quality"), col("n_langs"), col("top_lang"),
+          round(col("top_cnt").cast("double") / col("n_docs"), 6)
+            .as("top_lang_share"))
+        .orderBy("split")
+    },
+    Some("""
+      WITH canon AS (
+        SELECT doc_id, text, source, lang, n_chars
+        FROM (SELECT doc_id, text, source, lang, n_chars,
+                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM documents)
+        WHERE doc_id = m),
+      b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        FROM canon WHERE len(string_split(text, ' ')) >= 2),
+      tc AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
+      tp0 AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id),
+      q AS (
+        SELECT b.doc_id FROM b JOIN tp0 USING (doc_id)
+        WHERE len(tk) BETWEEN 30 AND 1000
+          AND ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
+          AND len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
+          AND CAST(tp0.max_c AS DOUBLE) / len(tk) <= 0.2
+          AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) <= 0.3),
+      pre AS (
+        SELECT canon.* FROM canon JOIN q USING (doc_id) WHERE doc_id % 37 <> 0),
+      evalg AS (
+        SELECT DISTINCT u.t AS gram
+        FROM (SELECT list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT string_split(text, ' ') AS tk FROM documents
+                    WHERE doc_id % 37 = 0)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      candg AS (
+        SELECT doc_id, u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM pre)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      contaminated AS (SELECT DISTINCT doc_id FROM candg JOIN evalg USING (gram)),
+      clean AS (
+        SELECT * FROM pre
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      wordsv AS (
+        SELECT tk[i] AS w
+        FROM (SELECT string_split(text, ' ') AS tk FROM documents),
+             UNNEST(range(1, len(tk) + 1)) AS t(i)),
+      candv AS (
+        SELECT substring(w, i, l) AS piece
+        FROM wordsv,
+             UNNEST(range(1, len(w) + 1)) AS t(i),
+             (VALUES (2), (3), (4)) AS ll(l)
+        WHERE i + l - 1 <= len(w)),
+      vc AS (
+        SELECT piece FROM (
+          SELECT piece, COUNT(*) AS c FROM candv GROUP BY piece
+          ORDER BY c DESC, piece ASC LIMIT 64)),
+      wr AS (
+        SELECT doc_id, tk[i] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM clean),
+             UNNEST(range(1, len(tk) + 1)) AS t(i)),
+      encb AS (
+        WITH RECURSIVE e(doc_id, rem, n_pieces) AS (
+          SELECT doc_id, w, 0 FROM wr
+          UNION ALL
+          SELECT doc_id, substring(rem, len(best) + 1), n_pieces + 1
+          FROM (
+            SELECT doc_id, rem, n_pieces,
+                   CASE WHEN substring(rem, 1, 4) IN (SELECT piece FROM vc)
+                          THEN substring(rem, 1, 4)
+                        WHEN substring(rem, 1, 3) IN (SELECT piece FROM vc)
+                          THEN substring(rem, 1, 3)
+                        WHEN substring(rem, 1, 2) IN (SELECT piece FROM vc)
+                          THEN substring(rem, 1, 2)
+                        ELSE substring(rem, 1, 1) END AS best
+            FROM e WHERE rem <> ''))
+        SELECT doc_id, n_pieces FROM e WHERE rem = ''),
+      bpe AS (
+        SELECT doc_id, CAST(SUM(n_pieces) AS BIGINT) AS n_tokens_bpe
+        FROM encb GROUP BY doc_id),
+      a AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS tk,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt, n_chars,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean),
+      f AS (
+        SELECT split, lang, CAST(len(tk) AS BIGINT) AS n_tokens_ws,
+               bpe.n_tokens_bpe,
+               ROUND(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+                 + len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / nt * 0.25
+                 + len(list_distinct(tk)) / nt * 0.25, 6) AS quality
+        FROM a JOIN bpe USING (doc_id)),
+      bs AS (
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens_ws) AS BIGINT) AS total_tokens_ws,
+               CAST(SUM(n_tokens_bpe) AS BIGINT) AS total_tokens_bpe,
+               ROUND(CAST(SUM(CAST(quality AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_quality,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM f GROUP BY split),
+      lc AS (SELECT split, lang, COUNT(*) AS cnt FROM f GROUP BY split, lang),
+      mx AS (SELECT split, MAX(cnt) AS mx FROM lc GROUP BY split),
+      tpl AS (
+        SELECT lc.split, MIN(lc.lang) AS top_lang, MAX(lc.cnt) AS top_cnt
+        FROM lc JOIN mx ON lc.split = mx.split AND lc.cnt = mx.mx
+        GROUP BY lc.split)
+      SELECT bs.split, bs.n_docs, bs.total_tokens_ws, bs.total_tokens_bpe,
+             bs.mean_quality, bs.n_langs, tpl.top_lang,
+             ROUND(CAST(tpl.top_cnt AS DOUBLE) / bs.n_docs, 6) AS top_lang_share
+      FROM bs JOIN tpl ON bs.split = tpl.split ORDER BY bs.split"""))
+
+  val all: Seq[QueryDef] =
+    Seq(tBpeTokens, cTokenBudgetBpe, tBpeMergeTokens, tSequencePackBpe,
+      pReleaseReportBpe)
 }

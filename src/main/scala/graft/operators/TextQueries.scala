@@ -523,13 +523,22 @@ object TextQueries {
     * definition shared by t13 and the spec-side corruption fixtures, so
     * the audited layout can never drift from the packing operator. */
   private[graft] def sequencePackFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    sequencePackFrameBy(docs, size(toks).cast("long"))
+
+  /** The packing layout under any token DENOMINATION: `nTokens` is the
+    * per-doc count expression (whitespace `size(toks)` for t13;
+    * `BpeStats` subword counts for t13b — trainer billing). The layout
+    * math, window key, and audit contract are identical. */
+  private[graft] def sequencePackFrameBy(docs: org.apache.spark.sql.DataFrame,
+                                         nTokens: org.apache.spark.sql.Column)
       : org.apache.spark.sql.DataFrame = {
     val L = packLen
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs
-      .select(col("doc_id"), col("source"), size(toks).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("source"), nTokens.as("n_tokens"))
       .withColumn("tok_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("tok_offset"),
         floor(col("tok_offset") / L).cast("long").as("pack_first"),

@@ -68,6 +68,60 @@ class ChunkPackSpec extends AnyFunSuite {
     }
   }
 
+  test("t13b subword packing keeps the layout contract and genuinely moves boundaries") {
+    val bpe = SparkEntry.queries("t13b_sequence_pack_bpe")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_offset"),
+        r.getAs[Long]("pack_first"), r.getAs[Long]("pack_last")))
+    assert(bpe.nonEmpty)
+    // same layout contract as t13, denominated in subword tokens
+    bpe.groupBy(_._1).foreach { case (src, docs) =>
+      val sorted = docs.sortBy(_._2)
+      assert(sorted.head._4 == 0L, s"$src: first doc must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, n, off, _, _), (_, d2, _, off2, _, _)) =>
+          assert(off2 == off + n, s"$src: offset gap before doc $d2")
+        case _ => ()
+      }
+    }
+    // the counts ARE t19's: the pack stage and the token counter can
+    // never disagree about a doc's billed length
+    val t19 = graft.operators.SubwordQueries.tBpeTokens.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens_bpe")).toMap
+    bpe.foreach { case (_, d, n, _, _, _) =>
+      assert(n == t19(d), s"doc $d: pack count $n != t19 count ${t19(d)}") }
+    // and c11's budget bills the same denomination (shared BpeStats)
+    val c11 = graft.operators.SubwordQueries.cTokenBudgetBpe.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens_bpe")).toMap
+    c11.foreach { case (d, n) => assert(n == t19(d), s"c11 doc $d count drift") }
+    // boundary movement is structural, not a rescale: doc-level
+    // ws→subword expansion varies, so pack_first assignments diverge
+    // from t13's beyond any constant factor
+    val ws = SparkEntry.queries("t13_sequence_pack")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_first"))).toMap
+    val moved = bpe.count { case (_, d, _, _, pf, _) => ws(d) != pf }
+    assert(moved > 100, s"only $moved/500 docs changed pack — denomination is cosmetic")
+  }
+
+  test("t20 pack audit passes unchanged on the subword-denominated t13b frame") {
+    // the audit contract is denomination-agnostic: offsets vs counts
+    val matcher = new graft.functions.BpeMatcher(
+      graft.operators.SubwordQueries.storedVocab(spark, dir))
+    val frame = graft.operators.TextQueries.sequencePackFrameBy(
+      graft.sources.Tables.documents(spark, dir),
+      graft.functions.SubwordExpressions.bpeStats(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "), matcher)
+        .getField("n_tokens_bpe"))
+    val audit = graft.operators.TextQueries.packAuditOf(frame).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") == 0L && r.getAs[Long]("n_pack_errors") == 0L
+          && r.getAs[Boolean]("contiguous"),
+        "audit must be green on the subword layout: " + r.toString)
+    }
+  }
+
   test("t20 pack audit is green on t13's layout and flags corrupted layouts") {
     import org.apache.spark.sql.functions._
     val packed = graft.operators.TextQueries.sequencePackFrame(

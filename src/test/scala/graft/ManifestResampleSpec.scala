@@ -161,6 +161,32 @@ class ManifestResampleSpec extends AnyFunSuite {
     assert(card.values.sum > 0, "empty release — test is vacuous")
   }
 
+  test("p5b card matches p5 on everything but the token denomination") {
+    val p5 = PipelineQueries.pReleaseReport.fn(spark, dir).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Double]("mean_quality"), r.getAs[Long]("n_langs"),
+          r.getAs[String]("top_lang"), r.getAs[Double]("top_lang_share"))).toMap
+    val p5b = graft.operators.SubwordQueries.pReleaseReportBpe.fn(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens_ws"),
+          r.getAs[Long]("total_tokens_bpe"),
+          r.getAs[Double]("mean_quality"), r.getAs[Long]("n_langs"),
+          r.getAs[String]("top_lang"), r.getAs[Double]("top_lang_share"))).toMap
+    assert(p5.keySet == p5b.keySet && p5.nonEmpty)
+    p5.foreach { case (s, (nd, tws, mq, nl, tl, tls)) =>
+      val (nd2, tws2, tbpe, mq2, nl2, tl2, tls2) = p5b(s)
+      assert(nd == nd2 && mq == mq2 && nl == nl2 && tl == tl2 && tls == tls2,
+        s"split $s: non-token card fields drifted")
+      assert(tws == tws2, s"split $s: ws totals must agree with p5")
+      // the trainer-billed total materially exceeds the ws total —
+      // the number a ws-denominated card misreports
+      assert(tbpe.toDouble / tws > 1.3,
+        s"split $s: subword/ws ratio ${tbpe.toDouble / tws} too tame")
+    }
+  }
+
   test("c7 temperature-flattens the language mix and is layout-invariant") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val natural = docs.groupBy("lang").agg(count(lit(1)).as("n"))
