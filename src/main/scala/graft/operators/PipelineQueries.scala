@@ -704,7 +704,135 @@ object PipelineQueries {
              CAST(SUM(shared) AS BIGINT) AS total_shared
       FROM pairs GROUP BY split_a, split_b ORDER BY split_a, split_b"""))
 
+  /** p5c — the dataset card's DOMAIN MIX table (r15 queue #7, after
+    * c13): per-(split, registered-domain) doc/token rows over the SAME
+    * released corpus as p5, the first governance question a release
+    * consumer asks ("which sites is this trained on, and how much of
+    * each?"). Domain = the c13 eTLD+1 kernel over the synthesized URL
+    * against the stored suffix snapshot; the rows roll up EXACTLY to
+    * p5's per-split n_docs/total_tokens (ManifestResampleSpec pins the
+    * equality), so the mix table and the headline card can never
+    * disagree.
+    *
+    * Scale shape: one (split, domain)-keyed aggregate with map-side
+    * partials over the released frame (domain extraction is a map-side
+    * kernel call); per-split totals for the share column are |splits|
+    * rows broadcast back. At 100 TB the card keeps every domain row —
+    * the table is |domains| rows (≪ corpus; ~millions at web scale),
+    * written as a card artifact, not a driver collect. */
+  val pDomainMix = QueryDef(
+    "p5c_domain_mix",
+    (s, dir) => {
+      val rules = new graft.functions.SuffixRules(
+        SampleQueries.storedSuffixRules(s, dir))
+      val rel = releasedDocs(s, dir)
+        .select(col("split"),
+          graft.functions.DomainExpressions
+            .registeredDomain(Scaffold.syntheticUrl, rules).as("domain"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val mix = rel.groupBy(col("split"), col("domain")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      val totals = mix.groupBy(col("split")).agg(
+        sum(col("n_docs")).as("__d"), sum(col("total_tokens")).as("__t"))
+      mix.join(broadcast(totals), "split")
+        .select(col("split"), col("domain"), col("n_docs"), col("total_tokens"),
+          round(col("n_docs").cast("double") / col("__d"), 6).as("doc_share"),
+          round(col("total_tokens").cast("double") / col("__t"), 6)
+            .as("token_share"))
+        .orderBy("split", "domain")
+    },
+    Some("""
+      WITH canon AS (
+        SELECT doc_id, text, source, lang, n_chars
+        FROM (SELECT doc_id, text, source, lang, n_chars,
+                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM documents)
+        WHERE doc_id = m),
+      b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        FROM canon WHERE len(string_split(text, ' ')) >= 2),
+      tc AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
+      tp0 AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id),
+      q AS (
+        SELECT b.doc_id FROM b JOIN tp0 USING (doc_id)
+        WHERE len(tk) BETWEEN 30 AND 1000
+          AND ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
+          AND len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
+          AND CAST(tp0.max_c AS DOUBLE) / len(tk) <= 0.2
+          AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) <= 0.3),
+      pre AS (
+        SELECT canon.* FROM canon JOIN q USING (doc_id) WHERE doc_id % 37 <> 0),
+      evalg AS (
+        SELECT DISTINCT u.t AS gram
+        FROM (SELECT list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT string_split(text, ' ') AS tk FROM documents
+                    WHERE doc_id % 37 = 0)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      candg AS (
+        SELECT doc_id, u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM pre)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      contaminated AS (SELECT DISTINCT doc_id FROM candg JOIN evalg USING (gram)),
+      clean AS (
+        SELECT * FROM pre
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      u2 AS (
+        SELECT doc_id,
+               string_split(string_split(
+                 'https://' ||
+                 ['','www.','blog.','cdn.news.'][CAST(('0x' ||
+                   substring(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 2))
+                   AS BIGINT) % 4 + 1] ||
+                 'd' || CAST(CAST(('0x' ||
+                   substring(md5('url:' || CAST(doc_id AS VARCHAR)), 3, 4))
+                   AS BIGINT) % 40 AS VARCHAR) ||
+                 '.' ||
+                 ['com','org','net','io','de','co.uk','ac.uk','xyz'][CAST(('0x' ||
+                   substring(md5('url:' || CAST(doc_id AS VARCHAR)), 7, 2))
+                   AS BIGINT) % 8 + 1] ||
+                 '/p/' || CAST(doc_id AS VARCHAR),
+                 '//')[2], '/')[1] AS host
+        FROM clean),
+      dmn AS (
+        SELECT doc_id,
+               CASE WHEN len(lab) >= 3 AND (lab[-2] || '.' || lab[-1])
+                        IN ('ac.uk','co.uk','com.au')
+                      THEN lab[-3] || '.' || lab[-2] || '.' || lab[-1]
+                    WHEN len(lab) >= 2 AND lab[-1]
+                        IN ('au','com','de','io','net','org','uk')
+                      THEN lab[-2] || '.' || lab[-1]
+                    WHEN len(lab) >= 2 THEN lab[-2] || '.' || lab[-1]
+                    ELSE host END AS domain
+        FROM (SELECT doc_id, host, string_split(host, '.') AS lab FROM u2)),
+      a AS (
+        SELECT c2.doc_id, dmn.domain,
+               CAST(len(string_split(c2.text, ' ')) AS BIGINT) AS n_tokens,
+               CASE WHEN substring(md5(CAST(c2.doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(c2.doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean c2 JOIN dmn USING (doc_id)),
+      mix AS (
+        SELECT split, domain, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM a GROUP BY split, domain),
+      tot AS (
+        SELECT split, SUM(n_docs) AS td, SUM(total_tokens) AS tt
+        FROM mix GROUP BY split)
+      SELECT mix.split, mix.domain, mix.n_docs, mix.total_tokens,
+             ROUND(CAST(mix.n_docs AS DOUBLE) / tot.td, 6) AS doc_share,
+             ROUND(CAST(mix.total_tokens AS DOUBLE) / tot.tt, 6) AS token_share
+      FROM mix JOIN tot USING (split)
+      ORDER BY mix.split, mix.domain"""))
+
   val all: Seq[QueryDef] =
     Seq(pCuration, pRelease, pManifest, pReleaseWrite, pReleaseReport,
-      pSplitLeakage)
+      pSplitLeakage, pDomainMix)
 }

@@ -608,24 +608,28 @@ object SampleQueries {
     * broadcast back. No corpus-sized shuffle anywhere. */
   private[graft] def sourceCapOf(docs: org.apache.spark.sql.DataFrame,
                                  nCap: Int, targetTokens: Long,
-                                 maxEpochs: Int)
+                                 maxEpochs: Int,
+                                 keyCol: String = "source")
       : org.apache.spark.sql.DataFrame = {
+    // keyCol generalizes the cap key: "source" for c10; the c13
+    // registered-domain column for domain-keyed caps — the draw, the
+    // two-phase rank and the epoch table are key-agnostic
     val base = mixResampleKept(docs)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col(keyCol),
         md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("ord"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val capped = exactTopNPerGroup(base, "source", nCap)
-    val epochs = capped.groupBy("source")
+    val capped = exactTopNPerGroup(base, keyCol, nCap)
+    val epochs = capped.groupBy(keyCol)
       .agg(sum(col("n_tokens")).as("kept_tokens"))
       .withColumn("n_epochs",
         least(lit(maxEpochs.toLong),
           greatest(lit(1L),
             ceil(lit(targetTokens.toDouble) / col("kept_tokens")).cast("long"))))
-    capped.join(broadcast(epochs), "source")
-      .select(col("source"), col("doc_id"),
+    capped.join(broadcast(epochs), keyCol)
+      .select(col(keyCol), col("doc_id"),
         col("sample_rank").as("cap_rank"), col("n_tokens"),
         col("kept_tokens"), col("n_epochs"))
-      .orderBy("source", "cap_rank")
+      .orderBy(keyCol, "cap_rank")
   }
 
   val cSourceCap = QueryDef(
@@ -753,7 +757,121 @@ object SampleQueries {
              doc_id, source, n_tokens
       FROM sh ORDER BY epoch, shard, pos"""))
 
+  /** Registered-domain-keyed document cap (c13) — the c10 discipline
+    * with the cap key upgraded from the coarse ingest `source` label to
+    * the REGISTERED DOMAIN (eTLD+1) of each document's URL: crawl
+    * corpora cap per domain (a single boilerplate-heavy site must not
+    * dominate even when an ingest source mixes thousands of sites).
+    * Composition: [[Scaffold.syntheticUrl]] synthesizes the URL (the
+    * driver corpus has none — QueryDef-only closed form, restated in
+    * the oracle), the native `RegisteredDomain` kernel extracts eTLD+1
+    * against the STORED suffix-rule snapshot ([[storedSuffixRules]] —
+    * the t19 stored-table discipline; a real deploy swaps in the
+    * publicsuffix.org snapshot), and [[sourceCapOf]] runs unchanged
+    * with `keyCol = "domain"`.
+    *
+    * The oracle restates the URL synthesis, the longest-match suffix
+    * rule (the stored snapshot's rules are 1- and 2-label, so the
+    * match is a two-branch CASE; the kernel handles any depth) AND the
+    * full c10 cap/epoch machinery closed-form. Scale shape: domain
+    * extraction is one map-side kernel call; everything else is c10's
+    * plan with a finer key — MORE groups, SMALLER windows, so the
+    * two-phase rank machinery only gets healthier at 100 TB. */
+  private val pslSnapshot: Array[String] = Array(
+    "ac.uk", "co.uk", "com.au", "au", "com", "de", "io", "net", "org", "uk")
+
+  private val suffixMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Array[String]]()
+
+  /** Build-once-then-read the persisted suffix-rule snapshot (rank,
+    * rule) — versioned like a real PSL download, no corpus fit. */
+  private[graft] def storedSuffixRules(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): Array[String] = {
+    val path = graft.sources.IndexStore.indexPath(dir, "psl_rules_v1")
+    val meta = s"psl-snapshot-v1|n=${pslSnapshot.length}"
+    suffixMemo.computeIfAbsent((s.sparkContext.applicationId, path), _ => {
+      graft.sources.IndexStore.ensure(s, path, meta) {
+        import s.implicits._
+        pslSnapshot.zipWithIndex.map { case (r, i) => (i, r) }.toSeq
+          .toDF("rank", "rule")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/rules")
+      }
+      s.read.parquet(s"$path/rules").orderBy("rank")
+        .collect().map(_.getString(1))
+    })
+  }
+
+  val cDomainCap = QueryDef(
+    "c13_domain_cap",
+    (s, dir) => {
+      val rules = new graft.functions.SuffixRules(storedSuffixRules(s, dir))
+      val docs = Tables.documents(s, dir)
+        .withColumn("domain", graft.functions.DomainExpressions
+          .registeredDomain(Scaffold.syntheticUrl, rules))
+      sourceCapOf(docs, nCap = 4, targetTokens = 1000L, maxEpochs = 4,
+        keyCol = "domain")
+    },
+    Some("""
+      WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(CAST(ROUND(SQRT(n_l), 6) AS DECIMAL(28,6))) AS DOUBLE) AS z,
+                   SUM(n_l) AS n_all FROM c),
+      r AS (
+        SELECT lang,
+               printf('%08x', CAST(LEAST(FLOOR(LEAST(1.0,
+                 (ROUND(SQRT(n_l), 6) / z) * FLOOR(n_all / 2) / n_l) * 4294967296.0),
+                 4294967295.0) AS BIGINT)) AS thr
+        FROM c, t),
+      u AS (
+        SELECT doc_id,
+               string_split(string_split(
+                 'https://' ||
+                 ['','www.','blog.','cdn.news.'][CAST(('0x' ||
+                   substring(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 2))
+                   AS BIGINT) % 4 + 1] ||
+                 'd' || CAST(CAST(('0x' ||
+                   substring(md5('url:' || CAST(doc_id AS VARCHAR)), 3, 4))
+                   AS BIGINT) % 40 AS VARCHAR) ||
+                 '.' ||
+                 ['com','org','net','io','de','co.uk','ac.uk','xyz'][CAST(('0x' ||
+                   substring(md5('url:' || CAST(doc_id AS VARCHAR)), 7, 2))
+                   AS BIGINT) % 8 + 1] ||
+                 '/p/' || CAST(doc_id AS VARCHAR),
+                 '//')[2], '/')[1] AS host
+        FROM documents),
+      dmn AS (
+        SELECT doc_id,
+               CASE WHEN len(lab) >= 3 AND (lab[-2] || '.' || lab[-1])
+                        IN ('ac.uk','co.uk','com.au')
+                      THEN lab[-3] || '.' || lab[-2] || '.' || lab[-1]
+                    WHEN len(lab) >= 2 AND lab[-1]
+                        IN ('au','com','de','io','net','org','uk')
+                      THEN lab[-2] || '.' || lab[-1]
+                    WHEN len(lab) >= 2 THEN lab[-2] || '.' || lab[-1]
+                    ELSE host END AS domain
+        FROM (SELECT doc_id, host, string_split(host, '.') AS lab FROM u)),
+      kept AS (
+        SELECT d.doc_id, dmn.domain,
+               md5('cap:' || CAST(d.doc_id AS VARCHAR)) AS ord,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents d JOIN r USING (lang) JOIN dmn USING (doc_id)
+        WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 5, 8) < r.thr),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+                    ORDER BY ord, doc_id) AS cap_rank
+        FROM kept),
+      cap AS (SELECT * FROM rk WHERE cap_rank <= 4),
+      ep AS (
+        SELECT domain, CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
+               CAST(LEAST(4, GREATEST(1, CEIL(1000.0 / SUM(n_tokens)))) AS BIGINT)
+                 AS n_epochs
+        FROM cap GROUP BY domain)
+      SELECT cap.domain, cap.doc_id, CAST(cap.cap_rank AS BIGINT) AS cap_rank,
+             cap.n_tokens, ep.kept_tokens, ep.n_epochs
+      FROM cap JOIN ep USING (domain)
+      ORDER BY cap.domain, cap.cap_rank"""))
+
   val all: Seq[QueryDef] =
     Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
-      cMixResample, cShardShuffle, cSnapshotDiff, cSourceCap, cEpochShardPlan)
+      cMixResample, cShardShuffle, cSnapshotDiff, cSourceCap, cEpochShardPlan,
+      cDomainCap)
 }

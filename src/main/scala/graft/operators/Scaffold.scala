@@ -71,6 +71,33 @@ object Scaffold {
       .otherwise(withHdr)
   }
 
+  /** Deterministic doc_id-derived URL synthesis for c13 (QueryDef-only
+    * scaffolding; both engines state the same closed form): the driver
+    * corpus carries no URL column, so the c13 registered-domain cap
+    * would be vacuous without one. Every doc draws a host from the
+    * SALTED hash md5('url:'‖doc_id) (the c10 cap-draw discipline — a
+    * fresh 128-bit draw independent of every claimed plain-hash octet):
+    * octet 1 picks one of 4 subdomain prefixes (including the 2-deep
+    * 'cdn.news.'), octets 2–3 one of 40 registered-domain bases, octet
+    * 4 one of 8 TLDs — including the multi-label public suffixes
+    * 'co.uk'/'ac.uk' (exercising the longest-match rule path) and
+    * 'xyz', deliberately ABSENT from the stored rule snapshot so the
+    * PSL implicit-'*' default path is exercised too. */
+  private[graft] def syntheticUrl: Column = {
+    val h = md5(concat(lit("url:"), col("doc_id").cast("string")))
+    val subs = array(lit(""), lit("www."), lit("blog."), lit("cdn.news."))
+    val tlds = array(lit("com"), lit("org"), lit("net"), lit("io"),
+      lit("de"), lit("co.uk"), lit("ac.uk"), lit("xyz"))
+    val sub = element_at(subs,
+      (conv(substring(h, 1, 2), 16, 10).cast("long") % 4 + 1).cast("int"))
+    val base = concat(lit("d"),
+      (conv(substring(h, 3, 4), 16, 10).cast("long") % 40).cast("string"))
+    val tld = element_at(tlds,
+      (conv(substring(h, 7, 2), 16, 10).cast("long") % 8 + 1).cast("int"))
+    concat(lit("https://"), sub, base, lit("."), tld,
+      lit("/p/"), col("doc_id").cast("string"))
+  }
+
   /** The deterministic "previous snapshot" for c9 (QueryDef-only
     * scaffolding; both engines state the same closed form): yesterday's
     * corpus is today's minus every 17th doc (today's "added"), plus

@@ -187,6 +187,27 @@ class ManifestResampleSpec extends AnyFunSuite {
     }
   }
 
+  test("p5c domain mix rolls up exactly to p5's per-split card") {
+    val p5 = PipelineQueries.pReleaseReport.fn(spark, dir).collect()
+      .map(r => r.getAs[String]("split") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"))).toMap
+    val mix = PipelineQueries.pDomainMix.fn(spark, dir).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[String]("domain"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+        r.getAs[Double]("doc_share"), r.getAs[Double]("token_share")))
+    assert(mix.nonEmpty)
+    val rollup = mix.groupBy(_._1).view.mapValues(rs =>
+      (rs.map(_._3).sum, rs.map(_._4).sum)).toMap
+    assert(rollup == p5, s"domain mix rollup $rollup != p5 card $p5")
+    // shares sum to ~1 per split and every domain is a valid eTLD+1
+    mix.groupBy(_._1).foreach { case (s, rs) =>
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-3, s"$s doc shares")
+      assert(math.abs(rs.map(_._6).sum - 1.0) < 1e-3, s"$s token shares")
+    }
+    assert(mix.forall(_._2.count(_ == '.') <= 2))
+    assert(mix.exists(_._2.endsWith(".co.uk")))
+  }
+
   test("c7 temperature-flattens the language mix and is layout-invariant") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val natural = docs.groupBy("lang").agg(count(lit(1)).as("n"))

@@ -121,4 +121,68 @@ class SourceCapSpec extends AnyFunSuite {
         r.getAs[Long]("kept_tokens"), r.getAs[Long]("n_epochs")))
     assert(reparted.toSet == got.toSet)
   }
+
+  // ---------------------------------------------------------------- c13
+
+  test("registered-domain kernel: longest match, default rule, deep subdomains") {
+    val rules = new graft.functions.SuffixRules(
+      Array("ac.uk", "co.uk", "com.au", "au", "com", "de", "io", "net", "org", "uk"))
+    def d(u: String): String = rules.registeredDomain(
+      org.apache.spark.unsafe.types.UTF8String.fromString(u)).toString
+    // multi-label suffix beats the 1-label match ('co.uk' over 'uk')
+    assert(d("https://www.d7.co.uk/p/1") == "d7.co.uk")
+    assert(d("https://cdn.news.d7.co.uk/p/1") == "d7.co.uk")
+    assert(d("https://d7.com/p/1") == "d7.com")
+    assert(d("https://blog.d7.com/") == "d7.com")
+    // unknown TLD → PSL implicit '*' default: last two labels
+    assert(d("https://www.d7.xyz/p/1") == "d7.xyz")
+    assert(d("https://d7.xyz") == "d7.xyz")
+    // host that IS a 2-label rule still yields itself via the 1-label rule
+    assert(d("https://co.uk/x") == "co.uk")
+    // single-label host falls through to the host itself
+    assert(d("https://localhost/x") == "localhost")
+    // no scheme: the whole prefix up to '/' is the host
+    assert(d("d7.org/path") == "d7.org")
+  }
+
+  private lazy val domainCap = SampleQueries.cDomainCap.fn(spark, dir).collect()
+    .map(r => (r.getAs[String]("domain"), r.getAs[Long]("doc_id"),
+      r.getAs[Long]("cap_rank"), r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("kept_tokens"), r.getAs[Long]("n_epochs")))
+
+  test("c13 domain cap binds per registered domain and keys finer than source") {
+    val byDomain = domainCap.groupBy(_._1)
+    byDomain.foreach { case (dom, rows) =>
+      assert(rows.length <= 4, s"$dom exceeds the domain cap")
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"$dom ranks not contiguous")
+    }
+    assert(byDomain.exists(_._2.length == 4), "cap never binds — fixture too tame")
+    // the domain key is genuinely finer than the 20-source key
+    assert(byDomain.size > 40, s"only ${byDomain.size} domains")
+    // multi-label public suffixes survive extraction as eTLD+1
+    assert(byDomain.keys.exists(_.endsWith(".co.uk")),
+      "no co.uk registered domain — longest-match path unexercised")
+    assert(byDomain.keys.forall(_.count(_ == '.') <= 2))
+  }
+
+  test("c13 composes with the c7 resample and is layout-invariant") {
+    val kept = SampleQueries.cMixResample.fn(spark, dir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    domainCap.foreach { case (_, d, _, _, _, _) =>
+      assert(kept.contains(d), s"doc $d capped but not in the c7 resample") }
+    val viaRepartition = {
+      val rules = new graft.functions.SuffixRules(
+        SampleQueries.storedSuffixRules(spark, dir))
+      val docs13 = graft.sources.Tables.documents(spark, dir).repartition(13)
+        .withColumn("domain", graft.functions.DomainExpressions
+          .registeredDomain(graft.operators.Scaffold.syntheticUrl, rules))
+      SampleQueries.sourceCapOf(docs13, 4, 1000L, 4, keyCol = "domain").collect()
+        .map(r => (r.getAs[String]("domain"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("cap_rank"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("kept_tokens"), r.getAs[Long]("n_epochs")))
+    }
+    assert(viaRepartition.toSet == domainCap.toSet,
+      "domain cap must not depend on partition layout")
+  }
 }
