@@ -167,9 +167,9 @@ object SkewBench {
     // the task spread and the replication tax are not. The adaptive row
     // shows the measured-probe routing: at 50k (max band bucket 1,714 < 2048)
     // it should track d2_unsalted; at 200k (6,857-doc buckets) d2_salted8.
-    measure("d2_salted8")(
-      DedupQueries.minHashPairs(docs, nSalts = 8, saltAbove = 0L).count())
-    measure("d2_unsalted")(DedupQueries.minHashPairs(docs, nSalts = 1).count())
+    measure("d2_grid_forced")(
+      DedupQueries.minHashPairs(docs, saltAbove = 0L).count())
+    measure("d2_unsalted")(DedupQueries.minHashPairs(docs, gridMax = 1).count())
     measure("d2_adaptive")(DedupQueries.minHashPairs(docs).count())
     // d7: duplicate spans (span-frequency skew from the boilerplate)
     measure("d7_dup_spans")(
@@ -262,6 +262,26 @@ object SkewBench {
       graft.operators.TextQueries.tBoundarySpans.fn(spark, dir).count())
     measure("c10_source_cap")(
       graft.operators.SampleQueries.cSourceCap.fn(spark, dir).count())
+
+    // r15 operators over the skew corpus: t22's merge-table fit (two
+    // passes incl. a kernel re-encode) is paid in the warm pass like
+    // t19's vocab; the timed pass is the steady-state merge encode —
+    // one codegen'd map pass with the per-word O(L²) merge loop. t13b
+    // re-denominates the t13 packing window in subword counts (one
+    // extra kernel call on the packing scan); c13 is the c10 cap with
+    // the finer registered-domain key (more groups, smaller windows);
+    // p5b/p5c extend the release-card family (the full release stack
+    // plus one extra aggregate each).
+    measure("t22_bpe_merge_tokens")(
+      graft.operators.SubwordQueries.tBpeMergeTokens.fn(spark, dir).count())
+    measure("t13b_sequence_pack_bpe")(
+      graft.operators.SubwordQueries.tSequencePackBpe.fn(spark, dir).count())
+    measure("c13_domain_cap")(
+      graft.operators.SampleQueries.cDomainCap.fn(spark, dir).count())
+    measure("p5b_release_report_bpe")(
+      graft.operators.SubwordQueries.pReleaseReportBpe.fn(spark, dir).count())
+    measure("p5c_domain_mix")(
+      graft.operators.PipelineQueries.pDomainMix.fn(spark, dir).count())
 
     // p6: the leakage audit's gram-keyed self-join under the same
     // boilerplate pile-up — pre-dedup, one variant's ~2,000 docs share

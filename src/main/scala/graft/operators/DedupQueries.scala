@@ -71,15 +71,16 @@ object DedupQueries {
     *
     * Skew: a boilerplate-heavy corpus puts thousands of docs in ONE
     * band bucket, making that bucket's pair generation a single O(w²)
-    * task. The self-join salts ADAPTIVELY: a measured max-bucket probe
-    * decides whether to salt at all (even corpora skip the ~20%
-    * replication tax entirely); when it engages, the left side hashes
-    * into `nSalts` sub-buckets, the right side (ids only — 8 bytes/row)
-    * replicates across them, so a hot bucket's work spreads over nSalts
-    * tasks. Every in-bucket pair still meets exactly once per salt of
-    * its left doc, so the pair set is unchanged on BOTH paths
-    * (DedupSkewSpec pins this on a skewed corpus); AQE skew-join
-    * remains as a second line of defense.
+    * task. The self-join blocks ADAPTIVELY into a 2-D g×g cell grid: a
+    * measured max-bucket probe decides whether to block at all (even
+    * corpora skip the replication tax entirely); when it engages, both
+    * id-only sides replicate g× — left doc a covers grid row cell(a),
+    * right doc b covers grid column cell(b) — so a hot bucket's pairs
+    * spread over g² tasks of (w/g)² pairs each, with g sized from the
+    * measured bucket ([[gridSideFor]]). Every in-bucket pair meets in
+    * exactly one cell (the reversed orientation fails a < b), so the
+    * pair set is unchanged on BOTH paths (DedupSkewSpec pins this on a
+    * skewed corpus); AQE skew-join remains as a second line of defense.
     */
   /** The per-doc MinHash signature frame (doc_id, sh, mh) — shingles +
     * k minhashes, eagerly materialized (Stage). At 100 TB this IS the
@@ -112,8 +113,30 @@ object DedupQueries {
   private[graft] def maxBandBucket(banded: DataFrame): Long =
     QueryDef.maxGroupCount(banded, "band", "bh")
 
-  def minHashPairs(docsIn: DataFrame, bands: Int = 4, nSalts: Int = 8,
-                   threshold: Double = 0.5, saltAbove: Long = 2048L): DataFrame = {
+  /** Grid side for 2-D pair blocking, from the MEASURED max bucket
+    * population w: a bucket's pair mine is w²/2 comparisons; blocking
+    * both join sides into a g×g cell grid bounds a cell (= one task's
+    * share of the bucket) to (w/g)² pairs, so g = ⌈w/√(2·P)⌉ pins
+    * per-task pair work to ~P regardless of how hot the bucket is.
+    *
+    * P (`targetPairsPerTask`) is the per-cluster tunable: pick it as
+    * (acceptable straggler seconds) × (measured pair throughput). On
+    * this 32-thread host a task generates and hash-filters ≈ 1.5M
+    * id-pairs/s, so the 2M default keeps any single task under ~1.5 s;
+    * a cluster with faster cores or looser latency goals scales P
+    * linearly. `gridMax` caps replication (each side is replicated g×,
+    * ids only): g=32 bounds the id stream at 32× — past that (a ≥46k-doc
+    * bucket at the default P) per-task work grows again rather than
+    * replication, which is the right failure direction. */
+  private[graft] def gridSideFor(w: Long, targetPairsPerTask: Long,
+                                 gridMax: Int): Int =
+    math.min(gridMax, math.max(2,
+      math.ceil(w.toDouble / math.sqrt(2.0 * targetPairsPerTask)).toInt))
+
+  def minHashPairs(docsIn: DataFrame, bands: Int = 4,
+                   threshold: Double = 0.5, saltAbove: Long = 2048L,
+                   targetPairsPerTask: Long = 2000000L,
+                   gridMax: Int = 32): DataFrame = {
     val k = 16; val rowsPerBand = k / bands
     // Stage (in signatures), not cache(): docs feeds three downstream
     // branches (banding + both sides of the verify join), so it must be
@@ -129,38 +152,72 @@ object DedupQueries {
     // verification, so the heavy payload never rides the bucket shuffle.
     // Staged: it feeds the skew probe + both self-join sides.
     val banded = bandKeys(docs, bands, rowsPerBand).staged
-    // ADAPTIVE salting (VERDICT r13 #3): replicating the right side
-    // nSalts× is pure overhead when no bucket is hot — measured on the
-    // 50k skew corpus (max band bucket 1,714 docs — near-identical
-    // template variants COLLIDE on band slices, so buckets merge well
-    // beyond the per-variant width): salted 5.9 s vs unsalted 4.5 s,
-    // the ~20-30% tax with no straggler to cure (a 1.7k bucket is only
-    // ~1.5M single-task pairs ≈ 3 s). At 200k the max bucket is 6,857
-    // (~23M single-task pairs) and the unsalted mine pays a 101 s
-    // straggler vs 35 s salted. So salting is gated on the MEASURED
-    // max bucket population (the guardedBroadcast discipline applied
-    // to skew): one cheap aggregate over the staged band keys; the
-    // 2048 default sits where a bucket's w²/2 single-task pair cost
-    // (~2M) starts to dominate a task. Either path produces the
-    // identical pair set (DedupSkewSpec).
-    val salts =
-      if (nSalts <= 1) 1
-      else if (maxBandBucket(banded) > saltAbove) nSalts
-      else 1
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
-      .withColumn("salt",
-        if (salts == 1) lit(0L) else pmod(xxhash64(col("a")), lit(salts.toLong)))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
-      .withColumn("salt",
-        if (salts == 1) lit(0L)
-        else explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
-    val pairs = l.join(r, Seq("band", "bh", "salt")).filter(col("a") < col("b"))
+    // ADAPTIVE 2-D grid blocking (VERDICT r13 #3 + r14 #4): the r13
+    // one-sided salt spread a hot bucket's w²/2 pairs over nSalts
+    // tasks, but each task still carried w²/nSalts pairs — at the 200k
+    // skew corpus's 6,857-doc bucket that was a 15–26 s straggler per
+    // salt vs a 0.35 s median. Triangular GRID blocking replicates
+    // BOTH id-only sides g× into a g×g cell grid: per-task pairs drop
+    // to (w/g)², quadratically better per unit of replication, with g
+    // MEASURED from the max-bucket probe (see [[gridSideFor]] for the
+    // P derivation). Gated exactly like the old salt: even corpora
+    // (probe ≤ saltAbove — a 2048-doc bucket is ~2M single-task pairs,
+    // already under P) skip the replication tax entirely. Either path
+    // produces the identical pair set (DedupSkewSpec): every unordered
+    // in-bucket pair (a, b), a < b, lands in exactly one cell —
+    // (cell(a), cell(b)) — because the reversed orientation fails the
+    // a < b filter.
+    val w = if (gridMax <= 1) 0L else maxBandBucket(banded)
+    val g =
+      if (gridMax <= 1 || w <= saltAbove) 1
+      else gridSideFor(w, targetPairsPerTask, gridMax)
+    val gRange = array((0 until g).map(i => lit(i.toLong)): _*)
+    val l0 = banded.select(col("band"), col("bh"), col("doc_id").as("a"))
+    val l =
+      if (g == 1) l0.withColumn("cell", lit(0L))
+      else l0.withColumn("__j", explode(gRange))
+        .withColumn("cell",
+          pmod(xxhash64(col("a")), lit(g.toLong)) * g + col("__j"))
+        .drop("__j")
+    val r0 = banded.select(col("band"), col("bh"), col("doc_id").as("b"))
+    val r =
+      if (g == 1) r0.withColumn("cell", lit(0L))
+      else r0.withColumn("__i", explode(gRange))
+        .withColumn("cell",
+          col("__i") * g + pmod(xxhash64(col("b")), lit(g.toLong)))
+        .drop("__i")
+    val pairs0 = l.join(r, Seq("band", "bh", "cell")).filter(col("a") < col("b"))
       .select("a", "b").distinct()
+    // VERIFY-WIDTH scaling (r15): with the enumeration even, the cost
+    // center is the exact-verify joins over the surviving pairs — on a
+    // degenerate corpus the hot bucket alone yields ~bands·w²/2
+    // candidates (24M at the 200k skew corpus), and at the session's
+    // static shuffle width (32) each verify task carries ~8 s of
+    // set-Jaccard work: EVEN, but wrong task granularity for straggler
+    // recovery and for clusters where cores ≠ the static width. The
+    // verify exchanges are therefore sized from the SAME measured probe:
+    // an explicit hash repartition on the join key (a, then b) — the
+    // join reuses it instead of inserting its own static-width exchange,
+    // so this changes exchange WIDTH, never adds one. Target ~P/2 pairs
+    // per verify task (verification is heavier per pair than
+    // enumeration); clamped to [defaultParallelism, 1024].
+    val verifyParts =
+      if (g == 1) 0
+      else math.min(1024L, math.max(
+        docsIn.sparkSession.sparkContext.defaultParallelism.toLong,
+        bands.toLong * w * w / 2 / math.max(1L, targetPairsPerTask / 2))).toInt
+    val pairs =
+      if (g == 1) pairs0 else pairs0.repartition(verifyParts, col("a"))
     val sha = docs.select(col("doc_id").as("a"), col("sh").as("sha"))
     val shb = docs.select(col("doc_id").as("b"), col("sh").as("shb"))
-    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
-      size(array_union(col("sha"), col("shb"))).cast("double")
-    pairs.join(sha, "a").join(shb, "b")
+    // one-pass native kernel — value-identical to the HOF
+    // size(array_intersect)/size(array_union) form (JaccardSimSpec),
+    // without materializing either intermediate array per pair
+    val jac = graft.functions.SetSimilarity.jaccard(col("sha"), col("shb"))
+    val withA = pairs.join(sha, "a")
+    val reKeyed =
+      if (g == 1) withA else withA.repartition(verifyParts, col("b"))
+    reKeyed.join(shb, "b")
       .withColumn("__jac", jac)
       .filter(col("__jac") >= threshold)
       .select(col("a"), col("b"), round(col("__jac"), 6).as("jaccard"))
@@ -437,8 +494,10 @@ object DedupQueries {
     val allSig = corpusSig.unionByName(incSig)
     val sha = allSig.select(col("doc_id").as("a"), col("sh").as("sha"))
     val shb = allSig.select(col("doc_id").as("b"), col("sh").as("shb"))
-    val jac = size(array_intersect(col("sha"), col("shb"))).cast("double") /
-      size(array_union(col("sha"), col("shb"))).cast("double")
+    // one-pass native kernel — value-identical to the HOF
+    // size(array_intersect)/size(array_union) form (JaccardSimSpec),
+    // without materializing either intermediate array per pair
+    val jac = graft.functions.SetSimilarity.jaccard(col("sha"), col("shb"))
     pairs.join(sha, "a").join(shb, "b")
       .withColumn("__jac", jac)
       .filter(col("__jac") >= threshold)

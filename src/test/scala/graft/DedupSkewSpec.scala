@@ -33,12 +33,12 @@ class DedupSkewSpec extends AnyFunSuite {
     (hot ++ near ++ cold).toDF("doc_id", "text")
   }
 
-  test("salted and unsalted LSH produce identical pairs on a skewed corpus") {
-    // saltAbove = 0 FORCES the salted path (the 120-doc hot bucket is
+  test("grid-blocked and unblocked LSH produce identical pairs on a skewed corpus") {
+    // saltAbove = 0 FORCES the grid path (the 120-doc hot bucket is
     // below the 2048 adaptive threshold, which would otherwise route
-    // both calls down the unsalted plan and make this equality vacuous)
-    val salted = DedupQueries.minHashPairs(skewedCorpus, nSalts = 8, saltAbove = 0L)
-    val unsalted = DedupQueries.minHashPairs(skewedCorpus, nSalts = 1)
+    // both calls down the unblocked plan and make this equality vacuous)
+    val salted = DedupQueries.minHashPairs(skewedCorpus, saltAbove = 0L)
+    val unsalted = DedupQueries.minHashPairs(skewedCorpus, gridMax = 1)
     val cols = salted.columns.sorted.map(col(_))
     val diff = salted.select(cols: _*).exceptAll(unsalted.select(cols: _*)).count() +
       unsalted.select(cols: _*).exceptAll(salted.select(cols: _*)).count()
@@ -47,6 +47,22 @@ class DedupSkewSpec extends AnyFunSuite {
     val n = salted.count()
     assert(n >= 120L * 119L / 2 + 1, s"expected hot-bucket pairs + near pair, got $n")
     assert(salted.filter(col("a") === 200L && col("b") === 201L).count() == 1L)
+  }
+
+  test("grid side scales with the measured bucket and caps replication") {
+    // g = ceil(w / sqrt(2P)) bounds a cell's surviving pairs to ~P
+    assert(DedupQueries.gridSideFor(6857L, 2000000L, 32) == 4)
+    assert(DedupQueries.gridSideFor(2049L, 2000000L, 32) == 2)
+    assert(DedupQueries.gridSideFor(20000L, 2000000L, 32) == 10)
+    // replication cap: a pathological bucket grows per-task work, not
+    // the id-stream replication factor
+    assert(DedupQueries.gridSideFor(1000000L, 2000000L, 32) == 32)
+    // the bound holds at the crossover: (w/g)^2 / 2 <= P
+    for (w <- Seq(3000L, 6857L, 20000L, 40000L)) {
+      val g = DedupQueries.gridSideFor(w, 2000000L, 64)
+      assert((w.toDouble / g) * (w.toDouble / g) / 2 <= 2000000L * 1.1,
+        s"w=$w g=$g breaks the per-task bound")
+    }
   }
 
   test("adaptive probe measures the hot bucket and survives an empty frame") {

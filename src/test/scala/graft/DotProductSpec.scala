@@ -51,6 +51,39 @@ class DotProductSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1) == Seq(3L), "well-formed vector hashes normally")
   }
 
+  test("JaccardSim kernel is value-identical to the HOF intersect/union form") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a")),          // duplicates dedup like array_intersect
+      (Seq("x"), Seq("y")),                     // disjoint → 0.0
+      (Seq("x"), Seq("x")),                     // identical → 1.0
+      (Seq.empty[String], Seq("z"))             // empty left → 0.0
+    ).toDF("a", "b")
+    val hof = size(array_intersect(col("a"), col("b"))).cast("double") /
+      size(array_union(col("a"), col("b"))).cast("double")
+    val rows = df.select(
+      graft.functions.SetSimilarity.jaccard(col("a"), col("b")).as("k"),
+      hof.as("h")).collect()
+    rows.foreach { r =>
+      val (k, h) = (r.getDouble(0), r.getDouble(1))
+      assert(k == h, s"kernel $k != hof $h")
+    }
+    // two empty arrays: the kernel yields NaN where the ANSI-mode HOF
+    // form would RAISE on 0/0 — unreachable in d2 (shingle arrays are
+    // non-empty by the size >= 3 token filter), pinned here so the
+    // divergence is deliberate, not accidental
+    val empt = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(graft.functions.SetSimilarity.jaccard(col("a"), col("b")))
+      .head().getDouble(0)
+    assert(empt.isNaN)
+    // null array propagates null (both binary-expression defaults)
+    val n = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS a, ARRAY('x') AS b")
+      .select(graft.functions.SetSimilarity.jaccard(col("a"), col("b")))
+      .head()
+    assert(n.isNullAt(0))
+  }
+
   test("DotProduct rejects non-numeric-array inputs with a clear error") {
     val e = intercept[Exception] {
       spark.range(1).select(fdot(array(lit("a")), array(lit("b")))).head()
