@@ -190,4 +190,89 @@ object DedupClusters {
       SELECT src AS doc_id, MIN(dst) AS cluster_id,
              COUNT(*) OVER (PARTITION BY MIN(dst)) AS cluster_size
       FROM reach GROUP BY src ORDER BY doc_id"""))
+
+  /** Cluster-canonical KEEP-BEST selection — the decision step after
+    * clustering in a production dedup pipeline (keep exactly one doc
+    * per near-dup cluster): per cluster elect the highest-QUALITY doc
+    * (t2's quality rule, compared on its rounded-6 value — the same
+    * bits both engines emit; ties → min doc_id) rather than an
+    * arbitrary min-id representative, and emit the full-corpus
+    * keep/drop table a release stage consumes (singletons are their
+    * own canonical doc).
+    *
+    * Scale shape: quality is map-side; the election aggregate runs
+    * over CLUSTERED docs only (bounded by the edge list, orders of
+    * magnitude under the corpus), and both the cluster labels and the
+    * elected canon table join back under the measured-broadcast guard
+    * — the corpus itself is never shuffled on either pass. */
+  def keepBest(docs: DataFrame, clusters: DataFrame,
+               broadcastRows: Long = 1000000L): DataFrame = {
+    val q = docs.select(col("doc_id"),
+      TextQueries.qualityExpr(split(col("text"), " "), col("n_chars"))
+        .as("quality"))
+    val cl = QueryDef.guardedBroadcast(
+      clusters.select("doc_id", "cluster_id"), broadcastRows)
+    val canon = QueryDef.guardedBroadcast(
+      q.join(cl, "doc_id")
+        .groupBy("cluster_id")
+        .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+          .as("canonical_id")), broadcastRows)
+    q.join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(canon, Seq("cluster_id"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id")))
+      .select(col("doc_id"), col("cluster_id"), col("quality"),
+        col("canonical_id"), (col("doc_id") === col("canonical_id")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** d11 feeds keepBest from the d6 oracle-able chain (d4's n-gram
+    * Jaccard pairs at the multi-hop threshold) so the election itself
+    * is oracle-checked end to end; the memoized pairs frame is shared
+    * with d6 exactly as d5 shares d2's. */
+  val dKeepBest = QueryDef(
+    "d11_keep_best",
+    (s, dir) => keepBest(
+      graft.sources.Tables.documents(s, dir),
+      connectedComponents(DedupQueries.corpusNgramPairs(
+        s, dir, threshold = 0.4, corpusBound = 500L))),
+    Some("""
+      WITH RECURSIVE g AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, length(text) - 2),
+                                            i -> substring(text, i, 4))) AS gr
+        FROM documents WHERE length(text) >= 4 AND doc_id < 500),
+      e AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM g l JOIN g r ON l.source = r.source AND l.doc_id < r.doc_id AND l.doc_id < 250
+        WHERE CAST(len(list_intersect(l.gr, r.gr)) AS DOUBLE)
+              / len(list_distinct(list_concat(l.gr, r.gr))) >= 0.4),
+      ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      nodes AS (SELECT DISTINCT a AS id FROM ed),
+      reach AS (
+        SELECT id AS src, id AS dst FROM nodes
+        UNION
+        SELECT r.src, ed.b AS dst FROM reach r JOIN ed ON ed.a = r.dst),
+      cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+      qq AS (
+        SELECT doc_id,
+               ROUND(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+                     + (len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the','a','and','of','to','in')))
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.25
+                     + (len(list_distinct(string_split(text, ' ')))
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.25, 6)
+                 AS quality
+        FROM documents),
+      lab AS (
+        SELECT qq.doc_id, COALESCE(cc.cluster_id, qq.doc_id) AS cluster_id,
+               qq.quality
+        FROM qq LEFT JOIN cc USING (doc_id)),
+      canon AS (
+        SELECT cluster_id, doc_id AS canonical_id FROM lab
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY quality DESC, doc_id) = 1)
+      SELECT l.doc_id, l.cluster_id, l.quality, c.canonical_id,
+             l.doc_id = c.canonical_id AS keep
+      FROM lab l JOIN canon c USING (cluster_id) ORDER BY l.doc_id"""))
 }

@@ -7,7 +7,8 @@ object Registry {
   def suites: Seq[QueryDef] =
     RelationalQueries.all ++ OlapQueries.all ++ StatQueries.all ++
       TextQueries.all ++ DedupQueries.all ++
-      Seq(DedupClusters.dClusters, DedupClusters.dClustersOracle) ++
+      Seq(DedupClusters.dClusters, DedupClusters.dClustersOracle,
+        DedupClusters.dKeepBest) ++ LineDedupQueries.all ++
       VectorQueries.all ++ MultimodalQueries.all ++ HarnessQueries.all ++
       SampleQueries.all ++ ContaminationQueries.all ++ PipelineQueries.all ++
       ClassifierQueries.all ++ PiiQueries.all ++ SubwordQueries.all

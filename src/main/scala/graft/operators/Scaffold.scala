@@ -71,6 +71,38 @@ object Scaffold {
       .otherwise(withHdr)
   }
 
+  /** Deterministic multi-line view of the corpus for d10 (QueryDef-only
+    * scaffolding; both engines state the same closed form): the driver
+    * corpus is single-line token soup, so a LINE-granular operator would
+    * be vacuous without line structure. Body = the token stream sliced
+    * into 10-token lines; every doc_id % 3 == 0 doc gets one of 4
+    * recurring promo HEADER lines prepended and every doc_id % 5 == 0
+    * doc one of 4 FOOTER lines appended (variant = doc_id % 4) — the
+    * cross-document boilerplate population a CCNet-style line filter
+    * exists to remove, recurring in ~n/12 (resp. ~n/20) docs, far above
+    * d10's 1%-of-corpus threshold at every sf. The footer carries
+    * doubled spaces and both lines a capital letter so d10's
+    * normalization (lower + collapse) is exercised, not vacuous. Plain
+    * % (repo convention for the non-negative testdata ids — matches
+    * DuckDB's sign-preserving % wherever both are defined). */
+  private[graft] def linifiedText: Column = {
+    val tk = split(col("text"), " ")
+    // ceil(n/10) via truncating cast on a positive double (exact for
+    // any realistic token count); split("", " ") = [""] so n >= 1 and
+    // the sequence below is never empty or descending
+    val nLines = ((size(tk) + lit(9)) / lit(10)).cast("int")
+    val body = array_join(
+      transform(sequence(lit(0), nLines - 1),
+        i => array_join(slice(tk, i * lit(10) + 1, lit(10)), " ")), "\n")
+    val v = (col("doc_id") % 4).cast("string")
+    val hdr = concat(lit("Promo sub "), v, lit(" subscribe to our newsletter today"))
+    val ftr = concat(lit("Promo ftr  "), v, lit("  follow us for more updates"))
+    val withHdr = when(col("doc_id") % 3 === 0,
+      concat(hdr, lit("\n"), body)).otherwise(body)
+    when(col("doc_id") % 5 === 0, concat(withHdr, lit("\n"), ftr))
+      .otherwise(withHdr)
+  }
+
   /** Deterministic doc_id-derived URL synthesis for c13 (QueryDef-only
     * scaffolding; both engines state the same closed form): the driver
     * corpus carries no URL column, so the c13 registered-domain cap
