@@ -14,8 +14,15 @@ object Bench {
     // statistical workloads on the committed golden panel (constant time
     // regardless of sf) — correctness-gated via Verify + GoldenSpec, not
     // throughput benchmarks, so they are excluded here.
-    val headline = SparkEntry.queries -- Seq(
+    val all = SparkEntry.queries -- Seq(
       "s4_estimator_battery", "s5_awcls", "s6_aic_ladder")
+    // Optional focused run (comma-separated full query names): extends a
+    // committed multi-launch record with queries added AFTER the record
+    // was taken, under the identical warm + min-of-reps protocol,
+    // without re-running the whole catalog.
+    val headline = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .fold(all)(sel => all.view.filterKeys(sel).toMap)
     // JVM/codegen warm-up so the first timed query isn't charged for it:
     // one relational shape, one aggregation shape, and one tiny harness
     // battery (the generator + LocalBattery JIT otherwise lands entirely

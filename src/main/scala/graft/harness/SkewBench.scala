@@ -283,6 +283,19 @@ object SkewBench {
     measure("p5c_domain_mix")(
       graft.operators.PipelineQueries.pDomainMix.fn(spark, dir).count())
 
+    // d10: line-boilerplate removal over the linified skew corpus —
+    // the 2,000 template docs share every 10-token body line, so the
+    // hot line classes recur far above the 1% threshold; the measured
+    // shape must stay ONE line-keyed aggregate + a map-side rewrite
+    // (the boilerplate set collapses to a handful of normalized
+    // lines, so the literal route runs at every scale). d11: keep-best
+    // election — the pair probe is corpus-bounded, so what scales is
+    // the full-corpus quality pass and the two broadcast joins back.
+    measure("d10_line_boilerplate")(
+      graft.operators.LineDedupQueries.dLineBoilerplate.fn(spark, dir).count())
+    measure("d11_keep_best")(
+      graft.operators.DedupClusters.dKeepBest.fn(spark, dir).count())
+
     // p6: the leakage audit's gram-keyed self-join under the same
     // boilerplate pile-up — pre-dedup, one variant's ~2,000 docs share
     // every 5-gram, but the audit runs on the RELEASED corpus where
