@@ -296,6 +296,15 @@ object SkewBench {
     measure("d11_keep_best")(
       graft.operators.DedupClusters.dKeepBest.fn(spark, dir).count())
 
+    // t23: the Gopher gate is a pure scan→kernel→project pass, so the
+    // skew question is only whether the template docs' heavy internal
+    // repetition (every 10-token body line recurring ~hundreds of
+    // times within a variant) makes their per-row hash maps a task-
+    // time outlier — the kernel is linear in tokens regardless of
+    // repetition, so the profile must stay flat.
+    measure("t23_gopher_gate")(
+      graft.operators.GopherQueries.tGopherGate.fn(spark, dir).count())
+
     // p6: the leakage audit's gram-keyed self-join under the same
     // boilerplate pile-up — pre-dedup, one variant's ~2,000 docs share
     // every 5-gram, but the audit runs on the RELEASED corpus where

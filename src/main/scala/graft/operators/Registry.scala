@@ -6,7 +6,7 @@ package graft.operators
 object Registry {
   def suites: Seq[QueryDef] =
     RelationalQueries.all ++ OlapQueries.all ++ StatQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++
+      TextQueries.all ++ GopherQueries.all ++ DedupQueries.all ++
       Seq(DedupClusters.dClusters, DedupClusters.dClustersOracle,
         DedupClusters.dKeepBest) ++ LineDedupQueries.all ++
       VectorQueries.all ++ MultimodalQueries.all ++ HarnessQueries.all ++

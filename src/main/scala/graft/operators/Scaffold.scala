@@ -86,14 +86,18 @@ object Scaffold {
     * % (repo convention for the non-negative testdata ids — matches
     * DuckDB's sign-preserving % wherever both are defined). */
   private[graft] def linifiedText: Column = {
-    val tk = split(col("text"), " ")
-    // ceil(n/10) via truncating cast on a positive double (exact for
-    // any realistic token count); split("", " ") = [""] so n >= 1 and
-    // the sequence below is never empty or descending
-    val nLines = ((size(tk) + lit(9)) / lit(10)).cast("int")
-    val body = array_join(
-      transform(sequence(lit(0), nLines - 1),
-        i => array_join(slice(tk, i * lit(10) + 1, lit(10)), " ")), "\n")
+    // "newline after every 10th token" as ONE codegen'd regex pass:
+    // each non-overlapping match is 10 space-separated tokens plus the
+    // following space, which becomes a newline; the sub-10-token tail
+    // never matches and stays on the last line. Equivalent to slicing
+    // the split-on-space token array into 10-token lines PROVIDED the
+    // corpus text is single-spaced (the generator's contract — a
+    // doubled space would make \S+ skip the empty token the array form
+    // keeps). The regex form exists because Spark's higher-order
+    // functions (transform/filter) are CodegenFallback — interpreted
+    // per row — and this view sits in the hot path of both d10 and the
+    // t23 gate (PlanAuditSpec pins t23 fallback-free).
+    val body = regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1\n")
     val v = (col("doc_id") % 4).cast("string")
     val hdr = concat(lit("Promo sub "), v, lit(" subscribe to our newsletter today"))
     val ftr = concat(lit("Promo ftr  "), v, lit("  follow us for more updates"))

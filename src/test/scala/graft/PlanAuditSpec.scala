@@ -265,6 +265,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"t20 should have ONE source-keyed exchange, got $sourceKeyed\n" + p.take(2500))
   }
 
+  test("t23 gopher gate is a pure scan→project pass: no join, no hash exchange, no window") {
+    val p = plan("t23_gopher_gate")
+    assert(!p.contains("Join"), "t23 must not join\n" + p.take(1500))
+    assert(!p.contains("Window ["), "t23 must not window\n" + p.take(1500))
+    // the only exchange allowed is the final orderBy's range partition
+    assert(!p.contains("hashpartitioning("),
+      "t23 must not hash-shuffle — every rule is map-side\n" + p.take(2000))
+  }
+
   test("kernel-bearing queries: every codegen stage stays under HotSpot's JIT budget") {
     // the r14 v2 cliff: a generated method between HotSpot's 8000-byte
     // JIT limit and Spark's 65535 hugeMethodLimit runs in the bytecode
@@ -299,7 +308,8 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   private val kernelQueries = Seq("v2_lsh_ann", "d2_minhash_lsh_pairs",
-    "t19_bpe_tokens", "t22_bpe_merge_tokens", "d3_simhash_pairs", "v1_cosine_topk")
+    "t19_bpe_tokens", "t22_bpe_merge_tokens", "d3_simhash_pairs", "v1_cosine_topk",
+    "t23_gopher_gate")
 
   private def withoutAqe[T](body: => T): T = {
     val key = "spark.sql.adaptive.enabled"
