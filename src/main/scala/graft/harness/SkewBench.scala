@@ -305,6 +305,13 @@ object SkewBench {
     measure("t23_gopher_gate")(
       graft.operators.GopherQueries.tGopherGate.fn(spark, dir).count())
 
+    // p7: the composed funnel under the boilerplate pile-up — the
+    // interesting scale behavior is that the 2,000-doc template class
+    // collapses at the CLEANED-text dedup (chrome removed first), so
+    // the gate and decontamination stages see the post-dedup corpus.
+    measure("p7_gated_funnel")(
+      graft.operators.PipelineQueries.pGatedFunnel.fn(spark, dir).count())
+
     // p6: the leakage audit's gram-keyed self-join under the same
     // boilerplate pile-up — pre-dedup, one variant's ~2,000 docs share
     // every 5-gram, but the audit runs on the RELEASED corpus where

@@ -55,6 +55,7 @@ import graft.sources.Tables
   * FIRST, before any shuffle-bearing dedup.
   */
 object GopherQueries {
+  import GopherSql.gopherRuleCtes
 
   private val tk = split(col("text"), " ")
 
@@ -92,26 +93,49 @@ object GopherQueries {
                     THEN ['Promo ftr  ' || CAST(doc_id % 4 AS VARCHAR) || '  follow us for more updates']
                     ELSE CAST([] AS VARCHAR[]) END AS lines
         FROM lin),
-      g AS (
-        SELECT d.doc_id, d.tk, doc.lines,
-               CAST(len(d.tk) AS BIGINT) AS n_words,
-               CAST(length(d.text) AS BIGINT) AS doc_chars,
-               CAST(length(d.text) - len(d.tk) + 1 AS BIGINT) AS sum_word_len,
-               CAST(len(list_filter(['the','a','and','of','to','in'],
-                                    w -> list_contains(d.tk, w))) AS BIGINT) AS stop_hits,
-               CAST(len(list_filter(d.tk, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
-               CAST(length(d.text) - length(replace(d.text, '#', ''))
-                    + (length(d.text) - length(replace(d.text, '...', ''))) // 3
-                    AS BIGINT) AS symbol_count,
-               list_transform(range(1, len(d.tk)), i -> d.tk[i] || ' ' || d.tk[i+1]) AS g2,
-               list_transform(range(1, len(d.tk) - 1), i -> array_to_string(d.tk[i:i+2], ' ')) AS g3,
-               list_transform(range(1, len(d.tk) - 2), i -> array_to_string(d.tk[i:i+3], ' ')) AS g4,
-               list_transform(range(1, len(d.tk) - 3), i -> array_to_string(d.tk[i:i+4], ' ')) AS g5,
-               list_transform(range(1, len(d.tk) - 8), i -> array_to_string(d.tk[i:i+9], ' ')) AS g10,
-               CAST(len(list_filter(doc.lines, l -> substring(l, 1, 1) IN ('-', '*', chr(8226)))) AS BIGINT) AS bullet_lines,
-               CAST(len(list_filter(doc.lines, l -> ends_with(l, '...') OR ends_with(l, chr(8230)))) AS BIGINT) AS ellipsis_lines,
-               CAST(len(doc.lines) AS BIGINT) AS n_lines
+      gsrc AS (
+        SELECT d.doc_id, d.tk, doc.lines
         FROM d JOIN doc USING (doc_id)),
+      $gopherRuleCtes
+      SELECT * FROM gate ORDER BY doc_id"""))
+
+  def all: Seq[QueryDef] = Seq(tGopherGate)
+}
+
+/** Holds the DuckDB closed form of the t23 rule battery as a CTE chain
+  * over a `gsrc(doc_id, tk, lines)` relation — spliced into BOTH the
+  * t23 oracle and the p7 gated-release oracle so the two can never
+  * state different gate semantics (the mergeEncodeCtes discipline).
+  * Every quantity derives from tk/lines alone: doc_chars and
+  * sum_word_len use the exact identity Σ|tokenᵢ| (+ n−1 joining
+  * spaces) = |text|, and symbol counts are per-token ('#' chars and
+  * non-overlapping '...' runs never span the space separator) —
+  * matching GopherKernel bit for bit. */
+private[graft] object GopherSql {
+  val gopherRuleCtes: String = """g AS (
+        SELECT doc_id, tk, lines,
+               CAST(len(tk) AS BIGINT) AS n_words,
+               CAST(COALESCE(list_sum(list_transform(tk, t -> length(t))), 0) AS BIGINT) AS sum_word_len,
+               CAST(len(list_filter(['the','a','and','of','to','in'],
+                                    w -> list_contains(tk, w))) AS BIGINT) AS stop_hits,
+               CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+               CAST(COALESCE(list_sum(list_transform(tk,
+                 t -> length(t) - length(replace(t, '#', ''))
+                      + (length(t) - length(replace(t, '...', ''))) // 3)), 0) AS BIGINT) AS symbol_count,
+               list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS g2,
+               list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) AS g3,
+               list_transform(range(1, len(tk) - 2), i -> array_to_string(tk[i:i+3], ' ')) AS g4,
+               list_transform(range(1, len(tk) - 3), i -> array_to_string(tk[i:i+4], ' ')) AS g5,
+               list_transform(range(1, len(tk) - 8), i -> array_to_string(tk[i:i+9], ' ')) AS g10,
+               CAST(len(list_filter(lines, l -> substring(l, 1, 1) IN ('-', '*', chr(8226)))) AS BIGINT) AS bullet_lines,
+               CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, chr(8230)))) AS BIGINT) AS ellipsis_lines,
+               CAST(len(lines) AS BIGINT) AS n_lines
+        FROM gsrc),
+      gp AS (
+        SELECT *,
+               CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+                    ELSE sum_word_len + n_words - 1 END AS doc_chars
+        FROM g),
       m AS (
         SELECT doc_id, n_words, doc_chars, sum_word_len, stop_hits, alpha_words,
                symbol_count, bullet_lines, ellipsis_lines, n_lines,
@@ -133,7 +157,7 @@ object GopherQueries {
                  x -> CASE WHEN len(list_filter(lines, y -> y = x)) >= 2
                            THEN len(list_filter(lines, y -> y = x)) * length(x) ELSE 0 END)), 0) AS dup_line_chars,
                COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS line_chars
-        FROM g),
+        FROM gp),
       o AS (
         SELECT doc_id, n_words,
                ROUND(CASE WHEN n_words > 0 THEN sum_word_len / CAST(n_words AS DOUBLE) ELSE 0 END, 6) AS mean_word_len,
@@ -149,23 +173,22 @@ object GopherQueries {
                ROUND(CASE WHEN line_chars > 0 THEN dup_line_chars / CAST(line_chars AS DOUBLE) ELSE 0 END, 6) AS dup_line_char_frac,
                ROUND(CASE WHEN n_lines > 0 THEN bullet_lines / CAST(n_lines AS DOUBLE) ELSE 0 END, 6) AS bullet_line_frac,
                ROUND(CASE WHEN n_lines > 0 THEN ellipsis_lines / CAST(n_lines AS DOUBLE) ELSE 0 END, 6) AS ellipsis_line_frac
-        FROM m)
-      SELECT *,
-             (n_words BETWEEN 50 AND 100000
-              AND mean_word_len BETWEEN 3.0 AND 10.0
-              AND symbol_ratio <= 0.1
-              AND bullet_line_frac <= 0.9
-              AND ellipsis_line_frac <= 0.3
-              AND alpha_word_frac >= 0.8
-              AND stop_hits >= 2
-              AND top2_char_frac <= 0.20
-              AND top3_char_frac <= 0.18
-              AND top4_char_frac <= 0.16
-              AND dup5_char_frac <= 0.15
-              AND dup10_char_frac <= 0.10
-              AND dup_line_frac <= 0.30
-              AND dup_line_char_frac <= 0.20) AS passes_gopher
-      FROM o ORDER BY doc_id"""))
-
-  def all: Seq[QueryDef] = Seq(tGopherGate)
+        FROM m),
+      gate AS (
+        SELECT *,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3.0 AND 10.0
+                AND symbol_ratio <= 0.1
+                AND bullet_line_frac <= 0.9
+                AND ellipsis_line_frac <= 0.3
+                AND alpha_word_frac >= 0.8
+                AND stop_hits >= 2
+                AND top2_char_frac <= 0.20
+                AND top3_char_frac <= 0.18
+                AND top4_char_frac <= 0.16
+                AND dup5_char_frac <= 0.15
+                AND dup10_char_frac <= 0.10
+                AND dup_line_frac <= 0.30
+                AND dup_line_char_frac <= 0.20) AS passes_gopher
+        FROM o)"""
 }

@@ -54,21 +54,65 @@ object LineDedupQueries {
     * lines. Returns per-doc (n_lines, n_dropped, kept_digest,
     * dropped_frac) with kept lines in original order inside the digest.
     */
-  def boilerplateLines(docs: DataFrame, fracThreshold: Double = 0.01,
-                       floorDocs: Int = 3, literalCap: Int = 256): DataFrame = {
+  /** The above-threshold normalized boilerplate-line set (staged) —
+    * shared by the stats artifact ([[boilerplateLines]]) and the
+    * text-rewriting form ([[cleanedDocs]]) so the two can never apply
+    * different thresholds. */
+  private def boilerSet(docs: DataFrame, fracThreshold: Double,
+                        floorDocs: Int): DataFrame = {
     val lines = QueryDef.spread(docs)
       .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
       .select(col("doc_id"), normOf(col("line")).as("nl"))
     // distinct-doc count per normalized line; corpus total joins in as
     // a broadcast single row so the threshold is plan-contained
     val totals = docs.agg(count(lit(1)).cast("long").as("__n_total"))
-    val boiler = lines.groupBy("nl")
+    lines.groupBy("nl")
       .agg(countDistinct(col("doc_id")).as("__n_docs"))
       .crossJoin(broadcast(totals))
       .filter(col("__n_docs") >=
         greatest(lit(floorDocs.toLong),
           floor(col("__n_total") * fracThreshold).cast("long")))
       .select("nl").staged
+  }
+
+  /** The corpus with boilerplate lines REMOVED — the cleaned-text form
+    * a downstream pipeline consumes (the d10 artifact keeps only the
+    * digest; a release stack needs the text). Same threshold/normalize
+    * semantics via the shared [[boilerSet]]; the rewrite takes the
+    * literal map-side route under `literalCap` (page chrome is small),
+    * else the anti-join route — both exact, same discipline as
+    * [[boilerplateLines]]. Returns (doc_id, text) with kept lines in
+    * original order ('' when every line was boilerplate). */
+  private[graft] def cleanedDocs(docs: DataFrame, fracThreshold: Double = 0.01,
+                                 floorDocs: Int = 3, literalCap: Int = 256): DataFrame = {
+    val boiler = boilerSet(docs, fracThreshold, floorDocs)
+    val ls = split(col("text"), "\n")
+    val capped = boiler.limit(math.max(literalCap, 0) + 1)
+      .collect().map(_.getString(0))
+    if (capped.length <= literalCap) {
+      val set = typedlit(capped.sorted.toSeq)
+      docs.select(col("doc_id"),
+        array_join(filter(ls, l => !array_contains(set, normOf(l))), "\n").as("text"))
+    } else {
+      val pos = QueryDef.spread(docs)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      val keptRows = pos.join(boiler.withColumnRenamed("nl", "__b"),
+        normOf(col("line")) === col("__b"), "left_anti")
+      val agg = keptRows.groupBy("doc_id")
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("__kept_text"))
+      docs.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("__kept_text"), lit("")).as("text"))
+    }
+  }
+
+  def boilerplateLines(docs: DataFrame, fracThreshold: Double = 0.01,
+                       floorDocs: Int = 3, literalCap: Int = 256): DataFrame = {
+    val boiler = boilerSet(docs, fracThreshold, floorDocs)
     val ls = split(col("text"), "\n")
     val nLines = size(ls).cast("long")
     val capped = boiler.limit(math.max(literalCap, 0) + 1)

@@ -832,7 +832,173 @@ object PipelineQueries {
       FROM mix JOIN tot USING (split)
       ORDER BY mix.split, mix.domain"""))
 
+  /** p7: the INDUSTRY-SHAPED curation funnel — the stage order the
+    * CCNet/RefinedWeb/Dolma stacks run (line-level boilerplate removal
+    * FIRST, then exact dedup over the CLEANED text, then the published
+    * Gopher gate, then holdout exclusion and n-gram decontamination) —
+    * with one (n_docs, n_tokens) row per stage: the funnel chart every
+    * dataset paper prints, as a machine-checkable artifact. Composes
+    * the r15 operators end to end: d10's cleaning rewrite feeds the
+    * dedup (so near-identical pages collapse AFTER chrome removal —
+    * the reason production stacks order it this way), t23's gate runs
+    * on the cleaned lines, and the decontamination probe is p1's exact
+    * shared `contaminatedIds`. The oracle splices the shared
+    * `GopherSql.gopherRuleCtes` so p7's gate and t23's can never
+    * diverge.
+    *
+    * Scale shape: every stage is a projection or one keyed aggregate
+    * over a STAGED parent (the funnel's six aggregates scan
+    * materialized narrow frames, not re-derived chains); the only
+    * corpus-keyed shuffles are d10's line aggregate and the md5 dedup —
+    * both already sized in their own operators' entries. Stage counts
+    * are single-row aggregates with map-side partials. */
+  private[graft] def gatedReleaseFunnel(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      maxBroadcastEvalGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
+    val raw = Tables.documents(s, dir)
+    gatedReleaseFunnelOf(raw,
+      raw.select(col("doc_id"), Scaffold.linifiedText.as("text")),
+      maxBroadcastEvalGrams)
+  }
+
+  /** The funnel over arbitrary frames: `raw` carries the original
+    * (doc_id, text) the eval grams come from; `docs0in` the
+    * line-carrying text the pipeline cleans. Split out so FunnelSpec
+    * can drive hand-built corpora through every stage. */
+  private[graft] def gatedReleaseFunnelOf(
+      raw: org.apache.spark.sql.DataFrame,
+      docs0in: org.apache.spark.sql.DataFrame,
+      maxBroadcastEvalGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.RepetitionExpressions.gopherStats
+    val docs0 = docs0in.staged
+    val cleaned = LineDedupQueries.cleanedDocs(docs0).staged
+    val canon = cleaned
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("__r"))
+      .select(col("__r.doc_id").as("doc_id"), col("__r.text").as("text"))
+      .staged
+    def flat = translate(col("text"), "\n", " ")
+    val gated = canon.filter(
+      gopherStats(split(flat, " "), split(col("text"), "\n"), TextQueries.stopwords)
+        .getField("passes_gopher")).staged
+    val kept = gated.filter(!ContaminationQueries.isEval)
+    val released = kept.join(
+      contaminatedIds(raw, kept.select(col("doc_id"), flat.as("text")),
+        maxBroadcastEvalGrams),
+      Seq("doc_id"), "left_anti")
+    def stageRow(id: Int, name: String,
+                 df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(split(translate(col("text"), "\n", " "), " ")).cast("long")),
+            lit(0L)).as("n_tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stageRow(0, "raw", docs0)
+      .unionAll(stageRow(1, "line_cleaned", cleaned))
+      .unionAll(stageRow(2, "canonical", canon))
+      .unionAll(stageRow(3, "gated", gated))
+      .unionAll(stageRow(4, "heldout_dropped", kept))
+      .unionAll(stageRow(5, "released", released))
+      .orderBy("stage_id")
+  }
+
+  val pGatedFunnel = QueryDef(
+    "p7_gated_funnel",
+    (s, dir) => gatedReleaseFunnel(s, dir),
+    Some(s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      lin AS (
+        SELECT doc_id,
+               list_transform(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+                              i -> array_to_string(tk[i*10+1 : i*10+10], ' ')) AS body
+        FROM d),
+      doc AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN ['Promo sub ' || CAST(doc_id % 4 AS VARCHAR) || ' subscribe to our newsletter today']
+                    ELSE CAST([] AS VARCHAR[]) END
+               || body ||
+               CASE WHEN doc_id % 5 = 0
+                    THEN ['Promo ftr  ' || CAST(doc_id % 4 AS VARCHAR) || '  follow us for more updates']
+                    ELSE CAST([] AS VARCHAR[]) END AS lines
+        FROM lin),
+      t0 AS (SELECT doc_id, array_to_string(lines, chr(10)) AS text FROM doc),
+      ln AS (
+        SELECT doc_id, i AS pos, lines[i] AS line,
+               lower(trim(regexp_replace(lines[i], ' +', ' ', 'g'))) AS nl
+        FROM doc, UNNEST(range(1, len(lines) + 1)) AS u(i)),
+      tot AS (SELECT COUNT(*) AS n_total FROM documents),
+      freq AS (
+        SELECT nl FROM ln, tot GROUP BY nl, tot.n_total
+        HAVING COUNT(DISTINCT doc_id) >=
+               GREATEST(3, CAST(FLOOR(n_total * 0.01) AS BIGINT))),
+      keptl AS (SELECT * FROM ln WHERE nl NOT IN (SELECT nl FROM freq)),
+      cagg AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept_text
+        FROM keptl GROUP BY doc_id),
+      t1 AS (
+        SELECT t0.doc_id, COALESCE(cagg.kept_text, '') AS text
+        FROM t0 LEFT JOIN cagg USING (doc_id)),
+      t2 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY text) AS mm FROM t1)
+        WHERE doc_id = mm),
+      gsrc AS (
+        SELECT doc_id,
+               string_split(replace(text, chr(10), ' '), ' ') AS tk,
+               string_split(text, chr(10)) AS lines
+        FROM t2),
+      ${GopherSql.gopherRuleCtes},
+      t3 AS (SELECT t2.* FROM t2 JOIN gate USING (doc_id) WHERE gate.passes_gopher),
+      t4 AS (SELECT * FROM t3 WHERE doc_id % 37 <> 0),
+      evalg AS (
+        SELECT DISTINCT u.t AS gram
+        FROM (SELECT list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT string_split(text, ' ') AS tk FROM documents
+                    WHERE doc_id % 37 = 0)
+              WHERE len(tk) >= 5) dd, UNNEST(dd.g) AS u(t)),
+      candg AS (
+        SELECT doc_id, u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(replace(text, chr(10), ' '), ' ') AS tk
+                    FROM t4)
+              WHERE len(tk) >= 5) dd, UNNEST(dd.g) AS u(t)),
+      contam AS (SELECT DISTINCT doc_id FROM candg JOIN evalg USING (gram)),
+      t5 AS (SELECT * FROM t4 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      cnt AS (
+        SELECT 0 AS sid, 'raw' AS stage, COUNT(*) AS n_docs,
+               CAST(COALESCE(SUM(len(string_split(replace(text, chr(10), ' '), ' '))), 0) AS BIGINT) AS n_tokens
+        FROM t0
+        UNION ALL
+        SELECT 1, 'line_cleaned', COUNT(*),
+               CAST(COALESCE(SUM(len(string_split(replace(text, chr(10), ' '), ' '))), 0) AS BIGINT)
+        FROM t1
+        UNION ALL
+        SELECT 2, 'canonical', COUNT(*),
+               CAST(COALESCE(SUM(len(string_split(replace(text, chr(10), ' '), ' '))), 0) AS BIGINT)
+        FROM t2
+        UNION ALL
+        SELECT 3, 'gated', COUNT(*),
+               CAST(COALESCE(SUM(len(string_split(replace(text, chr(10), ' '), ' '))), 0) AS BIGINT)
+        FROM t3
+        UNION ALL
+        SELECT 4, 'heldout_dropped', COUNT(*),
+               CAST(COALESCE(SUM(len(string_split(replace(text, chr(10), ' '), ' '))), 0) AS BIGINT)
+        FROM t4
+        UNION ALL
+        SELECT 5, 'released', COUNT(*),
+               CAST(COALESCE(SUM(len(string_split(replace(text, chr(10), ' '), ' '))), 0) AS BIGINT)
+        FROM t5)
+      SELECT CAST(sid AS INTEGER) AS stage_id, stage, n_docs, n_tokens
+      FROM cnt ORDER BY stage_id"""))
+
   val all: Seq[QueryDef] =
     Seq(pCuration, pRelease, pManifest, pReleaseWrite, pReleaseReport,
-      pSplitLeakage, pDomainMix)
+      pSplitLeakage, pDomainMix, pGatedFunnel)
 }

@@ -331,23 +331,12 @@ object SubwordQueries {
     * list, exactly the kernel's loop — and hash-compares the
     * position-keyed piece-sequence digest, so a single divergent merge
     * decision anywhere in the corpus fails the row. */
-  val tBpeMergeTokens = QueryDef(
-    "t22_bpe_merge_tokens",
-    (s, dir) => {
-      val table = new MergeTable(storedMerges(s, dir))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .select(col("doc_id"),
-          size(col("tk")).cast("long").as("n_tokens_ws"),
-          SubwordExpressions.bpeMergeStats(col("tk"), table).as("s"))
-        .select(col("doc_id"), col("n_tokens_ws"),
-          col("s.n_tokens_merge").as("n_tokens_merge"),
-          round(col("s.n_tokens_merge").cast("double") / col("n_tokens_ws"), 6)
-            .as("merge_per_ws"),
-          col("s.merge_digest").as("merge_digest"))
-        .orderBy("doc_id")
-    },
-    Some("""
+    /** The t22 merge-table fit + merge-order encode, DuckDB closed form
+    * (two-tier fit, recursive merge application, per-word digest) up to
+    * the per-doc `agg(n_tokens_merge, merge_digest)` CTE — shared by the
+    * t22 oracle and the t13c packing oracle so the two can never state
+    * different encode semantics. */
+  private val mergeEncodeCtes: String = """
       WITH words AS (
         SELECT doc_id, tk[i] AS w, i AS widx
         FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -425,8 +414,26 @@ object SubwordQueries {
       agg AS (
         SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_tokens_merge,
                CAST(SUM(widx * 1000003 + dig) AS BIGINT) AS merge_digest
-        FROM st GROUP BY doc_id),
-      ws AS (
+        FROM st GROUP BY doc_id),"""
+
+val tBpeMergeTokens = QueryDef(
+    "t22_bpe_merge_tokens",
+    (s, dir) => {
+      val table = new MergeTable(storedMerges(s, dir))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens_ws"),
+          SubwordExpressions.bpeMergeStats(col("tk"), table).as("s"))
+        .select(col("doc_id"), col("n_tokens_ws"),
+          col("s.n_tokens_merge").as("n_tokens_merge"),
+          round(col("s.n_tokens_merge").cast("double") / col("n_tokens_ws"), 6)
+            .as("merge_per_ws"),
+          col("s.merge_digest").as("merge_digest"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      $mergeEncodeCtes      ws AS (
         SELECT doc_id,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws
         FROM documents)
@@ -496,6 +503,44 @@ object SubwordQueries {
       b AS (
         SELECT d.doc_id, d.source, bpe.n_tokens
         FROM documents d JOIN bpe USING (doc_id)),
+      o AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS tok_offset
+        FROM b)
+      SELECT doc_id, source, n_tokens, tok_offset,
+             CAST(FLOOR(tok_offset / 128.0) AS BIGINT) AS pack_first,
+             CAST(FLOOR((tok_offset + n_tokens - 1) / 128.0) AS BIGINT) AS pack_last
+      FROM o ORDER BY source, doc_id"""))
+
+  /** t13c: the t13 packing layout denominated in MERGE-RULE tokens —
+    * the semantics a real (GPT-2/SentencePiece-style) tokenizer bills
+    * in, closing the token-exact chain end to end: t13b made offsets
+    * subword-exact against the greedy t19 vocab; t22 showed greedy
+    * diverges from merge-order on 500/500 fixture docs (+9.0%
+    * overbilling). This is the SAME window/offset math with
+    * `BpeMergeStats` against the stored t22 merge table as the count —
+    * a trainer consuming these offsets with the real tokenizer sees
+    * exactly its own token boundaries. One extra map-side kernel call
+    * on the packing scan; the plan is t13's. The oracle reuses the
+    * shared `mergeEncodeCtes` (the t22 fit + merge-order encode) so the
+    * packing and the counter can never state different semantics. */
+  val tSequencePackMerge = QueryDef(
+    "t13c_sequence_pack_merge",
+    (s, dir) => {
+      val table = new MergeTable(storedMerges(s, dir))
+      TextQueries.sequencePackFrameBy(
+          Tables.documents(s, dir),
+          SubwordExpressions.bpeMergeStats(split(col("text"), " "), table)
+            .getField("n_tokens_merge"))
+        .orderBy("source", "doc_id")
+    },
+    Some(s"""
+      $mergeEncodeCtes
+      b AS (
+        SELECT d.doc_id, d.source, agg.n_tokens_merge AS n_tokens
+        FROM documents d JOIN agg USING (doc_id)),
       o AS (
         SELECT doc_id, source, n_tokens,
                CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -665,5 +710,6 @@ object SubwordQueries {
 
   val all: Seq[QueryDef] =
     Seq(tBpeTokens, cTokenBudgetBpe, tBpeMergeTokens, tSequencePackBpe,
+      tSequencePackMerge,
       pReleaseReportBpe)
 }

@@ -103,6 +103,51 @@ class ChunkPackSpec extends AnyFunSuite {
     assert(moved > 100, s"only $moved/500 docs changed pack — denomination is cosmetic")
   }
 
+  test("t13c merge packing: layout contract, t22-count equality, audit green, boundaries move vs t13b") {
+    val mrg = SparkEntry.queries("t13c_sequence_pack_merge")(spark, dir).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("tok_offset"),
+        r.getAs[Long]("pack_first"), r.getAs[Long]("pack_last")))
+    assert(mrg.nonEmpty)
+    mrg.groupBy(_._1).foreach { case (src, docs) =>
+      val sorted = docs.sortBy(_._2)
+      assert(sorted.head._4 == 0L, s"$src: first doc must start at offset 0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, n, off, _, _), (_, d2, _, off2, _, _)) =>
+          assert(off2 == off + n, s"$src: offset gap before doc $d2")
+        case _ => ()
+      }
+    }
+    // the counts ARE t22's merge-order counts: the layout a real
+    // tokenizer's billing can be checked against
+    val t22 = graft.operators.SubwordQueries.tBpeMergeTokens.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens_merge")).toMap
+    mrg.foreach { case (_, d, n, _, _, _) =>
+      assert(n == t22(d), s"doc $d: pack count $n != t22 merge count ${t22(d)}") }
+    // greedy (t13b) and merge-order (t13c) genuinely disagree about
+    // the layout — the measured +9% greedy overbilling moves packs
+    val greedy = SparkEntry.queries("t13b_sequence_pack_bpe")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pack_first"))).toMap
+    val moved = mrg.count { case (_, d, _, _, pf, _) => greedy(d) != pf }
+    assert(moved > 100, s"only $moved/500 docs changed pack vs greedy")
+    // and the t20 audit contract holds on the merge denomination
+    val table = new graft.functions.MergeTable(
+      graft.operators.SubwordQueries.storedMerges(spark, dir))
+    val frame = graft.operators.TextQueries.sequencePackFrameBy(
+      graft.sources.Tables.documents(spark, dir),
+      graft.functions.SubwordExpressions.bpeMergeStats(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("text"), " "), table)
+        .getField("n_tokens_merge"))
+    val audit = graft.operators.TextQueries.packAuditOf(frame).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n_gaps") == 0L && r.getAs[Long]("n_pack_errors") == 0L
+          && r.getAs[Boolean]("contiguous"),
+        "audit must be green on the merge layout: " + r.toString)
+    }
+  }
+
   test("t20 pack audit passes unchanged on the subword-denominated t13b frame") {
     // the audit contract is denomination-agnostic: offsets vs counts
     val matcher = new graft.functions.BpeMatcher(
