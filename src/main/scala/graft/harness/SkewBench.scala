@@ -140,7 +140,13 @@ object SkewBench {
     }
     val docs = spark.read.parquet(docsPath)
 
+    // Optional focused run (comma-separated measure names): re-measure
+    // operators added after a committed record without re-running the
+    // whole harness — the Bench.scala SPARK_GRAFT_BENCH_ONLY discipline.
+    val only = sys.env.get("GRAFT_SKEW_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def measure(name: String)(run: => Long): Unit = {
+      if (only.exists(sel => !sel(name))) return
       // untimed warm pass: pays Janino codegen/JIT and any one-time
       // index build, so the timed pass measures steady-state query cost
       // (same discipline as Bench.scala) and cold/warm runs agree
