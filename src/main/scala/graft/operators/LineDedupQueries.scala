@@ -50,10 +50,6 @@ object LineDedupQueries {
   private def normOf(line: Column): Column =
     lower(trim(regexp_replace(line, " +", " ")))
 
-  /** docs: any frame with (doc_id, text) where text is '\n'-separated
-    * lines. Returns per-doc (n_lines, n_dropped, kept_digest,
-    * dropped_frac) with kept lines in original order inside the digest.
-    */
   /** The above-threshold normalized boilerplate-line set (staged) —
     * shared by the stats artifact ([[boilerplateLines]]) and the
     * text-rewriting form ([[cleanedDocs]]) so the two can never apply
@@ -110,9 +106,20 @@ object LineDedupQueries {
     }
   }
 
+  /** docs: any frame with (doc_id, text) where text is '\n'-separated
+    * lines. Returns per-doc (n_lines, n_dropped, kept_digest,
+    * dropped_frac) with kept lines in original order inside the digest.
+    */
   def boilerplateLines(docs: DataFrame, fracThreshold: Double = 0.01,
-                       floorDocs: Int = 3, literalCap: Int = 256): DataFrame = {
-    val boiler = boilerSet(docs, fracThreshold, floorDocs)
+                       floorDocs: Int = 3, literalCap: Int = 256): DataFrame =
+    rewriteStats(docs, boilerSet(docs, fracThreshold, floorDocs), literalCap)
+
+  /** The two-route stats rewrite against an ARBITRARY staged boilerplate
+    * set — shared by the full-corpus form ([[boilerplateLines]]) and the
+    * stored-index probe ([[probeCleanBatch]]) so both apply the one
+    * rewrite semantics. */
+  private def rewriteStats(docs: DataFrame, boiler: DataFrame,
+                           literalCap: Int): DataFrame = {
     val ls = split(col("text"), "\n")
     val nLines = size(ls).cast("long")
     val capped = boiler.limit(math.max(literalCap, 0) + 1)
@@ -152,12 +159,104 @@ object LineDedupQueries {
       .orderBy("doc_id")
   }
 
-  val dLineBoilerplate = QueryDef(
-    "d10_line_boilerplate",
-    (s, dir) => boilerplateLines(
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Scaffold.linifiedText.as("text"))),
-    Some("""
+  // ---- Stored line-frequency index (incremental d10) ----------------
+  //
+  // The d8 stored-index discipline applied to line-boilerplate removal:
+  // at 100 TB you do not recount every line per daily increment — the
+  // corpus's normalized-line → distinct-doc counts and the doc total
+  // are PERSISTED (IndexStore), a new batch counts only ITSELF, probes
+  // the stored counts for exactly its own lines (broadcast of the
+  // batch's distinct lines against one narrow stored-table scan), and
+  // applies the corpus∪batch threshold — O(increment + pruned stored
+  // scan) per day, zero corpus-side recount. Counts are stored as
+  // APPEND-ONLY delta rows summed at read (log-structured), so folding
+  // a matched batch in is an O(increment) parquet append, never a
+  // rewrite. Thresholds (frac/floor) are PROBE-TIME parameters — the
+  // stored tables are parameter-free raw counts, so one index serves
+  // any threshold policy.
+
+  private val FormatStamp = "_graft_lineindex"
+  private val FormatValue = "v1|norm=lower-trim-collapse"
+
+  private def lineCounts(docs: DataFrame): DataFrame =
+    QueryDef.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .select(col("doc_id"), normOf(col("line")).as("nl"))
+      .groupBy("nl").agg(countDistinct(col("doc_id")).as("n_docs"))
+
+  private def checkDisjoint(ids: DataFrame, batch: DataFrame): Unit = {
+    val overlap = ids.join(batch.select(col("doc_id")), "doc_id").limit(1).count()
+    require(overlap == 0L, "stored corpus and batch doc_ids must be disjoint")
+  }
+
+  /** Build the stored line-frequency index from the corpus snapshot:
+    * `ids` (raw doc_ids, the disjointness contract), `lines`
+    * (nl, n_docs delta rows), `totals` (n_total delta rows). Format
+    * stamp written LAST (crashed init leaves no stamp → later calls
+    * fail loudly, the initStoredIndex discipline). */
+  def initStoredLineIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                          docs: DataFrame): Unit = {
+    graft.sources.IndexStore.clearStamp(s, path, FormatStamp)
+    docs.select(col("doc_id")).write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, path, "ids"))
+    lineCounts(docs).write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, path, "lines"))
+    docs.agg(count(lit(1)).cast("long").as("n_total")).write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, path, "totals"))
+    graft.sources.IndexStore.writeStamp(s, path, FormatStamp, FormatValue)
+  }
+
+  /** Fold a (probed) batch into the stored index: O(increment) appends
+    * of delta rows — ids, per-line distinct-doc deltas, one total-count
+    * delta. From now on those docs are corpus side. */
+  def appendStoredLineIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                            newDocs: DataFrame): Unit = {
+    graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
+      "line-index format")
+    checkDisjoint(graft.sources.IndexStore.readSwappable(s, path, "ids"), newDocs)
+    newDocs.select(col("doc_id")).write.mode("append")
+      .parquet(graft.sources.IndexStore.tableDataPath(s, path, "ids"))
+    lineCounts(newDocs).write.mode("append")
+      .parquet(graft.sources.IndexStore.tableDataPath(s, path, "lines"))
+    newDocs.agg(count(lit(1)).cast("long").as("n_total")).write.mode("append")
+      .parquet(graft.sources.IndexStore.tableDataPath(s, path, "totals"))
+  }
+
+  /** Clean a NEW batch against the stored corpus: batch line counts +
+    * stored counts for exactly the batch's lines (the only lines whose
+    * membership can affect the batch's rewrite), thresholded over the
+    * corpus∪batch doc total — bit-equal to running [[boilerplateLines]]
+    * over the union and keeping the batch's rows (LineDedupSpec pins
+    * it). Same two-route rewrite via [[rewriteStats]]. */
+  def probeCleanBatch(s: org.apache.spark.sql.SparkSession, path: String,
+                      batch: DataFrame, fracThreshold: Double = 0.01,
+                      floorDocs: Int = 3, literalCap: Int = 256,
+                      maxBroadcastLines: Long = 5000000L): DataFrame = {
+    graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
+      "line-index format")
+    checkDisjoint(graft.sources.IndexStore.readSwappable(s, path, "ids"), batch)
+    val bc = lineCounts(batch).staged                       // (nl, n_docs)
+    val storedN = graft.sources.IndexStore.readSwappable(s, path, "totals")
+      .agg(coalesce(sum(col("n_total")), lit(0L))).head().getLong(0)
+    val batchN = batch.count()
+    // stored counts for the batch's lines only: one narrow stored-table
+    // scan semi-reduced by the (guarded-broadcast) batch line set, delta
+    // rows summed at read
+    val sn = graft.sources.IndexStore.readSwappable(s, path, "lines")
+      .join(QueryDef.guardedBroadcast(bc.select("nl"), maxBroadcastLines), "nl")
+      .groupBy("nl").agg(sum(col("n_docs")).as("__sn"))
+    val threshold = math.max(floorDocs.toLong,
+      math.floor((storedN + batchN) * fracThreshold).toLong)
+    val boiler = bc.join(sn, Seq("nl"), "left")
+      .filter(col("n_docs") + coalesce(col("__sn"), lit(0L)) >= threshold)
+      .select("nl").staged
+    rewriteStats(batch, boiler, literalCap)
+  }
+
+  /** d10's linify/normalize/threshold/rewrite closed form up to the
+    * per-doc kept aggregate — shared by the full-run (d10) and
+    * stored-index (d10b) oracles so the two state ONE semantics. */
+  private val d10OracleCtes: String = """
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
       lin AS (
         SELECT doc_id,
@@ -187,7 +286,45 @@ object LineDedupQueries {
       agg AS (
         SELECT doc_id, COUNT(*) AS n_kept,
                string_agg(line, chr(10) ORDER BY pos) AS kept_text
-        FROM kept GROUP BY doc_id)
+        FROM kept GROUP BY doc_id)"""
+
+  /** d10b: the incremental form as a driver query — docs ≥ 250 are
+    * "yesterday's snapshot" (persisted once, meta-stamped on the source
+    * fingerprint), docs < 250 arrive as the new batch and are cleaned
+    * against the stored counts. Oracle: the full-run d10 closed form
+    * over corpus∪batch, batch rows only — the equality the stored path
+    * must preserve. */
+  val dLineBoilerStored = QueryDef(
+    "d10b_line_boiler_stored",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), Scaffold.linifiedText.as("text"))
+      val path = graft.sources.IndexStore.indexPath(dir, "linefreq_ge_250")
+      val meta = "v1|corpus=(doc_id >= 250)|src=" +
+        graft.sources.IndexStore.sourceStamp(s, s"$dir/documents.parquet")
+      graft.sources.IndexStore.ensure(s, path, meta) {
+        initStoredLineIndex(s, path, docs.filter(col("doc_id") >= 250))
+      }
+      probeCleanBatch(s, path, docs.filter(col("doc_id") < 250))
+    },
+    Some(s"""
+      $d10OracleCtes
+      SELECT doc.doc_id,
+             CAST(len(doc.lines) AS BIGINT) AS n_lines,
+             CAST(len(doc.lines) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+             md5(COALESCE(a.kept_text, '')) AS kept_digest,
+             ROUND((len(doc.lines) - COALESCE(a.n_kept, 0))
+                   / CAST(len(doc.lines) AS DOUBLE), 6) AS dropped_frac
+      FROM doc LEFT JOIN agg a USING (doc_id)
+      WHERE doc.doc_id < 250 ORDER BY doc.doc_id"""))
+
+  val dLineBoilerplate = QueryDef(
+    "d10_line_boilerplate",
+    (s, dir) => boilerplateLines(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Scaffold.linifiedText.as("text"))),
+    Some(s"""
+      $d10OracleCtes
       SELECT doc.doc_id,
              CAST(len(doc.lines) AS BIGINT) AS n_lines,
              CAST(len(doc.lines) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
@@ -196,5 +333,7 @@ object LineDedupQueries {
                    / CAST(len(doc.lines) AS DOUBLE), 6) AS dropped_frac
       FROM doc LEFT JOIN agg a USING (doc_id) ORDER BY doc.doc_id"""))
 
-  def all: Seq[QueryDef] = Seq(dLineBoilerplate)
+
+
+  def all: Seq[QueryDef] = Seq(dLineBoilerplate, dLineBoilerStored)
 }

@@ -94,4 +94,50 @@ class LineDedupSpec extends AnyFunSuite {
     assert(out.map(_._2).toSet ==
       Set(md5Hex("x y\nz w"), md5Hex("x y\nq r")))
   }
+
+  // ---- stored line-frequency index (d10b) lifecycle ------------------
+
+  private def linified(minId: Long, maxId: Long) =
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") >= minId && col("doc_id") < maxId)
+      .select(col("doc_id"), Scaffold.linifiedText.as("text"))
+
+  private def tmpIndex(): String =
+    java.nio.file.Files.createTempDirectory("graft_lineidx").toString
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_lines"),
+      r.getAs[Long]("n_dropped"), r.getAs[String]("kept_digest"),
+      r.getAs[Double]("dropped_frac"))).sortBy(_._1).toSeq
+
+  test("stored probe equals the full run's batch rows") {
+    val path = tmpIndex()
+    LineDedupQueries.initStoredLineIndex(spark, path, linified(250, 100000))
+    val probe = LineDedupQueries.probeCleanBatch(spark, path, linified(0, 250))
+    val full = LineDedupQueries.boilerplateLines(linified(0, 100000))
+      .filter(col("doc_id") < 250)
+    assert(rowsOf(probe) == rowsOf(full))
+  }
+
+  test("append folds a batch in: day-2 probe equals the 3-way full run") {
+    val path = tmpIndex()
+    LineDedupQueries.initStoredLineIndex(spark, path, linified(300, 100000))
+    LineDedupQueries.probeCleanBatch(spark, path, linified(150, 300)).count()
+    LineDedupQueries.appendStoredLineIndex(spark, path, linified(150, 300))
+    val day2 = LineDedupQueries.probeCleanBatch(spark, path, linified(0, 150))
+    val full = LineDedupQueries.boilerplateLines(linified(0, 100000))
+      .filter(col("doc_id") < 150)
+    assert(rowsOf(day2) == rowsOf(full))
+  }
+
+  test("disjointness gate trips on an overlapping batch") {
+    val path = tmpIndex()
+    LineDedupQueries.initStoredLineIndex(spark, path, linified(250, 100000))
+    intercept[IllegalArgumentException] {
+      LineDedupQueries.probeCleanBatch(spark, path, linified(200, 300)).count()
+    }
+    intercept[IllegalArgumentException] {
+      LineDedupQueries.appendStoredLineIndex(spark, path, linified(200, 300))
+    }
+  }
 }
