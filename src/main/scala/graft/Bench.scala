@@ -72,6 +72,18 @@ object Bench {
             System.err.println(s"[bench] $name warm pass failed: " +
               s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
         }
+        // Measurement isolation (r15): staged frames (eager
+        // localCheckpoints) pin executor storage blocks until a JVM GC
+        // lets the ContextCleaner reclaim them — across a 100+-query
+        // run the accumulated blocks degrade LATE queries by 50%+ (the
+        // t/v/x families measured 1.6× their fresh-JVM cost while early
+        // families were unaffected). A GC nudge before each query's
+        // timed reps drains the previous queries' dead blocks so every
+        // query measures in comparable JVM state — the state a
+        // production job (one query per application) actually sees.
+        // Runs OUTSIDE the timed region; the min-of-reps discipline is
+        // unchanged.
+        System.gc()
         val times = (1 to reps).flatMap { _ =>
           // every timed rep (incl. the first, which now follows the warm
           // pass) starts from the pre-query memo state, so no rep scans
