@@ -639,6 +639,141 @@ object TextQueries {
       FROM bg JOIN pr ON bg.w1 = pr.w1 AND bg.w2 = pr.w2
       GROUP BY bg.doc_id ORDER BY doc_id"""))
 
+  /** Reference-LM perplexity gate (the CCNet head/middle/tail split,
+    * Wenzek et al. 2020 §4.3): fit the add-α bigram LM on a REFERENCE
+    * quality slice only (here `lang = 'en'`, standing in for CCNet's
+    * curated per-language Wikipedia corpus), score EVERY document
+    * against it, and bucket the corpus into head/middle/tail at the
+    * tercile cutoffs of the score distribution. Distinct from t14
+    * (self-fit, no OOV possible): a reference model must handle
+    * unseen events, so scoring backs off —
+    *   - (w1, w2) both modeled:   ln((c2 + α) / (c1 + αV))
+    *   - w1 modeled, pair unseen: ln(α / (c1 + αV))   (c2 = 0)
+    *   - w1 out of vocabulary:    ln(1 / V)           (uniform)
+    * Docs with < 2 tokens have no bigrams and drop out (as in t14).
+    *
+    * Bucketing is by VALUE cutoffs, not a global ntile: per-doc scores
+    * aggregate to (avg_logp → doc count) bins, the driver walks the
+    * bins best-first to the ranks ⌈n/3⌉ and ⌈2n/3⌉, and bucket
+    * assignment is a map-side comparison against the two cut values —
+    * exactly how production CCNet applies percentile cutoffs, and ties
+    * at a cutoff all land in the better bucket on both engines (so a
+    * degenerate template corpus can legitimately have an empty middle).
+    * Bin count is bounded by the round-4 value grid over the score
+    * range (ln-scale, ≈ [-25, 0] → ≤ ~250k bins), not by corpus size —
+    * the same driver-size argument as c5's quality bins; no
+    * unpartitioned window anywhere.
+    *
+    * Scale shape: the reference LM is two token-keyed count
+    * aggregations over the REF SLICE only (map-side partials, vocab ≪
+    * corpus); scoring left-joins the all-docs bigram stream by (w1,w2)
+    * then by w1 — both reference tables are distinct-token-sized
+    * broadcast candidates (AQE decides; else hash on the token key).
+    * The bigram stream is staged once and feeds the ref-count branch
+    * and the scoring branch (one tokenization pass); V is one count on
+    * the staged unigram table. Determinism: per-bigram logp rounded at
+    * 6, decimal-summed, mean rounded at 4 (t14's discipline).
+    */
+  private[graft] def perplexityGateOf(docs0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val alpha = 0.5
+    val docs = QueryDef.spread(
+        docs0.select(col("doc_id"), col("lang"), toks.as("tk")))
+      .staged
+    val bigrams = docs
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .staged
+    val uniRef = docs.filter(col("lang") === "en")
+      .select(explode(col("tk")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+      .staged // feeds the vocab count AND the scoring join
+    val v = uniRef.count().toDouble
+    // Loud beats lossy (the Tables.documentsJsonl discipline): with an
+    // empty reference slice every token is OOV and ln(1/V) is ln(1/0) —
+    // scoring against a model that was never fit must abort, not emit
+    // an all-Infinity column that flows into the cutoff walk.
+    require(v > 0,
+      "t24_perplexity_gate: reference slice (lang = 'en') is empty — " +
+        "cannot fit the reference LM")
+    val cbRef = bigrams.filter(col("lang") === "en")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val scored = bigrams
+      .join(cbRef, Seq("w1", "w2"), "left")
+      .join(uniRef, Seq("w1"), "left")
+      .select(col("doc_id"),
+        round(
+          when(col("c1").isNull, log(lit(1.0) / v))
+            .otherwise(log(
+              (coalesce(col("c2"), lit(0L)) + alpha) /
+                (col("c1") + alpha * v))), 6).as("logp"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(QueryDef.dsum(col("logp"), 6).cast("double") / count(lit(1)), 4)
+          .as("avg_logp"))
+      .staged
+    val bins = scored.groupBy("avg_logp").agg(count(lit(1)).as("c"))
+      .collect() // ≤ value-grid bins (see scaladoc), never corpus-sized
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(-_._1) // best (highest likelihood) first
+    val total = bins.map(_._2).sum
+    def cutAtRank(k: Long): Double = {
+      var cum = 0L
+      val it = bins.iterator
+      var cut = Double.NegativeInfinity
+      while (cum < k && it.hasNext) { val (value, c) = it.next(); cum += c; cut = value }
+      cut
+    }
+    val cut1 = cutAtRank((total + 2) / 3)      // ⌈n/3⌉
+    val cut2 = cutAtRank((2 * total + 2) / 3)  // ⌈2n/3⌉
+    scored
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+        when(col("avg_logp") >= cut1, "head")
+          .when(col("avg_logp") >= cut2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val tPerplexityGate = QueryDef(
+    "t24_perplexity_gate",
+    (s, dir) => perplexityGateOf(Tables.documents(s, dir)),
+    Some("""
+      WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      pos AS (SELECT doc_id, lang, t, UNNEST(range(1, len(t))) AS i FROM tk),
+      bg AS (SELECT doc_id, lang, t[i] AS w1, t[i + 1] AS w2 FROM pos),
+      uni AS (SELECT w, COUNT(*) AS c1
+              FROM (SELECT UNNEST(t) AS w FROM tk WHERE lang = 'en') GROUP BY w),
+      cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE lang = 'en' GROUP BY w1, w2),
+      v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+      sb AS (SELECT bg.doc_id,
+                    ROUND(CASE WHEN uni.c1 IS NULL THEN ln(1.0 / v.v)
+                               ELSE ln((COALESCE(cb.c2, 0) + 0.5) / (uni.c1 + 0.5 * v.v))
+                          END, 6) AS logp
+             FROM bg LEFT JOIN cb ON bg.w1 = cb.w1 AND bg.w2 = cb.w2
+                     LEFT JOIN uni ON bg.w1 = uni.w
+                     CROSS JOIN v),
+      scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                        ROUND(CAST(SUM(CAST(logp AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4)
+                          AS avg_logp
+                 FROM sb GROUP BY doc_id),
+      bins AS (SELECT avg_logp, COUNT(*) AS c FROM scored GROUP BY avg_logp),
+      cum AS (SELECT avg_logp, SUM(c) OVER (ORDER BY avg_logp DESC) AS cum FROM bins),
+      tot AS (SELECT COUNT(*) AS n FROM scored),
+      cuts AS (SELECT
+          (SELECT MAX(avg_logp) FROM cum, tot WHERE cum >= (n + 2) // 3) AS cut1,
+          (SELECT MAX(avg_logp) FROM cum, tot WHERE cum >= (2 * n + 2) // 3) AS cut2)
+      SELECT s.doc_id, s.n_bigrams, s.avg_logp,
+             CASE WHEN s.avg_logp >= cut1 THEN 'head'
+                  WHEN s.avg_logp >= cut2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM scored s CROSS JOIN cuts ORDER BY doc_id"""))
+
   /** Per-partition Misra-Gries summary of capacity m: emits the
     * surviving (token, residual estimate) keys. Deterministic for a
     * fixed partition content ORDER (we only use the key set, whose
@@ -997,5 +1132,5 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
     tCompression, tChunks, tSequencePack, tNgramLm, tHeavyHitters, tBm25,
-    tPackAudit, tBoundarySpans)
+    tPackAudit, tBoundarySpans, tPerplexityGate)
 }
