@@ -318,6 +318,38 @@ object SkewBench {
     measure("p7_gated_funnel")(
       graft.operators.PipelineQueries.pGatedFunnel.fn(spark, dir).count())
 
+    // t13c: merge-rule-denominated packing — the two fit tiers and the
+    // window are shared machinery; the skew question is the native
+    // BpeMergeStats kernel over the template docs' repetitive bodies
+    // (linear per token, like t19/t22 — profile must stay flat).
+    measure("t13c_sequence_pack_merge")(
+      graft.operators.SubwordQueries.tSequencePackMerge.fn(spark, dir).count())
+
+    // d10b: stored-line-index incremental cleaning — init (corpus =
+    // doc_id >= 250) is paid once in the untimed warm pass via
+    // IndexStore.ensure; the timed pass measures the steady-state
+    // batch probe: one narrow stored scan + the guarded broadcast of
+    // the 250-doc batch's line set, O(increment) by design.
+    measure("d10b_line_boiler_stored")(
+      graft.operators.LineDedupQueries.dLineBoilerStored.fn(spark, dir).count())
+
+    // t24: the reference-LM gate under the hot-language mix — the ref
+    // slice is the 85% en majority, so BOTH count tables are large
+    // here (worst case for the scoring joins: AQE must pick shuffle,
+    // not broadcast, once the ref vocab outgrows the threshold); the
+    // template docs' repeated bigrams concentrate count mass but the
+    // (w1,w2)-keyed aggregate absorbs that map-side.
+    measure("t24_perplexity_gate")(
+      graft.operators.TextQueries.tPerplexityGate.fn(spark, dir).count())
+
+    // t25: pack loss accounting — the explode is corpus-tokens/128
+    // rows of five integers; the skew question is whether the
+    // source-keyed offset window (4 sources → 4 window partitions at
+    // any corpus size) becomes the straggler before the key widens to
+    // (source, ingest-shard) as t13's scale note prescribes.
+    measure("t25_sft_mask_pack")(
+      graft.operators.TextQueries.tSftMaskPack.fn(spark, dir).count())
+
     // p6: the leakage audit's gram-keyed self-join under the same
     // boilerplate pile-up — pre-dedup, one variant's ~2,000 docs share
     // every 5-gram, but the audit runs on the RELEASED corpus where

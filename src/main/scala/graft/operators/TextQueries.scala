@@ -545,6 +545,90 @@ object TextQueries {
         floor((col("tok_offset") + col("n_tokens") - 1) / L).cast("long").as("pack_last"))
   }
 
+  /** Per-pack SFT loss-mask accounting — the artifact an instruction-
+    * tuning trainer needs ON TOP of t13's layout: each document is a
+    * (prompt, response) pair, prompt tokens are masked out of the loss,
+    * and after concat-and-split packing the trainer bills by LOSS
+    * tokens per 128-token sequence, not total tokens. A pack whose
+    * span is entirely prompt (loss_tokens = 0) is wasted forward-pass
+    * compute — the quantity SFT packers drop or rebalance on, surfaced
+    * here as `zero_loss`.
+    *
+    * The prompt/response boundary is a PARAMETER (`nPrompt`, a column
+    * over the base frame's `n_tokens`): real SFT corpora carry explicit
+    * role fields; the t25 QueryDef synthesizes ⌈n/4⌉ (the corpus has no
+    * role column) — the ACCOUNTING is the operator, the boundary rule
+    * is one expression a caller swaps for their role-derived count.
+    *
+    * Shape: t13's source-keyed offset window (same 100 TB key-widening
+    * note), then each doc explodes over ONLY the packs it spans
+    * (⌈n/L⌉+1 rows per doc — bounded by doc length, never corpus²) and
+    * integer interval intersection splits its token and loss spans per
+    * pack; the (source, pack_id) aggregate has map-side partials and
+    * |packs| output rows. Integer math end to end → exact oracle.
+    */
+  private[graft] def sftMaskPackBy(docs: org.apache.spark.sql.DataFrame,
+                                   nTokens: org.apache.spark.sql.Column,
+                                   nPrompt: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    val L = packLen
+    val d = sequencePackFrameBy(docs, nTokens)
+      .filter(col("n_tokens") > 0) // a 0-count doc spans no pack
+      .withColumn("loss_start", col("tok_offset") + nPrompt)
+      .withColumn("doc_end", col("tok_offset") + col("n_tokens"))
+    d.select(col("source"), col("tok_offset"), col("doc_end"), col("loss_start"),
+        explode(sequence(col("pack_first"), col("pack_last"))).as("pack_id"))
+      .select(col("source"), col("pack_id"),
+        (least(col("doc_end"), (col("pack_id") + 1) * L) -
+          greatest(col("tok_offset"), col("pack_id") * L)).as("toks_in"),
+        greatest(lit(0L),
+          least(col("doc_end"), (col("pack_id") + 1) * L) -
+            greatest(col("loss_start"), col("pack_id") * L)).as("loss_in"))
+      .groupBy("source", "pack_id")
+      .agg(
+        sum("toks_in").as("pack_tokens"),
+        sum("loss_in").as("loss_tokens"),
+        count(lit(1)).as("n_docs"),
+        (sum("loss_in") === 0L).as("zero_loss"))
+      .orderBy("source", "pack_id")
+  }
+
+  val tSftMaskPack = QueryDef(
+    "t25_sft_mask_pack",
+    (s, dir) => sftMaskPackBy(Tables.documents(s, dir),
+      size(toks).cast("long"),
+      floor((col("n_tokens") + lit(3)) / lit(4)).cast("long")),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      o AS (
+        SELECT doc_id, source, n,
+               CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS off
+        FROM b),
+      d AS (
+        SELECT *, off + (n + 3) // 4 AS loss_start, off + n AS doc_end
+        FROM o WHERE n > 0),
+      e AS (
+        SELECT source, off, doc_end, loss_start,
+               UNNEST(generate_series(off // 128, (off + n - 1) // 128)) AS pack_id
+        FROM d),
+      per AS (
+        SELECT source, pack_id,
+               LEAST(doc_end, (pack_id + 1) * 128) - GREATEST(off, pack_id * 128)
+                 AS toks_in,
+               GREATEST(0, LEAST(doc_end, (pack_id + 1) * 128)
+                 - GREATEST(loss_start, pack_id * 128)) AS loss_in
+        FROM e)
+      SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+             CAST(SUM(toks_in) AS BIGINT) AS pack_tokens,
+             CAST(SUM(loss_in) AS BIGINT) AS loss_tokens,
+             COUNT(*) AS n_docs, (SUM(loss_in) = 0) AS zero_loss
+      FROM per GROUP BY source, pack_id ORDER BY source, pack_id"""))
+
   val tSequencePack = QueryDef(
     "t13_sequence_pack",
     (s, dir) => sequencePackFrame(Tables.documents(s, dir))
@@ -1132,5 +1216,5 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
     tCompression, tChunks, tSequencePack, tNgramLm, tHeavyHitters, tBm25,
-    tPackAudit, tBoundarySpans, tPerplexityGate)
+    tPackAudit, tBoundarySpans, tPerplexityGate, tSftMaskPack)
 }
