@@ -350,6 +350,14 @@ object SkewBench {
     measure("t25_sft_mask_pack")(
       graft.operators.TextQueries.tSftMaskPack.fn(spark, dir).count())
 
+    // c14: DSIR scoring under the hot-language mix — the target slice
+    // is the 85% en majority, so the ref LM table is near-raw-sized
+    // (worst case for the scoring join: AQE shuffle, not broadcast);
+    // the template docs concentrate token mass onto ~30 hot tokens but
+    // the (doc, token) count aggregate absorbs that map-side.
+    measure("c14_dsir_select")(
+      graft.operators.SampleQueries.cDsirSelect.fn(spark, dir).count())
+
     // p6: the leakage audit's gram-keyed self-join under the same
     // boilerplate pile-up — pre-dedup, one variant's ~2,000 docs share
     // every 5-gram, but the audit runs on the RELEASED corpus where

@@ -870,8 +870,126 @@ object SampleQueries {
       FROM cap JOIN ep USING (domain)
       ORDER BY cap.domain, cap.cap_rank"""))
 
+  /** DSIR-style importance-scored selection (c14) — distribution-
+    * matching data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its tokens are under a TARGET unigram LM
+    * (fit on a curated slice — here `lang = 'en'`, the t24 reference
+    * discipline) than under the RAW-corpus unigram LM, then keep docs
+    * through the noisy threshold rule GPT-3's quality filter published
+    * (Brown et al. 2020 App. A): keep iff
+    * `pareto(9) > 1 - sigmoid(score)`, with the Pareto draw derived
+    * from a salted content hash instead of `np.random` — deterministic
+    * on any cluster layout, yet preserving the paper's "low-scoring
+    * docs still enter with small probability" behavior that guards
+    * against distribution collapse.
+    *
+    * Per-token log ratio (add-α smoothing over the shared raw vocab V):
+    *   lr(w) = ln((c_t(w)+α)/(N_t+αV)) − ln((c_r(w)+α)/(N_r+αV))
+    * Doc score = length-normalized Σ count(w)·lr(w) (the per-token
+    * average keeps the value grid bounded — t24's argument — and makes
+    * the keep rule length-equitable; the UNnormalized sum is the same
+    * dsum one line away for callers that want faithful Gumbel-top-k
+    * resampling). Tokens unseen in the target slice hit the smoothed
+    * floor via a left join (c_t = 0); every token is in the raw LM by
+    * construction. Empty target slice aborts loudly (t24 discipline).
+    *
+    * Scale shape: one tokenize scan → (doc, token)-keyed count
+    * aggregate with map-side partials (staged — feeds both LM fits and
+    * the scoring join); both LM tables are distinct-token-sized AQE
+    * broadcast candidates; the per-doc rollup is one doc-keyed
+    * aggregate; score, sigmoid, Pareto draw and keep are pure map-side
+    * codegen'd expressions. No global window, no driver-side corpus
+    * state — the N_t/N_r/V probe reads three numbers off the staged
+    * distinct-token frame.
+    *
+    * Determinism: lr rounded at 6, decimal-cast weighted sum, mean
+    * rounded at 4, sigmoid/Pareto rounded at 6 (the t14/t24 float
+    * discipline); the keep compare is between two round-6 values.
+    */
+  private[graft] def dsirSelectOf(docs0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.plans.Stage.StageOps
+    val alpha = 0.5
+    val docTok = QueryDef.spread(
+        docs0.select(col("doc_id"), col("source"), col("lang"),
+          explode(split(col("text"), " ")).as("w")))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id", "source", "lang", "w")
+      .agg(count(lit(1)).as("cnt"))
+      .staged
+    val raw = docTok.groupBy("w").agg(sum("cnt").as("cr")).staged
+    val rawTotals = raw.agg(sum("cr"), count(lit(1))).head
+    val nr = rawTotals.getLong(0).toDouble
+    val v = rawTotals.getLong(1).toDouble
+    val ref = docTok.filter(col("lang") === "en")
+      .groupBy("w").agg(sum("cnt").as("ct"))
+    val refTotal = ref.agg(sum("ct")).head
+    // Loud beats lossy: an empty target slice means the target LM was
+    // never fit — every score would be the smoothing floor, and the
+    // keep rule would silently degrade to pure noise.
+    require(!refTotal.isNullAt(0),
+      "c14_dsir_select: target slice (lang = 'en') is empty — " +
+        "cannot fit the target LM")
+    val nt = refTotal.getLong(0).toDouble
+    val lr = raw.join(ref, Seq("w"), "left")
+      .select(col("w"),
+        round(log((coalesce(col("ct"), lit(0L)) + alpha) / (nt + alpha * v)) -
+          log((col("cr") + alpha) / (nr + alpha * v)), 6).as("lr"))
+    val u = (conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":c14"))), 1, 8),
+      16, 10).cast("double") + 0.5) / lit(4294967296.0)
+    docTok.join(lr, Seq("w"))
+      .groupBy("doc_id", "source", "lang")
+      .agg(sum("cnt").as("n_tokens"),
+        round(QueryDef.dsum(col("lr") * col("cnt"), 6).cast("double") /
+          sum("cnt"), 4).as("dsir_logratio"))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-col("dsir_logratio"))), 6))
+      .withColumn("kept",
+        round(pow(lit(1.0) - u, lit(-1.0 / 9.0)) - 1.0, 6) >
+          lit(1.0) - col("score"))
+      .select("doc_id", "source", "lang", "n_tokens", "dsir_logratio",
+        "score", "kept")
+      .orderBy("doc_id")
+  }
+
+  val cDsirSelect = QueryDef(
+    "c14_dsir_select",
+    (s, dir) => dsirSelectOf(Tables.documents(s, dir)),
+    Some("""
+      WITH dt AS (
+        SELECT doc_id, source, lang, w, COUNT(*) AS cnt
+        FROM (SELECT doc_id, source, lang, UNNEST(string_split(text, ' ')) AS w
+              FROM documents)
+        WHERE w <> '' GROUP BY doc_id, source, lang, w),
+      raw AS (SELECT w, SUM(cnt) AS cr FROM dt GROUP BY w),
+      ref AS (SELECT w, SUM(cnt) AS ct FROM dt WHERE lang = 'en' GROUP BY w),
+      tot AS (SELECT CAST(SUM(cr) AS DOUBLE) AS nr,
+                     CAST(COUNT(*) AS DOUBLE) AS v FROM raw),
+      tref AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nt FROM ref),
+      lr AS (SELECT raw.w,
+                    ROUND(ln((COALESCE(ct, 0) + 0.5) / (nt + 0.5 * v)) -
+                          ln((cr + 0.5) / (nr + 0.5 * v)), 6) AS lr
+             FROM raw LEFT JOIN ref ON raw.w = ref.w
+                  CROSS JOIN tot CROSS JOIN tref),
+      sc AS (SELECT doc_id, source, lang,
+                    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                    ROUND(CAST(SUM(CAST(lr * cnt AS DECIMAL(30,6))) AS DOUBLE)
+                      / SUM(cnt), 4) AS dsir_logratio
+             FROM dt JOIN lr ON dt.w = lr.w
+             GROUP BY doc_id, source, lang)
+      SELECT doc_id, source, lang, n_tokens, dsir_logratio,
+             ROUND(1.0 / (1.0 + exp(-dsir_logratio)), 6) AS score,
+             (ROUND(POWER(1.0 -
+                 (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':c14'),
+                    1, 8)) AS BIGINT) + 0.5) / 4294967296.0,
+                 -1.0 / 9.0) - 1.0, 6)
+               > 1.0 - ROUND(1.0 / (1.0 + exp(-dsir_logratio)), 6)) AS kept
+      FROM sc ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
       cMixResample, cShardShuffle, cSnapshotDiff, cSourceCap, cEpochShardPlan,
-      cDomainCap)
+      cDomainCap, cDsirSelect)
 }
