@@ -350,6 +350,13 @@ object SkewBench {
     measure("t25_sft_mask_pack")(
       graft.operators.TextQueries.tSftMaskPack.fn(spark, dir).count())
 
+    // t26: fertility audit — scan-bound kernel pass into a 2-language
+    // aggregate; the skew question is only whether the template docs'
+    // repetitive bodies distort the kernel's per-task time (they
+    // shouldn't: linear per token, like t22).
+    measure("t26_tokenizer_fertility")(
+      graft.operators.SubwordQueries.tTokenizerFertility.fn(spark, dir).count())
+
     // c14: DSIR scoring under the hot-language mix — the target slice
     // is the 85% en majority, so the ref LM table is near-raw-sized
     // (worst case for the scoring join: AQE shuffle, not broadcast);

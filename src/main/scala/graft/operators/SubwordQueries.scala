@@ -708,8 +708,83 @@ val tBpeMergeTokens = QueryDef(
              ROUND(CAST(tpl.top_cnt AS DOUBLE) / bs.n_docs, 6) AS top_lang_share
       FROM bs JOIN tpl ON bs.split = tpl.split ORDER BY bs.split"""))
 
+  /** Tokenizer fertility audit per language (t26) — the tokenizer-
+    * equity measure (Petrov et al. 2023, "Language Model Tokenizers
+    * Introduce Unfairness Between Languages"): subword tokens per
+    * whitespace word (fertility) and characters per subword token, per
+    * language, plus each language's PREMIUM relative to the reference
+    * language (`en`, the t24/c14 discipline) — the multiplier by which
+    * the tokenizer over-bills that language's speakers in context
+    * budget and per-token pricing. Denominated in the stored t22
+    * MERGE-rule tokens (the semantics real tokenizers bill in).
+    *
+    * Scale shape: one codegen'd `BpeMergeStats` map pass over the
+    * corpus scan (the fit is paid once per snapshot via IndexStore),
+    * one lang-keyed aggregate with map-side partials → |langs| rows;
+    * the reference row joins back as a broadcast single-row frame.
+    * Missing reference language aborts loudly (scoring a premium
+    * against a language the corpus lacks is a config error, not a 0).
+    */
+  private[graft] def tokenizerFertilityOf(docs: DataFrame,
+                                          merges: Array[(String, String)],
+                                          refLang: String = "en")
+      : DataFrame = {
+    val table = new MergeTable(merges)
+    val tk = split(col("text"), " ")
+    val perLang = QueryDef.spread(
+        docs.select(col("lang"), col("n_chars"),
+          size(tk).cast("long").as("ws"),
+          SubwordExpressions.bpeMergeStats(tk, table)
+            .getField("n_tokens_merge").as("mt")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"),
+        sum("mt").as("merge_tokens"),
+        sum("n_chars").as("n_chars"))
+      .withColumn("fertility",
+        round(col("merge_tokens").cast("double") / col("ws_tokens"), 6))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("merge_tokens"), 6))
+    val staged = graft.plans.Stage(perLang)
+    val ref = staged.filter(col("lang") === refLang)
+      .select(col("fertility").as("__f_ref"))
+    require(!ref.isEmpty,
+      s"t26_tokenizer_fertility: reference language '$refLang' absent " +
+        "from the corpus — cannot compute premiums")
+    staged.crossJoin(broadcast(ref))
+      .withColumn("premium", round(col("fertility") / col("__f_ref"), 6))
+      .drop("__f_ref")
+      .orderBy("lang")
+  }
+
+  val tTokenizerFertility = QueryDef(
+    "t26_tokenizer_fertility",
+    (s, dir) => tokenizerFertilityOf(Tables.documents(s, dir),
+      storedMerges(s, dir)),
+    Some(s"""
+      $mergeEncodeCtes      ws AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws
+        FROM documents),
+      pl AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(n_tokens_merge) AS BIGINT) AS merge_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM ws JOIN agg USING (doc_id) GROUP BY lang),
+      pf AS (
+        SELECT *,
+               ROUND(CAST(merge_tokens AS DOUBLE) / ws_tokens, 6) AS fertility,
+               ROUND(CAST(n_chars AS DOUBLE) / merge_tokens, 6) AS chars_per_token
+        FROM pl),
+      enf AS (SELECT fertility AS f_ref FROM pf WHERE lang = 'en')
+      SELECT lang, n_docs, ws_tokens, merge_tokens, n_chars, fertility,
+             chars_per_token, ROUND(fertility / f_ref, 6) AS premium
+      FROM pf CROSS JOIN enf ORDER BY lang"""))
+
   val all: Seq[QueryDef] =
     Seq(tBpeTokens, cTokenBudgetBpe, tBpeMergeTokens, tSequencePackBpe,
       tSequencePackMerge,
-      pReleaseReportBpe)
+      pReleaseReportBpe, tTokenizerFertility)
 }
