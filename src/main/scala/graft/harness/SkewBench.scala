@@ -365,6 +365,12 @@ object SkewBench {
     measure("c14_dsir_select")(
       graft.operators.SampleQueries.cDsirSelect.fn(spark, dir).count())
 
+    // c15: the two-phase schedule runs c5's bin machinery twice (the
+    // template pile-up puts ~2,000 docs on one quality value — the
+    // crossing-bin refinement's worst case) plus the anneal anti-join.
+    measure("c15_anneal_plan")(
+      graft.operators.SampleQueries.cAnnealPlan.fn(spark, dir).count())
+
     // p6: the leakage audit's gram-keyed self-join under the same
     // boilerplate pile-up — pre-dedup, one variant's ~2,000 docs share
     // every 5-gram, but the audit runs on the RELEASED corpus where

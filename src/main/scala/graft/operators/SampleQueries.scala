@@ -988,8 +988,92 @@ object SampleQueries {
                > 1.0 - ROUND(1.0 / (1.0 + exp(-dsir_logratio)), 6)) AS kept
       FROM sc ORDER BY doc_id"""))
 
+  /** Two-phase anneal schedule (c15) — the mid-training data curriculum
+    * production recipes converged on (MiniCPM's stable→decay phases,
+    * the LLaMA-3 / OLMo-2 "annealing" stage): reserve the HIGHEST-
+    * quality `annealBudget` tokens for the learning-rate-decay phase,
+    * then fill the `mainBudget`-token main phase from the REMAINDER by
+    * an unbiased deterministic hash draw — quality-ranking the main
+    * phase too would skew the base mix, and the anneal docs must not
+    * repeat in the main phase. Emits phase-labeled doc rows (phase ∈
+    * {anneal, main}) with true quality — the plan a phase-aware
+    * trainer consumes.
+    *
+    * Both selections are c5's bin-threshold machinery (exact
+    * global-window answer, no unpartitioned window): the anneal phase
+    * ranks by (quality DESC, doc_id), the main phase ranks by a
+    * round-6 hash uniform (md5(doc_id‖':c15') first octet — the c14
+    * salted-hash discipline; rounding keeps the bin grid ≤ 1e6+1
+    * values, and the exact-tie analysis is in the scaladoc of the
+    * draw: h/2³² can never land exactly on the 5e-7 grid, so the
+    * round is unambiguous cross-engine). The only new exchange is the
+    * doc_id-keyed anti-join removing the anneal set from the main
+    * draw — AQE broadcasts it while the anneal budget is small, and
+    * it degrades to a hash join, never a sort, at any scale.
+    */
+  private[graft] def annealPlanOf(docs: org.apache.spark.sql.DataFrame,
+                                  annealBudget: Long, mainBudget: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val base = qualityTokenFrame(docs)
+    val anneal = tokenBudgetSelect(base, annealBudget)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val remainder = base
+      .join(anneal.select("doc_id"), Seq("doc_id"), "left_anti")
+    val u = round(conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit(":c15"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0), 6)
+    val mainBase = remainder
+      .withColumnRenamed("quality", "q_true")
+      .withColumn("quality", u)
+    val main = tokenBudgetSelect(mainBase, mainBudget)
+      .select(col("doc_id"), col("n_tokens"), col("q_true").as("quality"))
+    anneal.withColumn("phase", lit("anneal"))
+      .unionByName(main.withColumn("phase", lit("main")))
+      .select("phase", "doc_id", "n_tokens", "quality")
+      .orderBy("phase", "doc_id")
+  }
+
+  val cAnnealPlan = QueryDef(
+    "c15_anneal_plan",
+    (s, dir) => annealPlanOf(Tables.documents(s, dir),
+      annealBudget = 4000L, mainBudget = 8000L),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+        FROM documents),
+      q AS (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               ROUND(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+                 + len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / nt * 0.25
+                 + len(list_distinct(tk)) / nt * 0.25, 6) AS quality
+        FROM b),
+      ann AS (
+        SELECT doc_id, n_tokens, quality FROM (
+          SELECT doc_id, n_tokens, quality,
+                 SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM q)
+        WHERE cum <= 4000),
+      ru AS (
+        SELECT doc_id, n_tokens, quality,
+               ROUND(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':c15'),
+                 1, 8)) AS BIGINT) / 4294967296.0, 6) AS u
+        FROM q WHERE doc_id NOT IN (SELECT doc_id FROM ann)),
+      mn AS (
+        SELECT doc_id, n_tokens, quality FROM (
+          SELECT doc_id, n_tokens, quality,
+                 SUM(n_tokens) OVER (ORDER BY u DESC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM ru)
+        WHERE cum <= 8000)
+      SELECT 'anneal' AS phase, doc_id, n_tokens, quality FROM ann
+      UNION ALL
+      SELECT 'main' AS phase, doc_id, n_tokens, quality FROM mn
+      ORDER BY phase, doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
       cMixResample, cShardShuffle, cSnapshotDiff, cSourceCap, cEpochShardPlan,
-      cDomainCap, cDsirSelect)
+      cDomainCap, cDsirSelect, cAnnealPlan)
 }
