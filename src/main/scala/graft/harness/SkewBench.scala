@@ -357,6 +357,13 @@ object SkewBench {
     measure("t26_tokenizer_fertility")(
       graft.operators.SubwordQueries.tTokenizerFertility.fn(spark, dir).count())
 
+    // t27: the drift audit's |sources|×V grid under the template
+    // corpus's concentrated token mass — 4 sources × the skew vocab;
+    // the left join keys on (source, w) where the hot template tokens
+    // carry most of the count mass.
+    measure("t27_kl_drift")(
+      graft.operators.TextQueries.tKlDrift.fn(spark, dir).count())
+
     // c14: DSIR scoring under the hot-language mix — the target slice
     // is the 85% en majority, so the ref LM table is near-raw-sized
     // (worst case for the scoring join: AQE shuffle, not broadcast);

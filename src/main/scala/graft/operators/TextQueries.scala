@@ -649,6 +649,80 @@ object TextQueries {
              CAST(FLOOR((tok_offset + n_tokens - 1) / 128.0) AS BIGINT) AS pack_last
       FROM o ORDER BY source, doc_id"""))
 
+  /** Per-source distribution drift (t27) — the data-mix monitoring
+    * audit a corpus-assembly dashboard runs per snapshot: the KL
+    * divergence of each source's smoothed unigram distribution from
+    * the whole-corpus distribution, KL(source ‖ corpus) =
+    * Σ_w p_s(w)·ln(p_s(w)/p_c(w)) with add-α smoothing (α=0.5) over
+    * the shared corpus vocabulary V — so a source missing a token
+    * still contributes its smoothed floor mass, and KL is finite by
+    * construction. A source whose token mix matches the corpus scores
+    * ≈ 0; boilerplate-heavy or single-domain sources drift high — the
+    * number mix-rebalancing jobs (c7/c14) alert on between snapshots.
+    *
+    * Scale shape: one tokenize scan → (source, w) count aggregate with
+    * map-side partials (the same shape as c14's staged counts); the
+    * corpus-wide (w, cnt) vocab table derives from it by a second
+    * token-keyed aggregate. The per-source KL must sum over the FULL
+    * vocab (smoothing gives unseen tokens mass), so the vocab table
+    * cross-joins the |sources|-row totals frame (broadcast) and
+    * left-joins the (source, w) counts — the grid is |sources|·V rows,
+    * token-keyed and map-side-partial-aggregated down to |sources|
+    * output rows; at web scale that is a vocab-sized join per source,
+    * never a corpus-sized one. Determinism: per-term contribution
+    * rounded at 8 (terms are tiny — p·ln ratio ≪ 1), decimal-summed,
+    * final KL rounded at 4 (the t14/t24 discipline).
+    */
+  private[graft] def klDriftOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val alpha = 0.5
+      val sw = QueryDef.spread(
+          docs.select(col("source"), explode(toks).as("w")))
+        .filter(col("w") =!= "")
+        .groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+        .staged
+      val vocab = sw.groupBy("w").agg(sum("c_sw").as("c_w")).staged
+      val totals = sw.groupBy("source").agg(sum("c_sw").as("n_s")).staged
+      val grand = vocab.agg(sum("c_w"), count(lit(1))).head
+      val n = grand.getLong(0).toDouble
+      val v = grand.getLong(1).toDouble
+      val ps = (coalesce(col("c_sw"), lit(0L)) + alpha) /
+        (col("n_s") + alpha * v)
+      val pc = (col("c_w") + alpha) / (n + alpha * v)
+      vocab.crossJoin(broadcast(totals))
+        .join(sw, Seq("source", "w"), "left")
+        .select(col("source"), col("n_s"),
+          round(ps * log(ps / pc), 8).as("term"))
+        .groupBy("source")
+        .agg(max(col("n_s")).as("n_tokens"),
+          round(QueryDef.dsum(col("term"), 8).cast("double"), 4).as("kl_nats"))
+        .select(col("source"), col("n_tokens"), col("kl_nats"))
+        .orderBy("source")
+  }
+
+  val tKlDrift = QueryDef(
+    "t27_kl_drift",
+    (s, dir) => klDriftOf(Tables.documents(s, dir)),
+    Some("""
+      WITH sw AS (
+        SELECT source, w, COUNT(*) AS c_sw
+        FROM (SELECT source, UNNEST(string_split(text, ' ')) AS w FROM documents)
+        WHERE w <> '' GROUP BY source, w),
+      vocab AS (SELECT w, SUM(c_sw) AS c_w FROM sw GROUP BY w),
+      totals AS (SELECT source, SUM(c_sw) AS n_s FROM sw GROUP BY source),
+      g AS (SELECT CAST(SUM(c_w) AS DOUBLE) AS n,
+                   CAST(COUNT(*) AS DOUBLE) AS v FROM vocab),
+      terms AS (
+        SELECT t.source, t.n_s,
+               ROUND(((COALESCE(sw.c_sw, 0) + 0.5) / (t.n_s + 0.5 * g.v)) *
+                 ln(((COALESCE(sw.c_sw, 0) + 0.5) / (t.n_s + 0.5 * g.v)) /
+                    ((vocab.c_w + 0.5) / (g.n + 0.5 * g.v))), 8) AS term
+        FROM vocab CROSS JOIN totals t CROSS JOIN g
+             LEFT JOIN sw ON sw.source = t.source AND sw.w = vocab.w)
+      SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+             ROUND(CAST(SUM(CAST(term AS DECIMAL(30,8))) AS DOUBLE), 4) AS kl_nats
+      FROM terms GROUP BY source ORDER BY source"""))
+
   /** Corpus bigram language-model scoring (the CCNet-style LM quality
     * filter): an add-α smoothed bigram model (α=0.5) is fit on the
     * corpus itself and every document is scored by its mean bigram
@@ -1216,5 +1290,5 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
     tCompression, tChunks, tSequencePack, tNgramLm, tHeavyHitters, tBm25,
-    tPackAudit, tBoundarySpans, tPerplexityGate, tSftMaskPack)
+    tPackAudit, tBoundarySpans, tPerplexityGate, tSftMaskPack, tKlDrift)
 }
