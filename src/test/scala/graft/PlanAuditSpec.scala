@@ -309,7 +309,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val kernelQueries = Seq("v2_lsh_ann", "d2_minhash_lsh_pairs",
     "t19_bpe_tokens", "t22_bpe_merge_tokens", "d3_simhash_pairs", "v1_cosine_topk",
-    "t23_gopher_gate")
+    "t23_gopher_gate", "t26_tokenizer_fertility")
 
   private def withoutAqe[T](body: => T): T = {
     val key = "spark.sql.adaptive.enabled"
