@@ -364,6 +364,17 @@ object SkewBench {
     measure("t27_kl_drift")(
       graft.operators.TextQueries.tKlDrift.fn(spark, dir).count())
 
+    // t28: the vocab-growth audit's single token-keyed min-bucket
+    // aggregate — the hot template tokens collapse to one row each, so
+    // the aggregate is bounded by the skew corpus's true vocab.
+    measure("t28_vocab_growth")(
+      graft.operators.TextQueries.tVocabGrowth.fn(spark, dir).count())
+
+    // c16: kernel domain extraction + the guarded-broadcast blocklist
+    // join — the probe side is the full corpus, the list is tiny.
+    measure("c16_blocklist_gate")(
+      graft.operators.SampleQueries.cBlocklistGate.fn(spark, dir).count())
+
     // c14: DSIR scoring under the hot-language mix — the target slice
     // is the 85% en majority, so the ref LM table is near-raw-sized
     // (worst case for the scoring join: AQE shuffle, not broadcast);

@@ -1072,8 +1072,93 @@ object SampleQueries {
       SELECT 'main' AS phase, doc_id, n_tokens, quality FROM mn
       ORDER BY phase, doc_id"""))
 
+  /** Stored-blocklist domain gate (c16) — the URL-level filter every
+    * web pipeline runs BEFORE anything content-based (the UT1 /
+    * adult-and-malware blocklist step of CCNet/RefinedWeb): extract
+    * each document's registered domain (c13's stored suffix-rule
+    * kernel) and gate it against a blocklist of registered domains.
+    * Emits every doc with its domain and `blocked` verdict — the
+    * downstream pipeline filters on it, the audit aggregates it.
+    *
+    * The blocklist is a PARAMETER (a one-column `domain` frame —
+    * production swaps in the UT1 snapshot via the same IndexStore
+    * discipline as the suffix rules); the c16 QueryDef derives a
+    * deterministic synthetic list (domains whose salted md5 lands in
+    * the first quarter of the first-hex space) because the driver
+    * corpus ships no curated list — the GATE is the operator.
+    *
+    * Scale shape: domain extraction is one map-side kernel call; the
+    * membership probe is a left-semi-shaped left join keyed by domain
+    * with the blocklist guarded-broadcast (real lists are 10⁵–10⁷
+    * rows — comfortably broadcastable; above the guard it degrades to
+    * a hash join on the compact domain key, never a sort).
+    */
+  private[graft] def blocklistGateOf(docsWithDomain: org.apache.spark.sql.DataFrame,
+                                     blocklist: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bl = QueryDef.guardedBroadcast(
+      blocklist.select(col("domain")).distinct()
+        .withColumn("__hit", lit(true)),
+      maxRows = 10000000L)
+    docsWithDomain
+      .join(bl, Seq("domain"), "left")
+      .select(col("doc_id"), col("domain"),
+        coalesce(col("__hit"), lit(false)).as("blocked"))
+      .orderBy("doc_id")
+  }
+
+  val cBlocklistGate = QueryDef(
+    "c16_blocklist_gate",
+    (s, dir) => {
+      val rules = new graft.functions.SuffixRules(storedSuffixRules(s, dir))
+      val docs = Tables.documents(s, dir)
+        .withColumn("domain", graft.functions.DomainExpressions
+          .registeredDomain(Scaffold.syntheticUrl, rules))
+      // deterministic synthetic blocklist: ~1/4 of observed domains by
+      // an independent salted hash — the oracle restates the same rule
+      val bl = docs.select(col("domain")).distinct()
+        .filter(substring(md5(concat(col("domain"), lit(":blk"))), 1, 1) < "4")
+      blocklistGateOf(docs, bl)
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+               string_split(string_split(
+                 'https://' ||
+                 ['','www.','blog.','cdn.news.'][CAST(('0x' ||
+                   substring(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 2))
+                   AS BIGINT) % 4 + 1] ||
+                 'd' || CAST(CAST(('0x' ||
+                   substring(md5('url:' || CAST(doc_id AS VARCHAR)), 3, 4))
+                   AS BIGINT) % 40 AS VARCHAR) ||
+                 '.' ||
+                 ['com','org','net','io','de','co.uk','ac.uk','xyz'][CAST(('0x' ||
+                   substring(md5('url:' || CAST(doc_id AS VARCHAR)), 7, 2))
+                   AS BIGINT) % 8 + 1] ||
+                 '/p/' || CAST(doc_id AS VARCHAR),
+                 '//')[2], '/')[1] AS host
+        FROM documents),
+      dmn AS (
+        SELECT doc_id,
+               CASE WHEN len(lab) >= 3 AND (lab[-2] || '.' || lab[-1])
+                        IN ('ac.uk','co.uk','com.au')
+                      THEN lab[-3] || '.' || lab[-2] || '.' || lab[-1]
+                    WHEN len(lab) >= 2 AND lab[-1]
+                        IN ('au','com','de','io','net','org','uk')
+                      THEN lab[-2] || '.' || lab[-1]
+                    WHEN len(lab) >= 2 THEN lab[-2] || '.' || lab[-1]
+                    ELSE host END AS domain
+        FROM (SELECT doc_id, host, string_split(host, '.') AS lab FROM u)),
+      bl AS (
+        SELECT DISTINCT domain FROM dmn
+        WHERE substring(md5(domain || ':blk'), 1, 1) < '4')
+      SELECT d.doc_id, d.domain,
+             (bl.domain IS NOT NULL) AS blocked
+      FROM dmn d LEFT JOIN bl ON d.domain = bl.domain
+      ORDER BY d.doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
       cMixResample, cShardShuffle, cSnapshotDiff, cSourceCap, cEpochShardPlan,
-      cDomainCap, cDsirSelect, cAnnealPlan)
+      cDomainCap, cDsirSelect, cAnnealPlan, cBlocklistGate)
 }

@@ -723,6 +723,85 @@ object TextQueries {
              ROUND(CAST(SUM(CAST(term AS DECIMAL(30,8))) AS DOUBLE), 4) AS kl_nats
       FROM terms GROUP BY source ORDER BY source"""))
 
+  /** Vocabulary-growth (Heaps-law) audit (t28) — the corpus-health
+    * check dedup and diversity reports run: how does the DISTINCT
+    * token count grow as the corpus grows? A healthy raw corpus grows
+    * ~n^β (β ≈ 0.5–0.7, Heaps' law); a flat curve means boilerplate
+    * saturation, a near-linear one means garbled/unique-id noise —
+    * both argue for a cleaning pass before training. Corpus prefixes
+    * are CONTENT-KEYED (md5(doc_id‖':t28') first octet < threshold at
+    * 1/8, 1/4, 1/2, 1), not positional — so the curve is layout- and
+    * increment-stable, the c1 sampling discipline.
+    *
+    * Scale shape: the naive form runs count(distinct) once per prefix
+    * — four corpus-wide distinct shuffles. This runs ONE: per token w,
+    * one (w)-keyed aggregate computes min(bucket(doc)) over w's docs;
+    * w is distinct-at-prefix-p iff that min clears p's threshold, so
+    * all four distinct counts are conditional sums over the SAME
+    * vocab-sized frame. Doc/token totals per prefix are map-side
+    * conditional sums over the doc scan. Output: 4 rows.
+    */
+  private[graft] def vocabGrowthOf(docsIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      val cuts = Seq(("p125", "20"), ("p250", "40"), ("p500", "80"),
+        ("p1000", "zz")) // 'zz' > every hex octet → the full corpus
+      val bucket = substring(
+        md5(concat(col("doc_id").cast("string"), lit(":t28"))), 1, 2)
+      val docs = QueryDef.spread(
+          docsIn.select(col("doc_id"), toks.as("tk"), bucket.as("b")))
+        .staged
+      val docStats = docs.select(
+        cuts.flatMap { case (lab, thr) => Seq(
+          sum(when(col("b") < thr, 1L).otherwise(0L)).as(s"nd_$lab"),
+          sum(when(col("b") < thr, size(col("tk")).cast("long"))
+            .otherwise(0L)).as(s"nt_$lab"))
+        }: _*)
+      val minb = docs.select(explode(col("tk")).as("w"), col("b"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(min("b").as("mb"))
+        .select(cuts.map { case (lab, thr) =>
+          sum(when(col("mb") < thr, 1L).otherwise(0L)).as(s"dv_$lab")
+        }: _*)
+      // unpivot via ONE explode so the two aggregates execute once,
+      // not once per prefix row
+      docStats.crossJoin(minb)
+        .select(explode(array(cuts.map { case (lab, _) =>
+          struct(lit(lab).as("prefix"),
+            col(s"nd_$lab").as("n_docs"), col(s"nt_$lab").as("n_tokens"),
+            col(s"dv_$lab").as("distinct_tokens"))
+        }: _*)).as("r"))
+        .select(col("r.prefix"), col("r.n_docs"), col("r.n_tokens"),
+          col("r.distinct_tokens"))
+        .orderBy("prefix")
+  }
+
+  val tVocabGrowth = QueryDef(
+    "t28_vocab_growth",
+    (s, dir) => vocabGrowthOf(Tables.documents(s, dir)),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS tk,
+               substring(md5(CAST(doc_id AS VARCHAR) || ':t28'), 1, 2) AS b
+        FROM documents),
+      cuts AS (
+        SELECT * FROM (VALUES ('p125', '20'), ('p250', '40'),
+                              ('p500', '80'), ('p1000', 'zz')) AS t(prefix, thr)),
+      ds AS (
+        SELECT prefix,
+               SUM(CASE WHEN b < thr THEN 1 ELSE 0 END) AS n_docs,
+               SUM(CASE WHEN b < thr THEN len(tk) ELSE 0 END) AS n_tokens
+        FROM d CROSS JOIN cuts GROUP BY prefix),
+      mb AS (
+        SELECT w, MIN(b) AS mb
+        FROM (SELECT UNNEST(tk) AS w, b FROM d) WHERE w <> '' GROUP BY w),
+      dv AS (
+        SELECT prefix, SUM(CASE WHEN mb < thr THEN 1 ELSE 0 END) AS dvc
+        FROM mb CROSS JOIN cuts GROUP BY prefix)
+      SELECT ds.prefix, CAST(ds.n_docs AS BIGINT) AS n_docs,
+             CAST(ds.n_tokens AS BIGINT) AS n_tokens,
+             CAST(dv.dvc AS BIGINT) AS distinct_tokens
+      FROM ds JOIN dv USING (prefix) ORDER BY prefix"""))
+
   /** Corpus bigram language-model scoring (the CCNet-style LM quality
     * filter): an add-α smoothed bigram model (α=0.5) is fit on the
     * corpus itself and every document is scored by its mean bigram
@@ -1290,5 +1369,6 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
     tCompression, tChunks, tSequencePack, tNgramLm, tHeavyHitters, tBm25,
-    tPackAudit, tBoundarySpans, tPerplexityGate, tSftMaskPack, tKlDrift)
+    tPackAudit, tBoundarySpans, tPerplexityGate, tSftMaskPack, tKlDrift,
+    tVocabGrowth)
 }
