@@ -906,6 +906,12 @@ object SampleQueries {
     * Determinism: lr rounded at 6, decimal-cast weighted sum, mean
     * rounded at 4, sigmoid/Pareto rounded at 6 (the t14/t24 float
     * discipline); the keep compare is between two round-6 values.
+    *
+    * EAGER-WORK CAVEAT (the lshAnn note): the N_r/V/N_t probes run two
+    * Spark jobs at DataFrame-CONSTRUCTION time, reading the staged
+    * distinct-token frame (never the raw corpus twice). Callers
+    * composing this into a larger lazily-built plan should construct
+    * it once and reuse the returned frame.
     */
   private[graft] def dsirSelectOf(docs0: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {

@@ -672,6 +672,10 @@ object TextQueries {
     * never a corpus-sized one. Determinism: per-term contribution
     * rounded at 8 (terms are tiny — p·ln ratio ≪ 1), decimal-summed,
     * final KL rounded at 4 (the t14/t24 discipline).
+    *
+    * EAGER-WORK CAVEAT (the lshAnn note): the N/V probe is one Spark
+    * job at construction time over the staged vocab table — construct
+    * once and reuse the returned frame when composing.
     */
   private[graft] def klDriftOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
