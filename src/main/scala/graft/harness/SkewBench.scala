@@ -370,6 +370,12 @@ object SkewBench {
     measure("t28_vocab_growth")(
       graft.operators.TextQueries.tVocabGrowth.fn(spark, dir).count())
 
+    // p8: the SFT pipeline = gate scan + t13 window + t25 explode +
+    // two keyed rollups — the gate drops the template docs (they fail
+    // the stopword rule), so the packed volume is the prose majority.
+    measure("p8_sft_release")(
+      graft.operators.PipelineQueries.pSftRelease.fn(spark, dir).count())
+
     // c16: kernel domain extraction + the guarded-broadcast blocklist
     // join — the probe side is the full corpus, the list is tiny.
     measure("c16_blocklist_gate")(

@@ -998,7 +998,95 @@ object PipelineQueries {
       SELECT CAST(sid AS INTEGER) AS stage_id, stage, n_docs, n_tokens
       FROM cnt ORDER BY stage_id"""))
 
+  /** End-to-end SFT release pipeline (p8) — the instruction-tuning
+    * counterpart of p2/p5: gate the corpus on the shared t2 quality
+    * rule, lay the KEPT docs out with t13's concat-and-split packing,
+    * run t25's per-pack loss-mask accounting over that layout
+    * (prompt = ⌈n/4⌉, t25's synthesized boundary), and roll the packs
+    * up into the per-source release summary an SFT trainer consumes:
+    * kept docs, packs, pack/loss token totals, zero-loss pack count
+    * (wasted forward passes) and the loss fraction. One Catalyst plan
+    * composed from the standalone operators' own building blocks
+    * (qualityExpr / sequencePackFrameBy / sftMaskPackBy), so the
+    * pipeline can never disagree with the operators it composes.
+    *
+    * Scale shape: the gate is a map-side expression on the feature
+    * scan; packing is t13's source-keyed window; the mask accounting
+    * explodes each doc over only the ⌈n/L⌉+1 packs it spans; both
+    * rollups are keyed aggregates with map-side partials (|packs| then
+    * |sources| rows). The only window is t13's — same key-widening
+    * note at 100 TB.
+    */
+  private[graft] def sftReleaseOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tk = split(col("text"), " ")
+    val kept = docs
+      .filter(TextQueries.qualityExpr(tk, col("n_chars")) >= 0.5)
+    TextQueries.sftMaskPackBy(kept,
+        size(split(col("text"), " ")).cast("long"),
+        floor((col("n_tokens") + lit(3)) / lit(4)).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum("n_docs").as("doc_slices"),
+        sum("pack_tokens").as("pack_tokens"),
+        sum("loss_tokens").as("loss_tokens"),
+        sum(when(col("zero_loss"), 1L).otherwise(0L)).as("zero_loss_packs"),
+        round(sum("loss_tokens").cast("double") /
+          sum("pack_tokens"), 6).as("loss_frac"))
+      .orderBy("source")
+  }
+
+  val pSftRelease = QueryDef(
+    "p8_sft_release",
+    (s, dir) => sftReleaseOf(Tables.documents(s, dir)),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, source, n_chars, string_split(text, ' ') AS tk,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS ntd
+        FROM documents),
+      kept AS (
+        SELECT doc_id, source, CAST(len(tk) AS BIGINT) AS n
+        FROM b
+        WHERE ROUND(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+                + len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / ntd * 0.25
+                + len(list_distinct(tk)) / ntd * 0.25, 6) >= 0.5),
+      o AS (
+        SELECT doc_id, source, n,
+               CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS off
+        FROM kept),
+      d AS (
+        SELECT *, off + (n + 3) // 4 AS loss_start, off + n AS doc_end
+        FROM o WHERE n > 0),
+      e AS (
+        SELECT source, off, doc_end, loss_start,
+               UNNEST(generate_series(off // 128, (off + n - 1) // 128)) AS pack_id
+        FROM d),
+      per AS (
+        SELECT source, pack_id,
+               LEAST(doc_end, (pack_id + 1) * 128) - GREATEST(off, pack_id * 128)
+                 AS toks_in,
+               GREATEST(0, LEAST(doc_end, (pack_id + 1) * 128)
+                 - GREATEST(loss_start, pack_id * 128)) AS loss_in
+        FROM e),
+      packs AS (
+        SELECT source, pack_id,
+               SUM(toks_in) AS pack_tokens, SUM(loss_in) AS loss_tokens,
+               COUNT(*) AS n_docs, (SUM(loss_in) = 0) AS zero_loss
+        FROM per GROUP BY source, pack_id)
+      SELECT source, COUNT(*) AS n_packs,
+             CAST(SUM(n_docs) AS BIGINT) AS doc_slices,
+             CAST(SUM(pack_tokens) AS BIGINT) AS pack_tokens,
+             CAST(SUM(loss_tokens) AS BIGINT) AS loss_tokens,
+             CAST(SUM(CASE WHEN zero_loss THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_loss_packs,
+             ROUND(CAST(SUM(loss_tokens) AS DOUBLE) / SUM(pack_tokens), 6)
+               AS loss_frac
+      FROM packs GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] =
     Seq(pCuration, pRelease, pManifest, pReleaseWrite, pReleaseReport,
-      pSplitLeakage, pDomainMix, pGatedFunnel)
+      pSplitLeakage, pDomainMix, pGatedFunnel, pSftRelease)
 }
