@@ -231,6 +231,13 @@ object SkewBench {
     measure("v7_ivfadc_ann")(
       graft.operators.VectorQueries.vIvfAdcAnn.fn(spark, dir).count())
 
+    // v9: filtered ANN — the selective label=3 predicate routes brute
+    // (exact) at both corpus sizes under the default cap; the widened
+    // ADC route's recall/shape is FilteredAnnSpec's job. The skew
+    // question here is the broadcast-probes × filtered-corpus join.
+    measure("v9_filtered_ann")(
+      graft.operators.VectorQueries.vFilteredAnn.fn(spark, dir).count())
+
     // p1/p4 shapes (r12 #7): the END-TO-END release pipeline on the
     // duplicate-heavy hot-language corpus — canonical dedup (2,000
     // boilerplate docs collapsing to 7 canonicals through the

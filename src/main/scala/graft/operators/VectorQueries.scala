@@ -807,6 +807,108 @@ object VectorQueries {
       Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
       storedPqIndex(s, dir).coarse, tau = 0.4, listCap = 2000L))
 
+  /** Metadata-filtered ANN (v9) — the vector-database staple "top-k
+    * nearest WHERE <predicate>": every production vector search is
+    * filtered (tenant, language, freshness), and the two classic
+    * strategies trade places with predicate SELECTIVITY. This operator
+    * routes on a MEASURED match count (the d2 adaptive-gate
+    * discipline):
+    *   - selective predicate (matches ≤ `bruteCap`): exact brute force
+    *     over the filtered corpus — the filtered set is smaller than
+    *     any shortlist machinery, and post-filtering an ANN shortlist
+    *     would strand probes with < k survivors;
+    *   - broad predicate: the stored-IVFADC routed/pruned code scan
+    *     with an OVER-FETCHED shortlist (shortlistN ≫ k), post-filter
+    *     by the predicate, exact cosine re-rank of the survivors.
+    * The brute route is exact (v9's QueryDef predicate is selective at
+    * every driver sf, so the oracle row states the exact filtered
+    * window); the over-fetch route is approximate exactly like
+    * v7 — FilteredAnnSpec gates its recall against filtered brute
+    * ground truth and pins that every result satisfies the predicate.
+    *
+    * Scale shape: the selectivity probe is one count on the staged
+    * filtered frame; the brute route broadcasts probes against the
+    * ≤ bruteCap filtered rows; the broad route reuses v7's
+    * partition-pruned 12-byte/row code scan and bounded top-k
+    * aggregate, adding one left-semi join against the filtered ids
+    * (compact-key, AQE-broadcastable when the filter is tight enough
+    * to matter). At 100 TB the filter NEVER forces a full-embedding
+    * scan on either route.
+    */
+  private[graft] def filteredAnn(s: org.apache.spark.sql.SparkSession,
+                                 idx: PqIndex, emb: DataFrame,
+                                 probes: DataFrame, pred: Column,
+                                 k: Int = 3, bruteCap: Long = 50000L,
+                                 nprobe: Int = 4, shortlistN: Int = 256)
+      : DataFrame = {
+    val filtered = graft.plans.Stage(emb.filter(pred))
+    val nf = filtered.count()
+    val w = Window.partitionBy(col("q")).orderBy(col("__sim").desc, col("nb").asc)
+    val shortlist =
+      if (nf <= bruteCap)
+        broadcast(probes).join(
+          filtered.select(col("vec_id").as("nb"), col("embedding").as("ne")),
+          col("q") =!= col("nb"))
+      else {
+        // post-filtering thins the shortlist by the predicate's pass
+        // rate, so the broad route WIDENS routing and over-fetches by
+        // the MEASURED selectivity (floor 2× on nprobe — the true
+        // neighbors under a filter concentrate less per coarse list):
+        // recall at the widened geometry is gated in FilteredAnnSpec.
+        val sel = math.max(nf.toDouble / math.max(emb.count(), 1L), 1e-6)
+        val nprobeEff = math.min(idx.coarse.length,
+          math.max(nprobe * 2, math.ceil(nprobe / sel).toInt))
+        val shortEff = math.ceil(shortlistN / sel).toInt
+        val keep = filtered.select(col("vec_id").as("nb"))
+        adcShortlist(routedCands(s, idx, probes, nprobeEff), shortEff)
+          .join(keep, Seq("nb"), "left_semi")
+          .filter(col("q") =!= col("nb"))
+          .join(broadcast(probes), "q")
+          .join(emb.select(col("vec_id").as("nb"), col("embedding").as("ne")), "nb")
+      }
+    shortlist
+      .withColumn("__sim", dot(col("qe"), col("ne")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("nb"), round(col("__sim"), 6).as("cosine"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("q", "rank")
+  }
+
+  /** The v9 QueryDef filters on `label = 3` (~10% of the corpus) —
+    * selective at every driver sf under the default bruteCap, so the
+    * exact route engages and the oracle states the plain filtered
+    * window. The broad (over-fetch) route is exercised and
+    * recall-gated in FilteredAnnSpec. */
+  val vFilteredAnn = QueryDef(
+    "v9_filtered_ann",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val probes = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q"), col("embedding").as("qe"))
+      filteredAnn(s, storedPqIndex(s, dir),
+        emb.select(col("vec_id"), col("embedding"), col("label")),
+        probes, pred = col("label") === 3)
+    },
+    Some("""
+      WITH probes AS (SELECT vec_id AS q, embedding AS qe FROM embeddings WHERE vec_id < 50),
+      sims AS (
+        SELECT p.q, c.vec_id AS nb,
+               list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(range(1, len(p.qe) + 1),
+                     i -> CAST(p.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+                 (acc, v) -> acc + v) AS sim
+        FROM probes p, embeddings c
+        WHERE c.vec_id <> p.q AND c.label = 3),
+      ranked AS (
+        SELECT q, nb, sim,
+               ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb ASC) AS rank
+        FROM sims)
+      SELECT q, nb, ROUND(sim, 6) AS cosine, rank
+      FROM ranked WHERE rank <= 3 ORDER BY q, rank"""))
+
   val all: Seq[QueryDef] = Seq(vCosineTopK, vLshAnn, vEmbedDedup, vNormStats,
-    vIvfAnn, vPqAnn, vIvfAdcAnn, vSemanticDedup)
+    vIvfAnn, vPqAnn, vIvfAdcAnn, vSemanticDedup, vFilteredAnn)
 }
