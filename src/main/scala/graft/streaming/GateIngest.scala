@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.functions.RepetitionExpressions.gopherStats
+import graft.operators.{PiiQueries, TextQueries}
+import graft.sources.IndexStore
+
+/** STREAMING curation gate — the front door of a crawl-ingest pipeline
+  * run as a Structured Streaming sink (the fourth stored-table ingest
+  * lifecycle, after DedupIngest / EmbedIngest / SketchIngest): each
+  * micro-batch of arriving `(doc_id, text)` documents is
+  *
+  *  1. GATED map-side — the published Gopher battery (`GopherStats`,
+  *     one kernel call per row, `passes_gopher`) AND the t2 quality
+  *     rule (shared `qualityExpr`, threshold `minQuality`) — exactly
+  *     the batch t23/t9 semantics restricted to the batch;
+  *  2. PII-SCRUBBED — survivors pass through t18's fixed-order
+  *     map-side redaction before anything downstream sees them — and
+  *     handed to `onKept(scrubbed, batchId)` (write to the corpus
+  *     landing zone, feed DedupIngest — caller's choice);
+  *  3. AUDITED — ONE attrition row per batch (docs/tokens in, kept,
+  *     dropped-by-gate split, PII-touched count) appends to the
+  *     STORED audit table at `auditPath` — the gate-health time series
+  *     a curation dashboard reads without replaying the stream.
+  *
+  * Scale shape per batch: the gate and the scrub are pure codegen'd
+  * map work (zero shuffles, zero streaming state — no state store at
+  * any corpus size); the audit is a 1-row driver-side append. Cost is
+  * O(batch), independent of stream lifetime.
+  *
+  * Delivery semantics: `onKept` is at-least-once relative to the
+  * streaming checkpoint (key the sink by batchId — the foreachBatch
+  * discipline). The AUDIT append is EXACTLY-ONCE under crash/replay:
+  * each batch's row publishes under a deterministic per-batchId tag
+  * via sweep-stage-rename ([[IndexStore.publishTaggedAppend]]), so a
+  * replayed batch sweeps its crashed prior attempt and republishes
+  * the same row instead of double-counting — the SketchIngest
+  * contract, shared machinery.
+  */
+object GateIngest {
+
+  private[graft] val auditTable = "gate_audit"
+
+  /** The shared map-side gate + scrub, factored out so the streaming
+    * path and GateIngestSpec's batch-twin assertions can never drift:
+    * returns the batch with `__q`, `passes_gopher`, `kept`, PII counts
+    * and `redacted` columns attached. */
+  private[graft] def gateFrame(batch: DataFrame, minQuality: Double): DataFrame = {
+    val tk = split(col("text"), " ")
+    val gated = batch
+      .withColumn("__q", TextQueries.qualityExpr(tk, length(col("text"))))
+      .withColumn("__gs", gopherStats(tk, split(col("text"), "\n"),
+        TextQueries.stopwords))
+      .withColumn("passes_gopher", col("__gs.passes_gopher"))
+      .drop("__gs")
+      .withColumn("kept", col("passes_gopher") && col("__q") >= minQuality)
+    PiiQueries.piiScrub(gated)
+  }
+
+  /** Build the foreachBatch writer for a streaming `(doc_id, text)`
+    * frame. `auditPath` must be an initialized IndexStore dir (any
+    * existing index path, or a fresh dir — the audit table is created
+    * on first append). The caller sets trigger/checkpoint options and
+    * calls `.start()`. */
+  def gateIngest(docs: DataFrame, auditPath: String,
+                 onKept: (DataFrame, Long) => Unit,
+                 minQuality: Double = 0.25): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      val b = batch.persist()
+      try {
+        if (!b.isEmpty) {
+          val s = b.sparkSession
+          val g = graft.plans.Stage(gateFrame(b.toDF(), minQuality))
+          val kept = g.filter(col("kept"))
+          onKept(kept.withColumn("text", col("redacted"))
+            .drop("redacted", "__q"), batchId)
+          // one audit row; tokens_kept counts the PRE-redaction text so
+          // the attrition math is about the gate, not the placeholders
+          val row = g.agg(
+            count(lit(1)).as("n_in"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            sum(when(!col("passes_gopher"), 1L).otherwise(0L)).as("drop_gopher"),
+            sum(when(col("passes_gopher") && !col("kept"), 1L).otherwise(0L))
+              .as("drop_quality"),
+            sum(size(split(col("text"), " ")).cast("long")).as("tokens_in"),
+            sum(when(col("kept"), size(split(col("text"), " ")).cast("long"))
+              .otherwise(0L)).as("tokens_kept"),
+            sum(when(col("kept") &&
+              (col("n_emails") + col("n_phones") + col("n_ipv4")) > 0, 1L)
+              .otherwise(0L)).as("pii_docs"))
+            .withColumn("batch_id", lit(batchId))
+          IndexStore.publishTaggedAppend(s, auditPath, auditTable,
+            s"b$batchId") { stage =>
+            row.coalesce(1).write.mode("overwrite").parquet(stage)
+          }
+        }
+      } finally b.unpersist()
+    }
+
+  /** Read the accumulated audit table (empty frame if no batch has
+    * published yet). */
+  def auditTableOf(s: org.apache.spark.sql.SparkSession,
+                   auditPath: String): DataFrame =
+    s.read.parquet(IndexStore.tableDataPath(s, auditPath, auditTable))
+}
