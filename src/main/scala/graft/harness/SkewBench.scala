@@ -383,6 +383,13 @@ object SkewBench {
     measure("p8_sft_release")(
       graft.operators.PipelineQueries.pSftRelease.fn(spark, dir).count())
 
+    // mm5: the fingerprint is per-partition map work; the skew corpus's
+    // 2,000-doc template classes share byte mixes, so the fp-keyed
+    // election sees genuinely hot fingerprints — the aggregate must
+    // absorb them map-side.
+    measure("mm5_phash_dedup")(
+      graft.operators.MultimodalQueries.mPhashDedup.fn(spark, dir).count())
+
     // c16: kernel domain extraction + the guarded-broadcast blocklist
     // join — the probe side is the full corpus, the list is tiny.
     measure("c16_blocklist_gate")(

@@ -196,5 +196,72 @@ object MultimodalQueries {
                (a, x) -> a + x) AS BIGINT) AS resized_byte_sum
       FROM m ORDER BY media_id"""))
 
-  val all: Seq[QueryDef] = Seq(mMeta, mDecode, mFrames, mResize)
+  /** Perceptual-hash media dedup (mm5) — the image-dedup step of a
+    * multimodal pipeline (LAION/DataComp dedup by aHash/pHash
+    * equality): fingerprint each payload with an aHash-style 32-bit
+    * code (bit b set iff byte-bin b's mass exceeds the mean bin mass —
+    * INTEGER cross-multiplied compare `cnt·32 > total`, no float
+    * anywhere) over the SAME stubbed decode boundary as mm2 (??? a
+    * real deploy swaps the byte histogram for decoded-pixel cells;
+    * the fingerprint packing, grouping and canonical election are the
+    * operator), then group EXACT fingerprint matches and emit every
+    * member of a ≥2 group with its group size and elected canonical
+    * (min media_id).
+    *
+    * Scale shape: the fingerprint is per-partition map work at the
+    * codec boundary (where the native decoder handle would be
+    * amortized, the mm2 discipline); the duplicate election is one
+    * fingerprint-keyed aggregate + a compact-key join back — payloads
+    * never ride a shuffle. Exact-match semantics keep the oracle
+    * exact; banded-Hamming widening would follow d3's shape.
+    */
+  val mPhashDedup = QueryDef(
+    "mm5_phash_dedup",
+    (s, dir) => {
+      import s.implicits._
+      def phashStub(payload: Array[Byte]): Long = {
+        val cnt = new Array[Long](32)
+        var i = 0
+        while (i < payload.length) { cnt((payload(i) & 0xFF) / 8) += 1L; i += 1 }
+        val total = payload.length.toLong
+        var fp = 0L
+        var b = 0
+        while (b < 32) { if (cnt(b) * 32L > total) fp |= (1L << b); b += 1 }
+        fp
+      }
+      val fps = media(s, dir).select(col("media_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) => (id, phashStub(bytes)) })
+        .toDF("media_id", "phash")
+      val staged = graft.plans.Stage(fps)
+      val groups = staged.groupBy("phash")
+        .agg(count(lit(1)).as("group_size"),
+          min(col("media_id")).as("canonical_id"))
+        .filter(col("group_size") >= 2)
+      staged.join(groups, Seq("phash"))
+        .select(col("media_id"), col("phash"),
+          col("group_size"), col("canonical_id"))
+        .orderBy("media_id")
+    },
+    Some("""
+      WITH codes AS (
+        SELECT doc_id AS media_id, unicode(substring(text, i, 1)) // 8 AS b
+        FROM documents, UNNEST(range(1, len(text) + 1)) AS t(i)),
+      bins AS (
+        SELECT media_id, b, COUNT(*) AS c FROM codes GROUP BY media_id, b),
+      tot AS (SELECT media_id, SUM(c) AS t FROM bins GROUP BY media_id),
+      fp AS (
+        SELECT bins.media_id,
+               SUM(CASE WHEN c * 32 > t THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS phash
+        FROM bins JOIN tot USING (media_id) GROUP BY bins.media_id),
+      grp AS (
+        SELECT phash, COUNT(*) AS group_size, MIN(media_id) AS canonical_id
+        FROM fp GROUP BY phash HAVING COUNT(*) >= 2)
+      SELECT fp.media_id, CAST(fp.phash AS BIGINT) AS phash,
+             grp.group_size, grp.canonical_id
+      FROM fp JOIN grp USING (phash)
+      ORDER BY fp.media_id"""))
+
+  val all: Seq[QueryDef] = Seq(mMeta, mDecode, mFrames, mResize, mPhashDedup)
 }
