@@ -251,10 +251,16 @@ object MultimodalQueries {
         SELECT media_id, b, COUNT(*) AS c FROM codes GROUP BY media_id, b),
       tot AS (SELECT media_id, SUM(c) AS t FROM bins GROUP BY media_id),
       fp AS (
-        SELECT bins.media_id,
-               SUM(CASE WHEN c * 32 > t THEN (CAST(1 AS BIGINT) << b)
-                        ELSE 0 END) AS phash
-        FROM bins JOIN tot USING (media_id) GROUP BY bins.media_id),
+        -- LEFT JOIN from documents so an EMPTY payload keeps its row
+        -- with fingerprint 0, exactly like the Spark stub (mm2's
+        -- empty-document guard, fingerprint form)
+        SELECT d.doc_id AS media_id,
+               COALESCE(SUM(CASE WHEN c * 32 > t THEN (CAST(1 AS BIGINT) << b)
+                                 ELSE 0 END), 0) AS phash
+        FROM documents d
+             LEFT JOIN bins ON bins.media_id = d.doc_id
+             LEFT JOIN tot ON tot.media_id = d.doc_id
+        GROUP BY d.doc_id),
       grp AS (
         SELECT phash, COUNT(*) AS group_size, MIN(media_id) AS canonical_id
         FROM fp GROUP BY phash HAVING COUNT(*) >= 2)

@@ -926,6 +926,10 @@ object SampleQueries {
       .staged
     val raw = docTok.groupBy("w").agg(sum("cnt").as("cr")).staged
     val rawTotals = raw.agg(sum("cr"), count(lit(1))).head
+    // loud beats a bare NPE: an empty / all-whitespace corpus has no
+    // raw LM to fit (same discipline as the target-slice require below)
+    require(!rawTotals.isNullAt(0),
+      "c14_dsir_select: corpus has no tokens — cannot fit the raw LM")
     val nr = rawTotals.getLong(0).toDouble
     val v = rawTotals.getLong(1).toDouble
     val ref = docTok.filter(col("lang") === "en")

@@ -688,6 +688,10 @@ object TextQueries {
       val vocab = sw.groupBy("w").agg(sum("c_sw").as("c_w")).staged
       val totals = sw.groupBy("source").agg(sum("c_sw").as("n_s")).staged
       val grand = vocab.agg(sum("c_w"), count(lit(1))).head
+      // loud beats a bare NPE on an empty / all-whitespace corpus (the
+      // c14/t24 empty-fit discipline)
+      require(!grand.isNullAt(0),
+        "t27_kl_drift: corpus has no tokens — cannot fit the unigram LMs")
       val n = grand.getLong(0).toDouble
       val v = grand.getLong(1).toDouble
       val ps = (coalesce(col("c_sw"), lit(0L)) + alpha) /

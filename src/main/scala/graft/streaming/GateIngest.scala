@@ -49,8 +49,14 @@ object GateIngest {
     * returns the batch with `__q`, `passes_gopher`, `kept`, PII counts
     * and `redacted` columns attached. */
   private[graft] def gateFrame(batch: DataFrame, minQuality: Double): DataFrame = {
+    // a null text must LOSE at the gate, not vanish from the audit: a
+    // NULL riding through split/&&/when would count in n_in but in
+    // NEITHER drop bucket, silently breaking n_in = kept + dropped —
+    // coalesced to "", it fails the Gopher word-count rule and lands
+    // in drop_gopher like any other junk arrival
+    val withText = batch.withColumn("text", coalesce(col("text"), lit("")))
     val tk = split(col("text"), " ")
-    val gated = batch
+    val gated = withText
       .withColumn("__q", TextQueries.qualityExpr(tk, length(col("text"))))
       .withColumn("__gs", gopherStats(tk, split(col("text"), "\n"),
         TextQueries.stopwords))
@@ -59,6 +65,22 @@ object GateIngest {
       .withColumn("kept", col("passes_gopher") && col("__q") >= minQuality)
     PiiQueries.piiScrub(gated)
   }
+
+  /** Gate-internal columns gateFrame attaches — everything `onKept`
+    * must NOT see (the hand-off contract is the caller's own columns
+    * with `text` scrubbed). */
+  private val internalCols =
+    Seq("__q", "passes_gopher", "kept", "n_emails", "n_phones", "n_ipv4",
+      "redacted")
+
+  /** The audit table's schema, fixed here so a pre-publish read can
+    * return the promised EMPTY frame instead of failing on a
+    * nonexistent path. */
+  private val auditSchema = org.apache.spark.sql.types.StructType(
+    Seq("n_in", "n_kept", "drop_gopher", "drop_quality", "tokens_in",
+      "tokens_kept", "pii_docs", "batch_id").map(n =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.LongType, nullable = true)))
 
   /** Build the foreachBatch writer for a streaming `(doc_id, text)`
     * frame. `auditPath` must be an initialized IndexStore dir (any
@@ -75,8 +97,10 @@ object GateIngest {
           val s = b.sparkSession
           val g = graft.plans.Stage(gateFrame(b.toDF(), minQuality))
           val kept = g.filter(col("kept"))
+          // hand off the CALLER's columns only, text scrubbed — no
+          // gate internals ride into the corpus landing zone
           onKept(kept.withColumn("text", col("redacted"))
-            .drop("redacted", "__q"), batchId)
+            .drop(internalCols: _*), batchId)
           // one audit row; tokens_kept counts the PRE-redaction text so
           // the attrition math is about the gate, not the placeholders
           val row = g.agg(
@@ -101,8 +125,16 @@ object GateIngest {
     }
 
   /** Read the accumulated audit table (empty frame if no batch has
-    * published yet). */
+    * published yet — a dashboard polling an idle stream must not
+    * throw on the not-yet-created path). */
   def auditTableOf(s: org.apache.spark.sql.SparkSession,
-                   auditPath: String): DataFrame =
-    s.read.parquet(IndexStore.tableDataPath(s, auditPath, auditTable))
+                   auditPath: String): DataFrame = {
+    val path = IndexStore.tableDataPath(s, auditPath, auditTable)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      s.read.parquet(path)
+    else
+      s.createDataFrame(s.sparkContext.emptyRDD[Row], auditSchema)
+  }
 }

@@ -113,6 +113,13 @@ class DsirSelectSpec extends AnyFunSuite {
     if (kLow._7) assert(kHigh._7)
   }
 
+  test("an all-whitespace corpus aborts loudly instead of NPEing") {
+    val e = intercept[IllegalArgumentException] {
+      run(Seq((1L, " ", "en", "s0"), (2L, "  ", "fr", "s1")))
+    }
+    assert(e.getMessage.contains("no tokens"))
+  }
+
   test("empty target slice aborts loudly") {
     val e = intercept[IllegalArgumentException] {
       run(corpus.map { case (id, t, _, s) => (id, t, "fr", s) })

@@ -33,11 +33,20 @@ class GateIngestSpec extends AnyFunSuite {
   private def corpus: Seq[(Long, String)] =
     (0 until 30).map { i =>
       val t =
-        if (i % 3 == 2) junkText(i)
+        if (i == 7) null // a null-text arrival must LOSE at the gate, not vanish
+        else if (i % 3 == 2) junkText(i)
         else if (i == 4) goodText(i) + " contact me at jane.doe@example.com now"
         else goodText(i)
       (i.toLong, t)
     }
+
+  test("auditTableOf on a not-yet-published path returns the promised empty frame") {
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_gate_fresh").toString + "/gate"
+    val df = GateIngest.auditTableOf(spark, fresh)
+    assert(df.count() == 0L)
+    assert(df.columns.contains("n_in") && df.columns.contains("batch_id"))
+  }
 
   test("gate ingest: batch-twin kept set, scrubbed PII, exact audit, replay-safe") {
     implicit val sqlCtx = spark.sqlContext
@@ -48,10 +57,14 @@ class GateIngestSpec extends AnyFunSuite {
 
     val src = MemoryStream[(Long, String)]
     val kept = scala.collection.mutable.SortedMap[Long, Seq[(Long, String)]]()
+    val keptCols = scala.collection.mutable.Set[Seq[String]]()
     val q = GateIngest.gateIngest(
         src.toDF().toDF("doc_id", "text"), auditPath,
-        (df, batchId) => kept(batchId) =
-          df.select("doc_id", "text").as[(Long, String)].collect().toSeq)
+        (df, batchId) => {
+          keptCols += df.columns.toSeq
+          kept(batchId) =
+            df.select("doc_id", "text").as[(Long, String)].collect().toSeq
+        })
       .queryName("gate_ingest").start()
     try {
       src.addData(corpus.take(15))
@@ -72,20 +85,29 @@ class GateIngestSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.size < corpus.size,
       "gate must keep some and drop some, or the test is vacuous")
 
+    // the hand-off carries the CALLER's columns only — no gate internals
+    assert(keptCols.toSet == Set(Seq("doc_id", "text")))
+
     // PII scrubbed before emission
     val pii = streamed.find(_._1 == 4L).get._2
     assert(pii.contains("[EMAIL]") && !pii.contains("example.com"))
 
-    // audit: one row per batch, exact attrition numbers
+    // audit: one row per batch, exact attrition numbers; the null-text
+    // arrival (doc 7) loses at the Gopher gate instead of vanishing,
+    // so every row satisfies n_in = n_kept + drop_gopher + drop_quality
     val audit = GateIngest.auditTableOf(spark, auditPath)
       .orderBy("batch_id")
-      .select("batch_id", "n_in", "n_kept", "drop_gopher", "pii_docs")
-      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .select("batch_id", "n_in", "n_kept", "drop_gopher", "drop_quality",
+        "pii_docs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(audit.map(_._1) == Seq(0L, 1L))
     assert(audit.map(_._2).sum == corpus.size.toLong)
     assert(audit.map(_._3).sum == streamed.size.toLong)
-    assert(audit.map(_._4).sum == corpus.count(_._2.contains("####")).toLong)
-    assert(audit.map(_._5).sum == 1L)
+    audit.foreach(r => assert(r._2 == r._3 + r._4 + r._5,
+      s"audit row $r violates n_in = kept + dropped"))
+    assert(audit.map(_._4).sum ==
+      corpus.count(t => t._2 != null && t._2.contains("####")).toLong + 1L)
+    assert(audit.map(_._6).sum == 1L)
 
     // exactly-once: replaying the last batch's tagged append (what a
     // restart does after a crash between append and checkpoint commit)
@@ -110,8 +132,9 @@ class GateIngestSpec extends AnyFunSuite {
     }
     val after = GateIngest.auditTableOf(spark, auditPath)
       .orderBy("batch_id")
-      .select("batch_id", "n_in", "n_kept", "drop_gopher", "pii_docs")
-      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .select("batch_id", "n_in", "n_kept", "drop_gopher", "drop_quality",
+        "pii_docs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(after == audit, "replayed audit append must not double-count")
   }
 }

@@ -82,6 +82,13 @@ class KlDriftSpec extends AnyFunSuite {
     assert(got.forall(r => !r._3.isNaN && !r._3.isInfinite))
   }
 
+  test("an all-whitespace corpus aborts loudly instead of NPEing") {
+    val e = intercept[IllegalArgumentException] {
+      run(Seq((1L, " ", "s0"), (2L, "  ", "s1")))
+    }
+    assert(e.getMessage.contains("no tokens"))
+  }
+
   test("layout invariance") {
     val df = docsOf(corpus)
     def go(d: DataFrame) = TextQueries.klDriftOf(d)

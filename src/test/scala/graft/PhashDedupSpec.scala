@@ -53,6 +53,12 @@ class PhashDedupSpec extends AnyFunSuite {
     assert(out.isEmpty)
   }
 
+  test("empty payloads keep their row with fingerprint 0 and group together") {
+    val out = run(Seq((1L, ""), (2L, ""), (3L, "regular words here today")))
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(out.forall(r => r._2 == 0L && r._3 == 2L && r._4 == 1L))
+  }
+
   test("layout invariance: grouping is partition-independent") {
     val big = (0 until 40).map(i => (i.toLong,
       if (i % 2 == 0) "shared payload shape here with words"
