@@ -390,6 +390,11 @@ object SkewBench {
     measure("mm5_phash_dedup")(
       graft.operators.MultimodalQueries.mPhashDedup.fn(spark, dir).count())
 
+    // c17: one token-count aggregate + driver math — the measurement
+    // pins that the plan stays aggregate-bound as the corpus grows.
+    measure("c17_water_fill")(
+      graft.operators.SampleQueries.cWaterFill.fn(spark, dir).count())
+
     // c16: kernel domain extraction + the guarded-broadcast blocklist
     // join — the probe side is the full corpus, the list is tiny.
     measure("c16_blocklist_gate")(

@@ -1167,8 +1167,121 @@ object SampleQueries {
       FROM dmn d LEFT JOIN bl ON d.domain = bl.domain
       ORDER BY d.doc_id"""))
 
+  /** Water-filling token-budget allocation (c17) — the mix-planning
+    * step between c7's target WEIGHTS and c10's per-source CAPS: given
+    * a global training budget B, per-source availability a_s (tokens
+    * actually on disk) and target weights w_s (c7's temperature rule,
+    * w = round(√a, 6) — rare sources up-weighted), allocate
+    *   quota_s = min(a_s, λ·w_s)   with λ solving Σ quota = B —
+    * the classic water-filling solution: sources whose availability
+    * runs out before their weighted share saturate at a_s, and the
+    * remaining budget re-levels across the others. This is the
+    * arithmetic every mix plan does when target proportions meet
+    * finite sources (the "requested 30% books but only have 12%"
+    * problem); emitting it as a plan row per source makes the
+    * re-leveling auditable instead of silent.
+    *
+    * Scale shape: one token-count aggregate with map-side partials →
+    * |sources| rows; the water-filling scan is driver-side over those
+    * rows (the c5 bin-walk argument — |sources| is dashboard-sized at
+    * any corpus size). Quotas are floors of round-6 products, so the
+    * plan under-allocates by at most |sources| tokens — never over.
+    * Budget ≥ total availability degenerates to quota = a_s for all.
+    *
+    * Determinism: a_s integer-exact; w_s round-6; the breakpoint scan
+    * compares f_j = A_j + ratio_j·(W − W_j) against B with the same
+    * doubles on both engines; quota = floor(round(λ·w, 6)).
+    */
+  private[graft] def waterFillOf(docs: org.apache.spark.sql.DataFrame,
+                                 budget: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    val avail = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("a"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(avail.nonEmpty, "c17_water_fill: corpus has no sources")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = avail.map { case (src, a) => (src, a, r6(math.sqrt(a.toDouble))) }
+    val totalA = rows.map(_._2).sum
+    val out: Seq[(String, Long, Double, Long, Boolean)] =
+      if (budget >= totalA)
+        rows.map { case (src, a, w) => (src, a, w, a, true) }.toSeq
+      else {
+        // sorted by saturation breakpoint a/w; find the first j where
+        // allocating λ = ratio_j already covers B → the saturated set
+        // is the strict prefix before j
+        val byRatio = rows.sortBy { case (src, a, w) => (a / w, src) }
+        val n = byRatio.length
+        val cumA = byRatio.scanLeft(0L)(_ + _._2).tail // A_1..A_n
+        val sumW = byRatio.map(x => BigDecimal(x._3)).sum
+        val cumW = byRatio.scanLeft(BigDecimal(0))(_ + _._3).tail
+        var j = 0
+        var found = false
+        while (j < n && !found) {
+          val ratio = byRatio(j)._2 / byRatio(j)._3
+          val fj = (if (j == 0) 0L else cumA(j - 1)).toDouble +
+            ratio * (sumW - (if (j == 0) BigDecimal(0) else cumW(j - 1))).toDouble
+          if (fj >= budget) found = true else j += 1
+        }
+        // j < n always here (budget < totalA ⇒ f_n = totalA ≥ budget)
+        val aPrev = if (j == 0) 0L else cumA(j - 1)
+        val wRest = (sumW - (if (j == 0) BigDecimal(0) else cumW(j - 1))).toDouble
+        val lam = (budget - aPrev).toDouble / wRest
+        val saturated = byRatio.take(j).map(_._1).toSet
+        rows.map { case (src, a, w) =>
+          if (saturated(src)) (src, a, w, a, true)
+          else (src, a, w, math.floor(r6(lam * w)).toLong, false)
+        }.toSeq
+      }
+    import s.implicits._
+    out.toDF("source", "available_tokens", "weight", "quota_tokens",
+        "saturated")
+      .orderBy("source")
+  }
+
+  val cWaterFill = QueryDef(
+    "c17_water_fill",
+    (s, dir) => waterFillOf(Tables.documents(s, dir), budget = 10000L),
+    Some("""
+      WITH a AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS a
+        FROM documents GROUP BY source),
+      b AS (SELECT source, a, ROUND(SQRT(a), 6) AS w FROM a),
+      r AS (SELECT *, a / w AS ratio,
+                   ROW_NUMBER() OVER (ORDER BY a / w, source) AS k
+            FROM b),
+      c AS (SELECT *,
+                   SUM(a) OVER (ORDER BY k) AS ca,
+                   CAST(SUM(CAST(w AS DECIMAL(28,6))) OVER (ORDER BY k)
+                     AS DOUBLE) AS cw
+            FROM r),
+      tot AS (SELECT SUM(a) AS ta,
+                     CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS tw
+              FROM b),
+      f AS (SELECT c.*, tot.ta, tot.tw,
+                   (ca - a) + ratio * (tw - (cw - w)) AS fj
+            FROM c CROSS JOIN tot),
+      j AS (SELECT * FROM f WHERE fj >= 10000 ORDER BY k LIMIT 1),
+      lam AS (SELECT CASE WHEN (SELECT ta FROM tot) <= 10000 THEN NULL
+                          ELSE (10000 - (j.ca - j.a)) / (j.tw - (j.cw - j.w))
+                     END AS lam
+              FROM j)
+      SELECT rb.source, rb.a AS available_tokens, rb.w AS weight,
+             CASE WHEN (SELECT ta FROM tot) <= 10000 THEN rb.a
+                  WHEN rb.k < (SELECT k FROM j) THEN rb.a
+                  ELSE CAST(FLOOR(ROUND((SELECT lam FROM lam) * rb.w, 6)) AS BIGINT)
+             END AS quota_tokens,
+             ((SELECT ta FROM tot) <= 10000 OR rb.k < (SELECT k FROM j))
+               AS saturated
+      FROM r AS rb
+      ORDER BY rb.source"""))
+
   val all: Seq[QueryDef] =
     Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
       cMixResample, cShardShuffle, cSnapshotDiff, cSourceCap, cEpochShardPlan,
-      cDomainCap, cDsirSelect, cAnnealPlan, cBlocklistGate)
+      cDomainCap, cDsirSelect, cAnnealPlan, cBlocklistGate, cWaterFill)
 }
