@@ -1200,7 +1200,9 @@ object SampleQueries {
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n"))
       .groupBy("source").agg(sum("n").as("a"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
+      // a null source (permitted by the JSONL ingest contract) is a
+      // real group — Option ordering keeps it from NPEing the sorts
+      .sortBy(r => Option(r._1))
     require(avail.nonEmpty, "c17_water_fill: corpus has no sources")
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1213,20 +1215,23 @@ object SampleQueries {
         // sorted by saturation breakpoint a/w; find the first j where
         // allocating λ = ratio_j already covers B → the saturated set
         // is the strict prefix before j
-        val byRatio = rows.sortBy { case (src, a, w) => (a / w, src) }
+        val byRatio = rows.sortBy { case (src, a, w) => (a / w, Option(src)) }
         val n = byRatio.length
         val cumA = byRatio.scanLeft(0L)(_ + _._2).tail // A_1..A_n
         val sumW = byRatio.map(x => BigDecimal(x._3)).sum
         val cumW = byRatio.scanLeft(BigDecimal(0))(_ + _._3).tail
         var j = 0
         var found = false
-        while (j < n && !found) {
+        while (j < n - 1 && !found) {
           val ratio = byRatio(j)._2 / byRatio(j)._3
           val fj = (if (j == 0) 0L else cumA(j - 1)).toDouble +
             ratio * (sumW - (if (j == 0) BigDecimal(0) else cumW(j - 1))).toDouble
           if (fj >= budget) found = true else j += 1
         }
-        // j < n always here (budget < totalA ⇒ f_n = totalA ≥ budget)
+        // budget < totalA ⇒ mathematically some f_j ≥ budget; the loop
+        // CLAMPS to the last breakpoint (j = n-1) rather than trusting
+        // float-exact f_n ≥ budget, so a few-ulp shortfall can never
+        // flip the whole corpus to "saturated" and over-allocate
         val aPrev = if (j == 0) 0L else cumA(j - 1)
         val wRest = (sumW - (if (j == 0) BigDecimal(0) else cumW(j - 1))).toDouble
         val lam = (budget - aPrev).toDouble / wRest
@@ -1256,18 +1261,25 @@ object SampleQueries {
             FROM b),
       c AS (SELECT *,
                    SUM(a) OVER (ORDER BY k) AS ca,
-                   CAST(SUM(CAST(w AS DECIMAL(28,6))) OVER (ORDER BY k)
-                     AS DOUBLE) AS cw
+                   SUM(CAST(w AS DECIMAL(28,6))) OVER (ORDER BY k) AS cwd
             FROM r),
       tot AS (SELECT SUM(a) AS ta,
-                     CAST(SUM(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS tw
+                     SUM(CAST(w AS DECIMAL(28,6))) AS twd
               FROM b),
-      f AS (SELECT c.*, tot.ta, tot.tw,
-                   (ca - a) + ratio * (tw - (cw - w)) AS fj
+      -- the weight tail subtracts in DECIMAL and casts ONCE, mirroring
+      -- the Scala BigDecimal order of operations exactly
+      f AS (SELECT c.*, tot.ta,
+                   CAST(tot.twd - (c.cwd - CAST(c.w AS DECIMAL(28,6)))
+                     AS DOUBLE) AS wtail
             FROM c CROSS JOIN tot),
-      j AS (SELECT * FROM f WHERE fj >= 10000 ORDER BY k LIMIT 1),
+      f2 AS (SELECT *, (ca - a) + ratio * wtail AS fj FROM f),
+      -- first breakpoint covering B, CLAMPED to the last breakpoint
+      -- when float shortfall leaves none (the Scala loop's clamp)
+      j AS (SELECT * FROM f2
+            WHERE fj >= 10000 OR k = (SELECT MAX(k) FROM f2)
+            ORDER BY k LIMIT 1),
       lam AS (SELECT CASE WHEN (SELECT ta FROM tot) <= 10000 THEN NULL
-                          ELSE (10000 - (j.ca - j.a)) / (j.tw - (j.cw - j.w))
+                          ELSE (10000 - (j.ca - j.a)) / j.wtail
                      END AS lam
               FROM j)
       SELECT rb.source, rb.a AS available_tokens, rb.w AS weight,

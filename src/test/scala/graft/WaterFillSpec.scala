@@ -59,6 +59,22 @@ class WaterFillSpec extends AnyFunSuite {
     assert(out.forall(r => r._4 == r._2 && r._5))
   }
 
+  test("a null source (permitted by the JSONL ingest contract) is a real group") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, (1 to 100).map(j => s"w$j").mkString(" "), "s0"),
+      (2L, (1 to 50).map(j => s"w$j").mkString(" "), null))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val out = SampleQueries.waterFillOf(df, 60L)
+      .select("source", "quota_tokens").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(out.size == 2)
+    assert(out.exists(_._1.isEmpty)) // the null group got a plan row
+    assert(out.map(_._2).sum <= 60L)
+  }
+
   test("empty corpus aborts loudly") {
     val e = intercept[IllegalArgumentException] {
       run(Nil, 100L)
