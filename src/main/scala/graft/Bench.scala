@@ -22,7 +22,16 @@ object Bench {
     // without re-running the whole catalog.
     val headline = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .fold(all)(sel => all.view.filterKeys(sel).toMap)
+      .fold(all) { sel =>
+        // a typo'd / stale selector name would otherwise silently
+        // shrink the run — a focused re-measure that measures nothing
+        // must FAIL, not appear to succeed (r15 ADVICE #3)
+        val unknown = sel -- all.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not in the bench catalog: " +
+            s"${unknown.toSeq.sorted.mkString(", ")}")
+        all.view.filterKeys(sel).toMap
+      }
     // JVM/codegen warm-up so the first timed query isn't charged for it:
     // one relational shape, one aggregation shape, and one tiny harness
     // battery (the generator + LocalBattery JIT otherwise lands entirely

@@ -12,9 +12,11 @@ import org.apache.spark.unsafe.types.UTF8String
 /** One-pass set-Jaccard over two array<string> columns — value-
   * identical to `size(array_intersect(a,b)) / size(array_union(a,b))`
   * (distinct-element semantics, double division) wherever that form is
-  * defined; on TWO empty arrays the kernel yields NaN where the HOF
-  * form raises under ANSI mode — unreachable from d2/d8 (shingle
-  * arrays are non-empty), pinned in JaccardSimSpec. All this without
+  * defined; on TWO empty arrays the kernel yields 0.0 (NOT NaN — NaN
+  * sorts greater than every double in Spark SQL, so a `>= threshold`
+  * filter would pass an ∅~∅ pair) where the HOF form raises under
+  * ANSI mode — unreachable from d2/d8 (shingle arrays are non-empty),
+  * pinned in JaccardSimSpec. All this without
   * MATERIALIZING either intermediate array: the
   * HOF form builds two result arrays (each with its own dedup hash
   * table) per pair, which dominated the d2 exact-verify stage at 24M
@@ -43,7 +45,12 @@ object JaccardSim {
       j += 1
     }
     val union = sa.size + nbDistinct - inter
-    inter.toDouble / union.toDouble
+    // two empty arrays: 0/0 would be NaN, and Spark SQL sorts NaN
+    // GREATER than every double, so a `sim >= threshold` verify filter
+    // would PASS such a pair — define ∅~∅ as 0.0 in the kernel so the
+    // invariant holds for any caller, not just the non-empty-shingle
+    // contract upstream (r15 ADVICE #1)
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 }
 

@@ -145,7 +145,13 @@ object SkewBench {
     // whole harness — the Bench.scala SPARK_GRAFT_BENCH_ONLY discipline.
     val only = sys.env.get("GRAFT_SKEW_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // measure names are declared at call sites, so selector validation
+    // happens at the END of the run: any selected name never seen is a
+    // typo / stale name and the focused run must FAIL rather than
+    // silently measure nothing (r15 ADVICE #3)
+    val seen = scala.collection.mutable.Set.empty[String]
     def measure(name: String)(run: => Long): Unit = {
+      seen += name
       if (only.exists(sel => !sel(name))) return
       // untimed warm pass: pays Janino codegen/JIT and any one-time
       // index build, so the timed pass measures steady-state query cost
@@ -423,6 +429,12 @@ object SkewBench {
     measure("p6_split_leakage")(
       graft.operators.PipelineQueries.pSplitLeakage.fn(spark, dir).count())
 
+    only.foreach { sel =>
+      val unknown = sel -- seen
+      require(unknown.isEmpty,
+        s"GRAFT_SKEW_ONLY names not in the skew harness: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
     spark.stop()
   }
 }

@@ -18,14 +18,27 @@ import graft.stats.{Design, Glm}
   * Scale design: the feature pass is computed ONCE and staged — the
   * R-parity IRLS ([[graft.stats.Glm.logistic]]) then runs each
   * iteration as one distributed fused-Gramian pass over the staged
-  * features (N+1 scans total for N updates), coefficients return to
-  * the plan as literals, and scoring is a map-side codegen'd
-  * expression. Nothing about the fit or the scoring holds per-row
-  * state on the driver; a 100 TB corpus costs the same ~5 scans.
+  * features (N+1 scans total for N updates), coefficients are stored
+  * via the IndexStore discipline (train once, score many — the
+  * production lifecycle: the model that scored yesterday's corpus is
+  * the model that scores today's increment) and return to the plan as
+  * literals, and scoring is a map-side codegen'd expression. Nothing
+  * about the fit or the scoring holds per-row state on the driver; a
+  * 100 TB corpus costs the same ~5 scans to fit and ONE to score.
   *
-  * Rows-only (IRLS has no SQL analogue); pinned, with the semantics
-  * (learning actually happened, R-parity convergence, determinism)
-  * gated in QualityClassifierSpec.
+  * Oracle (r16, upgraded from a pin — the h1 committed-fixture
+  * discipline): the deterministic fitted coefficients are committed at
+  * full double precision in oracles/t16_coefs.csv keyed by corpus doc
+  * count (regenerate: `Test/runMain graft.ProbeMain oraclefix` after an
+  * intentional feature/IRLS change); DuckDB recomputes the features and
+  * the closed-form dot-product + sigmoid scoring from them. The compare
+  * therefore checks BOTH that the live IRLS still reproduces the
+  * committed coefficients (any fit drift moves every score) AND that
+  * the scoring math is cross-engine exact. Only the FIT is
+  * DuckDB-inexpressible — freezing it makes everything downstream
+  * closed-form SQL. Features are rounded at 6 before both fit and
+  * scoring (the c14/t24 float discipline: ln() may differ by 1 ulp
+  * across engines; round-6 absorbs it).
   */
 object ClassifierQueries {
 
@@ -39,9 +52,9 @@ object ClassifierQueries {
     QueryDef.spread(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk"))
       .select(col("doc_id"),
-        TextQueries.stopRatio(col("tk")).as("stop_ratio"),
-        TextQueries.typeTokenRatio(col("tk")).as("ttr"),
-        log(size(col("tk")).cast("double")).as("log_len"),
+        round(TextQueries.stopRatio(col("tk")), 6).as("stop_ratio"),
+        round(TextQueries.typeTokenRatio(col("tk")), 6).as("ttr"),
+        round(log(size(col("tk")).cast("double")), 6).as("log_len"),
         when(TextQueries.qualityExpr(col("tk"), col("n_chars")) >= 0.64, 1.0)
           .otherwise(0.0).as("y"))
       .staged
@@ -52,16 +65,87 @@ object ClassifierQueries {
     ("ttr", col("ttr")),
     ("log_len", col("log_len")))
 
+  // read-back memo, keyed (appId, dir, meta) like pqIndexMemo: the
+  // weights table is 4 rows but the read is per-invocation; the meta
+  // key includes the source stamp so a regenerated corpus within one
+  // application refits instead of serving stale weights
+  private val weightsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Array[Double]]()
+
+  /** Train-once-then-read the persisted classifier weights (the t19
+    * stored-vocab discipline applied to model coefficients): the IRLS
+    * fit runs only when the store is absent or its source/design stamp
+    * moved; every later invocation — including every scoring run on a
+    * corpus increment — reads 4 rows. The stored artifact is what makes
+    * scores REPRODUCIBLE across runs and machines: a refit on a
+    * different executor count yields bit-identical coefficients (the
+    * decimal-cast Gramian discipline), but the store removes even that
+    * recompute from the scoring path. */
+  def storedQualityWeights(s: org.apache.spark.sql.SparkSession,
+                           dir: String): Array[Double] = {
+    val path = graft.sources.IndexStore.indexPath(dir, "t16_logit")
+    val meta = s"v1|design=${design.names.mkString(",")}|" +
+      s"src=${graft.sources.IndexStore.sourceStamp(s, s"$dir/documents.parquet")}"
+    val appId = s.sparkContext.applicationId
+    weightsMemo.keySet.removeIf(k =>
+      k._1 == appId && k._2 == dir && k._3 != meta)
+    weightsMemo.computeIfAbsent((appId, dir, meta), _ => {
+      graft.sources.IndexStore.ensure(s, path, meta) {
+        val fit = Glm.logistic(featureFrame(s, dir), design, col("y"))
+        require(fit.converged,
+          "t16_quality_classifier: IRLS did not converge — refusing to " +
+            "store weights from an unconverged fit")
+        val rows = design.names.zip(fit.coef.toArray).zipWithIndex.map {
+          case ((name, v), i) => (i, name, v)
+        }
+        import s.implicits._
+        rows.toSeq.toDF("idx", "name", "value")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/weights")
+      }
+      s.read.parquet(s"$path/weights").collect()
+        .sortBy(_.getInt(0)).map(_.getDouble(2))
+    })
+  }
+
   val tQualityClassifier = QueryDef(
     "t16_quality_classifier",
     (s, dir) => {
-      val base = featureFrame(s, dir)
-      val fit = Glm.logistic(base, design, col("y"))
-      base.select(col("doc_id"), col("y").cast("long").as("label"),
-          round(fit.predict(design), 6).as("p_keep"))
+      val beta = storedQualityWeights(s, dir)
+      featureFrame(s, dir)
+        .select(col("doc_id"), col("y").cast("long").as("label"),
+          round(lit(1.0) / (lit(1.0) + exp(-design.dot(beta.toSeq))), 6)
+            .as("p_keep"))
         .withColumn("keep", col("p_keep") >= 0.5)
         .orderBy("doc_id")
-    })
+    },
+    // The coefficient fixture is keyed by (COUNT(*), SUM(n_chars)) over
+    // documents — n_docs alone collides across sf0.001/sf0.01 — and an
+    // sf with no committed row empties the cross join and fails the
+    // row-count gate LOUDLY instead of comparing against wrong weights.
+    Some("""
+      WITH w AS (SELECT * FROM read_csv_auto('/root/repo/oracles/t16_coefs.csv', header=true)),
+      sel AS (SELECT b0, b1, b2, b3 FROM w
+              WHERE n_docs = (SELECT COUNT(*) FROM documents)
+                AND sum_chars = (SELECT SUM(n_chars) FROM documents)),
+      b AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+            FROM documents),
+      f AS (SELECT doc_id,
+                   ROUND(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / nt, 6) AS sr,
+                   ROUND(len(list_distinct(tk)) / nt, 6) AS ttr,
+                   ROUND(ln(nt), 6) AS ll,
+                   CASE WHEN ROUND(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+                         + (len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / nt) * 0.25
+                         + (len(list_distinct(tk)) / nt) * 0.25, 6) >= 0.64
+                        THEN 1 ELSE 0 END AS label
+            FROM b),
+      sc AS (SELECT doc_id, label,
+                    ROUND(1.0 / (1.0 + exp(-(sel.b0 + f.sr * sel.b1
+                      + f.ttr * sel.b2 + f.ll * sel.b3))), 6) AS p_keep
+             FROM f CROSS JOIN sel)
+      SELECT doc_id, CAST(label AS BIGINT) AS label, p_keep,
+             p_keep >= 0.5 AS keep
+      FROM sc ORDER BY doc_id"""))
 
   val all: Seq[QueryDef] = Seq(tQualityClassifier)
 }

@@ -63,7 +63,7 @@ object HarnessQueries {
       t AS (SELECT *, CASE WHEN coef = 'Intercept' THEN -2.0 ELSE 5.0 END AS truth FROM pr)
       SELECT CAST(n_internal AS INT) AS n_internal,
              CAST(n_external AS INT) AS n_external, coef, method,
-             ROUND(AVG(estimate), 6) AS avg_estimate,
+             ROUND(AVG(estimate), 6) + 0.0 AS avg_estimate,
              ROUND(stddev_pop(estimate), 6) AS empirical_se,
              ROUND(sqrt(AVG(power(estimate - truth, 2))), 6) AS rmse,
              ROUND(AVG(CASE WHEN covered THEN 1.0 ELSE 0.0 END), 6) AS coverage,
@@ -112,7 +112,7 @@ object HarnessQueries {
     Some("""
       WITH pr AS (SELECT * FROM read_csv_auto('/root/repo/oracles/h2_per_rep.csv', header=true))
       SELECT scenario, coef, method,
-             ROUND(AVG(estimate), 6) AS avg_estimate,
+             ROUND(AVG(estimate), 6) + 0.0 AS avg_estimate,
              ROUND(AVG(se), 6) AS analytical_se
       FROM pr GROUP BY scenario, coef, method
       ORDER BY scenario, coef"""))
@@ -159,9 +159,9 @@ object HarnessQueries {
              CAST(n_external AS INT) AS "External Sample Size",
              coef AS "Coefficient Name",
              method AS "Method",
-             ROUND(true_value, 3) AS "True Value",
-             ROUND(avg_estimate, 3) AS "Avg Estimate",
-             printf('%.3f', ROUND(avg_estimate, 3)) || ' (' ||
+             ROUND(true_value, 3) + 0.0 AS "True Value",
+             ROUND(avg_estimate, 3) + 0.0 AS "Avg Estimate",
+             printf('%.3f', ROUND(avg_estimate, 3) + 0.0) || ' (' ||
                printf('%.3f', ROUND(analytical_se, 3)) || ')' AS "Estimate (SE)",
              ROUND(empirical_se, 3) AS "Empirical Standard Error",
              CASE WHEN method = 'WCLS-Pooled' THEN 'N/A'

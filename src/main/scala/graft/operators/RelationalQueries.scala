@@ -347,8 +347,8 @@ object RelationalQueries {
                ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE), 4) / COUNT(*) AS avg_bal
         FROM customer GROUP BY c_mktsegment)
       -- avg = rounded-exact decimal sum / count: identical doubles both engines
-      SELECT p.c_mktsegment, ROUND(p.avg_bal, 4) AS avg_bal,
-             ROUND(p.avg_bal / b.avg_bal, 6) AS ratio_vs_building
+      SELECT p.c_mktsegment, ROUND(p.avg_bal, 4) + 0.0 AS avg_bal,
+             ROUND(p.avg_bal / b.avg_bal, 6) + 0.0 AS ratio_vs_building
       FROM per p, (SELECT avg_bal FROM per WHERE c_mktsegment = 'BUILDING') b
       ORDER BY p.c_mktsegment"""))
 
@@ -406,8 +406,8 @@ object RelationalQueries {
                ROUND(CAST(SUM(CAST(CAST(event_id % 1000 AS DOUBLE) * CAST(event_id % 1000 AS DOUBLE) AS DECIMAL(30,0))) AS DOUBLE), 4) AS sxx
         FROM events GROUP BY event_type)
       SELECT event_type, CAST(n AS BIGINT) AS n,
-             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope,
-             ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept
+             ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) + 0.0 AS slope,
+             ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) + 0.0 AS intercept
       FROM m ORDER BY event_type"""))
 
   /** Moment statistics via exact sums (A5 empirical-SE pattern). */

@@ -952,8 +952,13 @@ object SampleQueries {
     docTok.join(lr, Seq("w"))
       .groupBy("doc_id", "source", "lang")
       .agg(sum("cnt").as("n_tokens"),
-        round(QueryDef.dsum(col("lr") * col("cnt"), 6).cast("double") /
-          sum("cnt"), 4).as("dsir_logratio"))
+        // + 0.0 normalizes IEEE -0.0 → +0.0: DuckDB's ROUND keeps the
+        // sign of a tiny-negative mean while Spark's BigDecimal HALF_UP
+        // round does not, and the driver's hash stringifies the sign
+        // ("-0.000000" ≠ "0.000000") even though the values compare
+        // equal — both engines normalize (r15 verdict finding #1)
+        (round(QueryDef.dsum(col("lr") * col("cnt"), 6).cast("double") /
+          sum("cnt"), 4) + lit(0.0)).as("dsir_logratio"))
       .withColumn("score",
         round(lit(1.0) / (lit(1.0) + exp(-col("dsir_logratio"))), 6))
       .withColumn("kept",
@@ -986,7 +991,7 @@ object SampleQueries {
       sc AS (SELECT doc_id, source, lang,
                     CAST(SUM(cnt) AS BIGINT) AS n_tokens,
                     ROUND(CAST(SUM(CAST(lr * cnt AS DECIMAL(30,6))) AS DOUBLE)
-                      / SUM(cnt), 4) AS dsir_logratio
+                      / SUM(cnt), 4) + 0.0 AS dsir_logratio
              FROM dt JOIN lr ON dt.w = lr.w
              GROUP BY doc_id, source, lang)
       SELECT doc_id, source, lang, n_tokens, dsir_logratio,
@@ -1201,8 +1206,9 @@ object SampleQueries {
       .groupBy("source").agg(sum("n").as("a"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
       // a null source (permitted by the JSONL ingest contract) is a
-      // real group — Option ordering keeps it from NPEing the sorts
-      .sortBy(r => Option(r._1))
+      // real group — NULLS LAST everywhere in this operator, matching
+      // DuckDB's default for the oracle's ORDER BY (r15 ADVICE #2)
+      .sortBy(r => nullsLastKey(r._1))
     require(avail.nonEmpty, "c17_water_fill: corpus has no sources")
     def r6(x: Double) =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1215,7 +1221,11 @@ object SampleQueries {
         // sorted by saturation breakpoint a/w; find the first j where
         // allocating λ = ratio_j already covers B → the saturated set
         // is the strict prefix before j
-        val byRatio = rows.sortBy { case (src, a, w) => (a / w, Option(src)) }
+        // tie-break NULLS LAST, mirroring the oracle's
+        // ROW_NUMBER() OVER (ORDER BY a / w, source) under DuckDB's
+        // nulls-last default — on an exact a/w tie involving the null
+        // group both engines must elect the same saturated prefix
+        val byRatio = rows.sortBy { case (src, a, w) => (a / w, nullsLastKey(src)) }
         val n = byRatio.length
         val cumA = byRatio.scanLeft(0L)(_ + _._2).tail // A_1..A_n
         val sumW = byRatio.map(x => BigDecimal(x._3)).sum
@@ -1244,8 +1254,14 @@ object SampleQueries {
     import s.implicits._
     out.toDF("source", "available_tokens", "weight", "quota_tokens",
         "saturated")
-      .orderBy("source")
+      .orderBy(asc_nulls_last("source"))
   }
+
+  /** NULLS-LAST sort key for a nullable string — matches DuckDB's
+    * default ASC null placement so driver-side sorts and oracle
+    * ORDER BYs elect identical orders (and never NPE on null). */
+  private def nullsLastKey(s: String): (Int, String) =
+    if (s == null) (1, "") else (0, s)
 
   val cWaterFill = QueryDef(
     "c17_water_fill",

@@ -87,7 +87,7 @@ object StatQueries {
                CAST(SUM(CAST(wt * value AS DECIMAL(30,2))) AS DOUBLE) AS swy,
                CAST(SUM(CAST(wt * x * value AS DECIMAL(30,2))) AS DOUBLE) AS swxy
         FROM b)
-      SELECT coef, ROUND(est, 6) AS est FROM (
+      SELECT coef, ROUND(est, 6) + 0.0 AS est FROM (
         SELECT 'slope' AS coef,
                (sw * swxy - swx * swy) / (sw * swxx - swx * swx) AS est FROM m
         UNION ALL

@@ -728,7 +728,7 @@ object TextQueries {
         FROM vocab CROSS JOIN totals t CROSS JOIN g
              LEFT JOIN sw ON sw.source = t.source AND sw.w = vocab.w)
       SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
-             ROUND(CAST(SUM(CAST(term AS DECIMAL(30,8))) AS DOUBLE), 4) AS kl_nats
+             ROUND(CAST(SUM(CAST(term AS DECIMAL(30,8))) AS DOUBLE), 4) + 0.0 AS kl_nats
       FROM terms GROUP BY source ORDER BY source"""))
 
   /** Vocabulary-growth (Heaps-law) audit (t28) — the corpus-health
@@ -880,7 +880,7 @@ object TextQueries {
       SELECT bg.doc_id,
              COUNT(*) AS n_bigrams,
              ROUND(CAST(SUM(CAST(logp AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4)
-               AS avg_logp
+               + 0.0 AS avg_logp
       FROM bg JOIN pr ON bg.w1 = pr.w1 AND bg.w2 = pr.w2
       GROUP BY bg.doc_id ORDER BY doc_id"""))
 
@@ -1005,7 +1005,7 @@ object TextQueries {
                      CROSS JOIN v),
       scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
                         ROUND(CAST(SUM(CAST(logp AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 4)
-                          AS avg_logp
+                          + 0.0 AS avg_logp
                  FROM sb GROUP BY doc_id),
       bins AS (SELECT avg_logp, COUNT(*) AS c FROM scored GROUP BY avg_logp),
       cum AS (SELECT avg_logp, SUM(c) OVER (ORDER BY avg_logp DESC) AS cum FROM bins),

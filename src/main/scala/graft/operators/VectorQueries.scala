@@ -63,7 +63,7 @@ object VectorQueries {
         SELECT q, nb, sim,
                ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb ASC) AS rank
         FROM sims)
-      SELECT q, nb, ROUND(sim, 6) AS cosine, rank
+      SELECT q, nb, ROUND(sim, 6) + 0.0 AS cosine, rank
       FROM ranked WHERE rank <= 5 ORDER BY q, rank"""))
 
   /** Deterministic random-hyperplane signs: 16 hyperplanes derived from
@@ -906,7 +906,7 @@ object VectorQueries {
         SELECT q, nb, sim,
                ROW_NUMBER() OVER (PARTITION BY q ORDER BY sim DESC, nb ASC) AS rank
         FROM sims)
-      SELECT q, nb, ROUND(sim, 6) AS cosine, rank
+      SELECT q, nb, ROUND(sim, 6) + 0.0 AS cosine, rank
       FROM ranked WHERE rank <= 3 ORDER BY q, rank"""))
 
   val all: Seq[QueryDef] = Seq(vCosineTopK, vLshAnn, vEmbedDedup, vNormStats,

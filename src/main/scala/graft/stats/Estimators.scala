@@ -27,30 +27,61 @@ object Estimators {
   /** Panel facts computed in one pass; cluster column per the reference's
     * balanced-sandwich block semantics (Sandwich.blockClusterCol).
     */
-  final case class PanelInfo(n: Long, nUsers: Int, tMax: Int, piInternal: Double)
+  final case class PanelInfo(n: Long, nUsers: Int, tMax: Int, piInternal: Double,
+      denseUserIds: Boolean = false)
 
   def panelInfo(df: DataFrame): PanelInfo = {
+    // the density probe rides the same single pass: numeric ids
+    // covering exactly 1..nUsers (min 1, max nUsers, all distinct)
+    // make rank(user_id) == user_id, so withBlockCluster can skip the
+    // rank table entirely
+    val numericIds = df.schema("user_id").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val idMin = if (numericIds) min(col("user_id")).cast("long") else lit(null).cast("long")
+    val idMax = if (numericIds) max(col("user_id")).cast("long") else lit(null).cast("long")
     val r = df.agg(
       count(lit(1)),
       countDistinct(col("user_id")),
-      avg(col("is_internal").cast("double"))).head()
+      avg(col("is_internal").cast("double")),
+      idMin, idMax).head()
     val n = r.getLong(0)
     require(n > 0, "empty panel: no rows to fit an estimator on")
     val nU = r.getLong(1).toInt
-    PanelInfo(n, nU, math.round(n.toDouble / nU).toInt, r.getDouble(2))
+    val dense = numericIds && !r.isNullAt(3) &&
+      r.getLong(3) == 1L && r.getLong(4) == nU.toLong
+    PanelInfo(n, nU, math.round(n.toDouble / nU).toInt, r.getDouble(2), dense)
   }
 
   /** Adds `__cluster`: R-order row position ((t-1)·nUsers + userRank)
-    * divided into blocks of tMax. userRank via a broadcast-joined tiny
-    * rank table — no global shuffle of the panel itself.
+    * divided into blocks of tMax.
+    *
+    * Dense ids (the generator's guarantee, PanelGenerator.scala: user_id
+    * = 1..n): rank(user_id) == user_id, so the cluster is pure map-side
+    * arithmetic — no rank table, no join, no window, scale-free.
+    *
+    * Sparse-id fallback: userRank via a broadcast-joined tiny rank
+    * table — no global shuffle of the PANEL itself, but the rank table
+    * is built with an unpartitioned row_number window (one task sorts
+    * all distinct ids) and then broadcast. Bound: fine to ~10M distinct
+    * ids (the reference workload tops out at 12,800 users/cell); past
+    * that, feed panels with dense ids or pre-rank upstream.
     */
   def withBlockCluster(df: DataFrame, info: PanelInfo): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ranks = df.select("user_id").distinct()
-      .withColumn("__urank", row_number().over(Window.orderBy(col("user_id"))))
-    val pos = (col("t") - 1) * lit(info.nUsers.toLong) + col("__urank")
-    df.join(broadcast(ranks), "user_id")
-      .withColumn("__cluster", floor((pos - 1) / lit(info.tMax)))
+    val urank =
+      if (info.denseUserIds) col("user_id").cast("long")
+      else col("__urank")
+    val pos = (col("t") - 1) * lit(info.nUsers.toLong) + urank
+    val base =
+      if (info.denseUserIds) df
+      else {
+        val ranks = df.select("user_id").distinct()
+          .withColumn("__urank", row_number().over(Window.orderBy(col("user_id"))))
+        df.join(broadcast(ranks), "user_id")
+      }
+    // both paths emit the same schema: __cluster appended, no helper cols
+    base.withColumn("__cluster", floor((pos - 1) / lit(info.tMax)))
+      .drop("__urank")
   }
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))

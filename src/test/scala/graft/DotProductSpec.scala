@@ -69,14 +69,15 @@ class DotProductSpec extends AnyFunSuite {
       val (k, h) = (r.getDouble(0), r.getDouble(1))
       assert(k == h, s"kernel $k != hof $h")
     }
-    // two empty arrays: the kernel yields NaN where the ANSI-mode HOF
-    // form would RAISE on 0/0 — unreachable in d2 (shingle arrays are
-    // non-empty by the size >= 3 token filter), pinned here so the
+    // two empty arrays: the kernel yields 0.0 — NOT NaN, which Spark
+    // SQL sorts GREATER than every double, so a `sim >= threshold`
+    // verify filter would otherwise PASS an ∅~∅ pair (r15 ADVICE #1);
+    // the ANSI-mode HOF form would RAISE on 0/0 here, so the
     // divergence is deliberate, not accidental
     val empt = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
       .select(graft.functions.SetSimilarity.jaccard(col("a"), col("b")))
       .head().getDouble(0)
-    assert(empt.isNaN)
+    assert(empt == 0.0, s"empty~empty must be 0.0, got $empt")
     // null array propagates null (both binary-expression defaults)
     val n = spark.sql("SELECT CAST(NULL AS ARRAY<STRING>) AS a, ARRAY('x') AS b")
       .select(graft.functions.SetSimilarity.jaccard(col("a"), col("b")))

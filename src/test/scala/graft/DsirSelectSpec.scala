@@ -133,6 +133,23 @@ class DsirSelectSpec extends AnyFunSuite {
     assert(got.find(_._1 == 1L).get._4 == 4L)
   }
 
+  test("zero logratios carry a POSITIVE sign bit (driver hash parity)") {
+    // r15's one correctness failure: DuckDB's ROUND keeps -0.0 on a
+    // tiny-negative mean while Spark's does not, and the driver hash
+    // stringifies the sign ("-0.000000" != "0.000000"). Both engines
+    // now normalize with + 0.0; pin the Spark half: an all-target
+    // corpus makes every logratio EXACTLY zero (target LM == raw LM),
+    // and each such zero must be +0.0 bit-for-bit.
+    val allEn = corpus.map { case (id, t, _, s) => (id, t, "en", s) }
+    val got = run(allEn)
+    got.foreach { case (id, _, _, _, lrv, sc, _) =>
+      assert(lrv == 0.0, s"doc $id: all-target corpus must zero the logratio")
+      assert(java.lang.Double.doubleToRawLongBits(lrv) == 0L,
+        s"doc $id: dsir_logratio is -0.0 (sign bit set)")
+      assert(sc == 0.5, s"doc $id: sigmoid(0) must be exactly 0.5")
+    }
+  }
+
   test("layout invariance: partitioning never changes scores or keeps") {
     val df = docsOf(corpus)
     def go(d: DataFrame) = SampleQueries.dsirSelectOf(d)

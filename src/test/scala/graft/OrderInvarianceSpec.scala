@@ -17,6 +17,40 @@ class OrderInvarianceSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("block cluster: dense-id fast path matches the rank-table fallback") {
+    import graft.stats.Estimators
+    // the generator guarantees dense user_id 1..n → the arithmetic
+    // fast path engages (no rank table, no window, no broadcast); it
+    // must assign every row the exact cluster the fallback would
+    val panel = Battery.examplePanel(spark)
+    val info = Estimators.panelInfo(panel)
+    assert(info.denseUserIds, "generator panel must be detected as dense")
+    val fast = Estimators.withBlockCluster(panel, info)
+      .select("user_id", "t", "__cluster")
+    val slow = Estimators.withBlockCluster(panel, info.copy(denseUserIds = false))
+      .select("user_id", "t", "__cluster")
+    assert(fast.schema == slow.schema, "both paths must emit the same schema")
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty,
+      "dense fast path and rank-table fallback disagree on __cluster")
+    // gapped ids (121..400 missing) must be detected as sparse and
+    // still cluster by RANK, not by raw id
+    val gapped = panel.filter(col("user_id") <= 120 ||
+      (col("user_id") > 400 && col("user_id") <= 520))
+    val infoG = Estimators.panelInfo(gapped)
+    assert(!infoG.denseUserIds, "gapped ids must route to the fallback")
+    val g = Estimators.withBlockCluster(gapped, infoG)
+    // rank of the smallest post-gap id (401) is 121, so its position in
+    // block space is contiguous with user 120's — raw-id arithmetic
+    // would instead leave a 280-wide hole
+    val clusters = g.filter(col("t") === 1 &&
+        col("user_id").isin(120L, 401L))
+      .select("user_id", "__cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(401L) == (121 - 1) / infoG.tMax,
+      s"sparse rank must be contiguous, got cluster ${clusters(401L)}")
+    assert(clusters(120L) == (120 - 1) / infoG.tMax)
+  }
+
   test("WCLS estimates are invariant to row shuffling and repartitioning") {
     val panel = Battery.examplePanel(spark)
       .filter(col("user_id") <= 120 || (col("user_id") > 400 && col("user_id") <= 520))

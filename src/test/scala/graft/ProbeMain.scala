@@ -384,6 +384,31 @@ object ProbeMain {
         }.toSeq
       writeCsv("/root/repo/oracles/s4_battery.csv",
         "method,coef,estimate,se,tilt_warning", s4)
+      // t16: the fitted classifier coefficients at full double precision
+      // (Double.toString — shortest exact roundtrip), keyed by corpus
+      // doc count so one fixture serves every committed sf. The oracle
+      // restates the closed-form scoring from these; a live-fit drift
+      // moves every score and fails the hash gate.
+      // keyed by (n_docs, sum n_chars): n_docs alone collides (sf0.001
+      // and sf0.01 both hold 500 docs); the char total disambiguates and
+      // both are one cheap aggregate in either engine
+      val t16rows = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+          "/root/testdata/sf0.1").map { d =>
+        val key = graft.sources.Tables.documents(spark, d)
+          .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("n_chars"))).head()
+        val fit = graft.stats.Glm.logistic(
+          graft.operators.ClassifierQueries.featureFrame(spark, d),
+          graft.operators.ClassifierQueries.design,
+          org.apache.spark.sql.functions.col("y"))
+        require(fit.converged, s"t16 oraclefix: IRLS did not converge at $d")
+        (Seq(key.getLong(0).toString, key.getLong(1).toString) ++
+          fit.coef.toArray.map(_.toString).toSeq).mkString(",")
+      }
+      writeCsv("/root/repo/oracles/t16_coefs.csv",
+        "n_docs,sum_chars,b0,b1,b2,b3", t16rows)
     }
 
     if (args.contains("latex")) {

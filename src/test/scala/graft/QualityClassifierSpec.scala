@@ -48,4 +48,31 @@ class QualityClassifierSpec extends AnyFunSuite {
     })
     assert(a == run())
   }
+
+  test("stored weights round-trip: the store serves the live fit's coefficients") {
+    val stored = ClassifierQueries.storedQualityWeights(spark, dir)
+    val fit = Glm.logistic(ClassifierQueries.featureFrame(spark, dir),
+      ClassifierQueries.design, col("y"))
+    assert(stored.length == ClassifierQueries.design.width)
+    stored.zip(fit.coef.toArray).zipWithIndex.foreach { case ((s0, f0), i) =>
+      assert(s0 == f0, s"stored coef $i: $s0 != live fit $f0")
+    }
+    // and the committed oracle fixture matches the live fit bit-for-bit
+    // (the fixture is what DuckDB scores with; drift here is exactly
+    // what the driver's hash gate would catch)
+    val src = scala.io.Source.fromFile("/root/repo/oracles/t16_coefs.csv")
+    val lines = try src.getLines().toSeq finally src.close()
+    val key = graft.sources.Tables.documents(spark, dir)
+      .agg(count(lit(1)), sum(col("n_chars"))).head()
+    val (nDocs, sumChars) = (key.getLong(0), key.getLong(1))
+    val row = lines.drop(1).map(_.split(","))
+      .find(r => r(0).toLong == nDocs && r(1).toLong == sumChars)
+      .getOrElse(fail(
+        s"no committed t16 coefficient row for ($nDocs, $sumChars)"))
+    row.drop(2).map(_.toDouble).zip(stored).zipWithIndex.foreach {
+      case ((c, s0), i) =>
+        assert(c == s0, s"committed coef $i: $c != stored $s0 — rerun " +
+          "`Test/runMain graft.ProbeMain oraclefix` after an intentional change")
+    }
+  }
 }

@@ -12,6 +12,36 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+def same_value(x, y) -> bool:
+    """Driver-parity scalar compare. The driver hashes STRINGIFIED
+    values ("%.6f" for floats), under which -0.0 != +0.0 even though
+    `x == y` holds — exactly the blindness that let c14 ship "green"
+    in r15 and fail only at the driver's hash gate. Floats therefore
+    compare by their %.6f rendering (sign included)."""
+    if hasattr(x, "__len__") and not isinstance(x, str):
+        # array-valued cell (pd.isna would be elementwise-ambiguous)
+        return hasattr(y, "__len__") and len(x) == len(y) \
+            and all(same_value(a, b) for a, b in zip(x, y))
+    if pd.isna(x) and pd.isna(y):
+        return True
+    if isinstance(x, float) and isinstance(y, float):
+        if math.isnan(x) and math.isnan(y):
+            return True
+        return ("%.6f" % x) == ("%.6f" % y)
+    return x == y
+
+def selftest() -> int:
+    assert not same_value(-0.0, 0.0), "mirror must flag -0.0 vs +0.0"
+    assert same_value(0.0, 0.0)
+    assert same_value(-0.0, -0.0)
+    assert same_value(float("nan"), float("nan"))
+    assert same_value(1.0000004, 1.0000001)   # same %.6f bucket as the driver
+    assert not same_value(1.000001, 1.000002)
+    assert same_value("a", "a") and not same_value("a", "b")
+    assert same_value(None, None)
+    print("selftest ok (signed-zero distinguished, driver %.6f parity)")
+    return 0
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
@@ -34,11 +64,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             for c in got.columns:
                 a, b = got[c].tolist(), want[c].tolist()
                 for i, (x, y) in enumerate(zip(a, b)):
-                    same = (x == y) or (x is None and y is None) \
-                        or (isinstance(x, float) and isinstance(y, float)
-                            and (math.isnan(x) and math.isnan(y) or x == y))
-                    # pandas uses NaN for nulls
-                    if not same and not (pd.isna(x) and pd.isna(y)):
+                    if not same_value(x, y):
                         print(f"FAIL {name}: col {c} row {i}: {x!r} vs {y!r}")
                         ok = False; break
                 if not ok: break
@@ -50,4 +76,6 @@ def main(sf_dir: str, out_dir: str) -> int:
     return 1 if fails else 0
 
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
