@@ -191,6 +191,15 @@ object SkewBench {
     // this measures the rebuild under maximal coverage pressure
     measure("d9_span_scrub")(
       graft.operators.DedupQueries.dSpanScrub.fn(spark, dir).count())
+    // d12: variable-length substring dedup at k=8 — this corpus's docs
+    // are 34-40 tokens (below the production k=50, where d12 is a
+    // provable no-op here), so the skew measure runs the SAME machinery
+    // at the corpus-relevant k: the boilerplate variants share every
+    // 8-window, so ~8k docs/variant each coalesce into one maximal
+    // span — the md5-keyed df pass and the per-doc islands window
+    // under maximal duplication pressure
+    measure("d12_dup_substrings_k8")(
+      graft.operators.DedupQueries.dupSubstringsOf(docs, 8).count())
     // d8: stored-index incremental, increment = first 1,000 docs
     measure("d8_incremental_stored")(
       DedupQueries.minHashPairsIncrementalStored(

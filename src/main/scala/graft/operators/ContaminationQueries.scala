@@ -352,5 +352,157 @@ object ContaminationQueries {
     (s, dir) => bloomScrubStored(s, dir),
     Some(bloomScrubOracle))
 
-  val all: Seq[QueryDef] = Seq(xDecontamination, xBloomScrub, xBloomScrubStored)
+  // ---- Per-benchmark decontamination clearance (x4, r16) -------------
+
+  /** The release-governance artifact production decontamination ships:
+    * x1/x2 treat the eval set as ONE corpus; a real release publishes a
+    * PER-BENCHMARK clearance table (which benchmark leaked, how many
+    * grams, into which release split) so each benchmark owner can sign
+    * off. Benchmarks here are the eval docs keyed by a deterministic id
+    * rule (doc_id % 3 → bench_0/1/2 — in production, the benchmark
+    * table's own key; the same stand-in discipline as `isEval`).
+    *
+    * Per (benchmark × release split) row: the benchmark's distinct
+    * 5-gram count, how many of those grams the PRE-decontamination
+    * candidates carried (`n_caught_grams` — what the decon step
+    * caught), how many candidate docs were hit (a doc overlapping two
+    * benchmarks appears in both rows — each benchmark's own audit
+    * trail), and `n_residual_grams` recomputed INDEPENDENTLY over the
+    * real released frame (`PipelineQueries.releasedDocsOf`) — zero by
+    * construction today, which is exactly what a clearance table
+    * certifies, and a regression gate: any future release-stack change
+    * that weakens decontamination flips `clean` to false in both
+    * engines. All benchmark×split cells are emitted (zeros included)
+    * so the report shape is stable.
+    *
+    * Scale shape: bench grams ride the measured broadcast guard (a
+    * benchmark suite is small; past the bound the join degrades to
+    * shuffle, and the x2/x3 bloom machinery is the 100 TB seat);
+    * candidate/release postings stream map-side through the hash join;
+    * both aggregates are (benchmark, split)-keyed with map-side
+    * partials — shuffle bounded by hit count, never corpus size. */
+  private[graft] def benchmarkClearanceOf(
+      docs: org.apache.spark.sql.DataFrame,
+      maxBroadcastBenchGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val n = 5
+    val bench = QueryDef.spread(docs).filter(isEval)
+      .select(concat(lit("bench_"), (col("doc_id") % 3).cast("string"))
+          .as("benchmark"),
+        split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("benchmark"), wordNgrams(col("tk"), n).as("g"))
+      .staged
+    val benchGrams = bench
+      .select(col("benchmark"), explode(col("g")).as("gram"))
+      .distinct().staged
+    val benchTotals = benchGrams.groupBy("benchmark")
+      .agg(count(lit(1)).as("n_bench_grams"))
+    def postings(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      QueryDef.spread(d.withColumn("split", SampleQueries.splitCol))
+        .select(col("doc_id"), col("split"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"), col("split"), wordNgrams(col("tk"), n).as("g"))
+        .staged
+        .select(col("doc_id"), col("split"), explode(col("g")).as("gram"))
+    val benchSide = QueryDef.guardedBroadcast(benchGrams, maxBroadcastBenchGrams)
+    val caught = postings(PipelineQueries.preCandidatesOf(docs))
+      .join(benchSide, "gram")
+      .groupBy("benchmark", "split")
+      .agg(countDistinct(col("gram")).as("n_caught_grams"),
+        countDistinct(col("doc_id")).as("n_candidate_docs_hit"))
+    val residual = postings(PipelineQueries.releasedDocsOf(docs).drop("split"))
+      .join(benchSide, "gram")
+      .groupBy("benchmark", "split")
+      .agg(countDistinct(col("gram")).as("n_residual_grams"))
+    val splits = Seq("train", "val", "test").toDF("split")
+    benchTotals.crossJoin(broadcast(splits))
+      .join(caught, Seq("benchmark", "split"), "left")
+      .join(residual, Seq("benchmark", "split"), "left")
+      .select(col("benchmark"), col("split"), col("n_bench_grams"),
+        coalesce(col("n_caught_grams"), lit(0L)).as("n_caught_grams"),
+        coalesce(col("n_candidate_docs_hit"), lit(0L)).as("n_candidate_docs_hit"),
+        coalesce(col("n_residual_grams"), lit(0L)).as("n_residual_grams"),
+        (coalesce(col("n_residual_grams"), lit(0L)) === 0L).as("clean"))
+      .orderBy("benchmark", "split")
+  }
+
+  val xBenchmarkClearance = QueryDef(
+    "x4_benchmark_clearance",
+    (s, dir) => benchmarkClearanceOf(Tables.documents(s, dir)),
+    Some("""
+      WITH canon AS (
+        SELECT doc_id, text, source, n_chars
+        FROM (SELECT doc_id, text, source, n_chars,
+                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM documents)
+        WHERE doc_id = m),
+      b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        FROM canon WHERE len(string_split(text, ' ')) >= 2),
+      tc AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
+      tp AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id),
+      q AS (
+        SELECT b.doc_id FROM b JOIN tp USING (doc_id)
+        WHERE len(tk) BETWEEN 30 AND 1000
+          AND ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
+          AND len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
+          AND CAST(tp.max_c AS DOUBLE) / len(tk) <= 0.2
+          AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) <= 0.3),
+      pre AS (
+        SELECT canon.* FROM canon JOIN q USING (doc_id) WHERE doc_id % 37 <> 0),
+      bench AS (
+        SELECT DISTINCT 'bench_' || (doc_id % 3) AS benchmark, u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                    WHERE doc_id % 37 = 0)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      bt AS (SELECT benchmark, COUNT(*) AS n_bench_grams FROM bench GROUP BY benchmark),
+      candg AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM pre)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      caught AS (
+        SELECT be.benchmark, c.split,
+               COUNT(DISTINCT c.gram) AS n_caught_grams,
+               COUNT(DISTINCT c.doc_id) AS n_candidate_docs_hit
+        FROM bench be JOIN candg c USING (gram) GROUP BY 1, 2),
+      contaminated AS (
+        SELECT DISTINCT c.doc_id FROM candg c
+        JOIN (SELECT DISTINCT gram FROM bench) be USING (gram)),
+      relg AS (
+        SELECT * FROM candg
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      resid AS (
+        SELECT be.benchmark, r.split,
+               COUNT(DISTINCT r.gram) AS n_residual_grams
+        FROM bench be JOIN relg r USING (gram) GROUP BY 1, 2),
+      grid AS (
+        SELECT bt.benchmark, s.split
+        FROM bt CROSS JOIN (VALUES ('train'), ('val'), ('test')) s(split))
+      SELECT g.benchmark, g.split, bt.n_bench_grams,
+             CAST(COALESCE(c.n_caught_grams, 0) AS BIGINT) AS n_caught_grams,
+             CAST(COALESCE(c.n_candidate_docs_hit, 0) AS BIGINT) AS n_candidate_docs_hit,
+             CAST(COALESCE(r.n_residual_grams, 0) AS BIGINT) AS n_residual_grams,
+             COALESCE(r.n_residual_grams, 0) = 0 AS clean
+      FROM grid g JOIN bt USING (benchmark)
+      LEFT JOIN caught c ON c.benchmark = g.benchmark AND c.split = g.split
+      LEFT JOIN resid r ON r.benchmark = g.benchmark AND r.split = g.split
+      ORDER BY g.benchmark, g.split"""))
+
+  val all: Seq[QueryDef] = Seq(xDecontamination, xBloomScrub, xBloomScrubStored,
+    xBenchmarkClearance)
 }

@@ -718,10 +718,10 @@ object DedupQueries {
     * a span: (start, span-text) structs for every `SpanWindow`-token
     * window, 1-based starts. */
   private val SpanWindow = 8
-  private def spanWindows(tk: Column): Column =
-    transform(sequence(lit(1), size(tk) - (SpanWindow - 1)),
+  private def spanWindows(tk: Column, k: Int = SpanWindow): Column =
+    transform(sequence(lit(1), size(tk) - (k - 1)),
       i => struct(i.as("s"),
-        concat_ws(" ", slice(tk, i, lit(SpanWindow))).as("span")))
+        concat_ws(" ", slice(tk, i, lit(k))).as("span")))
 
   val dDupSpans = QueryDef(
     "d7_duplicate_spans",
@@ -800,10 +800,11 @@ object DedupQueries {
     * rebuild each document from the surviving token positions — ONE
     * copy of the d9/probeSpanScrub back half. Emits every base doc:
     * (doc_id, n_tokens, n_kept, clean_text), ordered. */
-  private def scrubRebuild(base: DataFrame, dupStarts: DataFrame): DataFrame = {
+  private def scrubRebuild(base: DataFrame, dupStarts: DataFrame,
+                           k: Int = SpanWindow): DataFrame = {
     val covered = dupStarts
       .select(col("doc_id"),
-        explode(sequence(col("s"), col("s") + (SpanWindow - 1))).as("pos"))
+        explode(sequence(col("s"), col("s") + (k - 1))).as("pos"))
       .distinct()
     val tokPos = base
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
@@ -978,6 +979,114 @@ object DedupQueries {
     scrubRebuild(base, dupStarts)
   }
 
+  // ---- Variable-length exact-substring dedup (d12, r16) --------------
+
+  /** Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    * Better": the ≥50-token exact-duplicate pass every major corpus
+    * paper runs alongside MinHash — find, per document, the MAXIMAL
+    * substrings (any length ≥ k, any alignment) that also occur
+    * verbatim in another document.
+    *
+    * No distributed suffix array needed — a coverage theorem reduces it
+    * to the d7 window family: a position p lies inside a duplicated
+    * substring of length ≥ k  ⟺  p lies inside a duplicated k-token
+    * window. (⇐ a duplicated k-window IS such a substring; ⇒ any
+    * length-≥k duplicated substring containing p contains a k-window
+    * containing p, and a substring of a duplicated string is
+    * duplicated.) So the union of duplicated k-window extents equals
+    * Lee et al.'s removal coverage EXACTLY, and the maximal duplicated
+    * substrings are the gaps-and-islands coalescing of duplicated
+    * window starts: starts s₁ < s₂ merge iff s₂ ≤ s₁ + k (their
+    * [s, s+k−1] extents overlap or touch). Emits one row per maximal
+    * span: (doc_id, start_pos, end_pos, len_tokens, n_windows).
+    *
+    * Scale shape: the k=50 span STRING never rides a shuffle — windows
+    * are keyed by their md5 (16 bytes, cross-engine identical) for both
+    * the doc-frequency pass and the join back, exactly the at-100-TB
+    * plan the d7 scaladoc promises (d7 keeps strings so its oracle is
+    * verbatim; here the hash IS cross-engine so nothing is lost).
+    * A 2⁻¹²⁸-per-pair md5 collision would merge two distinct spans —
+    * the standard accepted tradeoff (Lee et al. likewise dedups via
+    * hashes in practice). The islands window is per-doc (doc-keyed
+    * partitions, bounded by doc length), never corpus-global.
+    */
+  private[graft] val SubstrWindow = 50
+
+  private[graft] def dupSubstringsOf(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = QueryDef.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"), spanWindows(col("tk"), k).as("sp"))
+      .staged
+    val ex = base.select(col("doc_id"), explode(col("sp")).as("w"))
+      .select(col("doc_id"), col("w.s").as("s"), md5(col("w.span")).as("h"))
+    val dup = ex.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    val starts = ex.join(dup, "h").select("doc_id", "s")
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    starts
+      // island break: the previous duplicated start's extent ends at
+      // lag(s)+k−1; a new start s merges iff s ≤ lag(s)+k (overlap or
+      // touch). First row per doc: lag is null → when() falls through
+      // to 1 (a break) on both engines.
+      .withColumn("brk",
+        when(col("s") <= lag(col("s"), 1).over(byDoc) + k, 0L).otherwise(1L))
+      .withColumn("g",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "g")
+      .agg(min("s").cast("long").as("start_pos"),
+        (max("s") + (k - 1)).cast("long").as("end_pos"),
+        (max("s") - min("s") + k).cast("long").as("len_tokens"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_pos", "end_pos", "len_tokens", "n_windows")
+      .orderBy("doc_id", "start_pos")
+  }
+
+  /** Removal twin at window k (exposed for SubstringDedupSpec's parity
+    * gate): scrubbing every position covered by d12's MAXIMAL spans
+    * must equal scrubbing every position covered by the raw duplicated
+    * k-windows — the coverage theorem, executable. */
+  private[graft] def substrScrubFrame(docs: DataFrame, k: Int): DataFrame = {
+    val base = QueryDef.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .staged
+    val ex = base.filter(size(col("tk")) >= k)
+      .select(col("doc_id"), spanWindows(col("tk"), k).as("sp"))
+      .staged
+      .select(col("doc_id"), explode(col("sp")).as("w"))
+      .select(col("doc_id"), col("w.s").as("s"), md5(col("w.span")).as("h"))
+    val dup = ex.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select("h")
+    scrubRebuild(base, ex.join(dup, "h").select("doc_id", "s"), k)
+  }
+
+  val dDupSubstrings = QueryDef(
+    "d12_dup_substrings",
+    (s, dir) => dupSubstringsOf(Tables.documents(s, dir), SubstrWindow),
+    Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      w AS (SELECT doc_id, i AS s, md5(array_to_string(tk[i:i+49], ' ')) AS h
+            FROM tk, UNNEST(range(1, len(tk) - 48)) AS u(i)
+            WHERE len(tk) >= 50),
+      d AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM w)
+            GROUP BY h HAVING COUNT(*) >= 2),
+      ds AS (SELECT w.doc_id, w.s FROM w JOIN d USING (h)),
+      m AS (SELECT doc_id, s,
+                   CASE WHEN s <= LAG(s) OVER (PARTITION BY doc_id ORDER BY s) + 50
+                        THEN 0 ELSE 1 END AS brk
+            FROM ds),
+      isl AS (SELECT doc_id, s,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS g
+              FROM m)
+      SELECT doc_id, CAST(MIN(s) AS BIGINT) AS start_pos,
+             CAST(MAX(s) + 49 AS BIGINT) AS end_pos,
+             CAST(MAX(s) - MIN(s) + 50 AS BIGINT) AS len_tokens,
+             COUNT(*) AS n_windows
+      FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_pos"""))
+
   val all: Seq[QueryDef] = Seq(dExact, dMinHash, dIncremental, dSimHash,
-    dNgramJaccard, dDupSpans, dSpanScrub)
+    dNgramJaccard, dDupSpans, dSpanScrub, dDupSubstrings)
 }

@@ -43,8 +43,15 @@ object PipelineQueries {
   private[graft] def releasedDocs(
       s: org.apache.spark.sql.SparkSession, dir: String,
       maxBroadcastEvalGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame =
+    releasedDocsOf(Tables.documents(s, dir), maxBroadcastEvalGrams)
+
+  /** Steps 1–2 of the release stack plus eval exclusion: the candidate
+    * set the decontamination step sees. Split out (r16) so x4's
+    * benchmark clearance reports on the SAME candidates the release
+    * drops from — a drifted copy would certify the wrong corpus. */
+  private[graft] def preCandidatesOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-      val docs = Tables.documents(s, dir)
       // 1. exact dedup: the canonical (min doc_id) copy of each text.
       // VERDICT r12 #1: keyed by the 16-byte md5 hash, not the text —
       // ONE groupBy(hash) shuffle whose map-side partial aggregation
@@ -69,8 +76,15 @@ object PipelineQueries {
       // eval docs (x1's held-out predicate) are benchmark data — they
       // are never part of the release themselves
       // staged: pre feeds the candidate gram pass AND the left-anti base
-      val pre = canon.join(keepIds, "doc_id").filter(!ContaminationQueries.isEval)
+      canon.join(keepIds, "doc_id").filter(!ContaminationQueries.isEval)
         .staged
+  }
+
+  private[graft] def releasedDocsOf(
+      docs: org.apache.spark.sql.DataFrame,
+      maxBroadcastEvalGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
+      val pre = preCandidatesOf(docs)
       // 3. decontamination — the SHARED gram probe (one definition for
       // p1 and p3, so the manifest's contaminated set can never drift
       // from the release's)

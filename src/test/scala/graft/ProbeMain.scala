@@ -139,6 +139,27 @@ object ProbeMain {
       println("RFX_DOT=" + r.head())
     }
 
+    if (args.contains("bigbin")) {
+      // Attribute "Broadcasting large task binary" warnings to queries
+      // (r15 verdict #4): the DAGScheduler warning carries no query
+      // context, so bracket each query with stderr markers and let the
+      // caller count warnings between them. WARN level so the scheduler
+      // warning is emitted; sf via GRAFT_BIGBIN_SF_DIR (default sf0.1,
+      // where the driver bench tail showed 1-2.1 MiB binaries).
+      spark.sparkContext.setLogLevel("WARN")
+      val sfDir = sys.env.getOrElse("GRAFT_BIGBIN_SF_DIR", "/root/testdata/sf0.1")
+      val names = sys.env.get("GRAFT_BIGBIN_QUERIES")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(graft.SparkEntry.queries.keys.toSeq.sorted)
+      for (n <- names) {
+        Console.err.println(s"BIGBIN_BEGIN $n"); Console.err.flush()
+        try graft.SparkEntry.queries(n)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          Console.err.println(s"BIGBIN_ERR $n ${e.getClass.getSimpleName}") }
+        Console.err.println(s"BIGBIN_END $n"); Console.err.flush()
+      }
+    }
+
     if (args.contains("annparity")) {
       // v2/v5 after the ids-only-shuffle rewrite vs the pre-change dumps
       for (q <- Seq("v2_lsh_ann", "v5_ivf_ann", "v3_embed_neardup",
