@@ -146,7 +146,8 @@ object ProbeMain {
       // caller count warnings between them. WARN level so the scheduler
       // warning is emitted; sf via GRAFT_BIGBIN_SF_DIR (default sf0.1,
       // where the driver bench tail showed 1-2.1 MiB binaries).
-      spark.sparkContext.setLogLevel("WARN")
+      spark.sparkContext.setLogLevel(
+        sys.env.getOrElse("GRAFT_BIGBIN_LEVEL", "WARN"))
       val sfDir = sys.env.getOrElse("GRAFT_BIGBIN_SF_DIR", "/root/testdata/sf0.1")
       val names = sys.env.get("GRAFT_BIGBIN_QUERIES")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -158,6 +159,80 @@ object ProbeMain {
           Console.err.println(s"BIGBIN_ERR $n ${e.getClass.getSimpleName}") }
         Console.err.println(s"BIGBIN_END $n"); Console.err.flush()
       }
+    }
+
+    if (args.contains("bigbinx1")) {
+      // bisect x1's pipeline: which sub-frame's stages carry the
+      // MiB-scale task binaries (markers as in bigbin)
+      spark.sparkContext.setLogLevel("WARN")
+      val dir = "/root/testdata/sf0.1"
+      import graft.operators.{ContaminationQueries => CQ, QueryDef}
+      val docs = QueryDef.spread(graft.sources.Tables.documents(spark, dir))
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= 5)
+        .select(col("doc_id"), CQ.wordNgrams(col("tk"), 5).as("g"))
+      def mark(n: String)(f: => Long): Unit = {
+        Console.err.println(s"BIGBIN_BEGIN $n"); Console.err.flush()
+        val r = f
+        Console.err.println(s"BIGBIN_END $n rows=$r"); Console.err.flush()
+      }
+      import graft.plans.Stage.StageOps
+      mark("ngram_pass")(docs.count())
+      val staged = docs.staged
+      val evalDocs = staged.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id").as("a"), size(col("g")).cast("long").as("na"), col("g"))
+      val evalPost = evalDocs.select(col("a"), col("na"), explode(col("g")).as("gram"))
+      val trainPost = staged.filter(col("doc_id") % 37 =!= 0)
+        .select(col("doc_id").as("b"), explode(col("g")).as("gram"))
+      mark("eval_post")(evalPost.count())
+      mark("train_post")(trainPost.count())
+      val hits = trainPost.join(broadcast(evalPost), "gram")
+      mark("hits_join")(hits.count())
+      val hitsS = hits.staged
+      mark("per_doc")(hitsS.groupBy("a").agg(countDistinct(col("gram"))).count())
+      mark("per_pair")(hitsS.groupBy("a", "b").agg(count(lit(1))).count())
+      // the final assembly: perDoc + windowed top-pair + two left joins
+      val perDoc = hitsS.groupBy("a").agg(countDistinct(col("gram")).as("n_contaminated"))
+      val perPair = hitsS.groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      val top = perPair
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("a")
+            .orderBy(col("shared").desc, col("b").asc)))
+        .filter(col("rn") === 1)
+        .select(col("a"), col("b").as("top_train_doc"), col("shared").as("top_shared"))
+      mark("assembly_nojoin_perdoc")(perDoc.count())
+      mark("assembly_top")(top.count())
+      mark("assembly_join1")(
+        evalDocs.select(col("a"), col("na")).join(perDoc, Seq("a"), "left").count())
+      mark("assembly_join2")(
+        evalDocs.select(col("a"), col("na")).join(perDoc, Seq("a"), "left")
+          .join(top, Seq("a"), "left").count())
+      mark("assembly_full")(
+        evalDocs.select(col("a"), col("na"))
+          .join(perDoc, Seq("a"), "left").join(top, Seq("a"), "left")
+          .select(col("a").as("doc_id"), col("na").as("n_grams"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            round(coalesce(col("n_contaminated"), lit(0L)).cast("double") / col("na"), 6)
+              .as("containment"),
+            coalesce(col("top_train_doc"), lit(-1L)).as("top_train_doc"),
+            coalesce(col("top_shared"), lit(0L)).as("top_shared"))
+          .orderBy("doc_id").count())
+      // candidate fix: stage the two tiny aggregate frames so the final
+      // join stage's closure is three LogicalRDDs, not the full tree
+      val perDocS = perDoc.staged
+      val topS = top.staged
+      mark("assembly_staged_fix")(
+        evalDocs.select(col("a"), col("na"))
+          .join(perDocS, Seq("a"), "left").join(topS, Seq("a"), "left")
+          .orderBy("a").count())
+      mark("assembly_staged_noorder")(
+        evalDocs.select(col("a"), col("na"))
+          .join(perDocS, Seq("a"), "left").join(topS, Seq("a"), "left").count())
+      mark("assembly_join1_order")(
+        evalDocs.select(col("a"), col("na"))
+          .join(perDoc, Seq("a"), "left").orderBy("a").count())
+      mark("evaldocs_order")(evalDocs.select(col("a"), col("na")).orderBy("a").count())
+      mark("full_x1")(graft.SparkEntry.queries("x1_decontamination")(spark, dir).count())
     }
 
     if (args.contains("annparity")) {
