@@ -367,11 +367,15 @@ object ContaminationQueries {
     * candidates carried (`n_caught_grams` — what the decon step
     * caught), how many candidate docs were hit (a doc overlapping two
     * benchmarks appears in both rows — each benchmark's own audit
-    * trail), and `n_residual_grams` recomputed INDEPENDENTLY over the
-    * real released frame (`PipelineQueries.releasedDocsOf`) — zero by
-    * construction today, which is exactly what a clearance table
-    * certifies, and a regression gate: any future release-stack change
-    * that weakens decontamination flips `clean` to false in both
+    * trail), and `n_residual_grams` over the REAL released id set —
+    * the decontamination election runs independently inside
+    * `PipelineQueries.releasedDocsOf` (the shared canon+quality
+    * candidate pass and the gram pass each run ONCE; released ⊆
+    * candidates with unchanged texts, so restricting the posting pass
+    * to the released ids is gram-identical to re-gramming the release)
+    * — zero by construction today, which is exactly what a clearance
+    * table certifies, and a regression gate: any future change that
+    * weakens the decon election flips `clean` to false in both
     * engines. All benchmark×split cells are emitted (zeros included)
     * so the report shape is stable.
     *
@@ -408,12 +412,24 @@ object ContaminationQueries {
         .staged
         .select(col("doc_id"), col("split"), explode(col("g")).as("gram"))
     val benchSide = QueryDef.guardedBroadcast(benchGrams, maxBroadcastBenchGrams)
-    val caught = postings(PipelineQueries.preCandidatesOf(docs))
+    // ONE canon+quality pass feeds both the caught audit and the
+    // release recompute (it is staged inside preCandidatesOf); the
+    // DECON step still runs independently inside releasedDocsOf — the
+    // stage whose weakening the residual column is a gate for
+    val pre = PipelineQueries.preCandidatesOf(docs)
+    val candPost = postings(pre)
+    val caught = candPost
       .join(benchSide, "gram")
       .groupBy("benchmark", "split")
       .agg(countDistinct(col("gram")).as("n_caught_grams"),
         countDistinct(col("doc_id")).as("n_candidate_docs_hit"))
-    val residual = postings(PipelineQueries.releasedDocsOf(docs).drop("split"))
+    // residual = the same posting pass restricted to the RELEASED ids
+    // (released ⊆ candidates, texts unchanged ⇒ identical grams); the
+    // decon step electing those ids still runs independently inside
+    // releasedDocsOf — the stage the residual column gates
+    val releasedIds = PipelineQueries
+      .releasedDocsOf(docs, preShared = Some(pre)).select("doc_id")
+    val residual = candPost.join(releasedIds, "doc_id")
       .join(benchSide, "gram")
       .groupBy("benchmark", "split")
       .agg(countDistinct(col("gram")).as("n_residual_grams"))

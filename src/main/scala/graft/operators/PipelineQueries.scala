@@ -80,11 +80,17 @@ object PipelineQueries {
         .staged
   }
 
+  /** `preShared`: callers that already hold the (staged) candidate
+    * frame pass it in so the canon+quality stack runs once — x4 needs
+    * BOTH the candidates and the release, and without sharing it paid
+    * the dedup+gate work twice. The decon step always recomputes
+    * inside (that independence is x4's regression-gate property). */
   private[graft] def releasedDocsOf(
       docs: org.apache.spark.sql.DataFrame,
-      maxBroadcastEvalGrams: Long = 10000000L)
+      maxBroadcastEvalGrams: Long = 10000000L,
+      preShared: Option[org.apache.spark.sql.DataFrame] = None)
       : org.apache.spark.sql.DataFrame = {
-      val pre = preCandidatesOf(docs)
+      val pre = preShared.getOrElse(preCandidatesOf(docs))
       // 3. decontamination — the SHARED gram probe (one definition for
       // p1 and p3, so the manifest's contaminated set can never drift
       // from the release's)

@@ -54,7 +54,7 @@ class PlanAuditSpec extends AnyFunSuite {
       q.startsWith("q") || q.startsWith("t") || q.startsWith("c") ||
         q.startsWith("d1") || q.startsWith("d2") || q.startsWith("d3") ||
         q.startsWith("d4") || q.startsWith("v") || q.startsWith("mm") ||
-        q.startsWith("p"))
+        q.startsWith("p") || q.startsWith("x"))
     static.foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q contains a cartesian product")
@@ -74,7 +74,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("window functions never fall back to a single partition (q9/q10)") {
     for (q <- Seq("q9_window_topn", "q10_window_lag", "q24_range_frame",
-                  "t13_sequence_pack")) {
+                  "t13_sequence_pack", "d12_dup_substrings")) {
       val p = plan(q)
       // a Window over an empty partition spec would force all rows into
       // one task — every window here must be keyed
