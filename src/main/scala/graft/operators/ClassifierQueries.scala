@@ -147,5 +147,67 @@ object ClassifierQueries {
              p_keep >= 0.5 AS keep
       FROM sc ORDER BY doc_id"""))
 
-  val all: Seq[QueryDef] = Seq(tQualityClassifier)
+  /** Classifier calibration audit (t29) — the reliability table a
+    * model-based filter ships alongside its scores (model governance:
+    * "when the model says 0.8, is it right 80% of the time?"): decile
+    * bins over the stored-weights keep probability, per bin the doc
+    * count, mean predicted probability, realized weak-label rate, and
+    * the calibration gap (mean_p − rate; signed, so +0.0-normalized
+    * per the r16 signed-zero discipline — it straddles zero by
+    * construction). Reuses t16's stored weights and feature frame, so
+    * the audit can never disagree with the scores it audits.
+    *
+    * Scale shape: one map-side scoring scan → a 10-row aggregate with
+    * map-side partials; nothing else. */
+  val tCalibration = QueryDef(
+    "t29_classifier_calibration",
+    (s, dir) => {
+      val beta = storedQualityWeights(s, dir)
+      val scored = featureFrame(s, dir)
+        .select(col("y"),
+          round(lit(1.0) / (lit(1.0) + exp(-design.dot(beta.toSeq))), 6)
+            .as("p"))
+      scored
+        .groupBy(least(floor(col("p") * 10), lit(9L)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(QueryDef.dsum(col("p"), 6).cast("double") / count(lit(1)), 6)
+            .as("mean_p_keep"),
+          round(sum(col("y").cast("long")).cast("double") / count(lit(1)), 6)
+            .as("label_rate"))
+        .withColumn("calib_gap",
+          round(col("mean_p_keep") - col("label_rate"), 6) + lit(0.0))
+        .select("bin", "n_docs", "mean_p_keep", "label_rate", "calib_gap")
+        .orderBy("bin")
+    },
+    Some("""
+      WITH w AS (SELECT * FROM read_csv_auto('/root/repo/oracles/t16_coefs.csv', header=true)),
+      sel AS (SELECT b0, b1, b2, b3 FROM w
+              WHERE n_docs = (SELECT COUNT(*) FROM documents)
+                AND sum_chars = (SELECT SUM(n_chars) FROM documents)),
+      b AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+            FROM documents),
+      f AS (SELECT doc_id,
+                   ROUND(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / nt, 6) AS sr,
+                   ROUND(len(list_distinct(tk)) / nt, 6) AS ttr,
+                   ROUND(ln(nt), 6) AS ll,
+                   CASE WHEN ROUND(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+                         + (len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / nt) * 0.25
+                         + (len(list_distinct(tk)) / nt) * 0.25, 6) >= 0.64
+                        THEN 1 ELSE 0 END AS label
+            FROM b),
+      sc AS (SELECT label,
+                    ROUND(1.0 / (1.0 + exp(-(sel.b0 + f.sr * sel.b1
+                      + f.ttr * sel.b2 + f.ll * sel.b3))), 6) AS p
+             FROM f CROSS JOIN sel),
+      g AS (SELECT CAST(LEAST(FLOOR(p * 10), 9) AS BIGINT) AS bin, p, label FROM sc),
+      agg AS (SELECT bin, COUNT(*) AS n_docs,
+                     ROUND(CAST(SUM(CAST(p AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS mean_p_keep,
+                     ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS label_rate
+              FROM g GROUP BY bin)
+      SELECT bin, n_docs, mean_p_keep, label_rate,
+             ROUND(mean_p_keep - label_rate, 6) + 0.0 AS calib_gap
+      FROM agg ORDER BY bin"""))
+
+  val all: Seq[QueryDef] = Seq(tQualityClassifier, tCalibration)
 }

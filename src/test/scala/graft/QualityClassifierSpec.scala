@@ -49,6 +49,40 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(a == run())
   }
 
+  test("calibration table (t29): bins partition the corpus and audit t16's own scores") {
+    import spark.implicits._
+    val cal = ClassifierQueries.tCalibration.fn(spark, dir)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val scored = ClassifierQueries.tQualityClassifier.fn(spark, dir)
+      .select(col("p_keep"), col("label"))
+      .as[(Double, Long)].collect().toSeq
+    // the bins partition the corpus exactly
+    assert(cal.map(_._2).sum == scored.length)
+    assert(cal.map(_._1).distinct.size == cal.size)
+    // independent recompute from t16's OWN emitted scores — the audit
+    // and the scores it audits can never disagree
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byBin = scored.groupBy { case (p, _) =>
+      math.min(math.floor(p * 10).toLong, 9L) }
+    cal.foreach { case (bin, n, meanP, rate, gap) =>
+      val rows = byBin.getOrElse(bin, fail(s"bin $bin not in recompute"))
+      assert(n == rows.length, s"bin $bin count")
+      val expMean = r6(rows.map(r => BigDecimal(r._1)).sum.toDouble / n)
+      assert(meanP == expMean, s"bin $bin mean_p: $meanP vs $expMean")
+      val expRate = r6(rows.count(_._2 == 1L).toDouble / n)
+      assert(rate == expRate, s"bin $bin label_rate")
+      assert(gap == r6(meanP - rate), s"bin $bin gap")
+      // signed-zero discipline: a zero gap must carry a clear sign bit
+      if (gap == 0.0)
+        assert(java.lang.Double.doubleToRawLongBits(gap) == 0L,
+          s"bin $bin: calib_gap is -0.0")
+      // bin bounds hold (mean of members stays inside the decile)
+      assert(meanP >= bin / 10.0 - 1e-9 &&
+        (bin == 9L || meanP < (bin + 1) / 10.0 + 1e-9))
+    }
+  }
+
   test("stored weights round-trip: the store serves the live fit's coefficients") {
     val stored = ClassifierQueries.storedQualityWeights(spark, dir)
     val fit = Glm.logistic(ClassifierQueries.featureFrame(spark, dir),
