@@ -30,5 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 ) ++
   // ad-hoc diagnostics for the forked JVM (e.g. -XX:+PrintCodeCache to
   // adjudicate JIT code-cache pressure across bench launches) without
-  // editing the build per experiment
+  // editing the build per experiment. Space-separated, NO quoting: an
+  // option whose value embeds a space (-XX:OnError='gcore %p') is not
+  // supported here — add such flags to javaOptions directly instead.
   sys.env.get("GRAFT_EXTRA_JVM_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -983,9 +983,18 @@ object DedupQueries {
 
   /** Lee et al. 2021 "Deduplicating Training Data Makes Language Models
     * Better": the ≥50-token exact-duplicate pass every major corpus
-    * paper runs alongside MinHash — find, per document, the MAXIMAL
-    * substrings (any length ≥ k, any alignment) that also occur
-    * verbatim in another document.
+    * paper runs alongside MinHash — find, per document, the maximal
+    * DUPLICATED-COVERAGE INTERVALS: the maximal runs of positions that
+    * lie inside some ≥k-token substring occurring at ≥2 distinct
+    * positions in the corpus (ANY position — another document or the
+    * same one; ExactSubstr's suffix array likewise counts intra-doc
+    * repeats). This interval union is exactly Lee et al.'s REMOVAL
+    * unit. It is deliberately NOT "one row per duplicated substring":
+    * two abutting regions duplicated against DIFFERENT partners
+    * coalesce into one interval (their union need not occur verbatim
+    * anywhere else) — which is what removal wants, and consumers
+    * needing per-partner passage attribution should use d7's per-window
+    * rows instead.
     *
     * No distributed suffix array needed — a coverage theorem reduces it
     * to the d7 window family: a position p lies inside a duplicated
@@ -994,15 +1003,15 @@ object DedupQueries {
     * length-≥k duplicated substring containing p contains a k-window
     * containing p, and a substring of a duplicated string is
     * duplicated.) So the union of duplicated k-window extents equals
-    * Lee et al.'s removal coverage EXACTLY, and the maximal duplicated
-    * substrings are the gaps-and-islands coalescing of duplicated
+    * Lee et al.'s removal coverage EXACTLY, and the maximal covered
+    * intervals are the gaps-and-islands coalescing of duplicated
     * window starts: starts s₁ < s₂ merge iff s₂ ≤ s₁ + k (their
     * [s, s+k−1] extents overlap or touch). Emits one row per maximal
-    * span: (doc_id, start_pos, end_pos, len_tokens, n_windows).
+    * interval: (doc_id, start_pos, end_pos, len_tokens, n_windows).
     *
     * Scale shape: the k=50 span STRING never rides a shuffle — windows
     * are keyed by their md5 (16 bytes, cross-engine identical) for both
-    * the doc-frequency pass and the join back, exactly the at-100-TB
+    * the occurrence-count pass and the join back, exactly the at-100-TB
     * plan the d7 scaladoc promises (d7 keeps strings so its oracle is
     * verbatim; here the hash IS cross-engine so nothing is lost).
     * A 2⁻¹²⁸-per-pair md5 collision would merge two distinct spans —
@@ -1021,9 +1030,13 @@ object DedupQueries {
       .staged
     val ex = base.select(col("doc_id"), explode(col("sp")).as("w"))
       .select(col("doc_id"), col("w.s").as("s"), md5(col("w.span")).as("h"))
-    val dup = ex.select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("h")
+    // duplicated = the window text occurs at ≥2 distinct (doc, start)
+    // positions ANYWHERE (Lee et al.'s suffix-array semantics, which
+    // count a repeat within one document too) — NOT d7's distinct-doc
+    // rule; (doc, s) rows are unique by construction so a plain count
+    // is the occurrence count
+    val dup = ex.groupBy("h").agg(count(lit(1)).as("nocc"))
+      .filter(col("nocc") >= 2).select("h")
     val starts = ex.join(dup, "h").select("doc_id", "s")
     val byDoc = Window.partitionBy("doc_id").orderBy("s")
     starts
@@ -1057,9 +1070,10 @@ object DedupQueries {
       .staged
       .select(col("doc_id"), explode(col("sp")).as("w"))
       .select(col("doc_id"), col("w.s").as("s"), md5(col("w.span")).as("h"))
-    val dup = ex.select("doc_id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select("h")
+    // same any-position occurrence rule as dupSubstringsOf — the
+    // coverage-parity spec compares the two, so they must share it
+    val dup = ex.groupBy("h").agg(count(lit(1)).as("nocc"))
+      .filter(col("nocc") >= 2).select("h")
     scrubRebuild(base, ex.join(dup, "h").select("doc_id", "s"), k)
   }
 
@@ -1071,8 +1085,7 @@ object DedupQueries {
       w AS (SELECT doc_id, i AS s, md5(array_to_string(tk[i:i+49], ' ')) AS h
             FROM tk, UNNEST(range(1, len(tk) - 48)) AS u(i)
             WHERE len(tk) >= 50),
-      d AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM w)
-            GROUP BY h HAVING COUNT(*) >= 2),
+      d AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
       ds AS (SELECT w.doc_id, w.s FROM w JOIN d USING (h)),
       m AS (SELECT doc_id, s,
                    CASE WHEN s <= LAG(s) OVER (PARTITION BY doc_id ORDER BY s) + 50

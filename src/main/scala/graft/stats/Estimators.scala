@@ -31,12 +31,19 @@ object Estimators {
       denseUserIds: Boolean = false)
 
   def panelInfo(df: DataFrame): PanelInfo = {
-    // the density probe rides the same single pass: numeric ids
+    // the density probe rides the same single pass: INTEGRAL ids
     // covering exactly 1..nUsers (min 1, max nUsers, all distinct)
     // make rank(user_id) == user_id, so withBlockCluster can skip the
-    // rank table entirely
-    val numericIds = df.schema("user_id").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // rank table entirely. Integral only: fractional ids {1.0, 1.5,
+    // 3.0} would pass a cast-to-long min/max probe yet collide under
+    // rank = cast(id) — the fast path must be impossible there.
+    val numericIds = {
+      import org.apache.spark.sql.types._
+      df.schema("user_id").dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }
     val idMin = if (numericIds) min(col("user_id")).cast("long") else lit(null).cast("long")
     val idMax = if (numericIds) max(col("user_id")).cast("long") else lit(null).cast("long")
     val r = df.agg(

@@ -152,6 +152,11 @@ object ProbeMain {
       val names = sys.env.get("GRAFT_BIGBIN_QUERIES")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(graft.SparkEntry.queries.keys.toSeq.sorted)
+      // a typo'd selector must FAIL up front, not produce a clean empty
+      // marker bracket (the SPARK_GRAFT_BENCH_ONLY discipline)
+      val unknown = names.filterNot(graft.SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"GRAFT_BIGBIN_QUERIES names not in the catalog: ${unknown.mkString(", ")}")
       for (n <- names) {
         Console.err.println(s"BIGBIN_BEGIN $n"); Console.err.flush()
         try graft.SparkEntry.queries(n)(spark, sfDir).count()

@@ -8,12 +8,15 @@ import graft.operators.DedupQueries
 
 /** d12_dup_substrings — variable-length exact-substring dedup (Lee et
   * al. 2021's ≥50-token pass) via duplicated k-windows + gaps-and-
-  * islands coalescing. The load-bearing claim is the coverage theorem
-  * (union of duplicated k-window extents == union of duplicated ≥k
-  * substrings), so the spec executes it: span-derived coverage must
-  * equal the window-scrub's removal set, on a constructed corpus AND
-  * on the real sf0.01 table. Cross-engine agreement of the maximal
-  * spans themselves is the oracle row's job.
+  * islands coalescing into maximal duplicated-COVERAGE intervals (the
+  * removal unit; see the operator scaladoc for why rows are intervals,
+  * not per-partner substrings). The load-bearing claim is the coverage
+  * theorem (union of duplicated k-window extents == union of
+  * duplicated ≥k substrings), so the spec executes it: span-derived
+  * coverage must equal the window-scrub's removal set, on a
+  * constructed corpus AND on the real sf0.01 table. Duplication is
+  * any-position (intra-doc repeats count — ExactSubstr semantics).
+  * Cross-engine agreement of the intervals is the oracle row's job.
   */
 class SubstringDedupSpec extends AnyFunSuite {
 
@@ -32,6 +35,7 @@ class SubstringDedupSpec extends AnyFunSuite {
   private val shared = (1 to 60).map(i => s"s$i")   // one 60-token run
   private val shared2 = (1 to 55).map(i => s"z$i")  // a second, separated
   private val short = (1 to 30).map(i => s"k$i")    // below the k=50 bar
+  private val selfRun = (1 to 55).map(i => s"r$i")  // repeated INSIDE one doc
 
   private def corpus: DataFrame = Seq(
     (1L, doc(uniq("a", 10), shared, uniq("b", 10))),
@@ -39,7 +43,10 @@ class SubstringDedupSpec extends AnyFunSuite {
     (3L, doc(uniq("e", 10), shared, uniq("f", 40), shared2, uniq("g", 5))),
     (4L, doc(uniq("h", 7), shared2, uniq("i", 4))),
     (5L, doc(uniq("j", 20), short, uniq("l", 20))),
-    (6L, doc(uniq("m", 25), short, uniq("n", 25)))
+    (6L, doc(uniq("m", 25), short, uniq("n", 25))),
+    // intra-doc repeat: no OTHER doc shares r1..r55, but the run occurs
+    // twice within doc 7 — ExactSubstr semantics flag both occurrences
+    (7L, doc(uniq("o", 5), selfRun, uniq("q", 60), selfRun, uniq("u", 5)))
   ).toDF("doc_id", "text")
 
   private def spans(df: DataFrame) =
@@ -60,6 +67,11 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 4L) == Seq((4L, 8L, 62L, 55L, 6L)))
     // docs 5/6 share only a 30-token run — below k, no span may appear
     assert(!got.exists(r => r._1 == 5L || r._1 == 6L))
+    // doc 7: the 55-token run repeats WITHIN the doc (occurrences at
+    // 6..60 and 121..175, separated by > k) — both flagged even though
+    // no other document shares it (any-position occurrence rule)
+    assert(got.filter(_._1 == 7L) ==
+      Seq((7L, 6L, 60L, 55L, 6L), (7L, 121L, 175L, 55L, 6L)))
   }
 
   test("spans are maximal: disjoint with at least one uncovered token between") {

@@ -13,11 +13,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def same_value(x, y) -> bool:
-    """Driver-parity scalar compare. The driver hashes STRINGIFIED
-    values ("%.6f" for floats), under which -0.0 != +0.0 even though
-    `x == y` holds — exactly the blindness that let c14 ship "green"
-    in r15 and fail only at the driver's hash gate. Floats therefore
-    compare by their %.6f rendering (sign included)."""
+    """Sign-aware scalar compare, STRICTER than the driver's hash. The
+    driver hashes stringified values ("%.6f" for floats), under which
+    -0.0 != +0.0 even though `x == y` holds — exactly the blindness
+    that let c14 ship "green" in r15 and fail only at the driver's
+    hash gate. Floats therefore compare EXACTLY (x == y) AND by sign
+    bit: exact equality keeps the mirror's full sensitivity on columns
+    the queries round at 7-8 decimals (a %.6f-rendering compare would
+    have silently weakened those below their own stated precision),
+    and the sign check catches the -0.0 class the driver's hash sees.
+    Anything the mirror passes, the coarser %.6f driver hash passes."""
     if hasattr(x, "__len__") and not isinstance(x, str):
         # array-valued cell (pd.isna would be elementwise-ambiguous)
         return hasattr(y, "__len__") and len(x) == len(y) \
@@ -27,7 +32,7 @@ def same_value(x, y) -> bool:
     if isinstance(x, float) and isinstance(y, float):
         if math.isnan(x) and math.isnan(y):
             return True
-        return ("%.6f" % x) == ("%.6f" % y)
+        return x == y and math.copysign(1.0, x) == math.copysign(1.0, y)
     return x == y
 
 def selftest() -> int:
@@ -35,11 +40,13 @@ def selftest() -> int:
     assert same_value(0.0, 0.0)
     assert same_value(-0.0, -0.0)
     assert same_value(float("nan"), float("nan"))
-    assert same_value(1.0000004, 1.0000001)   # same %.6f bucket as the driver
+    # exact compare: sub-%.6f drift the driver's hash would MISS still
+    # fails here (the mirror is strictly stricter, never weaker)
+    assert not same_value(1.0000004, 1.0000001)
     assert not same_value(1.000001, 1.000002)
     assert same_value("a", "a") and not same_value("a", "b")
     assert same_value(None, None)
-    print("selftest ok (signed-zero distinguished, driver %.6f parity)")
+    print("selftest ok (signed-zero distinguished, exact float compare)")
     return 0
 
 def main(sf_dir: str, out_dir: str) -> int:
