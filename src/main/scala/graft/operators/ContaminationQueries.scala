@@ -519,6 +519,89 @@ object ContaminationQueries {
       LEFT JOIN resid r ON r.benchmark = g.benchmark AND r.split = g.split
       ORDER BY g.benchmark, g.split"""))
 
+  // ---- Gram-size sensitivity profile (x5, r16) ------------------------
+
+  /** The decontamination-threshold study a release runs before fixing
+    * its gram size: published pipelines disagree on n (GPT-3's
+    * 13-gram exact-match discipline, the 8-gram middle ground, the
+    * 5-gram strictest end x1/p1 use) and the right choice is corpus-
+    * dependent — short grams catch paraphrase-adjacent overlap but
+    * drop more data, long grams only verbatim leaks. One row per n:
+    * the eval set's distinct-gram count, how many of those grams the
+    * training split carries, how many training docs would be dropped,
+    * and the drop rate. Monotone by construction (an n-gram shared
+    * implies all its sub-grams shared, so docs-hit can only shrink as
+    * n grows) — the spec pins it.
+    *
+    * Scale shape: one gram scan per n (3 scans total — each the x1
+    * shape: explode → guarded-broadcast hash join → count aggregates
+    * with map-side partials); per-n stats are single-row aggregates
+    * crossed together, never a corpus shuffle. */
+  private[graft] val ProfileNs: Seq[Int] = Seq(5, 8, 13)
+
+  private[graft] def decontaminationProfileOf(
+      docs: org.apache.spark.sql.DataFrame,
+      ns: Seq[Int] = ProfileNs,
+      maxBroadcastEvalGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
+    val spread = QueryDef.spread(docs)
+    ns.map { n =>
+      val grams = spread
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"), wordNgrams(col("tk"), n).as("g"))
+        .staged
+      val evalG = grams.filter(isEval)
+        .select(explode(col("g")).as("gram")).distinct().staged
+      val trainPost = grams.filter(!isEval)
+        .select(col("doc_id").as("b"), explode(col("g")).as("gram"))
+      val hits = trainPost
+        .join(QueryDef.guardedBroadcast(evalG, maxBroadcastEvalGrams), "gram")
+      val nTrainDocs = grams.filter(!isEval)
+        .select(count(lit(1)).as("n_train_docs"))
+      evalG.agg(count(lit(1)).as("n_eval_grams"))
+        .crossJoin(broadcast(hits.agg(
+          countDistinct(col("gram")).as("n_shared_grams"),
+          countDistinct(col("b")).as("n_train_docs_hit"))))
+        .crossJoin(broadcast(nTrainDocs))
+        .select(lit(n.toLong).as("n"), col("n_eval_grams"),
+          col("n_shared_grams"), col("n_train_docs_hit"),
+          round(col("n_train_docs_hit").cast("double") /
+            col("n_train_docs"), 6).as("drop_rate"))
+    }.reduce(_ unionByName _).orderBy("n")
+  }
+
+  val xDecontaminationProfile = QueryDef(
+    "x5_decontamination_profile",
+    (s, dir) => decontaminationProfileOf(Tables.documents(s, dir)),
+    Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      prof AS (SELECT n FROM (VALUES (5), (8), (13)) v(n)),
+      g AS (
+        SELECT prof.n, tk.doc_id,
+               list_distinct(list_transform(range(1, len(tk) - prof.n + 2),
+                 i -> array_to_string(tk[i:i+prof.n-1], ' '))) AS g
+        FROM tk CROSS JOIN prof WHERE len(tk) >= prof.n),
+      eg AS (SELECT DISTINCT n, u.t AS gram
+             FROM g, UNNEST(g.g) AS u(t) WHERE doc_id % 37 = 0),
+      tr AS (SELECT n, doc_id AS b, u.t AS gram
+             FROM g, UNNEST(g.g) AS u(t) WHERE doc_id % 37 <> 0),
+      h AS (SELECT tr.n, tr.b, tr.gram
+            FROM tr JOIN eg ON eg.n = tr.n AND eg.gram = tr.gram),
+      egc AS (SELECT n, COUNT(*) AS n_eval_grams FROM eg GROUP BY n),
+      hc AS (SELECT n, COUNT(DISTINCT gram) AS n_shared_grams,
+                    COUNT(DISTINCT b) AS n_train_docs_hit
+             FROM h GROUP BY n),
+      td AS (SELECT n, COUNT(*) AS n_train_docs
+             FROM g WHERE doc_id % 37 <> 0 GROUP BY n)
+      SELECT CAST(egc.n AS BIGINT) AS n, egc.n_eval_grams,
+             CAST(COALESCE(hc.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+             CAST(COALESCE(hc.n_train_docs_hit, 0) AS BIGINT) AS n_train_docs_hit,
+             ROUND(CAST(COALESCE(hc.n_train_docs_hit, 0) AS DOUBLE)
+               / td.n_train_docs, 6) AS drop_rate
+      FROM egc JOIN td USING (n) LEFT JOIN hc USING (n)
+      ORDER BY n"""))
+
   val all: Seq[QueryDef] = Seq(xDecontamination, xBloomScrub, xBloomScrubStored,
-    xBenchmarkClearance)
+    xBenchmarkClearance, xDecontaminationProfile)
 }

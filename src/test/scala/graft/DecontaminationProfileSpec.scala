@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ContaminationQueries
+
+/** x5_decontamination_profile — the gram-size sensitivity study.
+  * Seeded fixture: a train doc sharing an 8-token run with the eval
+  * set is caught at n ∈ {5, 8} and invisible at n = 13; a verbatim
+  * 13-token leak is caught at every n. Pins the monotonicity law
+  * (shared grams and docs hit are non-increasing in n) on the fixture
+  * and on real data. Cross-engine agreement is the oracle row's job.
+  */
+class DecontaminationProfileSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+  private val run8 = (1 to 8).map(i => s"e$i")    // 8-token eval passage
+  private val run13 = (1 to 13).map(i => s"v$i")  // 13-token eval passage
+
+  private def fixture: DataFrame = Seq(
+    // eval doc (multiple of 37) holds both passages
+    (37L, (run8 ++ uniq("pad", 4) ++ run13).mkString(" ")),
+    // train doc 1 leaks ONLY the 8-token passage
+    (1L, (uniq("a", 6) ++ run8 ++ uniq("b", 6)).mkString(" ")),
+    // train doc 2 leaks the full 13-token passage
+    (2L, (uniq("c", 4) ++ run13 ++ uniq("d", 4)).mkString(" ")),
+    // train doc 3 is clean
+    (3L, uniq("f", 20).mkString(" "))
+  ).toDF("doc_id", "text")
+
+  private def profile(df: DataFrame) =
+    ContaminationQueries.decontaminationProfileOf(df)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("seeded fixture: 8-token leak visible at n=5,8; only the 13-token leak at n=13") {
+    val got = profile(fixture)
+    assert(got.keySet == Set(5L, 8L, 13L))
+    // n=5: both leaking docs hit (run8 carries 4 five-grams, run13 nine)
+    assert(got(5L)._4 == 2L, "n=5 docs hit")
+    // n=8: run8 is exactly one 8-gram; run13 carries six → both docs hit
+    assert(got(8L)._4 == 2L, "n=8 docs hit")
+    assert(got(8L)._3 >= 2L, "n=8 shared grams: run8's 1 + run13's 6")
+    // n=13: only the verbatim 13-token passage survives — doc 1 invisible
+    assert(got(13L)._4 == 1L, "n=13 docs hit")
+    assert(got(13L)._3 == 1L, "n=13 shared grams")
+    // drop rate over the ≥n-token train population (all three train
+    // docs have ≥13 tokens; one is hit)
+    assert(got(13L)._5 == BigDecimal(1.0 / 3.0).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("monotonicity: shared grams and docs hit never grow with n") {
+    def mono(df: DataFrame): Unit = {
+      val p = profile(df)
+      val ns = p.keys.toSeq.sorted
+      ns.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(p(b)._3 <= p(a)._3, s"shared grams grew from n=$a to n=$b")
+          assert(p(b)._4 <= p(a)._4, s"docs hit grew from n=$a to n=$b")
+        case _ => ()
+      }
+    }
+    mono(fixture)
+    mono(graft.sources.Tables.documents(spark, "/root/testdata/sf0.01"))
+  }
+
+  test("clean corpus: zero shared grams at every n, drop rate 0") {
+    val clean = Seq(
+      (37L, uniq("x", 20).mkString(" ")),
+      (1L, uniq("y", 20).mkString(" "))).toDF("doc_id", "text")
+    profile(clean).values.foreach { case (_, _, shared, hit, rate) =>
+      assert(shared == 0L && hit == 0L && rate == 0.0)
+    }
+  }
+}
