@@ -200,6 +200,19 @@ object SkewBench {
     // under maximal duplication pressure
     measure("d12_dup_substrings_k8")(
       graft.operators.DedupQueries.dupSubstringsOf(docs, 8).count())
+    // d12b: the stored-index probe at the same k — corpus = docs ≥ 1000
+    // persisted once, the first 1,000 docs arrive as the batch; probes
+    // sum stored partials for the BATCH's hashes only
+    measure("d12b_substr_stored_probe")({
+      val path = s"$dir/substr_idx_k8"
+      val fs2 = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs2.exists(new org.apache.hadoop.fs.Path(path)))
+        graft.operators.DedupQueries.initStoredSubstrIndex(
+          spark, path, docs.filter(col("doc_id") >= 1000), k = 8)
+      graft.operators.DedupQueries.probeStoredSubstrIndex(
+        spark, path, docs.filter(col("doc_id") < 1000), k = 8).count()
+    })
     // d8: stored-index incremental, increment = first 1,000 docs
     measure("d8_incremental_stored")(
       DedupQueries.minHashPairsIncrementalStored(

@@ -1100,6 +1100,150 @@ object DedupQueries {
              COUNT(*) AS n_windows
       FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_pos"""))
 
+  // ---- Stored substring index + incremental probe (d12b, r16) --------
+  // d12's day-over-day shape (the d8/d10b stored-index discipline
+  // applied to exact-substring dedup): at 100 TB the corpus's k-window
+  // occurrence counts are PERSISTED once; each arriving batch windows
+  // only itself, probes the stored counts, and emits its own maximal
+  // duplicated-coverage intervals against corpus ∪ batch — O(increment)
+  // work per day, zero corpus-side re-windowing. Restricted to batch
+  // rows (the ingestion-filter use: "which spans of TODAY'S crawl are
+  // already-seen text"), exactly the d8 increment-touching contract.
+
+  private val SubstrStamp = "_graft_substr_geometry"
+  private def substrGeometryString(k: Int): String = s"k=$k"
+
+  /** (doc_id, s, h) window rows at k — the shared front half of the
+    * full run (dupSubstringsOf), the init and the probe, so the three
+    * can never disagree on what a window is. */
+  private def windowHashes(docs: DataFrame, k: Int): DataFrame =
+    QueryDef.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"), spanWindows(col("tk"), k).as("sp"))
+      .staged
+      .select(col("doc_id"), explode(col("sp")).as("w"))
+      .select(col("doc_id"), col("w.s").as("s"), md5(col("w.span")).as("h"))
+
+  private def substrCheckDisjoint(storedIds: DataFrame, docs: DataFrame): Unit = {
+    val overlap = storedIds.join(docs.select(col("doc_id")), "doc_id")
+      .limit(1).count()
+    require(overlap == 0L,
+      "stored substring index: batch doc_ids must be disjoint from the corpus")
+  }
+
+  /** Initialize the stored index from the corpus snapshot: `ids` (raw
+    * doc_ids — the append/probe disjointness gate), `counts` (h, nocc —
+    * PARTIAL occurrence counts; probes sum per h, so appends never
+    * rewrite history). Geometry stamp written LAST — a crashed init
+    * leaves no stamp and every probe fails loudly. */
+  def initStoredSubstrIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                            docs: DataFrame, k: Int = SubstrWindow): Unit = {
+    graft.sources.IndexStore.clearStamp(s, path, SubstrStamp)
+    docs.select(col("doc_id")).write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, path, "ids"))
+    windowHashes(docs, k).groupBy("h").agg(count(lit(1)).as("nocc"))
+      .write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, path, "counts"))
+    graft.sources.IndexStore.writeStamp(s, path, SubstrStamp,
+      substrGeometryString(k))
+  }
+
+  /** Fold a probed batch into the stored index: O(increment) appends of
+    * delta count rows + ids. From now on those docs are corpus side. */
+  def appendStoredSubstrIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                              newDocs: DataFrame, k: Int = SubstrWindow): Unit = {
+    graft.sources.IndexStore.requireStamp(s, path, SubstrStamp,
+      substrGeometryString(k), "substring-window geometry")
+    substrCheckDisjoint(
+      graft.sources.IndexStore.readSwappable(s, path, "ids"), newDocs)
+    newDocs.select(col("doc_id")).write.mode("append")
+      .parquet(graft.sources.IndexStore.tableDataPath(s, path, "ids"))
+    windowHashes(newDocs, k).groupBy("h").agg(count(lit(1)).as("nocc"))
+      .write.mode("append")
+      .parquet(graft.sources.IndexStore.tableDataPath(s, path, "counts"))
+  }
+
+  /** Probe: the batch's maximal duplicated-coverage intervals against
+    * corpus ∪ batch. Occurrence counts = batch's own + the stored
+    * partials for the batch's hashes ONLY (one narrow stored-table scan
+    * semi-reduced by the guarded-broadcast batch hash set — never a
+    * full stored-count materialization); islands per batch doc exactly
+    * as the full run. Equal to
+    * `dupSubstringsOf(corpus ∪ batch, k)` restricted to batch docs
+    * (StoredSubstrSpec pins it; the d12b oracle states it in SQL). */
+  def probeStoredSubstrIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                             batch: DataFrame, k: Int = SubstrWindow,
+                             maxBroadcastHashes: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.sources.IndexStore.requireStamp(s, path, SubstrStamp,
+      substrGeometryString(k), "substring-window geometry")
+    substrCheckDisjoint(
+      graft.sources.IndexStore.readSwappable(s, path, "ids"), batch)
+    val bw = windowHashes(batch, k).staged                 // (doc_id, s, h)
+    val bc = bw.groupBy("h").agg(count(lit(1)).as("nb")).staged
+    val sc = graft.sources.IndexStore.readSwappable(s, path, "counts")
+      .join(QueryDef.guardedBroadcast(bc.select("h"), maxBroadcastHashes), "h")
+      .groupBy("h").agg(sum(col("nocc")).as("ns"))
+    val dup = bc.join(sc, Seq("h"), "left")
+      .filter(col("nb") + coalesce(col("ns"), lit(0L)) >= 2)
+      .select("h")
+    val starts = bw.join(dup, "h").select("doc_id", "s")
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    starts
+      .withColumn("brk",
+        when(col("s") <= lag(col("s"), 1).over(byDoc) + k, 0L).otherwise(1L))
+      .withColumn("g",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "g")
+      .agg(min("s").cast("long").as("start_pos"),
+        (max("s") + (k - 1)).cast("long").as("end_pos"),
+        (max("s") - min("s") + k).cast("long").as("len_tokens"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_pos", "end_pos", "len_tokens", "n_windows")
+      .orderBy("doc_id", "start_pos")
+  }
+
+  /** d12b as a driver query — docs ≥ 250 are "yesterday's snapshot"
+    * (persisted once, meta-stamped on the source fingerprint), docs
+    * < 250 arrive as the new batch. Oracle: the full-run d12 closed
+    * form over corpus ∪ batch, batch rows only — the equality the
+    * stored path must preserve. */
+  val dDupSubstringsStored = QueryDef(
+    "d12b_dup_substr_stored",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = graft.sources.IndexStore.indexPath(
+        dir, s"substr_k${SubstrWindow}_ge_250")
+      val meta = s"v1|k=$SubstrWindow|corpus=(doc_id >= 250)|src=" +
+        graft.sources.IndexStore.sourceStamp(s, s"$dir/documents.parquet")
+      graft.sources.IndexStore.ensure(s, path, meta) {
+        initStoredSubstrIndex(s, path, docs.filter(col("doc_id") >= 250))
+      }
+      probeStoredSubstrIndex(s, path, docs.filter(col("doc_id") < 250))
+    },
+    Some("""
+      WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      w AS (SELECT doc_id, i AS s, md5(array_to_string(tk[i:i+49], ' ')) AS h
+            FROM tk, UNNEST(range(1, len(tk) - 48)) AS u(i)
+            WHERE len(tk) >= 50),
+      d AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+      ds AS (SELECT w.doc_id, w.s FROM w JOIN d USING (h)
+             WHERE w.doc_id < 250),
+      m AS (SELECT doc_id, s,
+                   CASE WHEN s <= LAG(s) OVER (PARTITION BY doc_id ORDER BY s) + 50
+                        THEN 0 ELSE 1 END AS brk
+            FROM ds),
+      isl AS (SELECT doc_id, s,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY s) AS g
+              FROM m)
+      SELECT doc_id, CAST(MIN(s) AS BIGINT) AS start_pos,
+             CAST(MAX(s) + 49 AS BIGINT) AS end_pos,
+             CAST(MAX(s) - MIN(s) + 50 AS BIGINT) AS len_tokens,
+             COUNT(*) AS n_windows
+      FROM isl GROUP BY doc_id, g ORDER BY doc_id, start_pos"""))
+
   val all: Seq[QueryDef] = Seq(dExact, dMinHash, dIncremental, dSimHash,
-    dNgramJaccard, dDupSpans, dSpanScrub, dDupSubstrings)
+    dNgramJaccard, dDupSpans, dSpanScrub, dDupSubstrings,
+    dDupSubstringsStored)
 }
