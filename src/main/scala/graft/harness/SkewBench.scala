@@ -205,11 +205,15 @@ object SkewBench {
     // sum stored partials for the BATCH's hashes only
     measure("d12b_substr_stored_probe")({
       val path = s"$dir/substr_idx_k8"
-      val fs2 = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs2.exists(new org.apache.hadoop.fs.Path(path)))
+      // IndexStore.ensure with a source stamp (the d8 discipline): a
+      // regenerated skew corpus rebuilds instead of silently probing a
+      // stale index, and a crashed init (no meta) self-heals
+      val meta = "v1|k=8|corpus=(doc_id >= 1000)|src=" +
+        graft.sources.IndexStore.sourceStamp(spark, docsPath)
+      graft.sources.IndexStore.ensure(spark, path, meta) {
         graft.operators.DedupQueries.initStoredSubstrIndex(
           spark, path, docs.filter(col("doc_id") >= 1000), k = 8)
+      }
       graft.operators.DedupQueries.probeStoredSubstrIndex(
         spark, path, docs.filter(col("doc_id") < 1000), k = 8).count()
     })

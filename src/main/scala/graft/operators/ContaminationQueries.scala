@@ -529,9 +529,13 @@ object ContaminationQueries {
     * drop more data, long grams only verbatim leaks. One row per n:
     * the eval set's distinct-gram count, how many of those grams the
     * training split carries, how many training docs would be dropped,
-    * and the drop rate. Monotone by construction (an n-gram shared
-    * implies all its sub-grams shared, so docs-hit can only shrink as
-    * n grows) — the spec pins it.
+    * and the drop rate. DOCS-HIT is monotone by construction (an
+    * n-gram shared implies all its sub-grams shared, so a doc hit at
+    * n is hit at every smaller n) — the spec pins it. The shared-GRAM
+    * count is NOT monotone in general: distinct-subword counts of a
+    * repetitive string can grow with n (e.g. "a a a a a a a b a…"
+    * has more distinct 8-grams than 5-grams), so no law is claimed or
+    * pinned for it.
     *
     * Scale shape: one gram scan per n (3 scans total — each the x1
     * shape: explode → guarded-broadcast hash join → count aggregates
@@ -566,8 +570,11 @@ object ContaminationQueries {
         .crossJoin(broadcast(nTrainDocs))
         .select(lit(n.toLong).as("n"), col("n_eval_grams"),
           col("n_shared_grams"), col("n_train_docs_hit"),
-          round(col("n_train_docs_hit").cast("double") /
-            col("n_train_docs"), 6).as("drop_rate"))
+          // an empty ≥n-token train population has no defined rate —
+          // NULL, not NaN (0/0 in Spark is NaN; DuckDB's is NULL)
+          when(col("n_train_docs") === 0L, lit(null).cast("double"))
+            .otherwise(round(col("n_train_docs_hit").cast("double") /
+              col("n_train_docs"), 6)).as("drop_rate"))
     }.reduce(_ unionByName _).orderBy("n")
   }
 
@@ -594,13 +601,20 @@ object ContaminationQueries {
              FROM h GROUP BY n),
       td AS (SELECT n, COUNT(*) AS n_train_docs
              FROM g WHERE doc_id % 37 <> 0 GROUP BY n)
-      SELECT CAST(egc.n AS BIGINT) AS n, egc.n_eval_grams,
+      -- drive from the n grid: a degenerate population (no eval or no
+      -- train doc of >= n tokens) still emits its row with zeros and a
+      -- NULL rate, matching the Spark side's always-one-row aggregates
+      SELECT CAST(prof.n AS BIGINT) AS n,
+             CAST(COALESCE(egc.n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
              CAST(COALESCE(hc.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
              CAST(COALESCE(hc.n_train_docs_hit, 0) AS BIGINT) AS n_train_docs_hit,
-             ROUND(CAST(COALESCE(hc.n_train_docs_hit, 0) AS DOUBLE)
-               / td.n_train_docs, 6) AS drop_rate
-      FROM egc JOIN td USING (n) LEFT JOIN hc USING (n)
-      ORDER BY n"""))
+             CASE WHEN COALESCE(td.n_train_docs, 0) = 0 THEN NULL
+                  ELSE ROUND(CAST(COALESCE(hc.n_train_docs_hit, 0) AS DOUBLE)
+                         / td.n_train_docs, 6) END AS drop_rate
+      FROM prof LEFT JOIN egc ON egc.n = prof.n
+           LEFT JOIN td ON td.n = prof.n
+           LEFT JOIN hc ON hc.n = prof.n
+      ORDER BY prof.n"""))
 
   val all: Seq[QueryDef] = Seq(xDecontamination, xBloomScrub, xBloomScrubStored,
     xBenchmarkClearance, xDecontaminationProfile)

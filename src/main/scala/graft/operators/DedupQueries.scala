@@ -1023,13 +1023,7 @@ object DedupQueries {
 
   private[graft] def dupSubstringsOf(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = QueryDef.spread(docs)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= k)
-      .select(col("doc_id"), spanWindows(col("tk"), k).as("sp"))
-      .staged
-    val ex = base.select(col("doc_id"), explode(col("sp")).as("w"))
-      .select(col("doc_id"), col("w.s").as("s"), md5(col("w.span")).as("h"))
+    val ex = windowHashes(docs, k)
     // duplicated = the window text occurs at ≥2 distinct (doc, start)
     // positions ANYWHERE (Lee et al.'s suffix-array semantics, which
     // count a repeat within one document too) — NOT d7's distinct-doc
@@ -1065,11 +1059,7 @@ object DedupQueries {
     val base = QueryDef.spread(docs)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .staged
-    val ex = base.filter(size(col("tk")) >= k)
-      .select(col("doc_id"), spanWindows(col("tk"), k).as("sp"))
-      .staged
-      .select(col("doc_id"), explode(col("sp")).as("w"))
-      .select(col("doc_id"), col("w.s").as("s"), md5(col("w.span")).as("h"))
+    val ex = windowHashesFrom(base, k)
     // same any-position occurrence rule as dupSubstringsOf — the
     // coverage-parity spec compares the two, so they must share it
     val dup = ex.groupBy("h").agg(count(lit(1)).as("nocc"))
@@ -1113,24 +1103,23 @@ object DedupQueries {
   private val SubstrStamp = "_graft_substr_geometry"
   private def substrGeometryString(k: Int): String = s"k=$k"
 
-  /** (doc_id, s, h) window rows at k — the shared front half of the
-    * full run (dupSubstringsOf), the init and the probe, so the three
-    * can never disagree on what a window is. */
-  private def windowHashes(docs: DataFrame, k: Int): DataFrame =
-    QueryDef.spread(docs)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+  /** (doc_id, s, h) window rows at k from an already-tokenized
+    * (doc_id, tk) frame — THE single definition of "a window" shared
+    * by the full run (dupSubstringsOf), the scrub twin
+    * (substrScrubFrame), the index init, the probe and the append, so
+    * none of them can drift on the hash/start/staging rule. */
+  private def windowHashesFrom(tokBase: DataFrame, k: Int): DataFrame =
+    tokBase
       .filter(size(col("tk")) >= k)
       .select(col("doc_id"), spanWindows(col("tk"), k).as("sp"))
       .staged
       .select(col("doc_id"), explode(col("sp")).as("w"))
       .select(col("doc_id"), col("w.s").as("s"), md5(col("w.span")).as("h"))
 
-  private def substrCheckDisjoint(storedIds: DataFrame, docs: DataFrame): Unit = {
-    val overlap = storedIds.join(docs.select(col("doc_id")), "doc_id")
-      .limit(1).count()
-    require(overlap == 0L,
-      "stored substring index: batch doc_ids must be disjoint from the corpus")
-  }
+  private def windowHashes(docs: DataFrame, k: Int): DataFrame =
+    windowHashesFrom(
+      QueryDef.spread(docs)
+        .select(col("doc_id"), split(col("text"), " ").as("tk")), k)
 
   /** Initialize the stored index from the corpus snapshot: `ids` (raw
     * doc_ids — the append/probe disjointness gate), `counts` (h, nocc —
@@ -1150,12 +1139,21 @@ object DedupQueries {
   }
 
   /** Fold a probed batch into the stored index: O(increment) appends of
-    * delta count rows + ids. From now on those docs are corpus side. */
+    * delta count rows + ids. From now on those docs are corpus side.
+    *
+    * Crash contract (same as the sibling line/minhash appends): the
+    * ids and counts appends are NOT atomic — a crash between them
+    * leaves the batch's ids recorded without its counts, and the
+    * disjointness gate then blocks a naive retry. Recovery is
+    * `initStoredSubstrIndex` over the full corpus (rebuild). Callers
+    * needing exactly-once folding under replay use the streaming
+    * families' tagged-publish discipline
+    * (`IndexStore.publishTaggedAppend`) instead of this batch API. */
   def appendStoredSubstrIndex(s: org.apache.spark.sql.SparkSession, path: String,
                               newDocs: DataFrame, k: Int = SubstrWindow): Unit = {
     graft.sources.IndexStore.requireStamp(s, path, SubstrStamp,
       substrGeometryString(k), "substring-window geometry")
-    substrCheckDisjoint(
+    checkDisjoint(
       graft.sources.IndexStore.readSwappable(s, path, "ids"), newDocs)
     newDocs.select(col("doc_id")).write.mode("append")
       .parquet(graft.sources.IndexStore.tableDataPath(s, path, "ids"))
@@ -1178,7 +1176,7 @@ object DedupQueries {
     import org.apache.spark.sql.expressions.Window
     graft.sources.IndexStore.requireStamp(s, path, SubstrStamp,
       substrGeometryString(k), "substring-window geometry")
-    substrCheckDisjoint(
+    checkDisjoint(
       graft.sources.IndexStore.readSwappable(s, path, "ids"), batch)
     val bw = windowHashes(batch, k).staged                 // (doc_id, s, h)
     val bc = bw.groupBy("h").agg(count(lit(1)).as("nb")).staged
