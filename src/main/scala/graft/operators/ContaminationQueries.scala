@@ -529,7 +529,13 @@ object ContaminationQueries {
     * drop more data, long grams only verbatim leaks. One row per n:
     * the eval set's distinct-gram count, how many of those grams the
     * training split carries, how many training docs would be dropped,
-    * and the drop rate. DOCS-HIT is monotone by construction (an
+    * and the drop rate. The drop-rate denominator is the TOTAL train
+    * doc count — constant across the three rows — so rates compare on
+    * a fixed base (a doc too short to carry a 13-gram is still a train
+    * doc that would not be dropped; dividing by the ≥n-token
+    * population would shrink the base as n grows and make the rows
+    * incomparable, defeating the profile's purpose). DOCS-HIT is
+    * monotone by construction (an
     * n-gram shared implies all its sub-grams shared, so a doc hit at
     * n is hit at every smaller n) — the spec pins it. The shared-GRAM
     * count is NOT monotone in general: distinct-subword counts of a
@@ -549,6 +555,10 @@ object ContaminationQueries {
       maxBroadcastEvalGrams: Long = 10000000L)
       : org.apache.spark.sql.DataFrame = {
     val spread = QueryDef.spread(docs)
+    // ONE constant denominator for every n row: the full train split,
+    // not the ≥n-token subset (see scaladoc — rates must share a base)
+    val nTrainDocs = spread.filter(!isEval)
+      .select(count(lit(1)).as("n_train_docs"))
     ns.map { n =>
       val grams = spread
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
@@ -561,8 +571,6 @@ object ContaminationQueries {
         .select(col("doc_id").as("b"), explode(col("g")).as("gram"))
       val hits = trainPost
         .join(QueryDef.guardedBroadcast(evalG, maxBroadcastEvalGrams), "gram")
-      val nTrainDocs = grams.filter(!isEval)
-        .select(count(lit(1)).as("n_train_docs"))
       evalG.agg(count(lit(1)).as("n_eval_grams"))
         .crossJoin(broadcast(hits.agg(
           countDistinct(col("gram")).as("n_shared_grams"),
@@ -570,7 +578,7 @@ object ContaminationQueries {
         .crossJoin(broadcast(nTrainDocs))
         .select(lit(n.toLong).as("n"), col("n_eval_grams"),
           col("n_shared_grams"), col("n_train_docs_hit"),
-          // an empty ≥n-token train population has no defined rate —
+          // an empty train split has no defined rate —
           // NULL, not NaN (0/0 in Spark is NaN; DuckDB's is NULL)
           when(col("n_train_docs") === 0L, lit(null).cast("double"))
             .otherwise(round(col("n_train_docs_hit").cast("double") /
@@ -599,20 +607,22 @@ object ContaminationQueries {
       hc AS (SELECT n, COUNT(DISTINCT gram) AS n_shared_grams,
                     COUNT(DISTINCT b) AS n_train_docs_hit
              FROM h GROUP BY n),
-      td AS (SELECT n, COUNT(*) AS n_train_docs
-             FROM g WHERE doc_id % 37 <> 0 GROUP BY n)
+      -- ONE constant denominator: the full train split, not the
+      -- >= n-token subset (rates must compare on a fixed base)
+      td AS (SELECT COUNT(*) AS n_train_docs
+             FROM tk WHERE doc_id % 37 <> 0)
       -- drive from the n grid: a degenerate population (no eval or no
-      -- train doc of >= n tokens) still emits its row with zeros and a
-      -- NULL rate, matching the Spark side's always-one-row aggregates
+      -- train doc of >= n tokens) still emits its row with zeros,
+      -- matching the Spark side's always-one-row aggregates
       SELECT CAST(prof.n AS BIGINT) AS n,
              CAST(COALESCE(egc.n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
              CAST(COALESCE(hc.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
              CAST(COALESCE(hc.n_train_docs_hit, 0) AS BIGINT) AS n_train_docs_hit,
-             CASE WHEN COALESCE(td.n_train_docs, 0) = 0 THEN NULL
+             CASE WHEN td.n_train_docs = 0 THEN NULL
                   ELSE ROUND(CAST(COALESCE(hc.n_train_docs_hit, 0) AS DOUBLE)
                          / td.n_train_docs, 6) END AS drop_rate
-      FROM prof LEFT JOIN egc ON egc.n = prof.n
-           LEFT JOIN td ON td.n = prof.n
+      FROM prof CROSS JOIN td
+           LEFT JOIN egc ON egc.n = prof.n
            LEFT JOIN hc ON hc.n = prof.n
       ORDER BY prof.n"""))
 

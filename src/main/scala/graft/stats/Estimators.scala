@@ -50,12 +50,18 @@ object Estimators {
       count(lit(1)),
       countDistinct(col("user_id")),
       avg(col("is_internal").cast("double")),
-      idMin, idMax).head()
+      idMin, idMax,
+      count(col("user_id"))).head()
     val n = r.getLong(0)
     require(n > 0, "empty panel: no rows to fit an estimator on")
     val nU = r.getLong(1).toInt
+    // NULL user_id rows are invisible to min/max/countDistinct, so
+    // they could fake density; the dense path would emit them with a
+    // null __cluster while the fallback's inner join drops them —
+    // same input, different row counts. A null id disables the fast
+    // path (count(user_id) counts only non-null rows).
     val dense = numericIds && !r.isNullAt(3) &&
-      r.getLong(3) == 1L && r.getLong(4) == nU.toLong
+      r.getLong(3) == 1L && r.getLong(4) == nU.toLong && r.getLong(5) == n
     PanelInfo(n, nU, math.round(n.toDouble / nU).toInt, r.getDouble(2), dense)
   }
 
@@ -75,6 +81,11 @@ object Estimators {
     */
   def withBlockCluster(df: DataFrame, info: PanelInfo): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // __urank is a reserved helper name: the fallback path joins on it
+    // and BOTH paths drop it at the end, so a caller column of that
+    // name would be silently removed (or make the join ambiguous)
+    require(!df.columns.contains("__urank"),
+      "withBlockCluster reserves the column name __urank")
     val urank =
       if (info.denseUserIds) col("user_id").cast("long")
       else col("__urank")

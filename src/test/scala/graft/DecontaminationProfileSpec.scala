@@ -52,10 +52,13 @@ class DecontaminationProfileSpec extends AnyFunSuite {
     // n=13: only the verbatim 13-token passage survives — doc 1 invisible
     assert(got(13L)._4 == 1L, "n=13 docs hit")
     assert(got(13L)._3 == 1L, "n=13 shared grams")
-    // drop rate over the ≥n-token train population (all three train
-    // docs have ≥13 tokens; one is hit)
+    // drop rate over the TOTAL train population — the constant
+    // denominator (3 train docs; one hit at n=13)
     assert(got(13L)._5 == BigDecimal(1.0 / 3.0).setScale(6,
       BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // rates share a base, so across-n comparison is meaningful:
+    // 2/3 at n=5 and n=8, 1/3 at n=13
+    assert(got(5L)._5 == got(8L)._5 && got(5L)._5 > got(13L)._5)
   }
 
   test("monotonicity: docs hit never grow with n") {
@@ -77,9 +80,11 @@ class DecontaminationProfileSpec extends AnyFunSuite {
     mono(graft.sources.Tables.documents(spark, "/root/testdata/sf0.01"))
   }
 
-  test("degenerate population: every n row is still emitted with zeros/null rate") {
+  test("degenerate population: every n row is still emitted with zeros") {
     // only 10-token docs — below every profile n; all three rows must
-    // appear (the oracle drives from the n grid for the same reason)
+    // appear (the oracle drives from the n grid for the same reason).
+    // The train doc is too short for any gram, but it IS a train doc:
+    // the constant denominator makes the rate 0/1 = 0.0, never NULL
     val tiny = Seq(
       (37L, (1 to 10).map(i => s"w$i").mkString(" ")),
       (1L, (1 to 10).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
@@ -88,9 +93,16 @@ class DecontaminationProfileSpec extends AnyFunSuite {
         r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
     assert(got.map(_._1).toSet == Set(5L, 8L, 13L))
     got.foreach { case (n, eg, sh, hit, rate) =>
-      if (n == 13L) { assert(eg == 0L && rate.isEmpty, s"n=13 must be empty/NULL") }
-      assert(sh == 0L && hit == 0L)
+      if (n == 13L) assert(eg == 0L, s"n=13 must see zero eval grams")
+      assert(sh == 0L && hit == 0L && rate.contains(0.0))
     }
+  }
+
+  test("empty train split: rate is NULL (0/0 undefined), not NaN") {
+    val evalOnly = Seq(
+      (37L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    ContaminationQueries.decontaminationProfileOf(evalOnly)
+      .collect().foreach(r => assert(r.isNullAt(4), s"n=${r.getLong(0)}"))
   }
 
   test("clean corpus: zero shared grams at every n, drop rate 0") {

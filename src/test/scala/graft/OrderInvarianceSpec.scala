@@ -51,6 +51,28 @@ class OrderInvarianceSpec extends AnyFunSuite {
     assert(clusters(120L) == (120 - 1) / infoG.tMax)
   }
 
+  test("null user_id disables the dense fast path; __urank is reserved") {
+    import graft.stats.Estimators
+    import spark.implicits._
+    // ids 1..3 are dense-looking to min/max/countDistinct (nulls are
+    // invisible to all three) — only the non-null row-count probe can
+    // veto the fast path, which would emit the null row with a null
+    // __cluster while the fallback's inner join drops it
+    val withNull = Seq(
+      (Option(1L), 1), (Option(2L), 1), (Option(3L), 1), (Option.empty[Long], 1)
+    ).toDF("user_id", "t").withColumn("is_internal", lit(false))
+    val info = Estimators.panelInfo(withNull)
+    assert(!info.denseUserIds, "a null user_id must veto the dense path")
+    // reserved helper name: both paths drop __urank at the end, so a
+    // caller column of that name would be silently destroyed
+    val clash = Seq((1L, 1, "x")).toDF("user_id", "t", "__urank")
+    val e = intercept[IllegalArgumentException] {
+      Estimators.withBlockCluster(clash,
+        Estimators.PanelInfo(1L, 1, 1, 0.0, denseUserIds = true))
+    }
+    assert(e.getMessage.contains("__urank"))
+  }
+
   test("WCLS estimates are invariant to row shuffling and repartitioning") {
     val panel = Battery.examplePanel(spark)
       .filter(col("user_id") <= 120 || (col("user_id") > 400 && col("user_id") <= 520))

@@ -29,10 +29,22 @@ def same_value(x, y) -> bool:
             and all(same_value(a, b) for a, b in zip(x, y))
     if pd.isna(x) and pd.isna(y):
         return True
-    if isinstance(x, float) and isinstance(y, float):
-        if math.isnan(x) and math.isnan(y):
+    if isinstance(x, float) or isinstance(y, float):
+        # mixed dtypes (one engine materializes int64, the other
+        # double): coerce BOTH to float so -0.0 vs int 0 still trips
+        # the sign check — the mirror must stay strictly stricter
+        # than the driver hash even across dtype drift. bool is an
+        # int subclass; a bool-vs-float pair is a schema bug, not a
+        # value match.
+        if isinstance(x, bool) != isinstance(y, bool):
+            return False
+        try:
+            fx, fy = float(x), float(y)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(fx) and math.isnan(fy):
             return True
-        return x == y and math.copysign(1.0, x) == math.copysign(1.0, y)
+        return fx == fy and math.copysign(1.0, fx) == math.copysign(1.0, fy)
     return x == y
 
 def selftest() -> int:
@@ -46,6 +58,11 @@ def selftest() -> int:
     assert not same_value(1.000001, 1.000002)
     assert same_value("a", "a") and not same_value("a", "b")
     assert same_value(None, None)
+    # mixed dtype: int64 0 vs float -0.0 must still trip the sign bit
+    assert not same_value(-0.0, 0), "mixed-dtype -0.0 vs int 0 must fail"
+    assert not same_value(0, -0.0), "mixed-dtype int 0 vs -0.0 must fail"
+    assert same_value(0, 0.0) and same_value(3, 3.0)
+    assert not same_value("x", 0.0) and not same_value(True, 1.0)
     print("selftest ok (signed-zero distinguished, exact float compare)")
     return 0
 
