@@ -49,6 +49,43 @@ object Bridge {
     }
   }
 
+  /** Every file root path scanned by any query execution triggered
+    * while `body` runs — the executed-trace scan audit. Plan-string
+    * checks cannot see through staged frames (an eager localCheckpoint
+    * replaces the file-scan lineage with an ExistingRDD leaf), so the
+    * only faithful "what did this query actually read" record is the
+    * union of FileSourceScan roots across EVERY QueryExecution the
+    * construction + action fired — which is what a
+    * QueryExecutionListener observes. The listener bus is async; this
+    * drains it (private[spark] waitUntilEmpty — the reason this helper
+    * lives in the sql package) before reporting. Callers should assert
+    * a POSITIVE root too (e.g. the release dir), so an under-captured
+    * trace can never pass as "scanned nothing forbidden". */
+  def scannedFileRoots(s: org.apache.spark.sql.SparkSession)(body: => Unit): Seq[String] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val paths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def record(p: SparkPlan): Unit = p.foreachWithSubqueries {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.foreach(r => paths.add(r.toString))
+      case a: AdaptiveSparkPlanExec => record(a.executedPlan)
+      case _ => ()
+    }
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = record(qe.executedPlan)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = record(qe.executedPlan)
+    }
+    s.listenerManager.register(listener)
+    try body finally {
+      s.sparkContext.listenerBus.waitUntilEmpty()
+      s.listenerManager.unregister(listener)
+    }
+    import scala.jdk.CollectionConverters._
+    paths.asScala.toSeq.sorted
+  }
+
   /** Every SCALAR expression in the plan that cannot participate in
     * codegen (CodegenFallback — evaluated interpreted per row even
     * inside a codegen'd stage). Native kernels must never appear here.

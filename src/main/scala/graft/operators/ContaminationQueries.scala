@@ -626,6 +626,143 @@ object ContaminationQueries {
            LEFT JOIN hc ON hc.n = prof.n
       ORDER BY prof.n"""))
 
+  // ---- x4f: clearance audit over the PUBLISHED release (r17) ---------
+
+  /** STORED per-benchmark gram index: a benchmark suite is fixed for
+    * months while a release is audited many times, so the (benchmark,
+    * gram) table is built ONCE per (n, source snapshot) under the
+    * IndexStore lifecycle — the x3 discipline with the benchmark id
+    * attached — and every clearance audit PROBES it. The build is the
+    * x4 bench-side pass verbatim (same id rule, same n), so the stored
+    * grams can never drift from the in-plan clearance's. */
+  private def storedBenchIndex(s: org.apache.spark.sql.SparkSession,
+                               dir: String, n: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val path = graft.sources.IndexStore.indexPath(dir, s"benchgrams_n$n")
+    val meta = s"v1|n=$n|bench=docid%3|eval=${isEval.toString}|" +
+      s"src=${graft.sources.IndexStore.sourceStamp(s, s"$dir/documents.parquet")}"
+    graft.sources.IndexStore.ensure(s, path, meta) {
+      QueryDef.spread(Tables.documents(s, dir)).filter(isEval)
+        .select(concat(lit("bench_"), (col("doc_id") % 3).cast("string"))
+            .as("benchmark"),
+          split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("benchmark"), explode(wordNgrams(col("tk"), n)).as("gram"))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$path/grams")
+    }
+    s.read.parquet(s"$path/grams")
+  }
+
+  /** The clearance table a release CONSUMER can recompute: per
+    * (benchmark × split), the stored benchmark's distinct-gram count,
+    * the residual grams the PUBLISHED release still carries, and the
+    * clean bit — x4's certificate columns, minus the candidate-side
+    * audit trail (the pre-decontamination candidate set is pipeline
+    * state, not part of the published artifact). Inputs are ONLY the
+    * release files and the stored benchmark index (PlanAuditSpec pins
+    * zero raw-document scan); the DuckDB oracle recomputes the full
+    * logical release, so a green row also proves the artifact matches
+    * the logical definition through the filesystem round-trip.
+    *
+    * Scale shape: release postings stream map-side through the
+    * guarded-broadcast gram join (the x1 shape); the residual
+    * aggregate is (benchmark, split)-keyed with map-side partials —
+    * shuffle bounded by hit count; the grid is |benchmarks|×3 rows. */
+  private[graft] def clearanceFromRelease(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      maxBroadcastBenchGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val n = 5
+    val benchGrams = storedBenchIndex(s, dir, n)
+    val benchTotals = benchGrams.groupBy("benchmark")
+      .agg(count(lit(1)).as("n_bench_grams"))
+    val relPost = PipelineQueries.releaseFrame(s, dir)
+      .select(col("split"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col("split"), wordNgrams(col("tk"), n).as("g"))
+      .staged
+      .select(col("split"), explode(col("g")).as("gram"))
+    val residual = relPost
+      .join(QueryDef.guardedBroadcast(benchGrams, maxBroadcastBenchGrams), "gram")
+      .groupBy("benchmark", "split")
+      .agg(countDistinct(col("gram")).as("n_residual_grams"))
+    val splits = Seq("train", "val", "test").toDF("split")
+    benchTotals.crossJoin(broadcast(splits))
+      .join(residual, Seq("benchmark", "split"), "left")
+      .select(col("benchmark"), col("split"), col("n_bench_grams"),
+        coalesce(col("n_residual_grams"), lit(0L)).as("n_residual_grams"),
+        (coalesce(col("n_residual_grams"), lit(0L)) === 0L).as("clean"))
+      .orderBy("benchmark", "split")
+  }
+
+  val xClearanceFromRelease = QueryDef(
+    "x4f_clearance_from_release",
+    (s, dir) => clearanceFromRelease(s, dir),
+    Some("""
+      WITH canon AS (
+        SELECT doc_id, text, source, n_chars
+        FROM (SELECT doc_id, text, source, n_chars,
+                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM documents)
+        WHERE doc_id = m),
+      b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        FROM canon WHERE len(string_split(text, ' ')) >= 2),
+      tc AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
+      tp AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id),
+      q AS (
+        SELECT b.doc_id FROM b JOIN tp USING (doc_id)
+        WHERE len(tk) BETWEEN 30 AND 1000
+          AND ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
+          AND len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
+          AND CAST(tp.max_c AS DOUBLE) / len(tk) <= 0.2
+          AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) <= 0.3),
+      pre AS (
+        SELECT canon.* FROM canon JOIN q USING (doc_id) WHERE doc_id % 37 <> 0),
+      bench AS (
+        SELECT DISTINCT 'bench_' || (doc_id % 3) AS benchmark, u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+                    WHERE doc_id % 37 = 0)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      bt AS (SELECT benchmark, COUNT(*) AS n_bench_grams FROM bench GROUP BY benchmark),
+      candg AS (
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM pre)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      contaminated AS (
+        SELECT DISTINCT c.doc_id FROM candg c
+        JOIN (SELECT DISTINCT gram FROM bench) be USING (gram)),
+      relg AS (
+        SELECT * FROM candg
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      resid AS (
+        SELECT be.benchmark, r.split,
+               COUNT(DISTINCT r.gram) AS n_residual_grams
+        FROM bench be JOIN relg r USING (gram) GROUP BY 1, 2),
+      grid AS (
+        SELECT bt.benchmark, s.split
+        FROM bt CROSS JOIN (VALUES ('train'), ('val'), ('test')) s(split))
+      SELECT g.benchmark, g.split, bt.n_bench_grams,
+             CAST(COALESCE(r.n_residual_grams, 0) AS BIGINT) AS n_residual_grams,
+             COALESCE(r.n_residual_grams, 0) = 0 AS clean
+      FROM grid g JOIN bt USING (benchmark)
+      LEFT JOIN resid r ON r.benchmark = g.benchmark AND r.split = g.split
+      ORDER BY g.benchmark, g.split"""))
+
   val all: Seq[QueryDef] = Seq(xDecontamination, xBloomScrub, xBloomScrubStored,
-    xBenchmarkClearance, xDecontaminationProfile)
+    xBenchmarkClearance, xDecontaminationProfile, xClearanceFromRelease)
 }

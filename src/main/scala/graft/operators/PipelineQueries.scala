@@ -419,26 +419,69 @@ object PipelineQueries {
     * definition, so a write that dropped, duplicated or corrupted any
     * row hash-mismatches — the sink's integrity is inside the
     * correctness gate, not asserted by construction. */
+  /** Per-(sf, application) release root: the appId component keeps two
+    * concurrent runs (a bench racing a verify, two sessions) from
+    * publishing into the same root — publishRelease's writer contract
+    * is single-maintainer. Dirs live under java.io.tmpdir and are
+    * swept with it; nothing else references them. ONE definition
+    * shared by p4 (publishes) and the fromRelease audit family
+    * (resolves the current version), so an audit can never read a
+    * different root than the publisher wrote. */
+  private[graft] def releaseRoot(s: org.apache.spark.sql.SparkSession,
+                                 dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_release_${key}_" +
+      s.sparkContext.applicationId
+  }
+
+  // JVM-level gate for the publish-if-absent path: parallel spec suites
+  // sharing one session must not race publishRelease (its writer
+  // contract is strictly single-maintainer per root)
+  private val publishGate = new Object
+
+  /** The CURRENT committed release dir for (session, sf), publishing v1
+    * from the in-plan release stack if the root has none yet — the
+    * production shape is publish ONCE, audit the artifact many times,
+    * so every fromRelease audit resolves here instead of recomputing
+    * canon→quality→decon. Within one app the stack therefore runs at
+    * most once for the whole audit family (p4's own runs version up
+    * with identical content; audits keep reading the current marker). */
+  private[graft] def publishedReleaseDir(s: org.apache.spark.sql.SparkSession,
+                                         dir: String): String =
+    publishGate.synchronized {
+      val root = releaseRoot(s, dir)
+      graft.sources.ReleaseWriter.currentReleasePath(s, root).getOrElse {
+        graft.sources.ReleaseWriter.publishRelease(releasedDocs(s, dir), root)
+        graft.sources.ReleaseWriter.currentReleasePath(s, root).getOrElse(
+          throw new IllegalStateException(
+            s"publishRelease returned but no committed version found under $root"))
+      }
+    }
+
+  /** The published release as a frame — the ONLY corpus input of the
+    * fromRelease audit family (PlanAuditSpec pins zero raw-document
+    * scan). Carries the full release contract incl. the governance
+    * metadata (source, lang) the card queries group by. Spread: a
+    * small release arrives as one split; production releases are
+    * multi-file and the repartition is a no-op. */
+  private[graft] def releaseFrame(s: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame =
+    QueryDef.spread(graft.sources.ReleaseWriter.readRelease(
+      s, publishedReleaseDir(s, dir)))
+
   val pReleaseWrite = QueryDef(
     "p4_release_write",
     (s, dir) => {
-      // per-(sf, application) output dir: the appId component keeps two
-      // concurrent runs (a bench racing a verify, two sessions) from
-      // publishing into the same root — publishRelease's writer
-      // contract is single-maintainer. Reruns WITHIN an app version up
-      // (v1, v2, ...) with lag-one retention, so the tmp root holds at
-      // most two release copies regardless of rerun count, and the
-      // manifest reproduces bit-for-bit across republishes
-      // (ReleasePublishSpec). Dirs live under java.io.tmpdir and are
-      // swept with it; nothing else references them.
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_release_${key}_" +
-        s.sparkContext.applicationId
+      // reruns WITHIN an app version up (v1, v2, ...) with lag-one
+      // retention, so the tmp root holds at most two release copies
+      // regardless of rerun count, and the manifest reproduces
+      // bit-for-bit across republishes (ReleasePublishSpec).
       // the versioned crash-safe publish path (commit-marker discipline):
       // the oracle-checked manifest is computed from the PUBLISHED files,
       // so the whole publish contract sits inside the correctness gate
-      graft.sources.ReleaseWriter.publishRelease(releasedDocs(s, dir), out)
+      graft.sources.ReleaseWriter.publishRelease(releasedDocs(s, dir),
+        releaseRoot(s, dir))
     },
     Some("""
       WITH canon AS (
@@ -508,10 +551,13 @@ object PipelineQueries {
     * map-side partials; the per-(split, lang) count table (|splits| ×
     * |langs| rows) and its arg-max are broadcast back — the corpus
     * never shuffles more than once. */
-  val pReleaseReport = QueryDef(
-    "p5_release_report",
-    (s, dir) => {
-      val rel = releasedDocs(s, dir)
+  /** The p5 card body over an arbitrary released frame (must carry
+    * doc_id, text, n_chars, split, lang) — ONE definition shared by the
+    * in-plan card (p5, fed by releasedDocs) and the audit-from-
+    * published-release variant (p5f, fed by releaseFrame), so the two
+    * modes can never state different card semantics. */
+  private[graft] def releaseReportOf(rel: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val q = SampleQueries.qualityTokenFrame(rel, extraCols = Seq("split", "lang"))
       val bySplit = q.groupBy(col("split")).agg(
         count(lit(1)).as("n_docs"),
@@ -530,7 +576,11 @@ object PipelineQueries {
           round(col("top_cnt").cast("double") / col("n_docs"), 6)
             .as("top_lang_share"))
         .orderBy("split")
-    },
+  }
+
+  val pReleaseReport = QueryDef(
+    "p5_release_report",
+    (s, dir) => releaseReportOf(releasedDocs(s, dir)),
     Some("""
       WITH canon AS (
         SELECT doc_id, text, source, lang, n_chars
@@ -740,12 +790,14 @@ object PipelineQueries {
     * rows broadcast back. At 100 TB the card keeps every domain row —
     * the table is |domains| rows (≪ corpus; ~millions at web scale),
     * written as a card artifact, not a driver collect. */
-  val pDomainMix = QueryDef(
-    "p5c_domain_mix",
-    (s, dir) => {
-      val rules = new graft.functions.SuffixRules(
-        SampleQueries.storedSuffixRules(s, dir))
-      val rel = releasedDocs(s, dir)
+  /** The p5c mix body over an arbitrary released frame (doc_id, text,
+    * split) — shared by the in-plan mix (p5c) and the from-release
+    * audit (p5cf); the domain comes from the doc_id-keyed synthetic
+    * URL, so the release needs no extra column for it. */
+  private[graft] def domainMixOf(rel0: org.apache.spark.sql.DataFrame,
+                                 rules: graft.functions.SuffixRules)
+      : org.apache.spark.sql.DataFrame = {
+      val rel = rel0
         .select(col("split"),
           graft.functions.DomainExpressions
             .registeredDomain(Scaffold.syntheticUrl, rules).as("domain"),
@@ -761,7 +813,12 @@ object PipelineQueries {
           round(col("total_tokens").cast("double") / col("__t"), 6)
             .as("token_share"))
         .orderBy("split", "domain")
-    },
+  }
+
+  val pDomainMix = QueryDef(
+    "p5c_domain_mix",
+    (s, dir) => domainMixOf(releasedDocs(s, dir),
+      new graft.functions.SuffixRules(SampleQueries.storedSuffixRules(s, dir))),
     Some("""
       WITH canon AS (
         SELECT doc_id, text, source, lang, n_chars
@@ -1106,7 +1163,42 @@ object PipelineQueries {
                AS loss_frac
       FROM packs GROUP BY source ORDER BY source"""))
 
+  // ---- Audit-from-published-release mode (r17) -----------------------
+  // The production 100 TB shape: a release is published ONCE (p4) and
+  // audited MANY times — dataset cards regenerate per consumer request,
+  // leakage audits rerun per benchmark refresh — so the audits must
+  // scan the published artifact (release-sized), not recompute the
+  // canon→quality→decon stack from raw documents (corpus-sized) per
+  // audit. Each variant reuses its in-plan twin's EXACT body over
+  // releaseFrame, and its DuckDB oracle is the twin's logical release
+  // definition — so every fromRelease row also re-proves, through the
+  // filesystem round-trip, that the published artifact IS the logical
+  // release. PlanAuditSpec pins zero raw-document scan in the audit
+  // plans; FromReleaseSpec pins equality with the in-plan twins.
+
+  /** p5f: the p5 dataset card computed from the published release. */
+  val pReleaseReportFromRelease = QueryDef(
+    "p5f_report_from_release",
+    (s, dir) => releaseReportOf(releaseFrame(s, dir)),
+    pReleaseReport.oracle)
+
+  /** p5cf: the p5c domain-mix table computed from the published release. */
+  val pDomainMixFromRelease = QueryDef(
+    "p5cf_domain_mix_from_release",
+    (s, dir) => domainMixOf(releaseFrame(s, dir),
+      new graft.functions.SuffixRules(SampleQueries.storedSuffixRules(s, dir))),
+    pDomainMix.oracle)
+
+  /** p6f: the p6 split-leakage audit computed from the published
+    * release — splitLeakage was already frame-parametrized. */
+  val pSplitLeakageFromRelease = QueryDef(
+    "p6f_split_leakage_from_release",
+    (s, dir) => splitLeakage(releaseFrame(s, dir)),
+    pSplitLeakage.oracle)
+
   val all: Seq[QueryDef] =
     Seq(pCuration, pRelease, pManifest, pReleaseWrite, pReleaseReport,
-      pSplitLeakage, pDomainMix, pGatedFunnel, pSftRelease)
+      pSplitLeakage, pDomainMix, pGatedFunnel, pSftRelease,
+      pReleaseReportFromRelease, pDomainMixFromRelease,
+      pSplitLeakageFromRelease)
 }

@@ -561,12 +561,13 @@ val tBpeMergeTokens = QueryDef(
     * lang, both counts and the shared t2 quality rule; everything
     * downstream is p5's plan (split-keyed aggregates with map-side
     * partials, broadcast top-lang join). */
-  val pReleaseReportBpe = QueryDef(
-    "p5b_release_report_bpe",
-    (s, dir) => {
+  /** The p5b card body over an arbitrary released frame — shared by the
+    * in-plan card (p5b) and the audit-from-published-release variant
+    * (p5bf), the PipelineQueries.releaseReportOf discipline. */
+  private[graft] def releaseReportBpeOf(rel: org.apache.spark.sql.DataFrame,
+                                        matcher: BpeMatcher)
+      : org.apache.spark.sql.DataFrame = {
       import graft.plans.Stage.StageOps
-      val matcher = new BpeMatcher(storedVocab(s, dir))
-      val rel = PipelineQueries.releasedDocs(s, dir)
       val q = QueryDef.spread(rel)
         .select(col("doc_id"), col("split"), col("lang"), col("n_chars"),
           split(col("text"), " ").as("tk"))
@@ -595,7 +596,12 @@ val tBpeMergeTokens = QueryDef(
           round(col("top_cnt").cast("double") / col("n_docs"), 6)
             .as("top_lang_share"))
         .orderBy("split")
-    },
+  }
+
+  val pReleaseReportBpe = QueryDef(
+    "p5b_release_report_bpe",
+    (s, dir) => releaseReportBpeOf(PipelineQueries.releasedDocs(s, dir),
+      new BpeMatcher(storedVocab(s, dir))),
     Some("""
       WITH canon AS (
         SELECT doc_id, text, source, lang, n_chars
@@ -783,8 +789,18 @@ val tBpeMergeTokens = QueryDef(
              chars_per_token, ROUND(fertility / f_ref, 6) AS premium
       FROM pf CROSS JOIN enf ORDER BY lang"""))
 
+  /** p5bf: the p5b token-exact card computed from the PUBLISHED release
+    * (PipelineQueries fromRelease family — see the block comment there);
+    * the stored t19 vocab rides its own IndexStore lifecycle, so the
+    * audit plan scans only the release files and the index store. */
+  val pReleaseReportBpeFromRelease = QueryDef(
+    "p5bf_report_bpe_from_release",
+    (s, dir) => releaseReportBpeOf(PipelineQueries.releaseFrame(s, dir),
+      new BpeMatcher(storedVocab(s, dir))),
+    pReleaseReportBpe.oracle)
+
   val all: Seq[QueryDef] =
     Seq(tBpeTokens, cTokenBudgetBpe, tBpeMergeTokens, tSequencePackBpe,
       tSequencePackMerge,
-      pReleaseReportBpe, tTokenizerFertility)
+      pReleaseReportBpe, pReleaseReportBpeFromRelease, tTokenizerFertility)
 }

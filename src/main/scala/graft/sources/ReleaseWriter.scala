@@ -72,6 +72,21 @@ object ReleaseWriter {
 
   private val contractSchema = "doc_id LONG, text STRING, n_chars LONG, split STRING"
 
+  /** Governance metadata a release CARRIES when the released frame has
+    * it (r17, audit-from-published-release): the dataset-card family
+    * (p5/p5b/p5c) audits the published artifact, so the artifact must
+    * ship the card's grouping columns — a release without its metadata
+    * cannot be audited without going back to the raw corpus, which is
+    * exactly the recompute the fromRelease mode exists to kill.
+    * Optional at write (core-only frames still publish; spec fixtures
+    * and minimal releases read back with NULL meta — parquet/JSON
+    * schema evolution fills missing columns), NEVER part of the
+    * manifest digest (doc_id:text), so manifests of core-only and
+    * metadata-carrying writes of the same docs stay identical. */
+  private[graft] val MetaCols: Seq[String] = Seq("source", "lang")
+  private val fullSchema =
+    "doc_id LONG, text STRING, n_chars LONG, source STRING, lang STRING, split STRING"
+
   private def requireKnownFormat(format: String): Unit =
     if (format != "parquet" && format != "jsonl")
       throw new IllegalArgumentException(
@@ -87,7 +102,10 @@ object ReleaseWriter {
   def readRelease(s: org.apache.spark.sql.SparkSession, dir: String,
                   format: String = "parquet"): DataFrame = {
     requireKnownFormat(format)
-    val r = s.read.schema(contractSchema)
+    // FULL contract (core + meta): releases written without metadata
+    // read back with NULL source/lang — both readers fill columns the
+    // files lack, so the explicit schema stays the single contract
+    val r = s.read.schema(fullSchema)
     if (format == "parquet") r.parquet(dir) else r.json(dir)
   }
 
@@ -109,8 +127,10 @@ object ReleaseWriter {
                           targetFileBytes: Long,
                           format: String = "parquet"): Unit = {
     requireKnownFormat(format)
-    val slim = graft.plans.Stage(
-      docs.select(col("doc_id"), col("text"), col("n_chars"), col("split")))
+    // core contract + whatever governance metadata the frame carries
+    val cols = Seq("doc_id", "text", "n_chars") ++
+      MetaCols.filter(docs.columns.contains) ++ Seq("split")
+    val slim = graft.plans.Stage(docs.select(cols.map(col): _*))
     val totalChars = slim.agg(coalesce(sum(col("n_chars").cast("long")), lit(0L)))
       .head().getLong(0)
     val ranged = slim

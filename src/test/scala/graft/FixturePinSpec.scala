@@ -63,6 +63,32 @@ class FixturePinSpec extends AnyFunSuite {
     }
   }
 
+  test("signed-zero canary: round-produced -0.0 candidates normalize to +0.0 (the c14 class)") {
+    // the r15 c14 failure class, pinned as a standing fixture (r16
+    // queue #8): a log-ratio straddles zero, so a tiny-negative
+    // pre-round value is a genuine -0.0 candidate under IEEE
+    // sign-preserving rounding. Spark's round (BigDecimal HALF_UP) must
+    // emit +0.0 — the invariant the SCALE.md "Signed-zero audit" table
+    // rests on ("Spark round can never produce -0.0"). The compare
+    // rides CanonicalHash's %.6f rendering — exactly the driver's hash
+    // blindness profile, where "-0.000000" != "0.000000" — so a future
+    // regression to a sign-preserving kernel trips in `sbt test`, not
+    // at the driver gate.
+    import spark.implicits._
+    val actual = Seq(
+      (1L, 1.0, 1.0000000001), // log-ratio ~ -1e-10: the -0.0 candidate
+      (2L, 1.0000000001, 1.0), // ~ +1e-10: rounds to +0.0
+      (3L, 1.0, 2.0),          // genuinely negative: sign must survive
+      (4L, 1.0, 1.0))          // exactly zero
+      .toDF("id", "a", "b")
+      .select(col("id"), round(log(col("a") / col("b")), 6).as("logratio"))
+    val expected = Seq((1L, 0.0), (2L, 0.0), (3L, -0.693147), (4L, 0.0))
+      .toDF("id", "logratio")
+    assert(CanonicalHash(actual) == CanonicalHash(expected),
+      "a round-produced column emitted a signed zero (or drifted) — see " +
+        "SCALE.md 'Signed-zero audit'")
+  }
+
   test("documents fixture is pure ASCII (mm2 oracle byte==codepoint invariant)") {
     // the mm2 DuckDB oracle reproduces the Spark byte histogram from
     // CODEPOINTS, which is only valid while every document is ASCII

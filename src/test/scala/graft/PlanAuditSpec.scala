@@ -318,6 +318,34 @@ class PlanAuditSpec extends AnyFunSuite {
     try body finally spark.conf.set(key, prev)
   }
 
+  test("fromRelease audits scan only the published release (+ index store) — zero raw-corpus scan") {
+    // the r17 audit-from-published-release contract (the q30 discipline
+    // applied to the governance family). Plan-STRING checks cannot see
+    // this: the audit bodies stage their frames (eager localCheckpoints
+    // whose ExistingRDD leaves erase the scan lineage), so the gate is
+    // the EXECUTED TRACE — every FileSourceScan root fired by any query
+    // execution during the steady-state audit. First calls run the
+    // lifecycle jobs (release publish, stored vocab/bench/suffix index
+    // builds — those legitimately read the corpus ONCE); the audited
+    // pass is the second call.
+    val audits = Seq("p5f_report_from_release", "p5bf_report_bpe_from_release",
+      "p5cf_domain_mix_from_release", "p6f_split_leakage_from_release",
+      "x4f_clearance_from_release")
+    for (q <- audits) SparkEntry.queries(q)(spark, dir).collect() // lifecycle warm-up
+    for (q <- audits) {
+      val roots = org.apache.spark.sql.graft.Bridge.scannedFileRoots(spark) {
+        SparkEntry.queries(q)(spark, dir).collect()
+      }
+      // positive evidence first: an under-captured trace must fail here,
+      // never pass the forbidden-root check below by omission
+      assert(roots.exists(_.contains("graft_release_")),
+        s"$q trace shows no release scan — capture broken?\n${roots.mkString("\n")}")
+      val raw = roots.filter(_.contains("/root/testdata"))
+      assert(raw.isEmpty,
+        s"$q rescans the raw corpus: ${raw.mkString(", ")}")
+    }
+  }
+
   test("c8 shard shuffle: one exchange keyed by the compact shard id, window keyed too") {
     val p = plan("c8_shard_shuffle")
     // assert the window's presence POSITIVELY first (the t9 discipline):
