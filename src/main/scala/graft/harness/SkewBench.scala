@@ -112,6 +112,38 @@ object SkewBench {
       pmod(i, lit(5)).cast("int").as("label"))
   }
 
+  /** Long-document corpus for the d12 production-window evidence (r17
+    * queue #5): the committed 50k/200k skew runs used k=8 because that
+    * corpus's docs are 34–40 tokens, so production k=50 was untested
+    * under load. Docs here are ~0.7–4.6k tokens (counter-keyed prose,
+    * partition-invariant, no driver loop); 10% embed one of 5 shared
+    * 80-token template runs (cross-doc duplicates — each variant recurs
+    * in nDocs/50 docs, the hot duplicated-window class), and 5% carry a
+    * doc-keyed 60-token run TWICE (intra-doc repeats — d12's
+    * any-position occurrence rule must catch them with zero cross-doc
+    * signal). Token mass: ~2.6k tokens/doc mean, so 5k docs ≈ 13M
+    * tokens ≈ 7× the 50k short-doc corpus; 20k ≈ 52M ≈ 28×. */
+  def longDocs(s: SparkSession, nDocs: Long): DataFrame = {
+    val i = col("id")
+    def prose(len: org.apache.spark.sql.Column, salt: Int) =
+      concat_ws(" ", transform(sequence(lit(1), len),
+        j => concat(lit("w"), pmod(xxhash64(i, j, lit(salt)), lit(2000000)))))
+    val pre = (pmod(xxhash64(i, lit(11)), lit(800)) + lit(200)).cast("int")
+    val post = (pmod(xxhash64(i, lit(12)), lit(3000)) + lit(500)).cast("int")
+    val crossRun = concat_ws(" ", transform(sequence(lit(1), lit(80)),
+      j => concat(lit("dup"), pmod(i, lit(5)), lit("_"), j)))
+    val intraRun = concat_ws(" ", transform(sequence(lit(1), lit(60)),
+      j => concat(lit("r"), i, lit("_"), j)))
+    val body =
+      when(pmod(i, lit(10)) === 0,
+        concat_ws(" ", prose(pre, 1), crossRun, prose(post, 2)))
+      .when(pmod(i, lit(20)) === 5,
+        concat_ws(" ", prose(pre, 1), intraRun, prose(post, 2), intraRun,
+          prose(pre, 3)))
+      .otherwise(concat_ws(" ", prose(pre, 1), prose(post, 2)))
+    s.range(nDocs).select(i.as("doc_id"), body.as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val nDocs = sys.env.getOrElse("GRAFT_SKEW_DOCS", "50000").toLong
     val dir = sys.env.getOrElse("GRAFT_SKEW_DIR", "/tmp/graft_skew") +
@@ -172,6 +204,43 @@ object SkewBench {
         f""""shuffle_read_med_kb":${readMed / 1024}%.1f,"shuffle_read_max_kb":${readMax / 1024.0}%.1f,""" +
         f""""task_dur_med_ms":$durMed%.0f,"task_dur_max_ms":$durMax%.0f,""" +
         f""""peak_exec_mem_max_kb":${memMax / 1024.0}%.1f}""")
+    }
+
+    // Long-doc d12 suite (r17 queue #5): GRAFT_SKEW_LONG=1 runs ONLY
+    // the production-k=50 substring measures over the long-doc corpus
+    // (own dir, own version stamp) and exits — the short-doc catalog
+    // below is a separate record.
+    if (sys.env.contains("GRAFT_SKEW_LONG")) {
+      val nLong = sys.env.getOrElse("GRAFT_SKEW_LONGDOCS", "5000").toLong
+      val ldir = sys.env.getOrElse("GRAFT_SKEW_DIR", "/tmp/graft_skew") +
+        s"_long_$nLong"
+      val lpath = s"$ldir/documents.parquet"
+      val lVersion = "r17-longdoc-v1"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$lpath/_SUCCESS")) ||
+          !graft.sources.IndexStore.readStamp(spark, ldir, "_corpus_version")
+            .contains(lVersion)) {
+        longDocs(spark, nLong).write.mode("overwrite").parquet(lpath)
+        graft.sources.IndexStore.writeStamp(spark, ldir, "_corpus_version", lVersion)
+      }
+      val ldocs = spark.read.parquet(lpath)
+      measure(s"d12_longdoc_k50_$nLong")(
+        graft.operators.DedupQueries.dupSubstringsOf(ldocs, 50).count())
+      // d12b probe at k=50: corpus = the last 90% persisted once, the
+      // first 10% arrives as the batch (the daily-increment shape)
+      measure(s"d12b_longdoc_k50_probe_$nLong")({
+        val path = s"$ldir/substr_idx_k50"
+        val cut = nLong / 10
+        val meta = s"v1|k=50|corpus=(doc_id >= $cut)|src=" +
+          graft.sources.IndexStore.sourceStamp(spark, lpath)
+        graft.sources.IndexStore.ensure(spark, path, meta) {
+          graft.operators.DedupQueries.initStoredSubstrIndex(
+            spark, path, ldocs.filter(col("doc_id") >= cut), k = 50)
+        }
+        graft.operators.DedupQueries.probeStoredSubstrIndex(
+          spark, path, ldocs.filter(col("doc_id") < cut), k = 50).count()
+      })
+      spark.stop()
+      return
     }
 
     // d2 shape: full corpus near-dup mine, FORCED-salted vs unsalted vs

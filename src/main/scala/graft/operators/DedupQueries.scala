@@ -1162,6 +1162,40 @@ object DedupQueries {
       .parquet(graft.sources.IndexStore.tableDataPath(s, path, "counts"))
   }
 
+  /** Heal a crashed/replayed STREAMING batch's substring-index files
+    * before re-probing — the [[sweepStreamBatch]] shape for the
+    * substring family's two tables; idempotent. Called by
+    * `SubstrIngest` at the top of every batch. */
+  def sweepSubstrStreamBatch(s: org.apache.spark.sql.SparkSession, path: String,
+                             tag: String): Unit =
+    for (tbl <- Seq("ids", "counts"))
+      graft.sources.IndexStore.sweepTaggedFiles(s, path, tbl, tag)
+
+  /** Replay-safe variant of [[appendStoredSubstrIndex]] for STREAMING
+    * ingest — the [[appendStoredIndexTagged]] discipline over the
+    * substring tables (ids + delta count rows): the batch publishes
+    * under deterministic per-tag file names, so a replay after a crash
+    * between the append and the checkpoint commit converges instead of
+    * tripping the disjointness gate, while a genuine duplicate id
+    * (different tag) still fails loudly. Same quiesce contract:
+    * compact only a cleanly-stopped stream. */
+  def appendStoredSubstrIndexTagged(s: org.apache.spark.sql.SparkSession,
+                                    path: String, newDocs: DataFrame,
+                                    tag: String, k: Int = SubstrWindow): Unit = {
+    graft.sources.IndexStore.requireStamp(s, path, SubstrStamp,
+      substrGeometryString(k), "substring-window geometry")
+    sweepSubstrStreamBatch(s, path, tag) // a prior attempt must not trip the gate
+    checkDisjoint(
+      graft.sources.IndexStore.readSwappable(s, path, "ids"), newDocs)
+    graft.sources.IndexStore.publishTaggedAppend(s, path, "ids", tag) { stage =>
+      newDocs.select(col("doc_id")).write.mode("overwrite").parquet(stage)
+    }
+    graft.sources.IndexStore.publishTaggedAppend(s, path, "counts", tag) { stage =>
+      windowHashes(newDocs, k).groupBy("h").agg(count(lit(1)).as("nocc"))
+        .write.mode("overwrite").parquet(stage)
+    }
+  }
+
   /** Probe: the batch's maximal duplicated-coverage intervals against
     * corpus ∪ batch. Occurrence counts = batch's own + the stored
     * partials for the batch's hashes ONLY (one narrow stored-table scan

@@ -684,14 +684,18 @@ object SampleQueries {
     * keyed by the compact (epoch, shard) pair — shard populations stay
     * binomial per epoch by construction, and nShards scales with the
     * corpus exactly as in c8. */
-  private[graft] def epochShardPlanOf(docs: org.apache.spark.sql.DataFrame,
-                                      nCap: Int, targetTokens: Long,
-                                      maxEpochs: Int, nShards: Int)
+  /** The c12 tail over an arbitrary capped frame carrying (doc_id,
+    * source, n_tokens, n_epochs): epoch explode + epoch-salted
+    * shard/pos assignment. ONE definition shared by c12 and the c18
+    * quota-driven chain so the two plans can never state different
+    * expansion semantics. */
+  private[graft] def epochExpandOf(capped: org.apache.spark.sql.DataFrame,
+                                   nShards: Int)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val h = md5(concat(lit("epoch:"), col("epoch").cast("string"),
       lit(":"), col("doc_id").cast("string")))
-    sourceCapOf(docs, nCap, targetTokens, maxEpochs)
+    capped
       .select(col("doc_id"), col("source"), col("n_tokens"),
         explode(sequence(lit(1L), col("n_epochs"))).as("epoch"))
       .withColumn("__h", h)
@@ -706,6 +710,12 @@ object SampleQueries {
       .select("epoch", "shard", "pos", "doc_id", "source", "n_tokens")
       .orderBy("epoch", "shard", "pos")
   }
+
+  private[graft] def epochShardPlanOf(docs: org.apache.spark.sql.DataFrame,
+                                      nCap: Int, targetTokens: Long,
+                                      maxEpochs: Int, nShards: Int)
+      : org.apache.spark.sql.DataFrame =
+    epochExpandOf(sourceCapOf(docs, nCap, targetTokens, maxEpochs), nShards)
 
   val cEpochShardPlan = QueryDef(
     "c12_epoch_shard_plan",
@@ -1308,8 +1318,197 @@ object SampleQueries {
       FROM r AS rb
       ORDER BY rb.source"""))
 
+  // ---- c18: the quota-driven mix-planning chain (r17 queue #6) -------
+
+  /** Quota-driven per-source TOKEN cap — the c10 cap re-denominated in
+    * c17's water-fill quotas: keep each source's docs in 'cap:'-draw
+    * order while the INCLUSIVE cumulative token count stays within the
+    * source's quota (the c5 cum-≤-budget rule, applied per source), and
+    * plan n_epochs = clamp(⌈quota / kept_tokens⌉, 1, maxEpochs) — repeat
+    * the kept slice toward its own quota, not a global target.
+    *
+    * Scale shape — the c5 two-phase discipline PER SOURCE (c10's
+    * scaladoc promise, kept here too: a source's full corpus share
+    * never reaches a sort): per-(source, bin) token sums (bin = the
+    * draw's first octet, 256 uniform bins; map-side partials) locate
+    * each source's crossing bin on a |sources|×256-row broadcast
+    * frame; bins wholly under quota pass with NO window, bins past it
+    * drop map-side, and only the crossing bin's docs (≈1/256 of a
+    * source) pay the cumulative window. Boundary classification is
+    * exact: a bin with cum ≤ quota keeps every doc (each inclusive
+    * doc-cum ≤ bin-cum), a bin with prev ≥ quota keeps none (each
+    * doc-cum > prev), and the crossing bin's window adds `prev` as the
+    * offset — bitwise the one-window rule the oracle states.
+    *
+    * A source whose quota admits no doc (quota < its first doc's
+    * tokens, incl. quota 0) disappears from the plan — there is
+    * nothing to schedule for it. Sources are joined by equality; the
+    * null-source group c17 tolerates would need a null-safe join here
+    * (the driver corpus has none — JsonlIngestSpec's contract note). */
+  private[graft] def sourceTokenCapOf(kept: org.apache.spark.sql.DataFrame,
+                                      quotas: org.apache.spark.sql.DataFrame,
+                                      maxEpochs: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.plans.Stage.StageOps
+    val base = kept
+      .select(col("doc_id"), col("source"),
+        md5(concat(lit("cap:"), col("doc_id").cast("string"))).as("ord"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(broadcast(quotas.select(col("source"), col("quota_tokens"))),
+        "source")
+      .withColumn("bin", substring(col("ord"), 1, 2))
+      .staged
+    val binCum = base.groupBy(col("source"), col("bin"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("cum", sum(col("bt")).over(
+        Window.partitionBy(col("source")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev", col("cum") - col("bt"))
+      .select("source", "bin", "cum", "prev")
+    val flagged = base.join(broadcast(binCum), Seq("source", "bin"))
+    val wholeBins = flagged.filter(col("cum") <= col("quota_tokens"))
+    val crossing = flagged.filter(
+      col("prev") < col("quota_tokens") && col("cum") > col("quota_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val crossKept = crossing
+      .withColumn("__c", sum(col("n_tokens")).over(w) + col("prev"))
+      .filter(col("__c") <= col("quota_tokens")).drop("__c")
+    val capped = wholeBins.unionByName(crossKept)
+      .select("source", "doc_id", "ord", "n_tokens", "quota_tokens").staged
+    val eps = capped.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("kept_tokens"),
+        max(col("quota_tokens")).as("__q"))
+      .withColumn("n_epochs",
+        least(lit(maxEpochs.toLong),
+          greatest(lit(1L),
+            ceil(col("__q").cast("double") / col("kept_tokens")).cast("long"))))
+      .select("source", "kept_tokens", "n_epochs")
+    capped.join(broadcast(eps), "source")
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("quota_tokens"), col("kept_tokens"), col("n_epochs"))
+  }
+
+  /** The composed mix-planning chain c7→c17→c10→c12 (r17 queue #6 —
+    * the p1/p7 one-declarative-plan discipline applied to the sampling
+    * stack): temperature-resample the corpus (c7), water-fill the token
+    * budget into per-source quotas over the RESAMPLED corpus (c17),
+    * cap each source to its quota with epoch planning
+    * ([[sourceTokenCapOf]]), and expand into the epoch-salted
+    * shard/position manifest a trainer consumes (c12's shared tail).
+    * Each stage is the standalone operator's own building block —
+    * MixChainSpec pins the composition equal to chaining them by hand —
+    * and the whole chain is DuckDB-oracle-checked end to end.
+    *
+    * Scale shape: c7 is a broadcast-rate map-side filter over the ONE
+    * staged kept frame (feeding both c17's aggregate and the cap
+    * scan); c17 is |sources| driver rows; the cap is the two-phase
+    * bin plan above; the expansion's only shuffle is the per-(epoch,
+    * shard) rank exactly as c12. */
+  private[graft] def mixPlanChainOf(docs: org.apache.spark.sql.DataFrame,
+                                    budget: Long, maxEpochs: Int, nShards: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val kept = graft.plans.Stage(mixResampleKept(docs))
+    epochExpandOf(sourceTokenCapOf(kept, waterFillOf(kept, budget), maxEpochs),
+      nShards)
+  }
+
+  val cMixPlanChain = QueryDef(
+    "c18_mix_plan_chain",
+    (s, dir) => mixPlanChainOf(Tables.documents(s, dir),
+      budget = 6000L, maxEpochs = 4, nShards = 8),
+    Some("""
+      WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+      t AS (SELECT CAST(SUM(CAST(ROUND(SQRT(n_l), 6) AS DECIMAL(28,6))) AS DOUBLE) AS z,
+                   SUM(n_l) AS n_all FROM c),
+      r AS (
+        SELECT lang,
+               printf('%08x', CAST(LEAST(FLOOR(LEAST(1.0,
+                 (ROUND(SQRT(n_l), 6) / z) * FLOOR(n_all / 2) / n_l) * 4294967296.0),
+                 4294967295.0) AS BIGINT)) AS thr
+        FROM c, t),
+      kept AS (
+        SELECT d.* FROM documents d JOIN r USING (lang)
+        WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 5, 8) < r.thr),
+      -- c17 water fill over the RESAMPLED corpus
+      a AS (
+        SELECT source,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS a
+        FROM kept GROUP BY source),
+      b AS (SELECT source, a, ROUND(SQRT(a), 6) AS w FROM a),
+      r2 AS (SELECT *, a / w AS ratio,
+                    ROW_NUMBER() OVER (ORDER BY a / w, source) AS k
+             FROM b),
+      c2 AS (SELECT *,
+                    SUM(a) OVER (ORDER BY k) AS ca,
+                    SUM(CAST(w AS DECIMAL(28,6))) OVER (ORDER BY k) AS cwd
+             FROM r2),
+      tot AS (SELECT SUM(a) AS ta,
+                     SUM(CAST(w AS DECIMAL(28,6))) AS twd
+              FROM b),
+      f AS (SELECT c2.*, tot.ta,
+                   CAST(tot.twd - (c2.cwd - CAST(c2.w AS DECIMAL(28,6)))
+                     AS DOUBLE) AS wtail
+            FROM c2 CROSS JOIN tot),
+      f2 AS (SELECT *, (ca - a) + ratio * wtail AS fj FROM f),
+      j AS (SELECT * FROM f2
+            WHERE fj >= 6000 OR k = (SELECT MAX(k) FROM f2)
+            ORDER BY k LIMIT 1),
+      lam AS (SELECT CASE WHEN (SELECT ta FROM tot) <= 6000 THEN NULL
+                          ELSE (6000 - (j.ca - j.a)) / j.wtail
+                     END AS lam
+              FROM j),
+      q AS (SELECT rb.source,
+                   CASE WHEN (SELECT ta FROM tot) <= 6000 THEN rb.a
+                        WHEN rb.k < (SELECT k FROM j) THEN rb.a
+                        ELSE CAST(FLOOR(ROUND((SELECT lam FROM lam) * rb.w, 6))
+                               AS BIGINT)
+                   END AS quota_tokens
+            FROM r2 rb),
+      -- quota-driven per-source token cap (inclusive cum <= quota)
+      base AS (
+        SELECT doc_id, source,
+               md5('cap:' || CAST(doc_id AS VARCHAR)) AS ord,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM kept),
+      cum AS (
+        SELECT base.*, q.quota_tokens,
+               SUM(n_tokens) OVER (PARTITION BY base.source ORDER BY ord, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM base JOIN q USING (source)),
+      cap AS (SELECT * FROM cum WHERE cum <= quota_tokens),
+      ep AS (
+        SELECT source,
+               CAST(LEAST(4, GREATEST(1,
+                 CEIL(CAST(MAX(quota_tokens) AS DOUBLE) / SUM(n_tokens))))
+                 AS BIGINT) AS n_epochs
+        FROM cap GROUP BY source),
+      -- c12's epoch-salted expansion
+      expand AS (
+        SELECT cap.doc_id, cap.source, cap.n_tokens, e.epoch
+        FROM cap JOIN ep USING (source),
+             UNNEST(generate_series(1, ep.n_epochs)) AS e(epoch)),
+      h AS (
+        SELECT doc_id, source, n_tokens, epoch,
+               md5('epoch:' || CAST(epoch AS VARCHAR) || ':' ||
+                   CAST(doc_id AS VARCHAR)) AS hh
+        FROM expand),
+      sh AS (
+        SELECT doc_id, source, n_tokens, epoch,
+               CAST(('0x' || substring(hh, 1, 8)) AS BIGINT) % 8 AS shard,
+               substring(hh, 9, 8) AS o
+        FROM h)
+      SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+               ORDER BY o, doc_id) AS BIGINT) AS pos,
+             doc_id, source, n_tokens
+      FROM sh ORDER BY epoch, shard, pos"""))
+
   val all: Seq[QueryDef] =
     Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
       cMixResample, cShardShuffle, cSnapshotDiff, cSourceCap, cEpochShardPlan,
-      cDomainCap, cDsirSelect, cAnnealPlan, cBlocklistGate, cWaterFill)
+      cDomainCap, cDsirSelect, cAnnealPlan, cBlocklistGate, cWaterFill,
+      cMixPlanChain)
 }

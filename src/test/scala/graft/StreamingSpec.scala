@@ -302,6 +302,98 @@ class StreamingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("disjoint"))
   }
 
+  test("streaming substring ingest: each micro-batch probes the stored counts then folds in") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.DedupQueries
+    val k = 50
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val shared = (1 to 60).map(i => s"s$i")
+    val shared2 = (1 to 55).map(i => s"z$i")
+    // corpus holds `shared`; batch 1 re-uses it (cross corpus/batch
+    // dup) and introduces `shared2` ONCE (no dup yet); batch 2 re-uses
+    // `shared2` — a dup that exists only against the FOLDED batch 1,
+    // the property a probe that missed the appended counts would lose
+    val corpusDf = Seq(
+      (100L, (uniq("a", 10) ++ shared ++ uniq("b", 10)).mkString(" ")),
+      (101L, uniq("c", 70).mkString(" "))).toDF("doc_id", "text")
+    val b1 = Seq(
+      (1L, (uniq("d", 5) ++ shared ++ uniq("e", 5)).mkString(" ")),
+      (2L, (uniq("f", 6) ++ shared2 ++ uniq("g", 4)).mkString(" ")))
+    val b2 = Seq(
+      (11L, (uniq("j", 8) ++ shared2 ++ uniq("l", 2)).mkString(" ")),
+      (12L, uniq("m", 60).mkString(" ")))
+    def spanRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sorted
+    def fullRestricted(all: org.apache.spark.sql.DataFrame, ids: Set[Long]) =
+      spanRows(DedupQueries.dupSubstringsOf(all, k)).filter(r => ids(r._1))
+
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_stream_substr").toString + "/idx"
+    DedupQueries.initStoredSubstrIndex(spark, path, corpusDf, k)
+
+    val src = MemoryStream[(Long, String)]
+    val emitted = scala.collection.mutable.SortedMap[Long, Seq[(Long, Long, Long, Long, Long)]]()
+    val q = graft.streaming.SubstrIngest.substrIngest(
+        src.toDF().toDF("doc_id", "text"), path,
+        (spans, batchId) => emitted(batchId) = spanRows(spans), k)
+      .queryName("substr_ingest").start()
+    val b1df = b1.toDF("doc_id", "text")
+    val b2df = b2.toDF("doc_id", "text")
+    try {
+      src.addData(b1)
+      q.processAllAvailable()
+      src.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch-twin equality per micro-batch: each emission equals the
+    // FULL d12 run over everything accumulated, restricted to the batch
+    assert(emitted.keySet == Set(0L, 1L))
+    assert(emitted(0L) == fullRestricted(corpusDf.unionByName(b1df), Set(1L, 2L)))
+    assert(emitted(0L).map(_._1).toSet == Set(1L),
+      "batch 1: doc 1 dups vs corpus; doc 2's run is first-seen (clean)")
+    assert(emitted(1L) == fullRestricted(
+      corpusDf.unionByName(b1df).unionByName(b2df), Set(11L, 12L)))
+    assert(emitted(1L).map(_._1).toSet == Set(11L),
+      "batch 2: doc 11 dups ONLY against folded batch 1; doc 12 clean")
+
+    // the folded index state equals a batch maintainer's: a held-out
+    // batch probes identically to the full run over everything ingested
+    val heldOutDf = Seq((21L, (uniq("p", 4) ++ shared ++ uniq("r", 6))
+      .mkString(" "))).toDF("doc_id", "text")
+    def heldOutNow() = spanRows(
+      DedupQueries.probeStoredSubstrIndex(spark, path, heldOutDf, k))
+    val heldOut = heldOutNow()
+    assert(heldOut == fullRestricted(
+      corpusDf.unionByName(b1df).unionByName(b2df).unionByName(heldOutDf),
+      Set(21L)) && heldOut.nonEmpty)
+
+    // crash/replay converges: replaying the last batch's tagged append
+    // (a foreachBatch restart after a crash between append and
+    // checkpoint commit) leaves the index identical
+    DedupQueries.appendStoredSubstrIndexTagged(spark, path, b2df, "stream_1", k)
+    assert(heldOutNow() == heldOut, "full replay must leave the index unchanged")
+    // mid-append crash: a published counts file gone, stage litter left
+    // — the batch-start sweep + re-append heal
+    val cntDir = new java.io.File(
+      graft.sources.IndexStore.tableDataPath(spark, path, "counts"))
+    val tagFiles = cntDir.listFiles().filter(_.getName.startsWith("graft-stream_1-"))
+    assert(tagFiles.nonEmpty, "tagged append must publish deterministic names")
+    tagFiles.foreach(_.delete())
+    spark.range(1).write.parquet(s"$path/counts__stage_stream_1")
+    DedupQueries.sweepSubstrStreamBatch(spark, path, "stream_1")
+    DedupQueries.appendStoredSubstrIndexTagged(spark, path, b2df, "stream_1", k)
+    assert(heldOutNow() == heldOut, "replay after a mid-append crash must converge")
+    // a GENUINE duplicate (different tag re-sending the same ids) still
+    // fail-stops — replay safety never weakens the disjointness gate
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.appendStoredSubstrIndexTagged(spark, path, b2df, "stream_99", k)
+    }
+    assert(ex.getMessage.contains("disjoint"))
+  }
+
   test("streaming span scrub ingest: each micro-batch is rewritten against corpus ∪ batch, then folds in") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
