@@ -185,6 +185,14 @@ object SkewBench {
     def measure(name: String)(run: => Long): Unit = {
       seen += name
       if (only.exists(sel => !sel(name))) return
+      // Bench.scala's r15 measurement-isolation nudge, which the skew
+      // harness also needs once corpora carry long docs: the previous
+      // measure's dead staged blocks (eager localCheckpoints) pin
+      // storage memory until a GC lets the ContextCleaner reclaim them
+      // — at 52M windows that pressure turned the NEXT measure's
+      // partial aggregation into AGGREGATE_OUT_OF_MEMORY (r17 long-doc
+      // suite). Runs before the warm pass; timing discipline unchanged.
+      System.gc()
       // untimed warm pass: pays Janino codegen/JIT and any one-time
       // index build, so the timed pass measures steady-state query cost
       // (same discipline as Bench.scala) and cold/warm runs agree

@@ -1111,10 +1111,38 @@ object DedupQueries {
   private def windowHashesFrom(tokBase: DataFrame, k: Int): DataFrame =
     tokBase
       .filter(size(col("tk")) >= k)
-      .select(col("doc_id"), spanWindows(col("tk"), k).as("sp"))
+      // the r17 long-doc findings, both from running production k=50 on
+      // 0.7–4.6k-token docs (invisible at the k=8/40-token shape the
+      // original sizing was tested on):
+      // 1. windowing is the native one-pass kernel, not transform/
+      //    slice/concat_ws + md5 — the HOF form evaluates interpreted
+      //    per element and builds a fresh array + span string per
+      //    window (measured 271 µs/window; the kernel hashes byte
+      //    ranges of one joined buffer — ~2 µs/window, 130× less CPU);
+      // 2. staged AFTER the hash projection, not before the explode —
+      //    the pre-explode frame held every span STRING, O(corpus×k)
+      //    storage bytes and a measured OOM cliff; the materialized
+      //    frame here is (doc_id, s, 32-hex h) ≈ 56 B/window.
+      .select(col("doc_id"),
+        explode(graft.functions.SpanWindowHashes
+          .spanWindowHashes(col("tk"), k)).as("w"))
+      .select(col("doc_id"), col("w.s").as("s"), col("w.h").as("h"))
       .staged
-      .select(col("doc_id"), explode(col("sp")).as("w"))
-      .select(col("doc_id"), col("w.s").as("s"), md5(col("w.span")).as("h"))
+
+  /** Unstaged window stream for SINGLE-consumer passes (index init /
+    * append, whose only action is one count aggregate): staging there
+    * buys nothing and pins O(windows) storage bytes against the very
+    * aggregation that consumes them — at 47M windows that contention
+    * was half the r17 AGGREGATE_OUT_OF_MEMORY (the other half being
+    * prior measures' dead blocks, now GC-nudged in the harness). */
+  private def windowHashStream(docs: DataFrame, k: Int): DataFrame =
+    QueryDef.spread(docs)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("doc_id"),
+        explode(graft.functions.SpanWindowHashes
+          .spanWindowHashes(col("tk"), k)).as("w"))
+      .select(col("doc_id"), col("w.s").as("s"), col("w.h").as("h"))
 
   private def windowHashes(docs: DataFrame, k: Int): DataFrame =
     windowHashesFrom(
@@ -1131,7 +1159,7 @@ object DedupQueries {
     graft.sources.IndexStore.clearStamp(s, path, SubstrStamp)
     docs.select(col("doc_id")).write.mode("overwrite")
       .parquet(graft.sources.IndexStore.resetTablePath(s, path, "ids"))
-    windowHashes(docs, k).groupBy("h").agg(count(lit(1)).as("nocc"))
+    windowHashStream(docs, k).groupBy("h").agg(count(lit(1)).as("nocc"))
       .write.mode("overwrite")
       .parquet(graft.sources.IndexStore.resetTablePath(s, path, "counts"))
     graft.sources.IndexStore.writeStamp(s, path, SubstrStamp,
@@ -1157,7 +1185,7 @@ object DedupQueries {
       graft.sources.IndexStore.readSwappable(s, path, "ids"), newDocs)
     newDocs.select(col("doc_id")).write.mode("append")
       .parquet(graft.sources.IndexStore.tableDataPath(s, path, "ids"))
-    windowHashes(newDocs, k).groupBy("h").agg(count(lit(1)).as("nocc"))
+    windowHashStream(newDocs, k).groupBy("h").agg(count(lit(1)).as("nocc"))
       .write.mode("append")
       .parquet(graft.sources.IndexStore.tableDataPath(s, path, "counts"))
   }
@@ -1191,7 +1219,7 @@ object DedupQueries {
       newDocs.select(col("doc_id")).write.mode("overwrite").parquet(stage)
     }
     graft.sources.IndexStore.publishTaggedAppend(s, path, "counts", tag) { stage =>
-      windowHashes(newDocs, k).groupBy("h").agg(count(lit(1)).as("nocc"))
+      windowHashStream(newDocs, k).groupBy("h").agg(count(lit(1)).as("nocc"))
         .write.mode("overwrite").parquet(stage)
     }
   }
@@ -1212,7 +1240,7 @@ object DedupQueries {
       substrGeometryString(k), "substring-window geometry")
     checkDisjoint(
       graft.sources.IndexStore.readSwappable(s, path, "ids"), batch)
-    val bw = windowHashes(batch, k).staged                 // (doc_id, s, h)
+    val bw = windowHashes(batch, k)       // (doc_id, s, h) — staged inside
     val bc = bw.groupBy("h").agg(count(lit(1)).as("nb")).staged
     val sc = graft.sources.IndexStore.readSwappable(s, path, "counts")
       .join(QueryDef.guardedBroadcast(bc.select("h"), maxBroadcastHashes), "h")
