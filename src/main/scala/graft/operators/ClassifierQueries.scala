@@ -209,5 +209,50 @@ object ClassifierQueries {
              ROUND(mean_p_keep - label_rate, 6) + 0.0 AS calib_gap
       FROM agg ORDER BY bin"""))
 
-  val all: Seq[QueryDef] = Seq(tQualityClassifier, tCalibration)
+  /** Annotation-batch selection by margin sampling (t30) — the
+    * active-learning loop every model-based filter team runs: the next
+    * human-labeling batch is the k documents the classifier is LEAST
+    * sure about (|p − 0.5| smallest), because labels there move the
+    * decision boundary most per annotation dollar (uncertainty
+    * sampling, Lewis & Gale 1994). Reuses t16's stored weights and
+    * feature frame, so the batch is selected by exactly the scores the
+    * filter ships; ties at the margin break to the smallest doc_id in
+    * both engines.
+    *
+    * Scale shape: one map-side scoring scan → a k-row
+    * TakeOrderedAndProject (the q11 top-k seat: per-partition heaps,
+    * never a global sort). */
+  val tAnnotationBatch = QueryDef(
+    "t30_annotation_batch",
+    (s, dir) => {
+      val beta = storedQualityWeights(s, dir)
+      featureFrame(s, dir)
+        .select(col("doc_id"),
+          round(lit(1.0) / (lit(1.0) + exp(-design.dot(beta.toSeq))), 6)
+            .as("p_keep"))
+        .withColumn("margin", round(abs(col("p_keep") - lit(0.5)), 6))
+        .orderBy(col("margin").asc, col("doc_id").asc)
+        .limit(40)
+    },
+    Some("""
+      WITH w AS (SELECT * FROM read_csv_auto('/root/repo/oracles/t16_coefs.csv', header=true)),
+      sel AS (SELECT b0, b1, b2, b3 FROM w
+              WHERE n_docs = (SELECT COUNT(*) FROM documents)
+                AND sum_chars = (SELECT SUM(n_chars) FROM documents)),
+      b AS (SELECT doc_id, n_chars, string_split(text, ' ') AS tk,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+            FROM documents),
+      f AS (SELECT doc_id,
+                   ROUND(len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / nt, 6) AS sr,
+                   ROUND(len(list_distinct(tk)) / nt, 6) AS ttr,
+                   ROUND(ln(nt), 6) AS ll
+            FROM b),
+      sc AS (SELECT doc_id,
+                    ROUND(1.0 / (1.0 + exp(-(sel.b0 + f.sr * sel.b1
+                      + f.ttr * sel.b2 + f.ll * sel.b3))), 6) AS p_keep
+             FROM f CROSS JOIN sel)
+      SELECT doc_id, p_keep, ROUND(ABS(p_keep - 0.5), 6) AS margin
+      FROM sc ORDER BY margin, doc_id LIMIT 40"""))
+
+  val all: Seq[QueryDef] = Seq(tQualityClassifier, tCalibration, tAnnotationBatch)
 }

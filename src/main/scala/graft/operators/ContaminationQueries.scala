@@ -763,6 +763,80 @@ object ContaminationQueries {
       LEFT JOIN resid r ON r.benchmark = g.benchmark AND r.split = g.split
       ORDER BY g.benchmark, g.split"""))
 
+  // ---- x6: semantic (embedding-level) decontamination (r17) ----------
+
+  /** Embedding-level decontamination — the layer n-gram matching cannot
+    * reach: a PARAPHRASED benchmark item shares no 5-gram with its
+    * source yet sits next to it in embedding space (the OpenAI/Llama
+    * eval-contamination reports' second check, and SemDeDup's
+    * cross-set cousin). Per EVAL vector: its nearest TRAIN vector by
+    * cosine (embeddings are unit-normalized, so dot = cosine), the
+    * similarity, and the contaminated flag at `tau` — one row per eval
+    * vector, zeros/low rows included, so the table is the same
+    * always-complete certificate shape as x4.
+    *
+    * Exactness: this is the brute-force certificate (the v1 seat) —
+    * the DuckDB oracle recomputes every dot product with the same
+    * ascending-index IEEE order as the native kernel, and the argmax
+    * ties break to the smallest train id via a composite max_by key on
+    * the UNROUNDED sim in both engines. The flag compares the ROUNDED
+    * similarity (cross-engine exact); `+ 0.0` on the oracle's rounded
+    * column per the signed-zero audit (a max-cosine CAN in principle
+    * round to −0.0).
+    *
+    * Scale shape: the eval side is benchmark-sized by convention and
+    * BROADCAST (the v1/x1 seat); the train corpus streams map-side
+    * through the broadcast nested-loop join and collapses to |eval|
+    * rows via a map-side-partial max_by — the corpus never shuffles.
+    * When the eval suite outgrows broadcast, this brute-force
+    * certificate is not the tool: route the stored IVFADC index (v7)
+    * exactly as x2/x3's bloom replaces x1's exact broadcast. */
+  private[graft] def semanticDecontaminationOf(
+      emb: org.apache.spark.sql.DataFrame, tau: Double = 0.36)
+      : org.apache.spark.sql.DataFrame = {
+    val eval = emb.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("qe"))
+    val train = emb.filter(col("vec_id") % 37 =!= 0)
+      .select(col("vec_id").as("nb"), col("embedding").as("ne"))
+    train.join(broadcast(eval))
+      .select(col("eval_id"), col("nb"),
+        graft.functions.VectorExpressions.fdot(col("qe"), col("ne")).as("sim"))
+      // argmax by (sim desc, nb asc): max_by on (sim, -nb) — map-side
+      // combinable, unlike a window over the full cross product
+      .groupBy("eval_id")
+      .agg(max_by(struct(col("sim"), col("nb")),
+        struct(col("sim"), (-col("nb")).as("negnb"))).as("m"))
+      .select(col("eval_id"), col("m.nb").as("nearest_train"),
+        round(col("m.sim"), 6).as("cosine"),
+        (round(col("m.sim"), 6) >= tau).as("contaminated"))
+      .orderBy("eval_id")
+  }
+
+  val xSemanticDecontamination = QueryDef(
+    "x6_semantic_decontamination",
+    (s, dir) => semanticDecontaminationOf(Tables.embeddings(s, dir)),
+    Some("""
+      WITH e AS (SELECT vec_id AS eval_id, embedding AS qe
+                 FROM embeddings WHERE vec_id % 37 = 0),
+      t AS (SELECT vec_id AS nb, embedding AS ne
+            FROM embeddings WHERE vec_id % 37 <> 0),
+      s AS (SELECT e.eval_id, t.nb,
+                   list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(range(1, len(e.qe) + 1),
+                         i -> CAST(e.qe[i] AS DOUBLE) * CAST(t.ne[i] AS DOUBLE))),
+                     (acc, v) -> acc + v) AS sim
+            FROM e, t),
+      r AS (SELECT eval_id, nb, sim,
+                   ROW_NUMBER() OVER (PARTITION BY eval_id
+                     ORDER BY sim DESC, nb ASC) AS rk
+            FROM s)
+      SELECT eval_id, nb AS nearest_train,
+             ROUND(sim, 6) + 0.0 AS cosine,
+             ROUND(sim, 6) + 0.0 >= 0.36 AS contaminated
+      FROM r WHERE rk = 1 ORDER BY eval_id"""))
+
   val all: Seq[QueryDef] = Seq(xDecontamination, xBloomScrub, xBloomScrubStored,
-    xBenchmarkClearance, xDecontaminationProfile, xClearanceFromRelease)
+    xBenchmarkClearance, xDecontaminationProfile, xClearanceFromRelease,
+    xSemanticDecontamination)
 }
