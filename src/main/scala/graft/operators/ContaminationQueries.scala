@@ -836,7 +836,43 @@ object ContaminationQueries {
              ROUND(sim, 6) + 0.0 >= 0.36 AS contaminated
       FROM r WHERE rk = 1 ORDER BY eval_id"""))
 
+  /** x6b — x6's 100 TB seat made EXECUTABLE: the same per-eval nearest-
+    * train certificate probed through the STORED IVFADC index (v7's
+    * engine) instead of the brute-force broadcast — driver-side coarse
+    * routing, statically partition-pruned ADC scan over 4-byte codes
+    * with the eval set EXCLUDED from the candidate side at the scan
+    * (`candFilter`, so held-out codes never reach the shortlist), exact
+    * re-rank of the bounded shortlist, top-1 taken. Sub-linear in the
+    * corpus: only nprobe of the coarse lists are read, as codes.
+    *
+    * Approximate by design (the v6/v7 adjudication): no DuckDB oracle —
+    * the result is pinned (deterministic routing/shortlist/re-rank) and
+    * SemanticDecontaminationSpec gates its agreement with x6's exact
+    * certificate (coverage, neighbor/flag agreement floors) at sf0.01.
+    * An eval vector whose routed lists hold no train codes would drop
+    * from the table (over-fetch makes this vanishing; the spec pins
+    * full coverage on the driver corpus). */
+  private[graft] def semanticDecontaminationAnn(
+      s: org.apache.spark.sql.SparkSession, dir: String, tau: Double = 0.36,
+      nprobe: Int = 5, shortlistN: Int = 128)
+      : org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val eval = emb.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("q"), col("embedding").as("qe"))
+    val train = emb.filter(col("vec_id") % 37 =!= 0)
+    VectorQueries.ivfAdcProbe(s, VectorQueries.storedPqIndex(s, dir), train,
+        eval, nprobe, shortlistN, candFilter = col("nb") % 37 =!= 0)
+      .filter(col("rank") === 1)
+      .select(col("q").as("eval_id"), col("nb").as("nearest_train"),
+        col("cosine"), (col("cosine") >= tau).as("contaminated"))
+      .orderBy("eval_id")
+  }
+
+  val xSemanticDecontaminationAnn = QueryDef(
+    "x6b_semantic_decon_ann",
+    (s, dir) => semanticDecontaminationAnn(s, dir))
+
   val all: Seq[QueryDef] = Seq(xDecontamination, xBloomScrub, xBloomScrubStored,
     xBenchmarkClearance, xDecontaminationProfile, xClearanceFromRelease,
-    xSemanticDecontamination)
+    xSemanticDecontamination, xSemanticDecontaminationAnn)
 }

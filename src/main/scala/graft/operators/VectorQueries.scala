@@ -690,8 +690,10 @@ object VectorQueries {
     * scan, bounded shortlist, exact re-rank. */
   def ivfAdcProbe(s: org.apache.spark.sql.SparkSession, idx: PqIndex,
                   emb: DataFrame, probes: DataFrame,
-                  nprobe: Int = 4, shortlistN: Int = 128): DataFrame = {
-    val shortlist = adcShortlist(routedCands(s, idx, probes, nprobe), shortlistN)
+                  nprobe: Int = 4, shortlistN: Int = 128,
+                  candFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val shortlist = adcShortlist(
+      routedCands(s, idx, probes, nprobe, candFilter), shortlistN)
     exactRerank(shortlist, probes, emb)
   }
 
@@ -699,8 +701,14 @@ object VectorQueries {
     * shared front half of [[ivfAdcProbe]] and [[adcProbe]]: driver-side
     * routing of each probe to its nprobe nearest coarse lists, then a
     * code scan restricted to those partitions. */
+  /** `candFilter` restricts the CANDIDATE side of the scan (on the code
+    * table's columns, e.g. a held-out-set exclusion for x6b) — applied
+    * right after the partition prune, so excluded codes never reach the
+    * ADC scoring or the shortlist. */
   private def routedCands(s: org.apache.spark.sql.SparkSession, idx: PqIndex,
-                          probes: DataFrame, nprobe: Int): DataFrame = {
+                          probes: DataFrame, nprobe: Int,
+                          candFilter: org.apache.spark.sql.Column = lit(true))
+      : DataFrame = {
     val routing: Array[(Long, Int)] = probes
       .select(col("q"), explode(slice(
         transform(array_sort(centerDistStructs(col("qe"), idx.coarse)),
@@ -713,6 +721,7 @@ object VectorQueries {
     // time; the broadcast join then fans each surviving code row out to
     // the probes routed to its list (ids+codes only — 12 bytes/row)
     idx.codes.filter(col("list_id").isin(wanted: _*))
+      .filter(candFilter)
       .join(broadcast(probeLists), Seq("list_id"))
       .filter(col("q") =!= col("nb"))
       .join(broadcast(probes.withColumn("lut", pqLut(idx.books)).select("q", "lut")),

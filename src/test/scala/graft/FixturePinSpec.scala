@@ -46,7 +46,10 @@ class FixturePinSpec extends AnyFunSuite {
     "v5_ivf_ann"               -> "afd848323e99e775dd15dee6070bd772",
     "v6_pq_ann"                -> "c0eeb3a88ad778f4ef7b11eb1a286f62",
     "v7_ivfadc_ann"            -> "b2ebb6a2bc4c986d3d7a3882599da029",
-    "v8_semantic_dedup"        -> "ee01b2de9eb64bd35e19265c76b77c92")
+    "v8_semantic_dedup"        -> "ee01b2de9eb64bd35e19265c76b77c92",
+    // r17: ANN-routed semantic decontamination (deterministic routing/
+    // shortlist/re-rank); exact-agreement gates in SemanticDecontaminationSpec
+    "x6b_semantic_decon_ann"   -> "d64922805b83a9265d9d87741ef37f14")
 
   test("every no_oracle driver query is hash-pinned") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet

@@ -53,6 +53,31 @@ class SemanticDecontaminationSpec extends AnyFunSuite {
     assert(!byEval(74L)._4, "0.8 < tau 0.9 must not flag")
   }
 
+  test("x6b ANN route: full coverage, high agreement with the exact certificate, never overstates") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("x6_semantic_decontamination")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val ann = SparkEntry.queries("x6b_semantic_decon_ann")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // the certificate must cover every eval vector (over-fetch makes a
+    // dropped row vanishingly unlikely; measured: full coverage)
+    assert(ann.keySet == exact.keySet, "ANN certificate must cover every eval vector")
+    val n = exact.size.toDouble
+    val nbAgree = exact.count { case (k, v) => ann(k)._1 == v._1 } / n
+    val flagAgree = exact.count { case (k, v) => ann(k)._3 == v._3 } / n
+    assert(nbAgree >= 0.85, s"neighbor agreement $nbAgree below floor (measured 0.93)")
+    assert(flagAgree >= 0.9, s"flag agreement $flagAgree below floor (measured 1.0)")
+    // one-sided error: the re-rank is exact over the shortlist, so the
+    // ANN similarity can MISS the true max but never exceed it — the
+    // certificate never invents contamination
+    exact.foreach { case (k, v) =>
+      assert(ann(k)._2 <= v._2 + 1e-9,
+        s"eval $k: ANN cosine ${ann(k)._2} exceeds the exact max ${v._2}")
+    }
+  }
+
   test("sf0.01: certificate covers every eval vector; flag consistent with the threshold") {
     val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val nEval = emb.filter(org.apache.spark.sql.functions.col("vec_id") % 37 === 0).count()
