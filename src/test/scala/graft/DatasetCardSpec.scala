@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.PipelineQueries
+import graft.sources.DatasetCard
+
+/** The dataset card must be (a) byte-deterministic — the committed
+  * sf0.01 sample pins the exact rendering, the LatexReportSpec
+  * discipline — and (b) UNABLE to disagree with the audits it renders:
+  * the split table's numbers are cross-checked against p5f's own
+  * output rows.
+  */
+class DatasetCardSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val card = DatasetCard.render(spark, dir)
+
+  test("committed sample matches a fresh render byte-exactly") {
+    val committed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("results/dataset_card_sf001.md"))
+    assert(committed == card,
+      "results/dataset_card_sf001.md is stale — regenerate via DatasetCard.write")
+  }
+
+  test("sections present in fixed order") {
+    val idx = Seq("# Dataset card", "## Split statistics", "## Domain mix",
+      "## Benchmark clearance", "## Split-leakage audit", "## Content manifest")
+      .map(card.indexOf)
+    assert(idx.forall(_ >= 0) && idx == idx.sorted, s"section order broke: $idx")
+  }
+
+  test("split table rows equal p5f's own output") {
+    val want = SparkEntry.queries("p5f_report_from_release")(spark, dir)
+      .collect().map { r =>
+        s"| ${r.getString(0)} | ${r.getLong(1)} | ${r.getLong(2)} | " +
+          f"${r.getDouble(3)}%.6f | ${r.getLong(4)} | ${r.getString(5)} | " +
+          f"${r.getDouble(6)}%.6f |"
+      }
+    want.foreach(line => assert(card.contains(line), s"missing row: $line"))
+  }
+
+  test("clearance rows render every benchmark x split cell") {
+    val n = SparkEntry.queries("x4f_clearance_from_release")(spark, dir).count()
+    val section = card.substring(card.indexOf("## Benchmark clearance"),
+      card.indexOf("## Split-leakage audit"))
+    assert(section.linesIterator.count(_.startsWith("| bench_")) == n)
+  }
+}
