@@ -1224,6 +1224,29 @@ object DedupQueries {
     }
   }
 
+  /** Compact the appendable substring index (r17 — the maintenance job
+    * the d8/sketch families already have): `ids` is a plain file-count
+    * rewrite; `counts` is a log-structured MERGE — the accumulated
+    * per-append delta rows sum into ONE row per hash. Probes already
+    * sum partials per hash, so the merge is semantics-neutral BY
+    * CONSTRUCTION (StoredSubstrSpec pins probe equality across it);
+    * what it buys is bounding the table by the corpus's DISTINCT
+    * windows instead of the sum of per-batch distinct windows (a hash
+    * arriving daily otherwise carries one row per day forever) and
+    * cutting the probe's stored-scan width. Same quiesce contract as
+    * every sibling compaction: maintainer-owned, never racing an
+    * append; a compaction absorbs stream tags, after which a replay
+    * fail-stops at the disjointness gate rather than double-appending. */
+  def compactStoredSubstrIndex(s: org.apache.spark.sql.SparkSession,
+                               path: String, filesPerTable: Int = 4): Unit = {
+    graft.sources.IndexStore.compactTable(s, path, "ids", None, filesPerTable)
+    graft.sources.IndexStore.replaceTable(s, path, "counts") { (df, tmp) =>
+      df.groupBy("h").agg(sum(col("nocc")).as("nocc"))
+        .repartition(filesPerTable)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** Probe: the batch's maximal duplicated-coverage intervals against
     * corpus ∪ batch. Occurrence counts = batch's own + the stored
     * partials for the batch's hashes ONLY (one narrow stored-table scan

@@ -88,6 +88,36 @@ class StoredSubstrSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("disjoint"))
   }
 
+  test("compaction merges delta counts to one row per hash; probes identical across it") {
+    import org.apache.spark.sql.functions.countDistinct
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_substr_compact").toString + "/idx"
+    DedupQueries.initStoredSubstrIndex(spark, path, corpusDf, k)
+    DedupQueries.appendStoredSubstrIndex(spark, path, day1, k)
+    // day2's doc 11 duplicates shared2 ONLY via day1's append — the
+    // probe that must survive the merge
+    val before = rows(DedupQueries.probeStoredSubstrIndex(spark, path, day2, k))
+    val counts = () => graft.sources.IndexStore.readSwappable(spark, path, "counts")
+    // shared2's windows were counted by BOTH day-1 docs, so pre-compact
+    // the table genuinely holds multi-row hashes (non-vacuous merge)
+    assert(counts().count() >
+      counts().agg(countDistinct("h")).head.getLong(0),
+      "fixture must produce duplicate hash rows before the merge")
+    DedupQueries.compactStoredSubstrIndex(spark, path)
+    assert(counts().count() ==
+      counts().agg(countDistinct("h")).head.getLong(0),
+      "post-compact: exactly one count row per hash")
+    assert(rows(DedupQueries.probeStoredSubstrIndex(spark, path, day2, k)) == before,
+      "probe must be identical across the merge compaction")
+    // appends keep working against the compacted (versioned) table
+    DedupQueries.appendStoredSubstrIndex(spark, path, day2, k)
+    val day3 = Seq((21L, (uniq("q", 7) ++ shared2 ++ uniq("u", 3)).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(rows(DedupQueries.probeStoredSubstrIndex(spark, path, day3, k)) ==
+      fullRestricted(corpusDf.unionByName(day1).unionByName(day2)
+        .unionByName(day3), Set(21L)))
+  }
+
   test("all-short and empty batches probe to zero rows") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_substr_empty").toString + "/idx"
