@@ -222,6 +222,28 @@ object LineDedupQueries {
       .parquet(graft.sources.IndexStore.tableDataPath(s, path, "totals"))
   }
 
+  /** Compact the appendable line index (r17 — the
+    * compactStoredSubstrIndex twin): `ids` gets a file-count rewrite;
+    * `lines` and `totals` MERGE their accumulated delta rows (one row
+    * per normalized line / ONE total row) under the versioned
+    * rename-swap. Semantics-neutral by construction — every reader
+    * sums delta rows per key — pinned by LineDedupSpec's probe-equality
+    * across the compaction. Maintainer-owned, never racing an append. */
+  def compactStoredLineIndex(s: org.apache.spark.sql.SparkSession,
+                             path: String, filesPerTable: Int = 4): Unit = {
+    graft.sources.IndexStore.compactTable(s, path, "ids", None, filesPerTable)
+    graft.sources.IndexStore.replaceTable(s, path, "lines") { (df, tmp) =>
+      df.groupBy("nl").agg(sum(col("n_docs")).as("n_docs"))
+        .repartition(filesPerTable)
+        .write.mode("overwrite").parquet(tmp)
+    }
+    graft.sources.IndexStore.replaceTable(s, path, "totals") { (df, tmp) =>
+      df.agg(coalesce(sum(col("n_total")), lit(0L)).as("n_total"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** Clean a NEW batch against the stored corpus: batch line counts +
     * stored counts for exactly the batch's lines (the only lines whose
     * membership can affect the batch's rewrite), thresholded over the

@@ -130,6 +130,30 @@ class LineDedupSpec extends AnyFunSuite {
     assert(rowsOf(day2) == rowsOf(full))
   }
 
+  test("compaction merges delta rows; probes identical across it; appends keep working") {
+    import org.apache.spark.sql.functions.countDistinct
+    val path = tmpIndex()
+    LineDedupQueries.initStoredLineIndex(spark, path, linified(300, 100000))
+    LineDedupQueries.appendStoredLineIndex(spark, path, linified(150, 300))
+    val before = rowsOf(LineDedupQueries.probeCleanBatch(spark, path, linified(0, 150)))
+    def lines() = graft.sources.IndexStore.readSwappable(spark, path, "lines")
+    def totals() = graft.sources.IndexStore.readSwappable(spark, path, "totals")
+    // init + append left multi-row line keys and two total deltas
+    assert(lines().count() > lines().agg(countDistinct("nl")).head.getLong(0),
+      "fixture must produce duplicate line-key rows before the merge")
+    assert(totals().count() == 2L)
+    LineDedupQueries.compactStoredLineIndex(spark, path)
+    assert(lines().count() == lines().agg(countDistinct("nl")).head.getLong(0))
+    assert(totals().count() == 1L)
+    assert(rowsOf(LineDedupQueries.probeCleanBatch(spark, path, linified(0, 150)))
+      == before, "probe must be identical across the merge compaction")
+    LineDedupQueries.appendStoredLineIndex(spark, path, linified(100, 150))
+    val day3 = rowsOf(LineDedupQueries.probeCleanBatch(spark, path, linified(0, 100)))
+    val full = rowsOf(LineDedupQueries.boilerplateLines(linified(0, 100000))
+      .filter(col("doc_id") < 100))
+    assert(day3 == full, "post-compaction appends must keep the full-run equality")
+  }
+
   test("disjointness gate trips on an overlapping batch") {
     val path = tmpIndex()
     LineDedupQueries.initStoredLineIndex(spark, path, linified(250, 100000))
