@@ -130,8 +130,12 @@ object SkewBench {
         j => concat(lit("w"), pmod(xxhash64(i, j, lit(salt)), lit(2000000)))))
     val pre = (pmod(xxhash64(i, lit(11)), lit(800)) + lit(200)).cast("int")
     val post = (pmod(xxhash64(i, lit(12)), lit(3000)) + lit(500)).cast("int")
+    // variant key = (i/10) % 5, NOT i % 5: the branch below selects
+    // i % 10 == 0, under which i % 5 is constantly 0 — one template
+    // instead of the designed five (r17 review finding; the corpus
+    // version stamp bumped with the fix)
     val crossRun = concat_ws(" ", transform(sequence(lit(1), lit(80)),
-      j => concat(lit("dup"), pmod(i, lit(5)), lit("_"), j)))
+      j => concat(lit("dup"), pmod(i / 10, lit(5)), lit("_"), j)))
     val intraRun = concat_ws(" ", transform(sequence(lit(1), lit(60)),
       j => concat(lit("r"), i, lit("_"), j)))
     val body =
@@ -223,7 +227,7 @@ object SkewBench {
       val ldir = sys.env.getOrElse("GRAFT_SKEW_DIR", "/tmp/graft_skew") +
         s"_long_$nLong"
       val lpath = s"$ldir/documents.parquet"
-      val lVersion = "r17-longdoc-v1"
+      val lVersion = "r17-longdoc-v2-five-variants"
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$lpath/_SUCCESS")) ||
           !graft.sources.IndexStore.readStamp(spark, ldir, "_corpus_version")
             .contains(lVersion)) {

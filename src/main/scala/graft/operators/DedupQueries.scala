@@ -1108,26 +1108,33 @@ object DedupQueries {
     * by the full run (dupSubstringsOf), the scrub twin
     * (substrScrubFrame), the index init, the probe and the append, so
     * none of them can drift on the hash/start/staging rule. */
-  private def windowHashesFrom(tokBase: DataFrame, k: Int): DataFrame =
+  /** THE single definition of a window row (tokenize-upstream, ≥k
+    * filter, kernel windowing, (doc_id, s, h) projection) — shared by
+    * the full run, the scrub twin, the index init, the probe and the
+    * append, so none of them can drift on the hash/start rule. The
+    * r17 long-doc findings live here, both from running production
+    * k=50 on 0.7–4.6k-token docs (invisible at the k=8/40-token shape
+    * the original sizing was tested on):
+    * 1. windowing is the native one-pass kernel, not transform/slice/
+    *    concat_ws + md5 — the HOF form evaluates interpreted per
+    *    element and builds a fresh array + span string per window
+    *    (measured 271 µs/window; the kernel hashes byte ranges of one
+    *    joined buffer — ~2 µs/window, 130× less CPU);
+    * 2. staging (where a caller wants it) happens AFTER this hash
+    *    projection, never before the explode — the pre-explode frame
+    *    held every span STRING, O(corpus×k) storage bytes and a
+    *    measured OOM cliff; the projected frame is ≈ 56 B/window. */
+  private def windowHashCore(tokBase: DataFrame, k: Int): DataFrame =
     tokBase
       .filter(size(col("tk")) >= k)
-      // the r17 long-doc findings, both from running production k=50 on
-      // 0.7–4.6k-token docs (invisible at the k=8/40-token shape the
-      // original sizing was tested on):
-      // 1. windowing is the native one-pass kernel, not transform/
-      //    slice/concat_ws + md5 — the HOF form evaluates interpreted
-      //    per element and builds a fresh array + span string per
-      //    window (measured 271 µs/window; the kernel hashes byte
-      //    ranges of one joined buffer — ~2 µs/window, 130× less CPU);
-      // 2. staged AFTER the hash projection, not before the explode —
-      //    the pre-explode frame held every span STRING, O(corpus×k)
-      //    storage bytes and a measured OOM cliff; the materialized
-      //    frame here is (doc_id, s, 32-hex h) ≈ 56 B/window.
       .select(col("doc_id"),
         explode(graft.functions.SpanWindowHashes
           .spanWindowHashes(col("tk"), k)).as("w"))
       .select(col("doc_id"), col("w.s").as("s"), col("w.h").as("h"))
-      .staged
+
+  /** Staged window rows for MULTI-consumer passes (full run, probe). */
+  private def windowHashesFrom(tokBase: DataFrame, k: Int): DataFrame =
+    windowHashCore(tokBase, k).staged
 
   /** Unstaged window stream for SINGLE-consumer passes (index init /
     * append, whose only action is one count aggregate): staging there
@@ -1136,13 +1143,9 @@ object DedupQueries {
     * was half the r17 AGGREGATE_OUT_OF_MEMORY (the other half being
     * prior measures' dead blocks, now GC-nudged in the harness). */
   private def windowHashStream(docs: DataFrame, k: Int): DataFrame =
-    QueryDef.spread(docs)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .filter(size(col("tk")) >= k)
-      .select(col("doc_id"),
-        explode(graft.functions.SpanWindowHashes
-          .spanWindowHashes(col("tk"), k)).as("w"))
-      .select(col("doc_id"), col("w.s").as("s"), col("w.h").as("h"))
+    windowHashCore(
+      QueryDef.spread(docs)
+        .select(col("doc_id"), split(col("text"), " ").as("tk")), k)
 
   private def windowHashes(docs: DataFrame, k: Int): DataFrame =
     windowHashesFrom(

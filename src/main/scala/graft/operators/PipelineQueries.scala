@@ -479,9 +479,15 @@ object PipelineQueries {
       // bit-for-bit across republishes (ReleasePublishSpec).
       // the versioned crash-safe publish path (commit-marker discipline):
       // the oracle-checked manifest is computed from the PUBLISHED files,
-      // so the whole publish contract sits inside the correctness gate
-      graft.sources.ReleaseWriter.publishRelease(releasedDocs(s, dir),
-        releaseRoot(s, dir))
+      // so the whole publish contract sits inside the correctness gate.
+      // Same JVM gate as publishedReleaseDir: p4 shares the root with
+      // the audit family's publish-if-absent, and two publishers racing
+      // one root is exactly what publishRelease's writer contract
+      // forbids (r17 review finding)
+      publishGate.synchronized {
+        graft.sources.ReleaseWriter.publishRelease(releasedDocs(s, dir),
+          releaseRoot(s, dir))
+      }
     },
     Some("""
       WITH canon AS (

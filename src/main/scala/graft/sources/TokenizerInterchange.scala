@@ -45,7 +45,9 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   */
 object TokenizerInterchange {
 
-  private def mapper = new ObjectMapper()
+  // thread-safe after construction; building one is among the heaviest
+  // Jackson operations, so it is a val (r17 review finding)
+  private val mapper = new ObjectMapper()
 
   /** Serialize a rank-ordered merge table to tokenizers-JSON. */
   def exportJson(merges: Array[(String, String)]): String = {
@@ -64,9 +66,13 @@ object TokenizerInterchange {
     def add(tok: String): Unit =
       if (!vocab.has(tok)) { vocab.put(tok, id); id += 1 }
     // base alphabet first (sorted — deterministic ids), then merged
-    // pieces in rank order: the standard BPE vocab construction
-    merges.flatMap { case (l, r) => (l + r).toCharArray }
-      .map(String.valueOf).distinct.sorted.foreach(add)
+    // pieces in rank order: the standard BPE vocab construction.
+    // CODEPOINTS, not chars: toCharArray would split a supplementary
+    // (non-BMP) character into two lone surrogates — invalid Unicode
+    // vocab keys the tokenizers loader rejects (r17 review finding)
+    merges.flatMap { case (l, r) =>
+      (l + r).codePoints().toArray.map(Character.toString)
+    }.distinct.sorted.foreach(add)
     merges.foreach { case (l, r) => add(l + r) }
     val arr = model.putArray("merges")
     merges.foreach { case (l, r) => arr.add(s"$l $r") }

@@ -71,6 +71,24 @@ class TokenizerInterchangeSpec extends AnyFunSuite {
       Seq(("t", "h"), ("th", "e")))
   }
 
+  test("supplementary (non-BMP) codepoints survive as whole vocab keys, round-trip intact") {
+    // an astral char split by toCharArray would emit two lone
+    // surrogates as vocab keys (r17 review finding) — the alphabet
+    // must carry the whole codepoint and the merges must round-trip
+    val astral = Array(("😀", "x"), ("a", "b")) // 😀 + x
+    val json = TokenizerInterchange.exportJson(astral)
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val vocab = root.path("model").path("vocab")
+    assert(vocab.has("😀"), "whole emoji codepoint must be a vocab key")
+    val it = vocab.fieldNames()
+    while (it.hasNext) {
+      val k = it.next()
+      assert(!(k.length == 1 && Character.isSurrogate(k.charAt(0))),
+        s"lone surrogate vocab key: ${k.codePointAt(0)}")
+    }
+    assert(TokenizerInterchange.importJson(json).toSeq == astral.toSeq)
+  }
+
   test("loud failures: space-carrying piece, non-BPE model") {
     intercept[IllegalArgumentException] {
       TokenizerInterchange.exportJson(Array(("a b", "c")))

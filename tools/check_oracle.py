@@ -30,18 +30,18 @@ def same_value(x, y) -> bool:
     if pd.isna(x) and pd.isna(y):
         return True
     if isinstance(x, float) or isinstance(y, float):
-        # mixed dtypes (one engine materializes int64, the other
-        # double): coerce BOTH to float so -0.0 vs int 0 still trips
-        # the sign check — the mirror must stay strictly stricter
-        # than the driver hash even across dtype drift. bool is an
-        # int subclass; a bool-vs-float pair is a schema bug, not a
-        # value match.
+        # mixed NUMERIC dtypes (one engine materializes int64, the
+        # other double): coerce BOTH to float so -0.0 vs int 0 still
+        # trips the sign check. Coercion is restricted to actual
+        # numbers — float('0.5') on a STRING column would let a
+        # genuine schema bug pass, weakening the mirror (r17 review
+        # finding). bool is an int subclass; a bool-vs-float pair is
+        # a schema bug, not a value match.
+        if not (isinstance(x, (int, float)) and isinstance(y, (int, float))):
+            return False
         if isinstance(x, bool) != isinstance(y, bool):
             return False
-        try:
-            fx, fy = float(x), float(y)
-        except (TypeError, ValueError):
-            return False
+        fx, fy = float(x), float(y)
         if math.isnan(fx) and math.isnan(fy):
             return True
         return fx == fy and math.copysign(1.0, fx) == math.copysign(1.0, fy)
@@ -63,6 +63,9 @@ def selftest() -> int:
     assert not same_value(0, -0.0), "mixed-dtype int 0 vs -0.0 must fail"
     assert same_value(0, 0.0) and same_value(3, 3.0)
     assert not same_value("x", 0.0) and not same_value(True, 1.0)
+    # numeric STRINGS must not coerce — a string column matching a
+    # double column is a schema bug the mirror must catch
+    assert not same_value("0.5", 0.5) and not same_value(0.5, "0.5")
     print("selftest ok (signed-zero distinguished, exact float compare)")
     return 0
 
