@@ -50,20 +50,33 @@ object Bridge {
   }
 
   /** Every file root path scanned by any query execution triggered
-    * while `body` runs — the executed-trace scan audit. Plan-string
-    * checks cannot see through staged frames (an eager localCheckpoint
-    * replaces the file-scan lineage with an ExistingRDD leaf), so the
-    * only faithful "what did this query actually read" record is the
-    * union of FileSourceScan roots across EVERY QueryExecution the
-    * construction + action fired — which is what a
-    * QueryExecutionListener observes. The listener bus is async; this
-    * drains it (private[spark] waitUntilEmpty — the reason this helper
-    * lives in the sql package) before reporting. Callers should assert
-    * a POSITIVE root too (e.g. the release dir), so an under-captured
-    * trace can never pass as "scanned nothing forbidden". */
+    * while `body` runs ON THE CALLING THREAD — the executed-trace scan
+    * audit. Plan-string checks cannot see through staged frames (an
+    * eager localCheckpoint replaces the file-scan lineage with an
+    * ExistingRDD leaf), so the only faithful "what did this query
+    * actually read" record is the union of FileSourceScan roots across
+    * EVERY QueryExecution the construction + action fired.
+    *
+    * Capture mechanics (r18, the r17 advice fix): `body` runs under a
+    * unique JOB TAG (a thread-local property inherited by every SQL
+    * execution it starts), and a SparkListener matches
+    * SparkListenerSQLExecutionStart events carrying that tag, then
+    * records from the matching End event's attached QueryExecution. So
+    * (a) a concurrent query on the shared session from another thread
+    * does NOT pollute the trace (its executions lack the tag), and
+    * (b) there is no executionId→QueryExecution map-lookup race — the
+    * End event object holds the QueryExecution itself. A failing
+    * execution's `executedPlan` may itself throw (analysis-stage
+    * failures); that record is try-wrapped, which is safe because
+    * callers must assert a POSITIVE root too (e.g. the release dir), so
+    * an under-captured trace can never pass as "scanned nothing
+    * forbidden". The listener bus is async; this drains it
+    * (private[spark] waitUntilEmpty — the reason this helper lives in
+    * the sql package) before reporting. */
   def scannedFileRoots(s: org.apache.spark.sql.SparkSession)(body: => Unit): Seq[String] = {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, QueryExecution, SparkPlan}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.ui.{SparkListenerSQLExecutionEnd, SparkListenerSQLExecutionStart}
     val paths = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     def record(p: SparkPlan): Unit = p.foreachWithSubqueries {
       case f: FileSourceScanExec =>
@@ -71,16 +84,28 @@ object Bridge {
       case a: AdaptiveSparkPlanExec => record(a.executedPlan)
       case _ => ()
     }
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = record(qe.executedPlan)
-      override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = record(qe.executedPlan)
+    val traceTag = s"graft-scan-trace-${java.util.UUID.randomUUID()}"
+    val tagged = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case st: SparkListenerSQLExecutionStart if st.jobTags.contains(traceTag) =>
+            tagged.add(st.executionId)
+          case en: SparkListenerSQLExecutionEnd if tagged.contains(en.executionId) =>
+            // executedPlan can throw for an execution that failed before
+            // planning completed — record what exists, nothing more
+            try Option(en.qe).foreach(qe => record(qe.executedPlan))
+            catch { case _: Exception => () }
+          case _ => ()
+        }
     }
-    s.listenerManager.register(listener)
+    val sc = s.sparkContext
+    sc.addSparkListener(listener)
+    sc.addJobTag(traceTag)
     try body finally {
-      s.sparkContext.listenerBus.waitUntilEmpty()
-      s.listenerManager.unregister(listener)
+      sc.removeJobTag(traceTag)
+      sc.listenerBus.waitUntilEmpty()
+      sc.removeSparkListener(listener)
     }
     import scala.jdk.CollectionConverters._
     paths.asScala.toSeq.sorted

@@ -556,9 +556,11 @@ object ContaminationQueries {
       : org.apache.spark.sql.DataFrame = {
     val spread = QueryDef.spread(docs)
     // ONE constant denominator for every n row: the full train split,
-    // not the ≥n-token subset (see scaladoc — rates must share a base)
+    // not the ≥n-token subset (see scaladoc — rates must share a base).
+    // Staged so the three per-n plans share the one-row result instead
+    // of each re-running the corpus count scan (r17 advice fix).
     val nTrainDocs = spread.filter(!isEval)
-      .select(count(lit(1)).as("n_train_docs"))
+      .select(count(lit(1)).as("n_train_docs")).staged
     ns.map { n =>
       val grams = spread
         .select(col("doc_id"), split(col("text"), " ").as("tk"))

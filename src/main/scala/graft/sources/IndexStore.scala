@@ -374,6 +374,44 @@ object IndexStore {
     fs.delete(new Path(s"$indexPath/${tbl}__stage_$tag"), true)
   }
 
+  /** Fail-stop a REWOUND stream incarnation (r18): a Structured
+    * Streaming replay can only be of the LATEST batch (the engine
+    * re-runs at most the one batch whose commit is missing from the
+    * checkpoint), so if any committed tag of the SAME incarnation
+    * carries a batchId HIGHER than the current one, the current call is
+    * not a replay — it is a rewound checkpoint (offsets hand-deleted
+    * while keeping the metadata file that pins the query id), and
+    * sweeping "its" tag would silently un-ingest a committed batch.
+    * Scans the live dirs once per batch — the same listing cost the
+    * sweep itself pays. Tags must be `<prefix>_b<batchId>` per
+    * [[graft.streaming.StreamIdentity.batchTag]]. */
+  def requireMonotonicBatch(s: SparkSession, indexPath: String,
+                            tbls: Seq[String], prefix: String,
+                            batchId: Long): Unit = {
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(s"graft-${prefix}_b") +
+        "([0-9]+)-[0-9]+\\.parquet")
+    for (tbl <- tbls) {
+      val live = new Path(tableDataPath(s, indexPath, tbl))
+      val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(live)) {
+        val it = fs.listFiles(live, true)
+        while (it.hasNext) {
+          val m = pat.matcher(it.next().getPath.getName)
+          if (m.matches()) {
+            val seen = m.group(1).toLong
+            require(seen <= batchId,
+              s"stream incarnation '$prefix' already committed batch $seen " +
+                s"to $indexPath/$tbl but is now presenting batch $batchId — " +
+                "a rewound checkpoint would silently re-ingest committed " +
+                "batches; rebuild the index or start a fresh checkpoint " +
+                "(which gets a fresh query id and namespace)")
+          }
+        }
+      }
+    }
+  }
+
   /** Publish an append under deterministic per-tag file names:
     * `write(stagingDir)` materializes the batch's rows (using the SAME
     * partitioning layout as the table), then every staged data file is

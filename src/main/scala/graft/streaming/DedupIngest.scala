@@ -53,14 +53,21 @@ object DedupIngest {
   def dedupIngest(docs: DataFrame, indexPath: String,
                   onPairs: (DataFrame, Long) => Unit,
                   k: Int = 16, bands: Int = 4,
-                  threshold: Double = 0.5): DataStreamWriter[Row] =
+                  threshold: Double = 0.5,
+                  streamId: Option[String] = None): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       // the batch feeds two lifecycle calls (probe, then append), each
       // with several actions over it — pin it once
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
-          val tag = s"stream_$batchId"
+          // tag namespaced per stream INCARNATION (checkpointed query
+          // id), so a fresh-checkpoint restart can never sweep a prior
+          // incarnation's committed batch — see StreamIdentity
+          val prefix = StreamIdentity.incarnationPrefix(b.sparkSession, streamId)
+          graft.sources.IndexStore.requireMonotonicBatch(
+            b.sparkSession, indexPath, Seq("ids", "sig", "bands"), prefix, batchId)
+          val tag = StreamIdentity.batchTag(prefix, batchId)
           // heal a crashed prior attempt of THIS batch before probing:
           // its partial rows are phantom corpus docs to the probe and
           // would trip the disjointness gate on the replay

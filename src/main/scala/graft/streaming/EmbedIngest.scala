@@ -47,13 +47,18 @@ object EmbedIngest {
     * trigger/checkpoint options and calls `.start()`. */
   def annIngest(emb: DataFrame, indexPath: String,
                 onNeighbors: (DataFrame, Long) => Unit,
-                nprobe: Int = 4, topK: Int = 3): DataStreamWriter[Row] =
+                nprobe: Int = 4, topK: Int = 3,
+                streamId: Option[String] = None): DataStreamWriter[Row] =
     emb.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
           val s = b.sparkSession
-          val tag = s"stream_$batchId"
+          // incarnation-namespaced tag — see StreamIdentity (r17 advice)
+          val prefix = StreamIdentity.incarnationPrefix(s, streamId)
+          graft.sources.IndexStore.requireMonotonicBatch(
+            s, indexPath, Seq("codes"), prefix, batchId)
+          val tag = StreamIdentity.batchTag(prefix, batchId)
           VectorQueries.sweepPqStreamBatch(s, indexPath, tag)
           val idx = VectorQueries.readStoredPqIndex(s, indexPath)
           val probes = b.select(col("vec_id").as("q"), col("embedding").as("qe"))

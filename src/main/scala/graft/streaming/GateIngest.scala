@@ -89,12 +89,19 @@ object GateIngest {
     * calls `.start()`. */
   def gateIngest(docs: DataFrame, auditPath: String,
                  onKept: (DataFrame, Long) => Unit,
-                 minQuality: Double = 0.25): DataStreamWriter[Row] =
+                 minQuality: Double = 0.25,
+                 streamId: Option[String] = None): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
           val s = b.sparkSession
+          // incarnation-namespaced tag — see StreamIdentity (r17 advice):
+          // un-namespaced, a fresh checkpoint's batch 0 would sweep away
+          // the previous incarnation's committed b0 audit row
+          val prefix = StreamIdentity.incarnationPrefix(s, streamId)
+          graft.sources.IndexStore.requireMonotonicBatch(
+            s, auditPath, Seq(auditTable), prefix, batchId)
           val g = graft.plans.Stage(gateFrame(b.toDF(), minQuality))
           val kept = g.filter(col("kept"))
           // hand off the CALLER's columns only, text scrubbed — no
@@ -117,7 +124,7 @@ object GateIngest {
               .otherwise(0L)).as("pii_docs"))
             .withColumn("batch_id", lit(batchId))
           IndexStore.publishTaggedAppend(s, auditPath, auditTable,
-            s"b$batchId") { stage =>
+            StreamIdentity.batchTag(prefix, batchId)) { stage =>
             row.coalesce(1).write.mode("overwrite").parquet(stage)
           }
         }

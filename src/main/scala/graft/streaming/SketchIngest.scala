@@ -13,7 +13,8 @@ import graft.operators.OlapQueries
   * reading months×batches sketch rows with zero raw-order rescan.
   *
   *  1. APPEND: the batch's per-(yr, mo) partial sketches land as new
-  *     rows tagged `stream_<batchId>` — O(batch) work, history is
+  *     rows tagged `q<queryId>_b<batchId>` (see [[StreamIdentity]]) —
+  *     O(batch) work, history is
   *     never rewritten; the lgK geometry stamp is enforced per batch.
   *  2. `onRollup(quarterlyRollup, batchId)` hands the caller the
   *     refreshed rollup over the stored table (dashboard refresh,
@@ -46,13 +47,18 @@ object SketchIngest {
     * caller sets trigger/checkpoint options and calls `.start()`. */
   def sketchIngest(orders: DataFrame, path: String,
                    onRollup: (DataFrame, Long) => Unit,
-                   lgK: Int = 12): DataStreamWriter[Row] =
+                   lgK: Int = 12,
+                   streamId: Option[String] = None): DataStreamWriter[Row] =
     orders.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
+          // incarnation-namespaced tag — see StreamIdentity (r17 advice)
+          val prefix = StreamIdentity.incarnationPrefix(b.sparkSession, streamId)
+          graft.sources.IndexStore.requireMonotonicBatch(
+            b.sparkSession, path, Seq("months"), prefix, batchId)
           OlapQueries.appendSketchTableReplayable(
-            b.sparkSession, path, b, s"stream_$batchId", lgK)
+            b.sparkSession, path, b, StreamIdentity.batchTag(prefix, batchId), lgK)
           onRollup(OlapQueries.quarterlyRollup(b.sparkSession, path, lgK), batchId)
         }
       } finally b.unpersist()

@@ -40,14 +40,19 @@ object SpanScrubIngest {
     * `DedupQueries.initStoredSpanIndex`). The caller sets
     * trigger/checkpoint options and calls `.start()`. */
   def spanScrubIngest(docs: DataFrame, indexPath: String,
-                      onScrubbed: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+                      onScrubbed: (DataFrame, Long) => Unit,
+                      streamId: Option[String] = None): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       // the batch feeds two lifecycle calls (probe, then append), each
       // with several actions over it — pin it once
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
-          val tag = s"stream_$batchId"
+          // incarnation-namespaced tag — see StreamIdentity (r17 advice)
+          val prefix = StreamIdentity.incarnationPrefix(b.sparkSession, streamId)
+          graft.sources.IndexStore.requireMonotonicBatch(
+            b.sparkSession, indexPath, Seq("ids", "spans"), prefix, batchId)
+          val tag = StreamIdentity.batchTag(prefix, batchId)
           DedupQueries.sweepSpanStreamBatch(b.sparkSession, indexPath, tag)
           onScrubbed(DedupQueries.probeSpanScrub(b.sparkSession, indexPath, b),
             batchId)

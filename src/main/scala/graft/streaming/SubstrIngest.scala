@@ -51,14 +51,22 @@ object SubstrIngest {
     * sets trigger/checkpoint options and calls `.start()`. */
   def substrIngest(docs: DataFrame, indexPath: String,
                    onSpans: (DataFrame, Long) => Unit,
-                   k: Int = DedupQueries.SubstrWindow): DataStreamWriter[Row] =
+                   k: Int = DedupQueries.SubstrWindow,
+                   streamId: Option[String] = None): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       // the batch feeds two lifecycle calls (probe, then append), each
       // with several actions over it — pin it once
       val b = batch.persist()
       try {
         if (!b.isEmpty) {
-          val tag = s"stream_$batchId"
+          // tag namespaced per stream INCARNATION (checkpointed query
+          // id): a fresh checkpoint restarts batchIds at 0, and an
+          // un-namespaced sweep of "batch 0" would silently un-ingest
+          // a previous incarnation's committed batch — r17 advice fix
+          val prefix = StreamIdentity.incarnationPrefix(b.sparkSession, streamId)
+          graft.sources.IndexStore.requireMonotonicBatch(
+            b.sparkSession, indexPath, Seq("ids", "counts"), prefix, batchId)
+          val tag = StreamIdentity.batchTag(prefix, batchId)
           // heal a crashed prior attempt of THIS batch before probing:
           // its partial rows are phantom corpus occurrences to the
           // probe and would trip the disjointness gate on the replay

@@ -23,6 +23,9 @@ class DatasetCardSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.01"
   private lazy val card = DatasetCard.render(spark, dir)
 
+  private def f6(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
+
   test("committed sample matches a fresh render byte-exactly") {
     val committed = java.nio.file.Files.readString(
       java.nio.file.Paths.get("results/dataset_card_sf001.md"))
@@ -41,8 +44,11 @@ class DatasetCardSpec extends AnyFunSuite {
     val want = SparkEntry.queries("p5f_report_from_release")(spark, dir)
       .collect().map { r =>
         s"| ${r.getString(0)} | ${r.getLong(1)} | ${r.getLong(2)} | " +
-          f"${r.getDouble(3)}%.6f | ${r.getLong(4)} | ${r.getString(5)} | " +
-          f"${r.getDouble(6)}%.6f |"
+          // Locale.ROOT like the card itself — the f-interpolator uses
+          // the JVM default locale and fails spuriously under comma-
+          // decimal locales (r17 advice fix)
+          s"${f6(r.getDouble(3))} | ${r.getLong(4)} | ${r.getString(5)} | " +
+          s"${f6(r.getDouble(6))} |"
       }
     want.foreach(line => assert(card.contains(line), s"missing row: $line"))
   }

@@ -127,7 +127,9 @@ class GateIngestSpec extends AnyFunSuite {
           .otherwise(0L)).as("pii_docs"))
       .withColumn("batch_id", lit(1L))
     graft.sources.IndexStore.publishTaggedAppend(
-      spark, auditPath, GateIngest.auditTable, "b1") { stage =>
+      spark, auditPath, GateIngest.auditTable,
+      graft.streaming.StreamIdentity.batchTag(
+        graft.streaming.StreamIdentity.prefixOf(q.id.toString), 1)) { stage =>
       row1.coalesce(1).write.mode("overwrite").parquet(stage)
     }
     val after = GateIngest.auditTableOf(spark, auditPath)

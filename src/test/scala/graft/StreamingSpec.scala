@@ -277,9 +277,12 @@ class StreamingSpec extends AnyFunSuite {
     // crash/replay CONVERGES (the r13 exactly-once contract): replaying
     // the last batch's tagged append — what a foreachBatch restart does
     // after a crash between append and checkpoint commit — leaves the
-    // index identical, proven by the held-out probe
+    // index identical, proven by the held-out probe. A replay runs under
+    // the SAME incarnation (same checkpointed query id → same tag).
+    val tag1 = graft.streaming.StreamIdentity.batchTag(
+      graft.streaming.StreamIdentity.prefixOf(q.id.toString), 1)
     val b2 = docs.filter(col("doc_id") >= 25 && col("doc_id") < 50)
-    DedupQueries.appendStoredIndexTagged(spark, path, b2, "stream_1")
+    DedupQueries.appendStoredIndexTagged(spark, path, b2, tag1)
     def heldOutNow() = pairRows(DedupQueries.probeStoredIndex(
       spark, path, docs.filter(col("doc_id") < 25)))
     assert(heldOutNow() == heldOut, "full replay must leave the index unchanged")
@@ -287,12 +290,12 @@ class StreamingSpec extends AnyFunSuite {
     // stage litter left behind — the batch-start sweep + re-append heal
     val sigDir = new java.io.File(
       graft.sources.IndexStore.tableDataPath(spark, path, "sig"))
-    val tagFiles = sigDir.listFiles().filter(_.getName.startsWith("graft-stream_1-"))
+    val tagFiles = sigDir.listFiles().filter(_.getName.startsWith(s"graft-$tag1-"))
     assert(tagFiles.nonEmpty, "tagged append must publish deterministic names")
     tagFiles.foreach(_.delete())
-    spark.range(1).write.parquet(s"$path/sig__stage_stream_1")
-    DedupQueries.sweepStreamBatch(spark, path, "stream_1") // the ingest's batch start
-    DedupQueries.appendStoredIndexTagged(spark, path, b2, "stream_1")
+    spark.range(1).write.parquet(s"$path/sig__stage_$tag1")
+    DedupQueries.sweepStreamBatch(spark, path, tag1) // the ingest's batch start
+    DedupQueries.appendStoredIndexTagged(spark, path, b2, tag1)
     assert(heldOutNow() == heldOut, "replay after a mid-append crash must converge")
     // a GENUINE duplicate (different tag re-sending the same ids) still
     // fail-stops — replay safety never weakens the disjointness gate
@@ -372,19 +375,22 @@ class StreamingSpec extends AnyFunSuite {
 
     // crash/replay converges: replaying the last batch's tagged append
     // (a foreachBatch restart after a crash between append and
-    // checkpoint commit) leaves the index identical
-    DedupQueries.appendStoredSubstrIndexTagged(spark, path, b2df, "stream_1", k)
+    // checkpoint commit) leaves the index identical — same incarnation,
+    // same checkpointed query id, same tag
+    val tag1 = graft.streaming.StreamIdentity.batchTag(
+      graft.streaming.StreamIdentity.prefixOf(q.id.toString), 1)
+    DedupQueries.appendStoredSubstrIndexTagged(spark, path, b2df, tag1, k)
     assert(heldOutNow() == heldOut, "full replay must leave the index unchanged")
     // mid-append crash: a published counts file gone, stage litter left
     // — the batch-start sweep + re-append heal
     val cntDir = new java.io.File(
       graft.sources.IndexStore.tableDataPath(spark, path, "counts"))
-    val tagFiles = cntDir.listFiles().filter(_.getName.startsWith("graft-stream_1-"))
+    val tagFiles = cntDir.listFiles().filter(_.getName.startsWith(s"graft-$tag1-"))
     assert(tagFiles.nonEmpty, "tagged append must publish deterministic names")
     tagFiles.foreach(_.delete())
-    spark.range(1).write.parquet(s"$path/counts__stage_stream_1")
-    DedupQueries.sweepSubstrStreamBatch(spark, path, "stream_1")
-    DedupQueries.appendStoredSubstrIndexTagged(spark, path, b2df, "stream_1", k)
+    spark.range(1).write.parquet(s"$path/counts__stage_$tag1")
+    DedupQueries.sweepSubstrStreamBatch(spark, path, tag1)
+    DedupQueries.appendStoredSubstrIndexTagged(spark, path, b2df, tag1, k)
     assert(heldOutNow() == heldOut, "replay after a mid-append crash must converge")
     // a GENUINE duplicate (different tag re-sending the same ids) still
     // fail-stops — replay safety never weakens the disjointness gate
@@ -453,7 +459,9 @@ class StreamingSpec extends AnyFunSuite {
       spark, path, docs.filter(col("doc_id") < 25)))
     val before = heldOut()
     DedupQueries.appendStoredSpanIndexTagged(spark, path,
-      docs.filter(col("doc_id") >= 25 && col("doc_id") < 50), "stream_1")
+      docs.filter(col("doc_id") >= 25 && col("doc_id") < 50),
+      graft.streaming.StreamIdentity.batchTag(
+        graft.streaming.StreamIdentity.prefixOf(q.id.toString), 1))
     assert(heldOut() == before, "span-index replay must converge, not double-count")
     // a genuine duplicate under a fresh tag still fail-stops
     val ex = intercept[IllegalArgumentException] {
@@ -520,7 +528,9 @@ class StreamingSpec extends AnyFunSuite {
 
     // crash/replay CONVERGES: replaying the last batch's tagged append
     // (frozen books re-encode the same vectors) reproduces the probe
-    VectorQueries.appendStoredPqIndexTagged(spark, path, batch2, "stream_1")
+    VectorQueries.appendStoredPqIndexTagged(spark, path, batch2,
+      graft.streaming.StreamIdentity.batchTag(
+        graft.streaming.StreamIdentity.prefixOf(q.id.toString), 1))
     assert(pathProbe() == twinProbe, "PQ replay must converge to the twin")
     assert(VectorQueries.readStoredPqIndex(spark, path).codes.count() == emb.count(),
       "replay must not duplicate codes")
@@ -626,10 +636,14 @@ class StreamingSpec extends AnyFunSuite {
 
     // a replayed batch (crash between append and checkpoint commit)
     // CONVERGES: foreachBatch re-delivers the same rows under the same
-    // batchId, and the replay-safe append sweeps its previous attempt's
+    // batchId — and under the SAME incarnation tag (checkpointed query
+    // id) — and the replay-safe append sweeps its previous attempt's
     // files before re-publishing — the table equals the batch twin, no
     // double count, no manual healing (the r12 crash window, closed)
-    OlapQueries.appendSketchTableReplayable(spark, path, batch1, "stream_0")
+    val prefix = graft.streaming.StreamIdentity.prefixOf(q.id.toString)
+    val (tag0, tag1) = (graft.streaming.StreamIdentity.batchTag(prefix, 0),
+      graft.streaming.StreamIdentity.batchTag(prefix, 1))
+    OlapQueries.appendSketchTableReplayable(spark, path, batch1, tag0)
     assert(rollupRows(OlapQueries.quarterlyRollup(spark, path)) == want2,
       "a full replay must leave the table unchanged")
 
@@ -640,14 +654,14 @@ class StreamingSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val monthsDir = graft.sources.IndexStore.tableDataPath(spark, path, "months")
     val published = fs.globStatus(
-      new org.apache.hadoop.fs.Path(monthsDir, "graft-stream_1-*.parquet"))
+      new org.apache.hadoop.fs.Path(monthsDir, s"graft-$tag1-*.parquet"))
     assert(published.nonEmpty, "replayable appends must publish deterministic names")
     published.foreach(st => fs.delete(st.getPath, false)) // crash before the move
-    spark.range(1).write.parquet(s"$path/months__stage_stream_1") // crashed stage litter
-    OlapQueries.appendSketchTableReplayable(spark, path, batch2, "stream_1")
+    spark.range(1).write.parquet(s"$path/months__stage_$tag1") // crashed stage litter
+    OlapQueries.appendSketchTableReplayable(spark, path, batch2, tag1)
     assert(rollupRows(OlapQueries.quarterlyRollup(spark, path)) == want2,
       "replay after a mid-append crash must converge to the batch twin")
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/months__stage_stream_1")),
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/months__stage_$tag1")),
       "the replay must sweep crashed staging state")
 
     // the BATCH API keeps its fail-stop gate: a reused tag there is a
@@ -661,8 +675,70 @@ class StreamingSpec extends AnyFunSuite {
     // the tag replays) is skipped — never re-appended, never a stall
     OlapQueries.compactSketchTable(spark, path)
     val afterCompact = rollupRows(OlapQueries.quarterlyRollup(spark, path))
-    OlapQueries.appendSketchTableReplayable(spark, path, batch1, "stream_0")
+    OlapQueries.appendSketchTableReplayable(spark, path, batch1, tag0)
     assert(rollupRows(OlapQueries.quarterlyRollup(spark, path)) == afterCompact,
       "an absorbed tag's replay must be a no-op")
+  }
+
+  test("stream incarnation tags: a fresh checkpoint cannot sweep a prior incarnation, a rewound one fail-stops") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.DedupQueries
+    import graft.streaming.StreamIdentity
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_incarnation").toString + "/minhash"
+    DedupQueries.initStoredIndex(spark, path, docs.filter(col("doc_id") >= 100))
+
+    // incarnation A commits its batch 0 (what the old un-namespaced
+    // scheme tagged "stream_0" — the r17 advice bug: incarnation B's
+    // batch-0 sweep would delete these committed rows before probing,
+    // silently un-ingesting them AND disarming the disjointness gate)
+    val aPrefix = StreamIdentity.prefixOf("incarnation-a")
+    val b0 = docs.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+    DedupQueries.appendStoredIndexTagged(
+      spark, path, b0, StreamIdentity.batchTag(aPrefix, 0))
+
+    // incarnation B (fresh checkpoint → batchId restarts at 0, fresh
+    // query id → fresh namespace): its batch-0 sweep touches nothing of
+    // A, so re-sending A's doc_ids fail-stops at the disjointness gate
+    val bPrefix = StreamIdentity.prefixOf("incarnation-b")
+    val bTag0 = StreamIdentity.batchTag(bPrefix, 0)
+    graft.sources.IndexStore.requireMonotonicBatch(
+      spark, path, Seq("ids", "sig", "bands"), bPrefix, 0) // B is not rewound
+    DedupQueries.sweepStreamBatch(spark, path, bTag0)
+    val ex = intercept[IllegalArgumentException] {
+      DedupQueries.appendStoredIndexTagged(spark, path, b0, bTag0)
+    }
+    assert(ex.getMessage.contains("disjoint"),
+      "a fresh incarnation re-sending ingested ids must fail-stop loudly")
+    // ...and A's committed batch is still fully present (nothing swept)
+    val sigDir = new java.io.File(
+      graft.sources.IndexStore.tableDataPath(spark, path, "sig"))
+    assert(sigDir.listFiles().exists(
+      _.getName.startsWith(s"graft-${StreamIdentity.batchTag(aPrefix, 0)}-")),
+      "incarnation A's committed batch-0 files must survive B's batch 0")
+
+    // REWOUND incarnation (same query id, offsets hand-deleted): A
+    // presenting batch 0 again after committing batch 1 is not a replay
+    // — a genuine replay can only be of the LATEST batch
+    DedupQueries.appendStoredIndexTagged(spark, path,
+      docs.filter(col("doc_id") >= 25 && col("doc_id") < 50),
+      StreamIdentity.batchTag(aPrefix, 1))
+    graft.sources.IndexStore.requireMonotonicBatch(
+      spark, path, Seq("ids", "sig", "bands"), aPrefix, 1) // replay of 1: fine
+    val rewound = intercept[IllegalArgumentException] {
+      graft.sources.IndexStore.requireMonotonicBatch(
+        spark, path, Seq("ids", "sig", "bands"), aPrefix, 0)
+    }
+    assert(rewound.getMessage.contains("rewound"))
+
+    // prefix derivation: explicit ids filter to the tag charset; no id
+    // anywhere fail-stops rather than guessing a namespace
+    assert(StreamIdentity.prefixOf("a b/c") == "qabc")
+    val none = intercept[RuntimeException] {
+      StreamIdentity.incarnationPrefix(spark, None)
+    }
+    assert(none.getMessage.contains("streamId"))
   }
 }
