@@ -649,7 +649,16 @@ object DedupQueries {
     */
   def ngramPairs(s: org.apache.spark.sql.SparkSession, dir: String,
                  threshold: Double, probeBound: Long = 250L,
-                 corpusBound: Long = Long.MaxValue): DataFrame = {
+                 corpusBound: Long = Long.MaxValue): DataFrame =
+    ngramPairsOf(Tables.documents(s, dir), threshold, probeBound, corpusBound)
+
+  /** Frame-parameterized form of [[ngramPairs]] (r18) — p9 feeds it the
+    * EXACT-CANONICAL set so near-dup mining runs post-exact-dedup, the
+    * industry curation order. Semantics identical to the dir form on
+    * the raw table. */
+  def ngramPairsOf(docsIn: DataFrame, threshold: Double,
+                   probeBound: Long = 250L,
+                   corpusBound: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0, "inverted-index Jaccard requires threshold > 0")
     val grams = array_distinct(
       transform(sequence(lit(1), length(col("text")) - 3),
@@ -658,7 +667,7 @@ object DedupQueries {
     // the corpus and the probe postings, and an un-materialized explode
     // lets InferFiltersFromGenerate + pushdown substitute the whole gram
     // expression into a pre-shuffle Filter (15× single-thread blowup)
-    val docs = QueryDef.spread(Tables.documents(s, dir))
+    val docs = QueryDef.spread(docsIn)
       .filter(length(col("text")) >= 4 && col("doc_id") < corpusBound)
       .select(col("doc_id"), col("source"), grams.as("g"))
       .withColumn("n", size(col("g")))

@@ -50,23 +50,28 @@ object PipelineQueries {
     * set the decontamination step sees. Split out (r16) so x4's
     * benchmark clearance reports on the SAME candidates the release
     * drops from — a drifted copy would certify the wrong corpus. */
+  /** Exact dedup: the canonical (min doc_id) copy of each text — ONE
+    * definition shared by p1's candidate stack and p9's funnel.
+    * VERDICT r12 #1: keyed by the 16-byte md5 hash, not the text —
+    * ONE groupBy(hash) shuffle whose map-side partial aggregation
+    * collapses duplicate texts before any bytes move, with min_by
+    * carrying the canonical row so no join-back is needed. (The old
+    * Window.partitionBy(text) shuffled AND sorted full multi-KB
+    * documents on the document itself as the key.) */
+  private[graft] def exactCanonOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min_by(struct(docs.columns.map(col): _*), col("doc_id")).as("__r"))
+      .select(col("__r.*"))
+
   private[graft] def preCandidatesOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-      // 1. exact dedup: the canonical (min doc_id) copy of each text.
-      // VERDICT r12 #1: keyed by the 16-byte md5 hash, not the text —
-      // ONE groupBy(hash) shuffle whose map-side partial aggregation
-      // collapses duplicate texts before any bytes move, with min_by
-      // carrying the canonical row so no join-back is needed. The old
-      // Window.partitionBy(text) shuffled AND sorted full multi-KB
-      // documents on the document itself as the key.
+      // 1. exact dedup (shared exactCanonOf).
       // Staged: canon feeds both the quality battery and the survivor
       // join — without the stage break the corpus-wide aggregate would
       // re-execute per consumer
-      val canon = docs
-        .groupBy(md5(col("text")).as("__h"))
-        .agg(min_by(struct(docs.columns.map(col): _*), col("doc_id")).as("__r"))
-        .select(col("__r.*"))
-        .staged
+      val canon = exactCanonOf(docs).staged
       // 2. quality gate: only keep==true survives (docs under t9's
       // 2-token floor never reach the battery — they fail the release)
       val keepIds = TextQueries.qualityRuleFrame(
@@ -1169,6 +1174,184 @@ object PipelineQueries {
                AS loss_frac
       FROM packs GROUP BY source ORDER BY source"""))
 
+  /** Near-dup survivors of the canonical set (r18, the r17 verdict's
+    * top item): cluster the near-dup `pairs` into components (d6's
+    * operator) and elect d11's quality-best doc per cluster — the
+    * doc_ids that survive FUZZY dedup. One definition, parameterized by
+    * the edge set, so the funnel below and the LSH-fed production
+    * variant (FuzzyReleaseSpec pins it ≡ chaining the standalone
+    * d2→d6→d11 operators) cannot drift from the standalone chain: this
+    * IS the standalone chain, applied. */
+  private[graft] def fuzzyKeepIdsOf(
+      canon: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    DedupClusters.keepBest(canon,
+        DedupClusters.connectedComponents(pairs.select("a", "b")))
+      .filter(col("keep")).select(col("doc_id"))
+
+  /** p9 — the release funnel with fuzzy dedup composed in as a release
+    * stage (RefinedWeb §3 / FineWeb / Dolma curation order: exact dedup,
+    * THEN near-dup dedup, then gates):
+    *
+    *   raw → exact canonical → fuzzy keep-best survivors
+    *       → quality gate (t9's 5-rule battery, p1's stage)
+    *       → held-out eval drop → 5-gram decontamination → released,
+    *
+    * one attrition row per stage, so "docs dropped by fuzzy dedup" is
+    * reported DISTINCTLY from exact dedup (stage 1→2 vs 0→1). Every
+    * stage reuses the standalone operator's own building blocks
+    * (exactCanonOf, d6's connectedComponents, d11's keepBest, t9's
+    * qualityRuleFrame, x1's contaminatedIds).
+    *
+    * Scale shape: exact dedup is the hash-keyed aggregate; near-dup
+    * mining runs over the CANONICAL set (never raw duplicates) and is
+    * whatever the edge generator costs (LSH-banded in production — d2's
+    * never-all-pairs discipline; the QueryDef uses d4's bounded
+    * exact-Jaccard universe so the WHOLE composition stays DuckDB-
+    * restatable, the d6/d11 adjudication); clustering is bounded by the
+    * edge list; the election and all joins back ride the measured
+    * broadcast guard. The corpus itself is never shuffled after canon.
+    */
+  private[graft] def fuzzyReleaseFunnelOf(
+      docsIn: org.apache.spark.sql.DataFrame,
+      pairsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      maxBroadcastEvalGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
+    val docs0 = QueryDef.spread(docsIn)
+    val canon = exactCanonOf(docs0).staged
+    val fuzzy = canon.join(fuzzyKeepIdsOf(canon, pairsOf(canon)), "doc_id").staged
+    val keepIds = TextQueries.qualityRuleFrame(
+      fuzzy.filter(size(split(col("text"), " ")) >= 2)
+        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk")))
+      .filter(col("keep")).select(col("doc_id"))
+    val gated = fuzzy.join(keepIds, "doc_id").staged
+    val kept = gated.filter(!ContaminationQueries.isEval)
+    val released = kept.join(
+      contaminatedIds(docs0, kept, maxBroadcastEvalGrams), Seq("doc_id"), "left_anti")
+    def stageRow(id: Int, name: String,
+                 df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+            .as("n_tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    stageRow(0, "raw", docs0)
+      .unionAll(stageRow(1, "exact_canonical", canon))
+      .unionAll(stageRow(2, "fuzzy_deduped", fuzzy))
+      .unionAll(stageRow(3, "quality_gated", gated))
+      .unionAll(stageRow(4, "heldout_dropped", kept))
+      .unionAll(stageRow(5, "released", released))
+      .orderBy("stage_id")
+  }
+
+  val pFuzzyFunnel = QueryDef(
+    "p9_fuzzy_release_funnel",
+    (s, dir) => fuzzyReleaseFunnelOf(
+      Tables.documents(s, dir),
+      canon => DedupQueries.ngramPairsOf(canon, threshold = 0.4,
+        probeBound = 250L, corpusBound = 500L)),
+    Some("""
+      WITH RECURSIVE canon AS (
+        SELECT doc_id, text, source, n_chars
+        FROM (SELECT doc_id, text, source, n_chars,
+                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM documents)
+        WHERE doc_id = m),
+      g AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(range(1, length(text) - 2),
+                                            i -> substring(text, i, 4))) AS gr
+        FROM canon WHERE length(text) >= 4 AND doc_id < 500),
+      e AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM g l JOIN g r ON l.source = r.source AND l.doc_id < r.doc_id AND l.doc_id < 250
+        WHERE CAST(len(list_intersect(l.gr, r.gr)) AS DOUBLE)
+              / len(list_distinct(list_concat(l.gr, r.gr))) >= 0.4),
+      ed AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      nodes AS (SELECT DISTINCT a AS id FROM ed),
+      reach AS (
+        SELECT id AS src, id AS dst FROM nodes
+        UNION
+        SELECT r.src, ed.b AS dst FROM reach r JOIN ed ON ed.a = r.dst),
+      cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+      qq AS (
+        SELECT doc_id,
+               ROUND(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+                     + (len(list_filter(string_split(text, ' '),
+                            t -> t IN ('the','a','and','of','to','in')))
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.25
+                     + (len(list_distinct(string_split(text, ' ')))
+                        / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.25, 6)
+                 AS quality
+        FROM canon),
+      lab AS (
+        SELECT qq.doc_id, COALESCE(cc.cluster_id, qq.doc_id) AS cluster_id,
+               qq.quality
+        FROM qq LEFT JOIN cc USING (doc_id)),
+      cansel AS (
+        SELECT cluster_id, doc_id AS canonical_id FROM lab
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY quality DESC, doc_id) = 1),
+      fuzzy AS (
+        SELECT canon.* FROM canon JOIN
+          (SELECT l.doc_id FROM lab l JOIN cansel c USING (cluster_id)
+           WHERE l.doc_id = c.canonical_id) keepids USING (doc_id)),
+      b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk
+        FROM fuzzy WHERE len(string_split(text, ' ')) >= 2),
+      tc AS (
+        SELECT doc_id, t AS tok, COUNT(*) AS c
+        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
+      tp AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id),
+      q AS (
+        SELECT b.doc_id FROM b JOIN tp USING (doc_id)
+        WHERE len(tk) BETWEEN 30 AND 1000
+          AND ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
+          AND len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
+          AND CAST(tp.max_c AS DOUBLE) / len(tk) <= 0.2
+          AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
+                   i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) <= 0.3),
+      gated AS (SELECT fuzzy.* FROM fuzzy JOIN q USING (doc_id)),
+      kept AS (SELECT * FROM gated WHERE doc_id % 37 <> 0),
+      evalg AS (
+        SELECT DISTINCT u.t AS gram
+        FROM (SELECT list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT string_split(text, ' ') AS tk FROM documents
+                    WHERE doc_id % 37 = 0)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      candg AS (
+        SELECT doc_id, u.t AS gram
+        FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                     tk[i+3] || ' ' || tk[i+4])) AS g
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM kept)
+              WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
+      contam AS (SELECT DISTINCT doc_id FROM candg JOIN evalg USING (gram)),
+      released AS (
+        SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      cnt AS (
+        SELECT 0 AS sid, 'raw' AS stage, COUNT(*) AS n_docs,
+               CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) AS n_tokens
+        FROM documents
+        UNION ALL
+        SELECT 1, 'exact_canonical', COUNT(*),
+               CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM canon
+        UNION ALL
+        SELECT 2, 'fuzzy_deduped', COUNT(*),
+               CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM fuzzy
+        UNION ALL
+        SELECT 3, 'quality_gated', COUNT(*),
+               CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM gated
+        UNION ALL
+        SELECT 4, 'heldout_dropped', COUNT(*),
+               CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM kept
+        UNION ALL
+        SELECT 5, 'released', COUNT(*),
+               CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM released)
+      SELECT CAST(sid AS INTEGER) AS stage_id, stage, n_docs, n_tokens
+      FROM cnt ORDER BY stage_id"""))
+
   // ---- Audit-from-published-release mode (r17) -----------------------
   // The production 100 TB shape: a release is published ONCE (p4) and
   // audited MANY times — dataset cards regenerate per consumer request,
@@ -1204,7 +1387,7 @@ object PipelineQueries {
 
   val all: Seq[QueryDef] =
     Seq(pCuration, pRelease, pManifest, pReleaseWrite, pReleaseReport,
-      pSplitLeakage, pDomainMix, pGatedFunnel, pSftRelease,
+      pSplitLeakage, pDomainMix, pGatedFunnel, pSftRelease, pFuzzyFunnel,
       pReleaseReportFromRelease, pDomainMixFromRelease,
       pSplitLeakageFromRelease)
 }
