@@ -146,6 +146,14 @@ object Scaffold {
     * min-shift maps every alias injectively into (max, ∞)), broadcast
     * as a single-row frame ("removed"). */
   private[graft] def previousSnapshot(docs: DataFrame): DataFrame = {
+    // carries the FULL document schema (r18: p10's day-1 release runs
+    // the whole curation stack over it; c9 keeps selecting only
+    // doc_id/text/source). n_chars is NOT recomputed for the mutated
+    // "legacy revision" texts — those rows exist to BE the changed set,
+    // so they are rewritten from today's snapshot by any consumer of
+    // the diff; unchanged-text rows keep their original metadata, the
+    // invariant delta publication actually relies on.
+    val cols = docs.columns.map(col)
     // sign-preserving % (repo modulo convention — matches DuckDB on any id)
     val retained = docs.filter(col("doc_id") % 17 =!= 0)
       .withColumn("text",
@@ -154,9 +162,8 @@ object Scaffold {
     val mx = docs.agg(max(col("doc_id")).as("__mx"), min(col("doc_id")).as("__mn"))
     val retired = docs.filter(col("doc_id") % 23 === 0)
       .crossJoin(broadcast(mx))
-      .select((col("doc_id") - col("__mn") + col("__mx") + 1L).as("doc_id"),
-        col("text"), col("source"))
-    retained.select(col("doc_id"), col("text"), col("source"))
-      .unionByName(retired)
+      .withColumn("doc_id", col("doc_id") - col("__mn") + col("__mx") + 1L)
+      .select(cols: _*)
+    retained.select(cols: _*).unionByName(retired)
   }
 }

@@ -84,7 +84,7 @@ object ReleaseWriter {
     * manifest digest (doc_id:text), so manifests of core-only and
     * metadata-carrying writes of the same docs stay identical. */
   private[graft] val MetaCols: Seq[String] = Seq("source", "lang")
-  private val fullSchema =
+  private[sources] val fullSchema =
     "doc_id LONG, text STRING, n_chars LONG, source STRING, lang STRING, split STRING"
 
   private def requireKnownFormat(format: String): Unit =
