@@ -126,5 +126,177 @@ object PiiQueries {
                AS BIGINT) AS redacted_digest
       FROM sc GROUP BY source ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(tPiiScrub)
+  // ---- t31: expanded entity classes (r18) ----------------------------
+  // The production hygiene pass (CCNet/Dolma-style) also takes
+  // SSN-shaped ids, credit cards and IPv6. Same progressive-redaction
+  // contract, fixed order: email → phone → SSN → card → IPv6 → IPv4 —
+  // each class counted on the text already redacted by earlier classes,
+  // so overlaps stay well-defined cross-engine. Cards are gated by the
+  // LUHN CHECK (integer-exact, oracle-friendly): a card-shaped but
+  // Luhn-invalid digit run is NOT PII and passes through — the
+  // distinguisher production scrubbers use to avoid redacting random
+  // 16-digit numbers. IPv6 is the full 8-group form (the compressed
+  // `::` form is ambiguous inside prose and left to a tokenizing
+  // scrubber). Luhn runs per CANDIDATE (a rare regexp match), not per
+  // token, so the HOF lambda's interpreted evaluation (the r17 d12
+  // lesson) is bounded by the entity count, not the corpus.
+
+  private[graft] val ssnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  private[graft] val cardRe =
+    "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}|[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}|[0-9]{16}"
+  private[graft] val ipv6Re = "([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}"
+
+  /** Luhn validity of a card-shaped match (16 digits after separator
+    * removal; 1-based odd positions = doubled, the standard check). */
+  private[graft] def luhnValid(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val d = regexp_replace(c, "[ -]", "")
+    val tot = aggregate(sequence(lit(1), lit(16)), lit(0), (acc, i) => {
+      val dig = d.substr(i, lit(1)).cast("int")
+      val dbl = when(pmod(i, lit(2)) === 1,
+        when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)).otherwise(dig)
+      acc + dbl
+    })
+    length(d) === 16 && pmod(tot, lit(10)) === 0
+  }
+
+  /** Adds per-class counts and `redacted` under the v2 class set.
+    * Valid-card redaction folds the DISTINCT valid literals over the
+    * text — distinct 16/19-char digit tokens replaced by digit-free
+    * placeholders commute, so the fold order is immaterial (and the
+    * oracle's list_distinct needs no order guarantee). */
+  private[graft] def piiScrubV2(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, emailRe, "[EMAIL]")
+    val t2 = regexp_replace(t1, phoneRe, "[PHONE]")
+    val t3 = regexp_replace(t2, ssnRe, "[SSN]")
+    val valid = filter(regexp_extract_all(t3, lit(cardRe), lit(0)), luhnValid(_))
+    val t4 = aggregate(array_distinct(valid), t3,
+      (acc, c) => replace(acc, c, lit("[CARD]")))
+    val t5 = regexp_replace(t4, ipv6Re, "[IPV6]")
+    val t6 = regexp_replace(t5, ipv4Re, "[IP]")
+    df.withColumn("n_emails", regexp_count(t0, lit(emailRe)).cast("long"))
+      .withColumn("n_phones", regexp_count(t1, lit(phoneRe)).cast("long"))
+      .withColumn("n_ssn", regexp_count(t2, lit(ssnRe)).cast("long"))
+      .withColumn("n_cards", size(valid).cast("long"))
+      .withColumn("n_ipv6", regexp_count(t4, lit(ipv6Re)).cast("long"))
+      .withColumn("n_ipv4", regexp_count(t5, lit(ipv4Re)).cast("long"))
+      .withColumn("redacted", t6)
+  }
+
+  private val sqlLuhn =
+    """c -> len(regexp_replace(c, '[ -]', '', 'g')) = 16 AND
+      |  (list_sum(list_transform(range(1, 17), i ->
+      |    CASE WHEN i % 2 = 1 THEN
+      |      CASE WHEN 2*CAST(substring(regexp_replace(c, '[ -]', '', 'g'), i, 1) AS INT) > 9
+      |           THEN 2*CAST(substring(regexp_replace(c, '[ -]', '', 'g'), i, 1) AS INT) - 9
+      |           ELSE 2*CAST(substring(regexp_replace(c, '[ -]', '', 'g'), i, 1) AS INT) END
+      |    ELSE CAST(substring(regexp_replace(c, '[ -]', '', 'g'), i, 1) AS INT) END)) % 10) = 0""".stripMargin
+
+  val tPiiScrubV2 = QueryDef(
+    "t31_pii_scrub_v2",
+    (s, dir) => {
+      val scrubbed = piiScrubV2(
+        Tables.documents(s, dir).withColumn("text", Scaffold.injectedTextV2))
+      scrubbed.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum((col("n_emails") + col("n_phones") + col("n_ssn") +
+            col("n_cards") + col("n_ipv6") + col("n_ipv4") > 0)
+            .cast("long")).as("docs_with_pii"),
+          sum(col("n_emails")).as("n_emails"),
+          sum(col("n_phones")).as("n_phones"),
+          sum(col("n_ssn")).as("n_ssn"),
+          sum(col("n_cards")).as("n_cards"),
+          sum(col("n_ipv6")).as("n_ipv6"),
+          sum(col("n_ipv4")).as("n_ipv4"),
+          sum(length(col("redacted")).cast("long")).as("redacted_chars"),
+          sum(conv(substring(md5(col("redacted")), 1, 10), 16, 10)
+            .cast("long")).as("redacted_digest"))
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH inj AS (
+        SELECT source,
+               CASE WHEN ((doc_id % 8) + 8) % 8 = 0 THEN
+                      text || ' pay card ' ||
+                      (['4111-1111-1111-1111', '5500-0055-5555-5559',
+                        '4012-8888-8888-1881', '6011-0009-9013-9424'])[CAST(((doc_id % 4) + 4) % 4 AS INT) + 1] ||
+                      ' taxid 078-05-1120'
+                    WHEN ((doc_id % 8) + 8) % 8 = 1 THEN
+                      text || ' ref code ' ||
+                      (['4111-1111-1111-1112', '1234-5678-1234-5678',
+                        '5500-0055-5555-5551', '6011-0009-9013-9421'])[CAST(((doc_id % 4) + 4) % 4 AS INT) + 1]
+                    WHEN ((doc_id % 8) + 8) % 8 = 2 THEN
+                      text || ' ssn ' ||
+                      lpad(CAST(((((doc_id % 1000) + 1000) % 1000) * 37) % 1000 AS VARCHAR), 3, '0') || '-' ||
+                      lpad(CAST(((((doc_id % 100) + 100) % 100) * 11) % 100 AS VARCHAR), 2, '0') || '-' ||
+                      lpad(CAST(((((doc_id % 10000) + 10000) % 10000) * 13) % 10000 AS VARCHAR), 4, '0')
+                    WHEN ((doc_id % 8) + 8) % 8 = 3 THEN
+                      text || ' node ' ||
+                      lower(to_hex(((doc_id % 65536) + 65536) % 65536)) || ':' ||
+                      lower(to_hex(((((doc_id % 65536) + 65536) % 65536) * 3) % 65536)) || ':' ||
+                      lower(to_hex(((((doc_id % 65536) + 65536) % 65536) * 5) % 65536)) || ':' ||
+                      lower(to_hex(((((doc_id % 65536) + 65536) % 65536) * 7) % 65536)) || ':' ||
+                      lower(to_hex(((((doc_id % 65536) + 65536) % 65536) * 11) % 65536)) || ':' ||
+                      lower(to_hex(((((doc_id % 65536) + 65536) % 65536) * 13) % 65536)) || ':' ||
+                      lower(to_hex(((((doc_id % 65536) + 65536) % 65536) * 17) % 65536)) || ':' ||
+                      lower(to_hex(((((doc_id % 65536) + 65536) % 65536) * 19) % 65536))
+                    WHEN ((doc_id % 8) + 8) % 8 = 4 THEN
+                      text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                      '@mail-' || CAST(((doc_id % 7) + 7) % 7 AS VARCHAR) || '.example.com'
+                    WHEN ((doc_id % 8) + 8) % 8 = 5 THEN
+                      text || ' call 415-' ||
+                      lpad(CAST(((((doc_id % 1000) + 1000) % 1000) * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+                      lpad(CAST(((((doc_id % 10000) + 10000) % 10000) * 13) % 10000 AS VARCHAR), 4, '0')
+                    WHEN ((doc_id % 8) + 8) % 8 = 6 THEN
+                      text || ' from host ' || CAST(((doc_id % 256) + 256) % 256 AS VARCHAR) ||
+                      '.' || CAST(((((doc_id % 256) + 256) % 256) * 3) % 256 AS VARCHAR) ||
+                      '.' || CAST(((((doc_id % 256) + 256) % 256) * 5) % 256 AS VARCHAR) ||
+                      '.' || CAST(((((doc_id % 256) + 256) % 256) * 7) % 256 AS VARCHAR)
+                    ELSE text END AS t0
+        FROM documents),
+      s1 AS (SELECT source, t0, regexp_replace(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+             FROM inj),
+      s2 AS (SELECT *, regexp_replace(t1,
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS t2 FROM s1),
+      s3 AS (SELECT *, regexp_replace(t2,
+               '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g') AS t3 FROM s2),
+      s4 AS (SELECT *, list_filter(regexp_extract_all(t3,
+               '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}|[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}|[0-9]{16}'),
+               $sqlLuhn) AS valid FROM s3),
+      s5 AS (SELECT *, list_reduce(list_prepend(t3, list_distinct(valid)),
+               (acc, c) -> replace(acc, c, '[CARD]')) AS t4 FROM s4),
+      s6 AS (SELECT *, regexp_replace(t4,
+               '([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}', '[IPV6]', 'g') AS t5 FROM s5),
+      s7 AS (SELECT *, regexp_replace(t5,
+               '([0-9]{1,3}[.]){3}[0-9]{1,3}', '[IP]', 'g') AS red FROM s6),
+      m AS (
+        SELECT source,
+               len(regexp_extract_all(t0,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+               len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+               len(valid) AS n_cards,
+               len(regexp_extract_all(t4,
+                 '([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}')) AS n_ipv6,
+               len(regexp_extract_all(t5, '([0-9]{1,3}[.]){3}[0-9]{1,3}')) AS n_ipv4,
+               red
+        FROM s7)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN n_emails + n_phones + n_ssn + n_cards + n_ipv6 + n_ipv4 > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+             CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+             CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+             CAST(SUM(n_ssn) AS BIGINT) AS n_ssn,
+             CAST(SUM(n_cards) AS BIGINT) AS n_cards,
+             CAST(SUM(n_ipv6) AS BIGINT) AS n_ipv6,
+             CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+             CAST(SUM(len(red)) AS BIGINT) AS redacted_chars,
+             CAST(SUM(CAST(('0x' || substring(md5(red), 1, 10)) AS BIGINT))
+               AS BIGINT) AS redacted_digest
+      FROM m GROUP BY source ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(tPiiScrub, tPiiScrubV2)
 }

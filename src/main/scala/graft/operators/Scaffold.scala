@@ -52,6 +52,57 @@ object Scaffold {
       .otherwise(col("text"))
   }
 
+  /** t31's injection scaffold (r18) — the [[injectedText]] discipline
+    * extended to the v2 entity classes: one class per doc_id residue
+    * mod 8 so every class has non-vacuous coverage and one residue
+    * stays clean. Residue 0 carries a KNOWN-Luhn-valid card from a
+    * fixed four-card list (the industry test numbers) PLUS a fixed SSN
+    * — the multi-class doc; residue 1 carries a card-SHAPED but
+    * Luhn-INVALID number, proving the Luhn gate actually rejects
+    * (without it the gate is indistinguishable from "redact every
+    * 16-digit run"). IPv6 groups are the lower-hex of reduced residues
+    * (lower(hex(x)) ↔ lower(to_hex(x)) — both engines print uppercase
+    * by default). Same overflow-safe reduced-residue arithmetic as
+    * injectedText. */
+  private[graft] def injectedTextV2: Column = {
+    val id = col("doc_id")
+    def r(x: Column, k: Int): Column = ((x % k) + k) % k
+    def m(k: Int) = r(id, k).cast("string")
+    def mm(f: Int, k: Int) = ((r(id, k) * f) % k).cast("string")
+    def hx(f: Int) = lower(hex(((r(id, 65536) * f) % 65536).cast("int")))
+    val validCards = array(
+      lit("4111-1111-1111-1111"), lit("5500-0055-5555-5559"),
+      lit("4012-8888-8888-1881"), lit("6011-0009-9013-9424"))
+    val invalidCards = array(
+      lit("4111-1111-1111-1112"), lit("1234-5678-1234-5678"),
+      lit("5500-0055-5555-5551"), lit("6011-0009-9013-9421"))
+    when(r(id, 8) === 0,
+      concat(col("text"), lit(" pay card "),
+        element_at(validCards, (r(id, 4) + 1).cast("int")),
+        lit(" taxid 078-05-1120")))
+      .when(r(id, 8) === 1,
+        concat(col("text"), lit(" ref code "),
+          element_at(invalidCards, (r(id, 4) + 1).cast("int"))))
+      .when(r(id, 8) === 2,
+        concat(col("text"), lit(" ssn "), lpad(mm(37, 1000), 3, "0"),
+          lit("-"), lpad(mm(11, 100), 2, "0"), lit("-"),
+          lpad(mm(13, 10000), 4, "0")))
+      .when(r(id, 8) === 3,
+        concat(col("text"), lit(" node "), hx(1), lit(":"), hx(3),
+          lit(":"), hx(5), lit(":"), hx(7), lit(":"), hx(11), lit(":"),
+          hx(13), lit(":"), hx(17), lit(":"), hx(19)))
+      .when(r(id, 8) === 4,
+        concat(col("text"), lit(" contact user"), id.cast("string"),
+          lit("@mail-"), m(7), lit(".example.com")))
+      .when(r(id, 8) === 5,
+        concat(col("text"), lit(" call 415-"), lpad(mm(7, 1000), 3, "0"),
+          lit("-"), lpad(mm(13, 10000), 4, "0")))
+      .when(r(id, 8) === 6,
+        concat(col("text"), lit(" from host "), m(256), lit("."),
+          mm(3, 256), lit("."), mm(5, 256), lit("."), mm(7, 256)))
+      .otherwise(col("text"))
+  }
+
   /** Deterministic boundary-boilerplate injection for t21 (QueryDef-only
     * scaffolding; both engines state the same closed form): the driver
     * corpus is random word soup, so no two pack-boundary windows ever

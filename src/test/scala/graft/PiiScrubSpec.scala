@@ -71,6 +71,72 @@ class PiiScrubSpec extends AnyFunSuite {
     assert(out(8L) == ((0L, 0L, 0L, "plain words only no entities at all")))
   }
 
+  // ---- t31 (v2 classes) ----------------------------------------------
+
+  private def scrubV2(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    PiiQueries.piiScrubV2(rows.toDF("doc_id", "text"))
+      .select("doc_id", "n_emails", "n_phones", "n_ssn", "n_cards",
+        "n_ipv6", "n_ipv4", "redacted")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))))
+      .toMap
+  }
+
+  test("v2 known entities: ssn, Luhn-valid cards in all three shapes, ipv6") {
+    val out = scrubV2(Seq(
+      1L -> "id 078-05-1120 ok",
+      2L -> "pay 4111-1111-1111-1111 or 4012 8888 8888 1881 or 5500005555555559",
+      3L -> "node fe80:1:ab:0:4:ffff:12:beef up"))
+    assert(out(1L) == ((0L, 0L, 1L, 0L, 0L, 0L, "id [SSN] ok")))
+    assert(out(2L) == ((0L, 0L, 0L, 3L, 0L, 0L, "pay [CARD] or [CARD] or [CARD]")))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 1L, 0L, "node [IPV6] up")))
+  }
+
+  test("Luhn gate: card-shaped but invalid digit runs pass through unredacted") {
+    val out = scrubV2(Seq(
+      4L -> "ref 4111-1111-1111-1112 and 1234567812345678 end",
+      5L -> "dup 4111-1111-1111-1111 twice 4111-1111-1111-1111"))
+    assert(out(4L) == ((0L, 0L, 0L, 0L, 0L, 0L,
+      "ref 4111-1111-1111-1112 and 1234567812345678 end")),
+      "an invalid checksum is not PII — it must not redact")
+    // a repeated valid card counts per occurrence and redacts every one
+    assert(out(5L) == ((0L, 0L, 0L, 2L, 0L, 0L, "dup [CARD] twice [CARD]")))
+  }
+
+  test("v2 overlap contract: ssn counts after phones, phone shapes never re-match as ssn/card") {
+    val out = scrubV2(Seq(
+      6L -> "call 415-555-0123 ssn 123-45-6789",
+      // a dotted quad inside an email domain is still ONE email
+      7L -> "odd user@10.0.0.1x.com here"))
+    assert(out(6L) == ((0L, 1L, 1L, 0L, 0L, 0L, "call [PHONE] ssn [SSN]")))
+    assert(out(7L) == ((1L, 0L, 0L, 0L, 0L, 0L, "odd [EMAIL] here")))
+  }
+
+  test("v2 idempotent: scrubbing a scrubbed corpus is the identity") {
+    import spark.implicits._
+    val once = PiiQueries.piiScrubV2(Seq(
+      (8L, "a bob@x.io s 078-05-1120 c 4111-1111-1111-1111 n fe80:1:ab:0:4:ffff:12:beef"))
+      .toDF("doc_id", "text"))
+      .select(col("doc_id"), col("redacted").as("text"))
+    val twice = PiiQueries.piiScrubV2(once).collect().head
+    Seq("n_emails", "n_phones", "n_ssn", "n_cards", "n_ipv6", "n_ipv4")
+      .foreach(c => assert(twice.getAs[Long](c) == 0L, c))
+    assert(twice.getAs[String]("redacted") ==
+      "a [EMAIL] s [SSN] c [CARD] n [IPV6]")
+  }
+
+  test("v2 injection branches fire for negative doc_ids too") {
+    import spark.implicits._
+    val docs = (-16L to -1L).map(i => (i, "base text")).toDF("doc_id", "text")
+    val out = PiiQueries.piiScrubV2(
+        docs.withColumn("text", graft.operators.Scaffold.injectedTextV2))
+      .agg(sum("n_emails"), sum("n_phones"), sum("n_ssn"), sum("n_cards"),
+        sum("n_ipv6"), sum("n_ipv4"))
+      .collect().head
+    (0 to 5).foreach(i => assert(out.getLong(i) > 0L, s"class $i empty for negative ids"))
+  }
+
   test("injection branches fire for negative doc_ids too (review finding)") {
     import spark.implicits._
     // residues use the portable ((x % k) + k) % k form — a bare
