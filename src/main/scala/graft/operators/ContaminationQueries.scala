@@ -874,7 +874,99 @@ object ContaminationQueries {
     "x6b_semantic_decon_ann",
     (s, dir) => semanticDecontaminationAnn(s, dir))
 
+  // ---- x5f: gram-size profile over the PUBLISHED release (r18) -------
+
+  /** The x5 gram-size decontamination profile computed from the
+    * PUBLISHED release — the dataset card's seat: per n ∈ {5, 8, 13},
+    * how many distinct eval grams exist, how many the SHIPPED ARTIFACT
+    * still carries, how many release docs carry one, and the hit rate
+    * on the constant released-doc base (x5's fixed-denominator rule).
+    * A release consumer asks this right after the n=5 clearance: the
+    * released corpus passed the 5-gram gate by construction, so the
+    * n=5 row is the zero-residual certificate and the 8/13 rows show
+    * the (expected-zero, monotone) tail. Inputs are ONLY the release
+    * files and the stored per-n benchmark gram indexes (x4f's
+    * lifecycle, built once per benchmark snapshot) — PlanAuditSpec pins
+    * zero raw-document scan in the steady state; the oracle restates
+    * the full logical release, so a green row again proves
+    * artifact ≡ logical definition.
+    *
+    * Scale shape: per n, one release gram scan through the measured-
+    * broadcast eval gram join (the x1 shape) + single-row aggregates —
+    * 3 scans total, never a corpus shuffle. */
+  private[graft] def decontaminationProfileFromRelease(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      ns: Seq[Int] = ProfileNs,
+      maxBroadcastEvalGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
+    val rel = PipelineQueries.releaseFrame(s, dir)
+    val nRelDocs = rel.select(count(lit(1)).as("n_release_docs")).staged
+    ns.map { n =>
+      val grams = rel
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"), wordNgrams(col("tk"), n).as("g"))
+        .staged
+      val evalG = storedBenchIndex(s, dir, n)
+        .select(col("gram")).distinct().staged
+      val relPost = grams.select(col("doc_id").as("b"), explode(col("g")).as("gram"))
+      val hits = relPost
+        .join(QueryDef.guardedBroadcast(evalG, maxBroadcastEvalGrams), "gram")
+      evalG.agg(count(lit(1)).as("n_eval_grams"))
+        .crossJoin(broadcast(hits.agg(
+          countDistinct(col("gram")).as("n_shared_grams"),
+          countDistinct(col("b")).as("n_release_docs_hit"))))
+        .crossJoin(broadcast(nRelDocs))
+        .select(lit(n.toLong).as("n"), col("n_eval_grams"),
+          col("n_shared_grams"), col("n_release_docs_hit"),
+          when(col("n_release_docs") === 0L, lit(null).cast("double"))
+            .otherwise(round(col("n_release_docs_hit").cast("double") /
+              col("n_release_docs"), 6)).as("hit_rate"))
+    }.reduce(_ unionByName _).orderBy("n")
+  }
+
+  val xDecontaminationProfileFromRelease = QueryDef(
+    "x5f_decon_profile_from_release",
+    (s, dir) => decontaminationProfileFromRelease(s, dir),
+    Some(s"""
+      WITH ${PipelineQueries.releaseSqlCtes},
+      rtk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM clean),
+      prof AS (SELECT n FROM (VALUES (5), (8), (13)) v(n)),
+      rg AS (
+        SELECT prof.n, rtk.doc_id,
+               list_distinct(list_transform(range(1, len(tk) - prof.n + 2),
+                 i -> array_to_string(tk[i:i+prof.n-1], ' '))) AS g
+        FROM rtk CROSS JOIN prof WHERE len(tk) >= prof.n),
+      etk AS (SELECT doc_id, string_split(text, ' ') AS tk
+              FROM documents WHERE doc_id % 37 = 0),
+      egl AS (
+        SELECT prof.n,
+               list_distinct(list_transform(range(1, len(tk) - prof.n + 2),
+                 i -> array_to_string(tk[i:i+prof.n-1], ' '))) AS g
+        FROM etk CROSS JOIN prof WHERE len(tk) >= prof.n),
+      eg AS (SELECT DISTINCT n, u.t AS gram FROM egl, UNNEST(egl.g) AS u(t)),
+      rp AS (SELECT n, doc_id AS b, u.t AS gram FROM rg, UNNEST(rg.g) AS u(t)),
+      h AS (SELECT rp.n, rp.b, rp.gram
+            FROM rp JOIN eg ON eg.n = rp.n AND eg.gram = rp.gram),
+      egc AS (SELECT n, COUNT(*) AS n_eval_grams FROM eg GROUP BY n),
+      hc AS (SELECT n, COUNT(DISTINCT gram) AS n_shared_grams,
+                    COUNT(DISTINCT b) AS n_release_docs_hit
+             FROM h GROUP BY n),
+      rd AS (SELECT COUNT(*) AS n_release_docs FROM clean)
+      SELECT CAST(prof.n AS BIGINT) AS n,
+             CAST(COALESCE(egc.n_eval_grams, 0) AS BIGINT) AS n_eval_grams,
+             CAST(COALESCE(hc.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+             CAST(COALESCE(hc.n_release_docs_hit, 0) AS BIGINT) AS n_release_docs_hit,
+             CASE WHEN rd.n_release_docs = 0 THEN NULL
+                  ELSE ROUND(CAST(COALESCE(hc.n_release_docs_hit, 0) AS DOUBLE)
+                         / rd.n_release_docs, 6) END AS hit_rate
+      FROM prof CROSS JOIN rd
+           LEFT JOIN egc ON egc.n = prof.n
+           LEFT JOIN hc ON hc.n = prof.n
+      ORDER BY prof.n"""))
+
   val all: Seq[QueryDef] = Seq(xDecontamination, xBloomScrub, xBloomScrubStored,
     xBenchmarkClearance, xDecontaminationProfile, xClearanceFromRelease,
-    xSemanticDecontamination, xSemanticDecontaminationAnn)
+    xSemanticDecontamination, xSemanticDecontaminationAnn,
+    xDecontaminationProfileFromRelease)
 }

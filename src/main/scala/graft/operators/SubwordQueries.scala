@@ -789,6 +789,41 @@ val tBpeMergeTokens = QueryDef(
              chars_per_token, ROUND(fertility / f_ref, 6) AS premium
       FROM pf CROSS JOIN enf ORDER BY lang"""))
 
+  /** t26f (r18): the t26 fertility audit computed from the PUBLISHED
+    * release — the dataset card's seat. The card's invariant is
+    * "cannot describe a corpus other than the artifact", and t26 reads
+    * the raw corpus, so the card needs this fromRelease twin: SAME body
+    * (tokenizerFertilityOf), fed releaseFrame; the stored t22 merges
+    * ride their own IndexStore lifecycle. The oracle restates the
+    * LOGICAL release (the p5f discipline), so a green row also proves
+    * artifact ≡ logical definition through the filesystem round-trip.
+    * PlanAuditSpec pins zero raw-document scan in the steady state. */
+  val tTokenizerFertilityFromRelease = QueryDef(
+    "t26f_fertility_from_release",
+    (s, dir) => tokenizerFertilityOf(PipelineQueries.releaseFrame(s, dir),
+      storedMerges(s, dir)),
+    Some(s"""
+      $mergeEncodeCtes      ${PipelineQueries.releaseSqlCtes},
+      ws AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ws
+        FROM clean),
+      pl AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+               CAST(SUM(n_tokens_merge) AS BIGINT) AS merge_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM ws JOIN agg USING (doc_id) GROUP BY lang),
+      pf AS (
+        SELECT *,
+               ROUND(CAST(merge_tokens AS DOUBLE) / ws_tokens, 6) AS fertility,
+               ROUND(CAST(n_chars AS DOUBLE) / merge_tokens, 6) AS chars_per_token
+        FROM pl),
+      enf AS (SELECT fertility AS f_ref FROM pf WHERE lang = 'en')
+      SELECT lang, n_docs, ws_tokens, merge_tokens, n_chars, fertility,
+             chars_per_token, ROUND(fertility / f_ref, 6) AS premium
+      FROM pf CROSS JOIN enf ORDER BY lang"""))
+
   /** p5bf: the p5b token-exact card computed from the PUBLISHED release
     * (PipelineQueries fromRelease family — see the block comment there);
     * the stored t19 vocab rides its own IndexStore lifecycle, so the
@@ -802,5 +837,6 @@ val tBpeMergeTokens = QueryDef(
   val all: Seq[QueryDef] =
     Seq(tBpeTokens, cTokenBudgetBpe, tBpeMergeTokens, tSequencePackBpe,
       tSequencePackMerge,
-      pReleaseReportBpe, pReleaseReportBpeFromRelease, tTokenizerFertility)
+      pReleaseReportBpe, pReleaseReportBpeFromRelease, tTokenizerFertility,
+      tTokenizerFertilityFromRelease)
 }

@@ -85,6 +85,26 @@ object DatasetCard {
       }
     }
 
+    sb ++= "\n## Tokenizer fertility\n\n"
+    sb ++= "| language | documents | ws tokens | merge tokens | fertility | chars/token | premium vs en |\n"
+    sb ++= "|---|---|---|---|---|---|---|\n"
+    graft.operators.SubwordQueries.tTokenizerFertilityFromRelease
+      .fn(s, dir).collect().foreach { r =>
+        sb ++= s"| ${r.getString(0)} | ${r.getLong(1)} | ${r.getLong(2)} | " +
+          s"${r.getLong(3)} | ${f6(r.getDouble(5))} | ${f6(r.getDouble(6))} | " +
+          s"${f6(r.getDouble(7))} |\n"
+      }
+
+    sb ++= "\n## Decontamination gram profile\n\n"
+    sb ++= "| n | eval grams | shared grams | release docs hit | hit rate |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    ContaminationQueries.decontaminationProfileFromRelease(s, dir)
+      .collect().foreach { r =>
+        val rate = if (r.isNullAt(4)) "n/a" else f6(r.getDouble(4))
+        sb ++= s"| ${r.getLong(0)} | ${r.getLong(1)} | ${r.getLong(2)} | " +
+          s"${r.getLong(3)} | $rate |\n"
+      }
+
     sb ++= "\n## Content manifest\n\n"
     val man = ReleaseWriter.manifestOf(ReleaseWriter.readRelease(
         s, PipelineQueries.publishedReleaseDir(s, dir))).collect()

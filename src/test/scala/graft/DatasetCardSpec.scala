@@ -35,9 +35,33 @@ class DatasetCardSpec extends AnyFunSuite {
 
   test("sections present in fixed order") {
     val idx = Seq("# Dataset card", "## Split statistics", "## Domain mix",
-      "## Benchmark clearance", "## Split-leakage audit", "## Content manifest")
+      "## Benchmark clearance", "## Split-leakage audit",
+      "## Tokenizer fertility", "## Decontamination gram profile",
+      "## Content manifest")
       .map(card.indexOf)
     assert(idx.forall(_ >= 0) && idx == idx.sorted, s"section order broke: $idx")
+  }
+
+  test("fertility rows equal t26f's own output") {
+    val want = SparkEntry.queries("t26f_fertility_from_release")(spark, dir)
+      .collect().map { r =>
+        s"| ${r.getString(0)} | ${r.getLong(1)} | ${r.getLong(2)} | " +
+          s"${r.getLong(3)} | ${f6(r.getDouble(5))} | ${f6(r.getDouble(6))} | " +
+          s"${f6(r.getDouble(7))} |"
+      }
+    assert(want.nonEmpty)
+    want.foreach(line => assert(card.contains(line), s"missing row: $line"))
+  }
+
+  test("gram-profile rows equal x5f's own output") {
+    val want = SparkEntry.queries("x5f_decon_profile_from_release")(spark, dir)
+      .collect().map { r =>
+        val rate = if (r.isNullAt(4)) "n/a" else f6(r.getDouble(4))
+        s"| ${r.getLong(0)} | ${r.getLong(1)} | ${r.getLong(2)} | " +
+          s"${r.getLong(3)} | $rate |"
+      }
+    assert(want.length == 3)
+    want.foreach(line => assert(card.contains(line), s"missing row: $line"))
   }
 
   test("split table rows equal p5f's own output") {

@@ -330,7 +330,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // pass is the second call.
     val audits = Seq("p5f_report_from_release", "p5bf_report_bpe_from_release",
       "p5cf_domain_mix_from_release", "p6f_split_leakage_from_release",
-      "x4f_clearance_from_release")
+      "x4f_clearance_from_release", "t26f_fertility_from_release",
+      "x5f_decon_profile_from_release")
     for (q <- audits) SparkEntry.queries(q)(spark, dir).collect() // lifecycle warm-up
     for (q <- audits) {
       val roots = org.apache.spark.sql.graft.Bridge.scannedFileRoots(spark) {
