@@ -705,6 +705,21 @@ object VectorQueries {
     * table's columns, e.g. a held-out-set exclusion for x6b) — applied
     * right after the partition prune, so excluded codes never reach the
     * ADC scoring or the shortlist. */
+  /** DRIVER-SIDE ROUTING BOUND (r18, the r17 verdict's #7): routing
+    * collects (probe, list) pairs — 12 B raw, ~10× that as JVM objects
+    * — which is the right trade for the family's callers (benchmark
+    * eval suites, ingest micro-batches: ≤100k probes), the union-find
+    * 5M-edge discipline applied to probes. The `limit(max+1)` bounds
+    * what the driver can ever materialize and the require fail-stops a
+    * too-big probe set LOUDLY at ~480 MB of driver heap instead of
+    * OOMing mid-collect. A corpus-sized probe side wants the
+    * DISTRIBUTED routing shape instead — cross-join probes × the
+    * broadcast coarse table and keep (q, list_id) as a frame (the v5
+    * ivfSearch pattern) — which trades one extra shuffle for unbounded
+    * probe cardinality; callers there should use v5/v8's in-plan
+    * machinery, not this probe surface. */
+  private[graft] val MaxDriverRoutings: Int = 4000000
+
   private def routedCands(s: org.apache.spark.sql.SparkSession, idx: PqIndex,
                           probes: DataFrame, nprobe: Int,
                           candFilter: org.apache.spark.sql.Column = lit(true))
@@ -713,7 +728,13 @@ object VectorQueries {
       .select(col("q"), explode(slice(
         transform(array_sort(centerDistStructs(col("qe"), idx.coarse)),
           x => x.getField("idx")), 1, nprobe)).as("list_id"))
+      .limit(MaxDriverRoutings + 1)
       .collect().map(r => (r.getLong(0), r.getInt(1)))
+    require(routing.length <= MaxDriverRoutings,
+      s"probe set routes to > $MaxDriverRoutings (probe, list) pairs — " +
+        "beyond the driver-side routing bound; a probe side this large " +
+        "should go through the distributed in-plan ANN (v5's ivfSearch " +
+        "shape), not the stored-index probe surface")
     import s.implicits._
     val probeLists = routing.toSeq.toDF("q", "list_id")
     val wanted = routing.map(_._2).distinct.sorted.toSeq
