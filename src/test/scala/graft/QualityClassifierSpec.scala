@@ -83,13 +83,24 @@ class QualityClassifierSpec extends AnyFunSuite {
     }
   }
 
+  // Cross-SESSION coefficient comparisons use a relative tolerance, not
+  // bit equality (r18 fix): the IRLS Gramian is a double-sum Tungsten
+  // aggregate whose partial-merge order follows the session's partition
+  // layout, so a store fit under CPUS=8 differs from a local[4] refit
+  // at ~1e-12 relative — real, harmless (t16/t29/t30 round their scores
+  // to 6 decimals, which absorbs it; their DuckDB oracles stay green
+  // across exactly this drift), and NOT a model change. In-session
+  // determinism is still exact (same layout → same merge tree).
+  private def closeCoef(a: Double, b: Double): Boolean =
+    math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
   test("stored weights round-trip: the store serves the live fit's coefficients") {
     val stored = ClassifierQueries.storedQualityWeights(spark, dir)
     val fit = Glm.logistic(ClassifierQueries.featureFrame(spark, dir),
       ClassifierQueries.design, col("y"))
     assert(stored.length == ClassifierQueries.design.width)
     stored.zip(fit.coef.toArray).zipWithIndex.foreach { case ((s0, f0), i) =>
-      assert(s0 == f0, s"stored coef $i: $s0 != live fit $f0")
+      assert(closeCoef(s0, f0), s"stored coef $i: $s0 != live fit $f0")
     }
     // and the committed oracle fixture matches the live fit bit-for-bit
     // (the fixture is what DuckDB scores with; drift here is exactly
@@ -105,7 +116,7 @@ class QualityClassifierSpec extends AnyFunSuite {
         s"no committed t16 coefficient row for ($nDocs, $sumChars)"))
     row.drop(2).map(_.toDouble).zip(stored).zipWithIndex.foreach {
       case ((c, s0), i) =>
-        assert(c == s0, s"committed coef $i: $c != stored $s0 — rerun " +
+        assert(closeCoef(c, s0), s"committed coef $i: $c != stored $s0 — rerun " +
           "`Test/runMain graft.ProbeMain oraclefix` after an intentional change")
     }
   }
