@@ -357,5 +357,88 @@ object LineDedupQueries {
 
 
 
-  def all: Seq[QueryDef] = Seq(dLineBoilerplate, dLineBoilerStored)
+  // ---- d13: INTRA-document repeated-line removal (r18) ----------------
+
+  /** Within-document repeated-line removal — the hygiene pass that runs
+    * BEFORE any corpus-frequency filter (d10) can see a document:
+    * template chrome repeated INSIDE one page (nav bars rendered top
+    * and bottom, pagination blocks, share widgets) never crosses d10's
+    * distinct-DOCUMENT threshold precisely because every occurrence is
+    * in the same document, so an intra-doc pass owns it. Semantics:
+    * keep the FIRST occurrence of each exact line, preserve order —
+    * Spark's `array_distinct` contract, restated in the oracle as the
+    * first-position `list_filter`.
+    *
+    * Scale shape: pure per-row array work (split → array_distinct →
+    * array_join, all codegen'd builtins — no corpus state, no joins)
+    * followed by ONE source-keyed aggregate with map-side partials
+    * whose output is |sources| rows. The corpus is never shuffled: this
+    * is the cheapest possible full-corpus map pass, same class as t23.
+    * Per-row rewrite correctness rides the oracle hash via the
+    * order-invariant md5-prefix digest of every cleaned text (the p4
+    * digest discipline). */
+  private[graft] def intraDocCleaned(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = array_distinct(lines)
+    docs.select(col("doc_id"), col("source"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("cleaned"))
+  }
+
+  val dIntraDocDedup = QueryDef(
+    "d13_intradoc_line_dedup",
+    (s, dir) => intraDocCleaned(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          Scaffold.intradocText.as("text")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("n_lines") > col("n_kept")).cast("long")).as("docs_changed"),
+        sum(col("n_lines")).as("lines_total"),
+        sum(col("n_lines") - col("n_kept")).as("lines_dropped"),
+        sum(length(col("cleaned")).cast("long")).as("cleaned_chars"),
+        sum(conv(substring(md5(col("cleaned")), 1, 10), 16, 10)
+          .cast("long")).as("cleaned_digest"))
+      .orderBy("source"),
+    Some("""
+      WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+      lin AS (
+        SELECT doc_id, source,
+               list_transform(range(0, CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+                              i -> array_to_string(tk[i*10+1 : i*10+10], ' ')) AS body
+        FROM d),
+      doc AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 2 = 0
+                    THEN ['Nav menu ' || CAST(doc_id % 4 AS VARCHAR) || ' home about contact']
+                    ELSE CAST([] AS VARCHAR[]) END
+               || body ||
+               CASE WHEN doc_id % 2 = 0
+                    THEN ['Nav menu ' || CAST(doc_id % 4 AS VARCHAR) || ' home about contact']
+                    ELSE CAST([] AS VARCHAR[]) END
+               || CASE WHEN doc_id % 8 = 0
+                    THEN ['Nav menu ' || CAST(doc_id % 4 AS VARCHAR) || ' home about contact',
+                          'Nav menu ' || CAST(doc_id % 4 AS VARCHAR) || ' home about contact']
+                    ELSE CAST([] AS VARCHAR[]) END AS lines
+        FROM lin),
+      c AS (
+        SELECT doc_id, source,
+               len(lines) AS n_lines,
+               len(list_filter(lines, (x, i) -> list_position(lines, x) = i)) AS n_kept,
+               array_to_string(
+                 list_filter(lines, (x, i) -> list_position(lines, x) = i),
+                 chr(10)) AS cleaned
+        FROM doc)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN n_lines > n_kept THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
+             CAST(SUM(n_lines) AS BIGINT) AS lines_total,
+             CAST(SUM(n_lines - n_kept) AS BIGINT) AS lines_dropped,
+             CAST(SUM(len(cleaned)) AS BIGINT) AS cleaned_chars,
+             CAST(SUM(CAST(('0x' || substring(md5(cleaned), 1, 10)) AS BIGINT)) AS BIGINT) AS cleaned_digest
+      FROM c GROUP BY source ORDER BY source"""))
+
+  def all: Seq[QueryDef] = Seq(dLineBoilerplate, dLineBoilerStored,
+    dIntraDocDedup)
 }

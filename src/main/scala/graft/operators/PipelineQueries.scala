@@ -1386,6 +1386,106 @@ object PipelineQueries {
     },
     pReleaseWrite.oracle)
 
+  // ---- p11: release changelog (r18) ------------------------------------
+
+  /** Changelog between two published releases — the c9 snapshot-diff
+    * discipline applied to ARTIFACTS: per-(source, split, status)
+    * accounting of which released docs were added/removed/changed/
+    * unchanged between version N−1 and version N. This is the audit a
+    * release consumer reads before upgrading ("what moved in today's
+    * push, and in my split?"), and it must come from the published
+    * artifacts — a changelog recomputed from raw corpora can describe a
+    * release that was never shipped.
+    *
+    * Scale shape: scans exactly the two release artifacts (release-
+    * sized, the fromRelease discipline — never raw documents), reduces
+    * each map-side to (doc_id, md5(text), source, split) — the join
+    * shuffles fingerprint-width rows at any corpus size, never document
+    * bytes — and one full-outer join keyed by doc_id feeds an
+    * aggregate of |sources|×|splits|×|statuses| rows. With p10's delta
+    * layout both versions share carried pool files; the two scans read
+    * a shared file at most twice — publish-time work is never redone.
+    *
+    * The oracle states BOTH days' logical releases (the release stack
+    * over the derived previous snapshot, and over `documents`) and
+    * diffs them — so a green p11 also re-proves, through the
+    * filesystem round-trip, that EACH published version is its
+    * logical release (p10's oracle only states the current one). */
+  private[graft] def releaseChangelog(prev: org.apache.spark.sql.DataFrame,
+                                      cur: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val o = prev.select(col("doc_id"), md5(col("text")).as("__ho"),
+      col("source").as("__so"), col("split").as("__po"))
+    val n = cur.select(col("doc_id"), md5(col("text")).as("__hn"),
+      col("source").as("__sn"), col("split").as("__pn"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("__sn"), col("__so")).as("source"),
+        coalesce(col("__pn"), col("__po")).as("split"),
+        when(col("__ho").isNull, "added")
+          .when(col("__hn").isNull, "removed")
+          .when(col("__ho") === col("__hn"), "unchanged")
+          .otherwise("changed").as("status"),
+        col("doc_id"))
+      .groupBy(col("source"), col("split"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+      .orderBy("source", "split", "status")
+  }
+
+  val pReleaseChangelog = QueryDef(
+    "p11_release_changelog",
+    (s, dir) => publishGate.synchronized {
+      val root = incrReleaseRoot(s, dir)
+      // same two-day publication as p10 (idempotent content: rerunning
+      // appends fresh versions whose last two are always day-1 full /
+      // day-2 delta under lag-one retention)
+      graft.sources.IncrementalRelease.publishFull(
+        releasedDocsOf(Scaffold.previousSnapshot(Tables.documents(s, dir))), root)
+      graft.sources.IncrementalRelease.publishDelta(releasedDocs(s, dir), root)
+      val vs = graft.sources.IncrementalRelease.versions(s, root)
+      require(vs.length >= 2, s"changelog needs two committed versions under $root")
+      releaseChangelog(
+        graft.sources.IncrementalRelease.readVersion(s, root, vs(vs.length - 2)),
+        graft.sources.IncrementalRelease.readVersion(s, root, vs.last))
+    },
+    Some(s"""
+      WITH prev AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 19 = 0 THEN text || ' legacy revision'
+                    ELSE text END AS text,
+               lang, source, n_chars
+        FROM documents WHERE doc_id % 17 <> 0
+        UNION ALL
+        SELECT doc_id - (SELECT MIN(doc_id) FROM documents)
+                      + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
+               text, lang, source, n_chars
+        FROM documents WHERE doc_id % 23 = 0),
+      ${releaseSqlCtesOver("prev", "1")},
+      ${releaseSqlCtesOver("documents", "2")},
+      r1 AS (
+        SELECT doc_id, md5(text) AS h, source,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean1),
+      r2 AS (
+        SELECT doc_id, md5(text) AS h, source,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM clean2),
+      d AS (
+        SELECT COALESCE(r2.source, r1.source) AS source,
+               COALESCE(r2.split, r1.split) AS split,
+               CASE WHEN r1.h IS NULL THEN 'added'
+                    WHEN r2.h IS NULL THEN 'removed'
+                    WHEN r1.h = r2.h THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               COALESCE(r2.doc_id, r1.doc_id) AS doc_id
+        FROM r1 FULL OUTER JOIN r2 USING (doc_id))
+      SELECT source, split, status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+      FROM d GROUP BY source, split, status ORDER BY source, split, status"""))
+
   // ---- Audit-from-published-release mode (r17) -----------------------
   // The production 100 TB shape: a release is published ONCE (p4) and
   // audited MANY times — dataset cards regenerate per consumer request,
@@ -1405,47 +1505,56 @@ object PipelineQueries {
     * it. Ends INSIDE a WITH list — append `, <cte> AS (...)` and a
     * final SELECT. Carries lang (the governance column the fertility
     * card groups by). */
-  private[graft] val releaseSqlCtes: String = """canon AS (
+  private[graft] val releaseSqlCtes: String = releaseSqlCtesOver("documents", "")
+
+  /** The same block parameterized by base snapshot and CTE-name suffix,
+    * so an oracle can state TWO releases side by side (p11 diffs the
+    * day-1 release over the derived previous snapshot against the day-2
+    * release over `documents`). `releaseSqlCtes` is the `("documents",
+    * "")` instance — one template, no drift between the single- and
+    * two-release consumers. */
+  private[graft] def releaseSqlCtesOver(base: String, sfx: String): String =
+    s"""canon$sfx AS (
         SELECT doc_id, text, source, lang, n_chars
         FROM (SELECT doc_id, text, source, lang, n_chars,
-                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM documents)
+                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM $base)
         WHERE doc_id = m),
-      b AS (
+      b$sfx AS (
         SELECT doc_id, n_chars, string_split(text, ' ') AS tk
-        FROM canon WHERE len(string_split(text, ' ')) >= 2),
-      tc AS (
+        FROM canon$sfx WHERE len(string_split(text, ' ')) >= 2),
+      tc$sfx AS (
         SELECT doc_id, t AS tok, COUNT(*) AS c
-        FROM b, UNNEST(b.tk) AS u(t) GROUP BY doc_id, t),
-      tp AS (SELECT doc_id, MAX(c) AS max_c FROM tc GROUP BY doc_id),
-      q AS (
-        SELECT b.doc_id FROM b JOIN tp USING (doc_id)
+        FROM b$sfx, UNNEST(b$sfx.tk) AS u(t) GROUP BY doc_id, t),
+      tp$sfx AS (SELECT doc_id, MAX(c) AS max_c FROM tc$sfx GROUP BY doc_id),
+      q$sfx AS (
+        SELECT b$sfx.doc_id FROM b$sfx JOIN tp$sfx USING (doc_id)
         WHERE len(tk) BETWEEN 30 AND 1000
           AND ((n_chars - CAST(len(tk) - 1 AS DOUBLE)) / len(tk)) BETWEEN 3.0 AND 10.0
           AND len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) >= 2
-          AND CAST(tp.max_c AS DOUBLE) / len(tk) <= 0.2
+          AND CAST(tp$sfx.max_c AS DOUBLE) / len(tk) <= 0.2
           AND 1.0 - CAST(len(list_distinct(list_transform(range(1, len(tk)),
                    i -> tk[i] || ' ' || tk[i+1]))) AS DOUBLE) / (len(tk) - 1) <= 0.3),
-      pre AS (
-        SELECT canon.* FROM canon JOIN q USING (doc_id) WHERE doc_id % 37 <> 0),
-      evalg AS (
+      pre$sfx AS (
+        SELECT canon$sfx.* FROM canon$sfx JOIN q$sfx USING (doc_id) WHERE doc_id % 37 <> 0),
+      evalg$sfx AS (
         SELECT DISTINCT u.t AS gram
         FROM (SELECT list_distinct(list_transform(range(1, len(tk) - 3),
                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
                      tk[i+3] || ' ' || tk[i+4])) AS g
-              FROM (SELECT string_split(text, ' ') AS tk FROM documents
+              FROM (SELECT string_split(text, ' ') AS tk FROM $base
                     WHERE doc_id % 37 = 0)
               WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
-      candg AS (
+      candg$sfx AS (
         SELECT doc_id, u.t AS gram
         FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3),
                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
                      tk[i+3] || ' ' || tk[i+4])) AS g
-              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM pre)
+              FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM pre$sfx)
               WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
-      contaminated AS (SELECT DISTINCT doc_id FROM candg JOIN evalg USING (gram)),
-      clean AS (
-        SELECT * FROM pre
-        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))"""
+      contaminated$sfx AS (SELECT DISTINCT doc_id FROM candg$sfx JOIN evalg$sfx USING (gram)),
+      clean$sfx AS (
+        SELECT * FROM pre$sfx
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated$sfx))"""
 
   /** p5f: the p5 dataset card computed from the published release. */
   val pReleaseReportFromRelease = QueryDef(
@@ -1470,6 +1579,6 @@ object PipelineQueries {
   val all: Seq[QueryDef] =
     Seq(pCuration, pRelease, pManifest, pReleaseWrite, pReleaseReport,
       pSplitLeakage, pDomainMix, pGatedFunnel, pSftRelease, pFuzzyFunnel, pIncrementalRelease,
-      pReleaseReportFromRelease, pDomainMixFromRelease,
+      pReleaseChangelog, pReleaseReportFromRelease, pDomainMixFromRelease,
       pSplitLeakageFromRelease)
 }

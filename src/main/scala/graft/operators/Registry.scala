@@ -11,7 +11,8 @@ object Registry {
         DedupClusters.dKeepBest) ++ LineDedupQueries.all ++
       VectorQueries.all ++ MultimodalQueries.all ++ HarnessQueries.all ++
       SampleQueries.all ++ ContaminationQueries.all ++ PipelineQueries.all ++
-      ClassifierQueries.all ++ PiiQueries.all ++ SubwordQueries.all
+      ClassifierQueries.all ++ PiiQueries.all ++ SubwordQueries.all ++
+      UrlQueries.all
 
   def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
     suites.map(q => q.name -> q.fn).toMap

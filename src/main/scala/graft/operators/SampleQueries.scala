@@ -1506,9 +1506,152 @@ object SampleQueries {
              doc_id, source, n_tokens
       FROM sh ORDER BY epoch, shard, pos"""))
 
+  // ---- c19: embedding-cluster-balanced resampling (r18) ---------------
+
+  /** Cluster-balanced temperature resampling — c7's multilingual
+    * rebalance with the group key computed from CONTENT GEOMETRY
+    * instead of a metadata column: docs are assigned to embedding
+    * clusters and over-represented clusters are flattened with the same
+    * τ = 0.5 / half-corpus / hex-threshold discipline. This is the
+    * semantic-diversity step of modern curation (the SemDeDup/DoReMi
+    * observation: source labels under-describe redundancy — a crawl
+    * source is internally clustered, and cluster-proportional
+    * flattening is what actually diversifies the mix).
+    *
+    * Clustering is HASH-SEEDED nearest-seed partition, not k-means: the
+    * k seeds are the vectors with the smallest salted draw
+    * md5('c19:'‖vec_id) (content-keyed, layout-invariant, incremental-
+    * append-stable until a new vector displaces a seed), and every
+    * vector routes to the seed minimizing ‖c‖²/2 − x·c (the IVF argmin
+    * form, exact for any norms). Unlike the fitted k-means of v5/v8,
+    * every step has a closed form BOTH engines can state — so this is
+    * the family's DuckDB-oracle-checked member (v5/v8 stay pins), at
+    * the cost of centers that are samples rather than means — the
+    * k-center-style one-pass trade.
+    *
+    * Cross-engine determinism: seed selection orders by the md5 hex
+    * string; distances are doubles accumulated in ascending index
+    * order from identical float inputs (the v1 dot discipline — d is
+    * halfNorm − dot, never ±0-ambiguous: halfNorm > 0 and a finite
+    * x−y is +0.0 when equal); ties break to the smaller seed id; rates
+    * quantize to the c7 hex threshold; membership is the salted draw
+    * md5('cmix:'‖vec_id) (every unsalted octet is claimed — the c10
+    * discipline).
+    *
+    * Scale shape: the seed table is driver-k (collected like the IVF
+    * centroid table); assignment is a pure MAP-SIDE argmin over k
+    * literal centers (zero shuffle, codegen'd dot kernels); cluster
+    * counts are ONE aggregate to k rows; the rate table broadcasts
+    * back; membership is map-side; the final audit aggregate is k
+    * rows. The corpus is never shuffled. */
+  /** The k hash-seeded centers: smallest salted draw, collected to the
+    * driver (k-bounded, the IVF centroid-table shape). */
+  private[graft] def clusterSeeds(emb: org.apache.spark.sql.DataFrame,
+                                  k: Int): Array[(Long, Array[Double])] =
+    emb
+      .withColumn("__d", md5(concat(lit("c19:"), col("vec_id").cast("string"))))
+      .orderBy(col("__d"), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+
+  /** Map-side nearest-seed assignment over literal centers: one row per
+    * vector, `(vec_id, cluster)`, zero shuffle. */
+  private[graft] def clusterAssign(emb: org.apache.spark.sql.DataFrame,
+                                   seeds: Array[(Long, Array[Double])])
+      : org.apache.spark.sql.DataFrame = {
+    val fdot = graft.functions.VectorExpressions.fdot _
+    val distStructs = array(seeds.map { case (sid, v) =>
+      val c = array(v.map(lit): _*)
+      struct((lit(v.map(x => x * x).sum / 2.0) - fdot(col("embedding"), c)).as("d"),
+        lit(sid).as("seed"))
+    }: _*)
+    emb.select(col("vec_id"),
+      array_min(distStructs).getField("seed").as("cluster"))
+  }
+
+  private[graft] def clusterMixOf(emb: org.apache.spark.sql.DataFrame,
+                                  k: Int): org.apache.spark.sql.DataFrame = {
+    val seeds = clusterSeeds(emb, k)
+    require(seeds.nonEmpty, "c19 cluster mix needs a non-empty embedding frame")
+    val assigned = clusterAssign(emb, seeds)
+    val counts = assigned.groupBy(col("cluster")).agg(count(lit(1)).as("n_c"))
+    val snl = round(sqrt(col("n_c")), 6)
+    val tot = counts.agg(
+      sum(snl.cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double").as("z"),
+      sum(col("n_c")).as("n_all"))
+    val rate = least(
+      lit(1.0),
+      snl / col("z") * floor(col("n_all") / lit(2)) / col("n_c"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("cluster"),
+        lpad(lower(hex(least(floor(rate * lit(4294967296.0)),
+          lit(4294967295.0)).cast("long"))), 8, "0").as("thr"))
+    assigned.join(broadcast(rates), "cluster")
+      .withColumn("__keep",
+        substring(md5(concat(lit("cmix:"), col("vec_id").cast("string"))), 1, 8)
+          < col("thr"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("__keep").cast("long")).as("n_kept"),
+        sum(when(col("__keep"), col("vec_id")).otherwise(lit(0L))).as("kept_vec_sum"),
+        min(col("thr")).as("rate_thr"))
+      .orderBy("cluster")
+  }
+
+  val cClusterMix = QueryDef(
+    "c19_cluster_mix",
+    (s, dir) => clusterMixOf(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), k = 8),
+    Some("""
+      WITH sd AS (
+        SELECT vec_id AS seed, embedding AS se
+        FROM embeddings
+        ORDER BY md5('c19:' || CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 8),
+      a AS (
+        SELECT e.vec_id, s.seed,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(s.se) + 1),
+                   i -> CAST(s.se[i] AS DOUBLE) * CAST(s.se[i] AS DOUBLE))),
+                 (acc, v) -> acc + v) / 2.0
+               - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(s.se) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.se[i] AS DOUBLE))),
+                 (acc, v) -> acc + v) AS d
+        FROM embeddings e, sd s),
+      asg AS (
+        SELECT vec_id, seed AS cluster
+        FROM (SELECT vec_id, seed,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d ASC, seed ASC) AS rn
+              FROM a)
+        WHERE rn = 1),
+      c AS (SELECT cluster, COUNT(*) AS n_c FROM asg GROUP BY cluster),
+      t AS (SELECT CAST(SUM(CAST(ROUND(SQRT(n_c), 6) AS DECIMAL(28,6))) AS DOUBLE) AS z,
+                   SUM(n_c) AS n_all FROM c),
+      r AS (
+        SELECT cluster,
+               printf('%08x', CAST(LEAST(FLOOR(LEAST(1.0,
+                 (ROUND(SQRT(n_c), 6) / z) * FLOOR(n_all / 2) / n_c) * 4294967296.0),
+                 4294967295.0) AS BIGINT)) AS thr
+        FROM c, t),
+      m AS (
+        SELECT asg.vec_id, asg.cluster, r.thr,
+               substring(md5('cmix:' || CAST(asg.vec_id AS VARCHAR)), 1, 8) < r.thr AS keep
+        FROM asg JOIN r USING (cluster))
+      SELECT cluster, COUNT(*) AS n_vecs,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN keep THEN vec_id ELSE 0 END) AS BIGINT) AS kept_vec_sum,
+             MIN(thr) AS rate_thr
+      FROM m GROUP BY cluster ORDER BY cluster"""))
+
   val all: Seq[QueryDef] =
     Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
       cMixResample, cShardShuffle, cSnapshotDiff, cSourceCap, cEpochShardPlan,
       cDomainCap, cDsirSelect, cAnnealPlan, cBlocklistGate, cWaterFill,
-      cMixPlanChain)
+      cMixPlanChain, cClusterMix)
 }

@@ -158,6 +158,29 @@ object Scaffold {
       .otherwise(withHdr)
   }
 
+  /** Deterministic INTRA-document repetition view for d13 (QueryDef-only
+    * scaffolding; both engines state the same closed form): the driver
+    * corpus is single-line word soup, so within-document repeated-line
+    * removal would be vacuous without repeats. Body = the linified
+    * 10-token lines (the [[linifiedText]] regex slice — equivalent to
+    * token-array slicing under the generator's single-spaced contract);
+    * every doc_id % 2 == 0 doc gets the SAME doc-derived nav line
+    * (variant = doc_id % 4) at top AND bottom — the template-chrome
+    * repetition an intra-doc pass removes — and every doc_id % 8 == 0
+    * doc two further ADJACENT copies appended (exercises run collapse
+    * and multi-occurrence accounting, not just the pair case). Odd docs
+    * stay repeat-free passthroughs. Plain % (repo convention for the
+    * non-negative testdata ids). */
+  private[graft] def intradocText: Column = {
+    val body = regexp_replace(col("text"), "((?:\\S+ ){9}\\S+) ", "$1\n")
+    val nav = concat(lit("Nav menu "), (col("doc_id") % 4).cast("string"),
+      lit(" home about contact"))
+    val wrapped = when(col("doc_id") % 2 === 0,
+      concat(nav, lit("\n"), body, lit("\n"), nav)).otherwise(body)
+    when(col("doc_id") % 8 === 0,
+      concat(wrapped, lit("\n"), nav, lit("\n"), nav)).otherwise(wrapped)
+  }
+
   /** Deterministic doc_id-derived URL synthesis for c13 (QueryDef-only
     * scaffolding; both engines state the same closed form): the driver
     * corpus carries no URL column, so the c13 registered-domain cap
@@ -183,6 +206,29 @@ object Scaffold {
       (conv(substring(h, 7, 2), 16, 10).cast("long") % 8 + 1).cast("int"))
     concat(lit("https://"), sub, base, lit("."), tld,
       lit("/p/"), col("doc_id").cast("string"))
+  }
+
+  /** Deterministic MESSY-URL synthesis for d14 (QueryDef-only
+    * scaffolding; both engines state the same closed form): URL-keyed
+    * dedup is vacuous without colliding canonical URLs, so six
+    * doc_id-derived variants dress the SAME logical page address
+    * (host = doc_id % 7 of 7 hosts, page = doc_id % 50) in the
+    * standard crawl noise — scheme/host case, a default :443 port, a
+    * www prefix, tracker query params, a fragment, a trailing slash —
+    * while variant 5 keeps a genuinely different address (http scheme
+    * AND /b/ path). Docs whose ids agree mod lcm(7,50) — and in the
+    * https variants mod 6 ≠ 5 — canonicalize to the same URL. */
+  private[graft] def messyUrl: Column = {
+    val host = concat(lit("d"), (col("doc_id") % 7).cast("string"), lit(".com"))
+    val page = (col("doc_id") % 50).cast("string")
+    val v = col("doc_id") % 6
+    when(v === 0, concat(lit("https://www."), host, lit("/a/"), page))
+      .when(v === 1, concat(lit("HTTPS://"), upper(host), lit("/a/"), page, lit("/")))
+      .when(v === 2, concat(lit("https://www."), host, lit(":443/a/"), page))
+      .when(v === 3, concat(lit("https://"), host, lit("/a/"), page,
+        lit("?utm_source=x&utm_campaign=y")))
+      .when(v === 4, concat(lit("https://www."), host, lit("/a/"), page, lit("#frag")))
+      .otherwise(concat(lit("http://"), host, lit("/b/"), page))
   }
 
   /** The deterministic "previous snapshot" for c9 (QueryDef-only

@@ -1374,9 +1374,98 @@ object TextQueries {
              COUNT(DISTINCT source) AS n_sources, MIN(doc_id) AS min_doc_id
       FROM d GROUP BY h HAVING COUNT(*) > 1 ORDER BY window_hash"""))
 
+  // ---- t32: unicode normalization scrub (r18) --------------------------
+
+  /** Encoding canonicalization — the FIRST stage of every real ingest
+    * pipeline, run before any hash-keyed operator sees the bytes: a
+    * combining-mark "café" and a precomposed "café" are byte-different
+    * inputs to exact dedup, MinHash shingles, and every stored index
+    * key while being the same text to every reader, and crawl text
+    * arrives salted with control bytes, CRLF, and non-breaking spaces.
+    *
+    * Fixed pipeline order (stated identically in both engines, each
+    * step on the output of the previous — the t18 progressive
+    * discipline):
+    *   1. NFC canonical composition (native kernel, ASCII fast path);
+    *   2. strip C0 controls + DEL except \n and \t (`[\x00-\x08\x0B-
+    *      \x1F\x7F]` — \r is 0x0D, so CRLF collapses to LF here);
+    *   3. non-breaking space (U+00A0) → space;
+    *   4. collapse runs of 2+ spaces;
+    *   5. trim.
+    *
+    * Scale shape: pure per-row codegen'd work (the NFC kernel plus
+    * literal-pattern regexes — compiled once per task) followed by ONE
+    * source-keyed aggregate with map-side partials; the corpus is never
+    * shuffled — the same cheapest-map-pass class as t23/t18. Per-row
+    * rewrite correctness rides the oracle hash via the md5-prefix
+    * digest of every cleaned text. Char counts are CODEPOINTS in both
+    * engines (Spark `length` / DuckDB `len`), so the combining-mark
+    * composition is visible in `chars_removed`. */
+  private[graft] def normalizeScrub(df: org.apache.spark.sql.DataFrame,
+                                    textCol: String = "text")
+      : org.apache.spark.sql.DataFrame = {
+    val t1 = graft.functions.NormalizeExpressions.nfcNormalize(col(textCol))
+    val t2 = regexp_replace(t1, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    val t3 = regexp_replace(t2, "\u00A0", " ")
+    val t4 = regexp_replace(t3, " {2,}", " ")
+    df.withColumn("cleaned", trim(t4))
+  }
+
+  /** Deterministic doc_id-derived mess injection (QueryDef-only
+    * scaffolding, the t18 pattern — the driver corpus is clean ASCII,
+    * which would make t32 vacuous). Residues mod 5: 0 → combining
+    * acute (NFC composes), 1 → BEL control + trailing space, 2 → CRLF
+    * + tail line, 3 → non-breaking spaces + doubled spaces, 4 → clean
+    * passthrough. */
+  private def messyText = {
+    val r = col("doc_id") % 5
+    when(r === 0, concat(col("text"), lit(" cafe"), lit("\u0301")))
+      .when(r === 1, concat(col("text"), lit(" ping"), lit("\u0007"), lit(" ")))
+      .when(r === 2, concat(col("text"), lit("\r\n"), lit("tail")))
+      .when(r === 3, concat(col("text"), lit(" a"), lit("\u00A0\u00A0"), lit("b  c")))
+      .otherwise(col("text"))
+  }
+
+  val tNormalizeScrub = QueryDef(
+    "t32_normalize_scrub",
+    (s, dir) => normalizeScrub(
+      Tables.documents(s, dir).withColumn("text", messyText))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("cleaned") =!= col("text")).cast("long")).as("docs_changed"),
+        sum(length(col("text")).cast("long")).as("chars_before"),
+        sum(length(col("cleaned")).cast("long")).as("chars_after"),
+        sum(conv(substring(md5(col("cleaned")), 1, 10), 16, 10)
+          .cast("long")).as("cleaned_digest"))
+      .orderBy("source"),
+    Some("""
+      WITH inj AS (
+        SELECT source,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' cafe' || chr(769)
+                    WHEN doc_id % 5 = 1 THEN text || ' ping' || chr(7) || ' '
+                    WHEN doc_id % 5 = 2 THEN text || chr(13) || chr(10) || 'tail'
+                    WHEN doc_id % 5 = 3 THEN text || ' a' || chr(160) || chr(160) || 'b  c'
+                    ELSE text END AS text
+        FROM documents),
+      sc AS (
+        SELECT source, text,
+               trim(regexp_replace(regexp_replace(regexp_replace(
+                 nfc_normalize(text),
+                 '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                 chr(160), ' ', 'g'),
+                 ' {2,}', ' ', 'g')) AS cleaned
+        FROM inj)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN cleaned <> text THEN 1 ELSE 0 END) AS BIGINT) AS docs_changed,
+             CAST(SUM(len(text)) AS BIGINT) AS chars_before,
+             CAST(SUM(len(cleaned)) AS BIGINT) AS chars_after,
+             CAST(SUM(CAST(('0x' || substring(md5(cleaned), 1, 10)) AS BIGINT)) AS BIGINT) AS cleaned_digest
+      FROM sc GROUP BY source ORDER BY source"""))
+
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
     tCompression, tChunks, tSequencePack, tNgramLm, tHeavyHitters, tBm25,
     tPackAudit, tBoundarySpans, tPerplexityGate, tSftMaskPack, tKlDrift,
-    tVocabGrowth)
+    tVocabGrowth, tNormalizeScrub)
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** URL canonicalization + URL-keyed deduplication (d14) — the FIRST
+  * dedup every crawl pipeline runs, before any content pass: the same
+  * page is fetched under scheme/host case variants, default ports,
+  * `www.` prefixes, tracker query params (`utm_*`, `fbclid`, `gclid`),
+  * fragments, and trailing slashes, and deduping on the RAW url string
+  * misses all of them (cf. the CCNet/RefinedWeb URL-level pass; the
+  * reference's keyed-concat discipline in `R/clean_data.R`, applied to
+  * the address key instead of the record key).
+  *
+  * Canonical form (fixed order, each step on the previous one's
+  * output — the t18/t32 progressive discipline, stated identically in
+  * both engines):
+  *   1. lowercase the scheme and the authority (never the path: paths
+  *      are case-significant);
+  *   2. strip the scheme's default port (`:443` for https, `:80` for
+  *      http — a non-default port is identity-significant and stays);
+  *   3. strip a leading `www.`;
+  *   4. drop the fragment (`#...` — client-side only);
+  *   5. drop tracker params (`utm_*`, `fbclid`, `gclid`) and any
+  *      dangling `?`/`&` they leave; non-tracker params survive;
+  *   6. strip one trailing slash unless the path is root.
+  * Schemes are NOT folded (http ≠ https — different resources until
+  * proven otherwise) and non-tracker query order is preserved (param
+  * reordering changes semantics for some endpoints).
+  *
+  * Scale shape: canonicalization is pure map-side codegen'd regex work
+  * (literal patterns, compiled once per task). The keep election is
+  * ONE canonical-key aggregate with map-side partial `min` — shuffle
+  * rows are (canonical, doc_id), address-width, never document bytes —
+  * broadcast-free, and the per-source audit is a second aggregate of
+  * |sources| rows on the already-thin frame. At 100 TB the canonical
+  * key is the natural bucketing column for the downstream exact-dedup
+  * stage, so this pass's shuffle is reusable layout, not overhead.
+  */
+object UrlQueries {
+
+  private val trackerRe = "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+
+  /** Canonicalize a URL column (see object doc for the contract). */
+  private[graft] def canonicalUrl(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val auth0 = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val auth1 = when(scheme === "https", regexp_replace(auth0, ":443$", ""))
+      .when(scheme === "http", regexp_replace(auth0, ":80$", ""))
+      .otherwise(auth0)
+    val auth = regexp_replace(auth1, "^www[.]", "")
+    val tail0 = regexp_extract(rest, "^[^/?#]*(.*)$", 1)
+    val tail1 = regexp_replace(tail0, "#.*$", "")
+    val tail2 = regexp_replace(tail1, trackerRe, "")
+    val tail3 = regexp_replace(tail2, "[?&]$", "")
+    val tail = regexp_replace(tail3, "([^/])/$", "$1")
+    concat(scheme, lit("://"), auth, tail)
+  }
+
+  /** Per-doc canonical mapping + global keep election (min doc_id per
+    * canonical URL): adds `canonical_url` and `is_kept`. */
+  private[graft] def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val withCanon = docs.withColumn("canonical_url", canonicalUrl(col(urlCol)))
+    val keepers = withCanon.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("__keep_id"))
+    withCanon.join(keepers, Seq("canonical_url"))
+      .withColumn("is_kept", col("doc_id") === col("__keep_id"))
+      .drop("__keep_id")
+  }
+
+  val dUrlDedup = QueryDef(
+    "d14_url_dedup",
+    (s, dir) => {
+      // url synthesis is QueryDef-only scaffolding — Scaffold.messyUrl
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), Scaffold.messyUrl.as("url"))
+      urlDedup(docs)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_raw_urls"),
+          countDistinct(col("canonical_url")).as("n_canon_urls"),
+          sum(col("is_kept").cast("long")).as("n_kept"),
+          sum((!col("is_kept")).cast("long")).as("n_dropped"),
+          sum(conv(substring(md5(col("canonical_url")), 1, 10), 16, 10)
+            .cast("long")).as("canon_digest"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH u AS (
+        SELECT doc_id, source,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'https://www.d' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 50 AS VARCHAR)
+                 WHEN 1 THEN 'HTTPS://' || upper('d' || CAST(doc_id % 7 AS VARCHAR) || '.com') || '/a/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+                 WHEN 2 THEN 'https://www.d' || CAST(doc_id % 7 AS VARCHAR) || '.com:443/a/' || CAST(doc_id % 50 AS VARCHAR)
+                 WHEN 3 THEN 'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=x&utm_campaign=y'
+                 WHEN 4 THEN 'https://www.d' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+                 ELSE 'http://d' || CAST(doc_id % 7 AS VARCHAR) || '.com/b/' || CAST(doc_id % 50 AS VARCHAR)
+               END AS url
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+               regexp_replace(
+                 CASE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   WHEN 'https' THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':443$', '')
+                   WHEN 'http' THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':80$', '')
+                   ELSE lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1))
+                 END, '^www[.]', '') ||
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*(.*)$', 1),
+                 '#.*$', ''),
+                 '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                 '[?&]$', ''),
+                 '([^/])/$', '\1') AS canonical_url
+        FROM u),
+      k AS (SELECT canonical_url, MIN(doc_id) AS keep_id FROM c GROUP BY canonical_url)
+      SELECT source, COUNT(*) AS n_docs,
+             COUNT(DISTINCT url) AS n_raw_urls,
+             COUNT(DISTINCT c.canonical_url) AS n_canon_urls,
+             CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+             CAST(SUM(CAST(('0x' || substring(md5(c.canonical_url), 1, 10)) AS BIGINT)) AS BIGINT) AS canon_digest
+      FROM c JOIN k USING (canonical_url)
+      GROUP BY source ORDER BY source"""))
+
+  val all: Seq[QueryDef] = Seq(dUrlDedup)
+}

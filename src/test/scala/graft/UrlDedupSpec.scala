@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.UrlQueries
+
+/** d14 URL canonicalization + dedup: each canonicalization step on
+  * hand-built URLs, the steps production pipelines get wrong (path case
+  * preserved, non-default ports preserved, non-tracker params
+  * preserved, schemes not folded, root slash kept), idempotence, and
+  * the min-doc_id keep election.
+  */
+class UrlDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("doc_id", "url")
+      .select(UrlQueries.canonicalUrl(col("url")))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("case: scheme and host lowered, path case preserved") {
+    assert(canon("HTTPS://WWW.Ex.COM/Path/Q") == Seq("https://ex.com/Path/Q"))
+  }
+
+  test("ports: default stripped per scheme, non-default preserved") {
+    assert(canon(
+      "https://ex.com:443/a",
+      "http://ex.com:80/a",
+      "https://ex.com:8443/a",
+      "http://ex.com:443/a") == Seq(
+      "https://ex.com/a",
+      "http://ex.com/a",
+      "https://ex.com:8443/a",
+      "http://ex.com:443/a"))
+  }
+
+  test("fragments and trackers dropped; non-tracker params survive in order") {
+    assert(canon(
+      "https://ex.com/a#sec2",
+      "https://ex.com/a?utm_source=x",
+      "https://ex.com/a?utm_source=x&utm_medium=y",
+      "https://ex.com/a?id=7&utm_source=x",
+      "https://ex.com/a?utm_source=x&id=7",
+      "https://ex.com/a?id=7&b=2") == Seq(
+      "https://ex.com/a",
+      "https://ex.com/a",
+      "https://ex.com/a",
+      "https://ex.com/a?id=7",
+      "https://ex.com/a?id=7",
+      "https://ex.com/a?id=7&b=2"))
+  }
+
+  test("trailing slash stripped except root; schemes not folded") {
+    assert(canon(
+      "https://ex.com/a/b/",
+      "https://ex.com/",
+      "http://ex.com/a",
+      "https://ex.com/a") == Seq(
+      "https://ex.com/a/b",
+      "https://ex.com/",
+      "http://ex.com/a",
+      "https://ex.com/a"))
+  }
+
+  test("idempotent: canonicalizing a canonical URL changes nothing") {
+    val once = canon("HTTPS://WWW.Ex.COM:443/A/?utm_source=x#f")
+    assert(canon(once: _*) == once)
+  }
+
+  test("keep election: min doc_id per canonical, others flagged dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "https://www.ex.com/p/1"),
+      (3L, "HTTPS://EX.com/p/1/"),
+      (7L, "https://ex.com:443/p/1?utm_source=a"),
+      (5L, "http://other.com/x"))
+      .toDF("doc_id", "url")
+    val out = UrlQueries.urlDedup(docs)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    assert(out == Map(10L -> false, 3L -> true, 7L -> false, 5L -> true))
+  }
+}
