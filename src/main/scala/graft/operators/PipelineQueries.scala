@@ -1435,13 +1435,20 @@ object PipelineQueries {
   val pReleaseChangelog = QueryDef(
     "p11_release_changelog",
     (s, dir) => publishGate.synchronized {
+      // p11 is an AUDIT: it reads committed versions, it does not own
+      // publication — so the two-day pair publishes only if absent
+      // (the publishedReleaseDir discipline). Whatever wrote the root
+      // (p10's reps, or this bootstrap), every writer appends day-1
+      // full then day-2 delta, so under lag-one retention the last two
+      // committed versions are always (day-1, day-2).
       val root = incrReleaseRoot(s, dir)
-      // same two-day publication as p10 (idempotent content: rerunning
-      // appends fresh versions whose last two are always day-1 full /
-      // day-2 delta under lag-one retention)
-      graft.sources.IncrementalRelease.publishFull(
-        releasedDocsOf(Scaffold.previousSnapshot(Tables.documents(s, dir))), root)
-      graft.sources.IncrementalRelease.publishDelta(releasedDocs(s, dir), root)
+      val have = graft.sources.IncrementalRelease.versions(s, root)
+      if (have.length < 2) {
+        if (have.isEmpty)
+          graft.sources.IncrementalRelease.publishFull(
+            releasedDocsOf(Scaffold.previousSnapshot(Tables.documents(s, dir))), root)
+        graft.sources.IncrementalRelease.publishDelta(releasedDocs(s, dir), root)
+      }
       val vs = graft.sources.IncrementalRelease.versions(s, root)
       require(vs.length >= 2, s"changelog needs two committed versions under $root")
       releaseChangelog(

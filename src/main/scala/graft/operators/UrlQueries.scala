@@ -43,6 +43,38 @@ object UrlQueries {
 
   private val trackerRe = "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
 
+  /** The messy-URL injection + canonicalization restated once for BOTH
+    * oracles (d14 full run, d14b stored probe) — ONE definition, the
+    * d10OracleCtes discipline. */
+  private val urlOracleCtes: String = """
+      WITH u AS (
+        SELECT doc_id, source,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'https://www.d' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 50 AS VARCHAR)
+                 WHEN 1 THEN 'HTTPS://' || upper('d' || CAST(doc_id % 7 AS VARCHAR) || '.com') || '/a/' || CAST(doc_id % 50 AS VARCHAR) || '/'
+                 WHEN 2 THEN 'https://www.d' || CAST(doc_id % 7 AS VARCHAR) || '.com:443/a/' || CAST(doc_id % 50 AS VARCHAR)
+                 WHEN 3 THEN 'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=x&utm_campaign=y'
+                 WHEN 4 THEN 'https://www.d' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
+                 ELSE 'http://d' || CAST(doc_id % 7 AS VARCHAR) || '.com/b/' || CAST(doc_id % 50 AS VARCHAR)
+               END AS url
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
+               regexp_replace(
+                 CASE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   WHEN 'https' THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':443$', '')
+                   WHEN 'http' THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':80$', '')
+                   ELSE lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1))
+                 END, '^www[.]', '') ||
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*(.*)$', 1),
+                 '#.*$', ''),
+                 '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                 '[?&]$', ''),
+                 '([^/])/$', '\1') AS canonical_url
+        FROM u)"""
+
   /** Canonicalize a URL column (see object doc for the contract). */
   private[graft] def canonicalUrl(u: Column): Column = {
     val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -71,6 +103,96 @@ object UrlQueries {
       .drop("__keep_id")
   }
 
+  // ---- d14b: stored canonical-URL index probe --------------------------
+
+  private val FormatStamp = "_graft_url_format"
+  private val FormatValue = "urlcanon-v1:(canonical_url, keeper_id)"
+
+  /** Build the stored canonical-URL keeper table from a corpus
+    * snapshot: one row per canonical URL carrying the elected keeper
+    * (min doc_id). Unlike the log-structured count indexes (d10b/d12b),
+    * this is a KEYED KEEPER table — daily maintenance is the versioned
+    * rename-swap rebuild of changed keys, not delta appends, so no
+    * compaction job is needed. */
+  def initStoredUrlIndex(s: org.apache.spark.sql.SparkSession, path: String,
+                         docs: DataFrame): Unit = {
+    graft.sources.IndexStore.clearStamp(s, path, FormatStamp)
+    docs.withColumn("canonical_url", canonicalUrl(col("url")))
+      .groupBy(col("canonical_url")).agg(min(col("doc_id")).as("keeper_id"))
+      .write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, path, "keepers"))
+    graft.sources.IndexStore.writeStamp(s, path, FormatStamp, FormatValue)
+  }
+
+  /** Probe a new-crawl increment against the stored keeper table —
+    * the O(increment)/day seat of d14 (a daily pipeline never re-scans
+    * the corpus to dedup today's fetch): per batch doc, the keeper and
+    * a three-way verdict — `dup_of_stored` (the address already
+    * shipped; first-crawled wins, so the STORED keeper stands),
+    * `unique` (first occurrence anywhere), `dup_in_batch` (new address
+    * fetched twice today; min batch doc_id wins).
+    *
+    * Scale shape: the batch's distinct canonical keys go through the
+    * MEASURED broadcast guard and semi-join the index MAP-SIDE — the
+    * index is scanned once, never shuffled, and the matched slice is
+    * increment-sized by construction (≤ |batch keys|), so the verdict
+    * joins are broadcasts. Past the guard cap everything degrades to
+    * the scale-safe canonical-keyed shuffle join. */
+  def probeUrlBatch(s: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame,
+                    maxBroadcastKeys: Long = 5000000L): DataFrame = {
+    graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
+      "url-index format")
+    val idx = graft.sources.IndexStore.readSwappable(s, path, "keepers")
+    val b = graft.plans.Stage(
+      batch.withColumn("canonical_url", canonicalUrl(col("url"))))
+    val keys = QueryDef.guardedBroadcast(
+      b.select(col("canonical_url")).distinct(), maxBroadcastKeys)
+    val matched = idx.join(keys, Seq("canonical_url"), "left_semi")
+    val bmin = b.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("__batch_keep"))
+    b.join(broadcast(matched), Seq("canonical_url"), "left")
+      .join(broadcast(bmin), Seq("canonical_url"))
+      .select(col("doc_id"),
+        coalesce(col("keeper_id"), col("__batch_keep")).as("keeper_id"),
+        when(col("keeper_id").isNotNull, lit("dup_of_stored"))
+          .when(col("doc_id") === col("__batch_keep"), lit("unique"))
+          .otherwise(lit("dup_in_batch")).as("status"))
+      .orderBy("doc_id")
+  }
+
+  /** Batch boundary 400: canonical collisions repeat every 350 ids
+    * (lcm of the scaffold's host mod 7 and page mod 50), so ids < 400
+    * exercise BOTH in-batch dups (x vs x+350, x < 50) and dups against
+    * the stored ≥ 400 corpus — the d10b split convention, widened so
+    * no status class is vacuous at sf0.01. */
+  val dUrlDedupStored = QueryDef(
+    "d14b_url_dedup_stored",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), Scaffold.messyUrl.as("url"))
+      val path = graft.sources.IndexStore.indexPath(dir, "urlcanon_ge_400")
+      val meta = "v1|corpus=(doc_id >= 400)|src=" +
+        graft.sources.IndexStore.sourceStamp(s, s"$dir/documents.parquet")
+      graft.sources.IndexStore.ensure(s, path, meta) {
+        initStoredUrlIndex(s, path, docs.filter(col("doc_id") >= 400))
+      }
+      probeUrlBatch(s, path, docs.filter(col("doc_id") < 400))
+    },
+    Some(s"""
+      $urlOracleCtes,
+      sk AS (SELECT canonical_url, MIN(doc_id) AS stored_keep
+             FROM c WHERE doc_id >= 400 GROUP BY canonical_url),
+      bm AS (SELECT canonical_url, MIN(doc_id) AS batch_keep
+             FROM c WHERE doc_id < 400 GROUP BY canonical_url)
+      SELECT c.doc_id,
+             COALESCE(sk.stored_keep, bm.batch_keep) AS keeper_id,
+             CASE WHEN sk.stored_keep IS NOT NULL THEN 'dup_of_stored'
+                  WHEN c.doc_id = bm.batch_keep THEN 'unique'
+                  ELSE 'dup_in_batch' END AS status
+      FROM c LEFT JOIN sk USING (canonical_url) JOIN bm USING (canonical_url)
+      WHERE c.doc_id < 400 ORDER BY c.doc_id"""))
+
   val dUrlDedup = QueryDef(
     "d14_url_dedup",
     (s, dir) => {
@@ -89,34 +211,8 @@ object UrlQueries {
             .cast("long")).as("canon_digest"))
         .orderBy("source")
     },
-    Some("""
-      WITH u AS (
-        SELECT doc_id, source,
-               CASE doc_id % 6
-                 WHEN 0 THEN 'https://www.d' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 50 AS VARCHAR)
-                 WHEN 1 THEN 'HTTPS://' || upper('d' || CAST(doc_id % 7 AS VARCHAR) || '.com') || '/a/' || CAST(doc_id % 50 AS VARCHAR) || '/'
-                 WHEN 2 THEN 'https://www.d' || CAST(doc_id % 7 AS VARCHAR) || '.com:443/a/' || CAST(doc_id % 50 AS VARCHAR)
-                 WHEN 3 THEN 'https://d' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 50 AS VARCHAR) || '?utm_source=x&utm_campaign=y'
-                 WHEN 4 THEN 'https://www.d' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
-                 ELSE 'http://d' || CAST(doc_id % 7 AS VARCHAR) || '.com/b/' || CAST(doc_id % 50 AS VARCHAR)
-               END AS url
-        FROM documents),
-      c AS (
-        SELECT doc_id, source, url,
-               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
-               regexp_replace(
-                 CASE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-                   WHEN 'https' THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':443$', '')
-                   WHEN 'http' THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':80$', '')
-                   ELSE lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1))
-                 END, '^www[.]', '') ||
-               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                 regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*(.*)$', 1),
-                 '#.*$', ''),
-                 '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
-                 '[?&]$', ''),
-                 '([^/])/$', '\1') AS canonical_url
-        FROM u),
+    Some(s"""
+      $urlOracleCtes,
       k AS (SELECT canonical_url, MIN(doc_id) AS keep_id FROM c GROUP BY canonical_url)
       SELECT source, COUNT(*) AS n_docs,
              COUNT(DISTINCT url) AS n_raw_urls,
@@ -127,5 +223,5 @@ object UrlQueries {
       FROM c JOIN k USING (canonical_url)
       GROUP BY source ORDER BY source"""))
 
-  val all: Seq[QueryDef] = Seq(dUrlDedup)
+  val all: Seq[QueryDef] = Seq(dUrlDedup, dUrlDedupStored)
 }

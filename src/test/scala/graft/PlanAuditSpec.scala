@@ -309,7 +309,43 @@ class PlanAuditSpec extends AnyFunSuite {
 
   private val kernelQueries = Seq("v2_lsh_ann", "d2_minhash_lsh_pairs",
     "t19_bpe_tokens", "t22_bpe_merge_tokens", "d3_simhash_pairs", "v1_cosine_topk",
-    "t23_gopher_gate", "t26_tokenizer_fertility")
+    "t23_gopher_gate", "t26_tokenizer_fertility", "t32_normalize_scrub")
+
+  test("d13/t32 are pure scan + one source-keyed aggregate (the t18 cheapest-map-pass shape)") {
+    for (q <- Seq("d13_intradoc_line_dedup", "t32_normalize_scrub")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join\n" + p.take(1500))
+      assert(!p.contains("Window ["), s"$q must not window\n" + p.take(1500))
+      assert(p.contains("hashpartitioning(source#"),
+        s"$q's audit aggregate must shuffle on source\n" + p.take(1500))
+      assert("hashpartitioning\\((?!source#)".r.findFirstIn(p).isEmpty,
+        s"$q shuffles on something other than the audit key\n" + p.take(1500))
+    }
+  }
+
+  test("d14 shuffles only on the canonical key and the audit key (no raw-text exchange)") {
+    val p = plan("d14_url_dedup")
+    assert(!p.contains("Window ["), "d14 must not window\n" + p.take(1500))
+    assert(!p.contains("CartesianProduct"), "d14 must not cross join\n" + p.take(1500))
+    assert("hashpartitioning\\((?!canonical_url#|source#|url#)".r.findFirstIn(p).isEmpty,
+      "d14 shuffles on something other than canonical_url/url/source\n" + p.take(2500))
+    // text never enters the dedup plan at all: the QueryDef selects it away
+    assert(!p.contains("text#"), "d14 must not carry document text\n" + p.take(1500))
+  }
+
+  test("c19 never shuffles the corpus: assignment map-side, rate table broadcast back") {
+    val p = plan("c19_cluster_mix")
+    assert(!p.contains("SortMergeJoin"),
+      "c19's rate join must broadcast, never sort-merge\n" + p.take(2000))
+    assert(!p.contains("Window ["), "c19 must not window\n" + p.take(1500))
+    // the only hash exchanges are the two k-row cluster aggregates
+    assert("hashpartitioning\\((?!cluster#)".r.findFirstIn(p).isEmpty,
+      "c19 shuffles on something other than the cluster key\n" + p.take(2500))
+    // the 64-float embedding column never rides an exchange: it is
+    // consumed by the map-side argmin before any aggregate
+    assert(!"hashpartitioning\\([^)]*embedding".r.findFirstIn(p).isDefined,
+      "c19 shuffles embedding payloads\n" + p.take(2500))
+  }
 
   private def withoutAqe[T](body: => T): T = {
     val key = "spark.sql.adaptive.enabled"

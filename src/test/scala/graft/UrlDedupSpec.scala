@@ -75,6 +75,45 @@ class UrlDedupSpec extends AnyFunSuite {
     assert(canon(once: _*) == once)
   }
 
+  test("stored probe: three-way verdicts match the stored/first-crawled-wins contract") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d14bidx").toString
+    val corpus = Seq(
+      (100L, "https://ex.com/p/1"),
+      (101L, "https://ex.com/p/2"))
+      .toDF("doc_id", "url")
+    UrlQueries.initStoredUrlIndex(spark, tmp, corpus)
+    val batch = Seq(
+      (1L, "HTTPS://WWW.EX.com/p/1/"),          // dup of stored 100 (stored wins despite smaller id)
+      (2L, "https://ex.com/new?utm_source=a"),  // first fetch of a new address
+      (3L, "https://www.ex.com/new#f"),         // same new address again -> dup in batch
+      (4L, "https://ex.com/other"))             // unique
+      .toDF("doc_id", "url")
+    val out = UrlQueries.probeUrlBatch(spark, tmp, batch)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((100L, "dup_of_stored")), "stored keeper must stand")
+    assert(out(2L) == ((2L, "unique")))
+    assert(out(3L) == ((2L, "dup_in_batch")))
+    assert(out(4L) == ((4L, "unique")))
+  }
+
+  test("stored probe equals the full-run election restricted to the batch (corpus precedence)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("d14bfull").toString
+    // ids chosen so corpus ids are LARGER than batch ids — the full-run
+    // min election and the first-crawled-wins probe disagree on raw
+    // min, so the test pins the intended semantics: stored keeper wins
+    val corpus = Seq((50L, "https://a.com/x"), (60L, "https://b.com/y"))
+      .toDF("doc_id", "url")
+    val batch = Seq((1L, "https://a.com/x"), (2L, "https://c.com/z"))
+      .toDF("doc_id", "url")
+    UrlQueries.initStoredUrlIndex(spark, tmp, corpus)
+    val out = UrlQueries.probeUrlBatch(spark, tmp, batch)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((50L, "dup_of_stored")))
+    assert(out(2L) == ((2L, "unique")))
+  }
+
   test("keep election: min doc_id per canonical, others flagged dropped") {
     import spark.implicits._
     val docs = Seq(
