@@ -138,17 +138,30 @@ object UrlQueries {
     * increment-sized by construction (≤ |batch keys|), so the verdict
     * joins are broadcasts. Past the guard cap everything degrades to
     * the scale-safe canonical-keyed shuffle join. */
+  /** The canonicalized batch, staged once per lifecycle call. */
+  private def canonBatch(batch: DataFrame): DataFrame =
+    graft.plans.Stage(batch.withColumn("canonical_url", canonicalUrl(col("url"))))
+
+  /** Stored keeper rows whose canonical key appears in the (already
+    * canonicalized, staged) batch: the batch's distinct keys go
+    * through the MEASURED broadcast guard and semi-join the index
+    * MAP-SIDE — the index is scanned once, never shuffled, and the
+    * slice is increment-sized by construction (≤ |batch keys|). */
+  private def storedMatched(s: org.apache.spark.sql.SparkSession, path: String,
+                            b: DataFrame, maxBroadcastKeys: Long): DataFrame = {
+    val idx = graft.sources.IndexStore.readSwappable(s, path, "keepers")
+    val keys = QueryDef.guardedBroadcast(
+      b.select(col("canonical_url")).distinct(), maxBroadcastKeys)
+    idx.join(keys, Seq("canonical_url"), "left_semi")
+  }
+
   def probeUrlBatch(s: org.apache.spark.sql.SparkSession, path: String,
                     batch: DataFrame,
                     maxBroadcastKeys: Long = 5000000L): DataFrame = {
     graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
       "url-index format")
-    val idx = graft.sources.IndexStore.readSwappable(s, path, "keepers")
-    val b = graft.plans.Stage(
-      batch.withColumn("canonical_url", canonicalUrl(col("url"))))
-    val keys = QueryDef.guardedBroadcast(
-      b.select(col("canonical_url")).distinct(), maxBroadcastKeys)
-    val matched = idx.join(keys, Seq("canonical_url"), "left_semi")
+    val b = canonBatch(batch)
+    val matched = storedMatched(s, path, b, maxBroadcastKeys)
     val bmin = b.groupBy(col("canonical_url"))
       .agg(min(col("doc_id")).as("__batch_keep"))
     b.join(broadcast(matched), Seq("canonical_url"), "left")
@@ -159,6 +172,50 @@ object UrlQueries {
           .when(col("doc_id") === col("__batch_keep"), lit("unique"))
           .otherwise(lit("dup_in_batch")).as("status"))
       .orderBy("doc_id")
+  }
+
+  // ---- streaming lifecycle surface (UrlIngest) -------------------------
+
+  /** Heal a crashed/replayed STREAMING batch's keeper files before
+    * re-probing — idempotent; called by `UrlIngest` at batch start. */
+  def sweepUrlStreamBatch(s: org.apache.spark.sql.SparkSession, path: String,
+                          tag: String): Unit =
+    graft.sources.IndexStore.sweepTaggedFiles(s, path, "keepers", tag)
+
+  /** Replay-safe tagged append of the batch's NEW canonical keepers
+    * (first occurrence of an address nobody stored yet; min batch
+    * doc_id wins inside the batch). Appends are append-only BY
+    * CONSTRUCTION — only keys absent from the index at append time are
+    * written, and streaming batches are sequential, so the one-row-
+    * per-canonical invariant the probe relies on holds across any
+    * number of folds. Duplicate ADDRESSES are the operator's normal
+    * input; a duplicate DOC ID is a pipeline bug — the detectable
+    * slice (a batch id that is already a stored KEEPER, which is
+    * exactly what a re-sent batch under a fresh tag produces)
+    * fail-stops on the increment-sized matched frame, never a full
+    * index scan. */
+  def appendUrlKeepersTagged(s: org.apache.spark.sql.SparkSession, path: String,
+                             batch: DataFrame, tag: String,
+                             maxBroadcastKeys: Long = 5000000L): Unit = {
+    graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
+      "url-index format")
+    sweepUrlStreamBatch(s, path, tag) // a prior attempt must not trip the gate
+    val b = canonBatch(batch)
+    val matched = graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys))
+    val clash = matched
+      .join(broadcast(b.select(col("doc_id")).distinct()),
+        matched("keeper_id") === col("doc_id"), "left_semi")
+      .count()
+    require(clash == 0,
+      s"appendUrlKeepersTagged: $clash batch doc ids are already stored " +
+        s"keepers under $path — batch ids must be disjoint from ingested docs")
+    val newKeepers = b
+      .join(broadcast(matched.select(col("canonical_url"))),
+        Seq("canonical_url"), "left_anti")
+      .groupBy(col("canonical_url")).agg(min(col("doc_id")).as("keeper_id"))
+    graft.sources.IndexStore.publishTaggedAppend(s, path, "keepers", tag) { stage =>
+      newKeepers.write.mode("overwrite").parquet(stage)
+    }
   }
 
   /** Batch boundary 400: canonical collisions repeat every 350 ids
