@@ -1649,9 +1649,100 @@ object SampleQueries {
              MIN(thr) AS rate_thr
       FROM m GROUP BY cluster ORDER BY cluster"""))
 
+  // ---- c20: curriculum ordering plan (r18) -----------------------------
+
+  /** Curriculum data-ordering plan — the pacing step between curation
+    * and the trainer (curriculum-learning data schedules: present
+    * cleaner text first, the long tail later; the complement of c15's
+    * anneal BUDGET, which picks what to train on at the end — c20
+    * orders the whole corpus): stage = quality tercile (0 = easiest /
+    * highest t2 quality first), and WITHIN each stage the c8
+    * deterministic shard + position so a sharded trainer consumes
+    * stages in order with a reproducible permutation inside each.
+    *
+    * Terciles use t24's value-cutoff discipline — quality quantizes to
+    * a 6dp grid, so cutoffs walk the ≤ grid-sized bin histogram on the
+    * driver and every doc with the same value lands in the same stage
+    * (no unpartitioned global rank, no cross-engine tie ambiguity).
+    * Shard/order octets come from the SALTED draw md5('cur:'‖doc_id):
+    * the curriculum's order must be independent of c8's training-order
+    * octets (a correlated draw would replay the same permutation) and
+    * every unsalted octet is claimed (the c10 discipline).
+    *
+    * Scale shape: ONE staged feature pass (the shared t2 frame); the
+    * bin histogram is grid-sized and collected; stage/shard are pure
+    * map-side expressions; the only shuffle is the (stage, shard)-keyed
+    * rank — the c8 exchange shape, 3 × nShards balanced partitions, no
+    * global sort anywhere. */
+  private[graft] def curriculumPlanOf(docs: org.apache.spark.sql.DataFrame,
+                                      nShards: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = qualityTokenFrame(docs)
+    val bins = q.groupBy(col("quality")).agg(count(lit(1)).as("c"))
+      .collect() // ≤ 6dp-grid bins, never corpus-sized (t24's argument)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(-_._1) // easiest (highest quality) first
+    val total = bins.map(_._2).sum
+    require(total > 0, "c20 curriculum plan: empty corpus")
+    def cutAtRank(k: Long): Double = {
+      var cum = 0L
+      val it = bins.iterator
+      var cut = Double.NegativeInfinity
+      while (cum < k && it.hasNext) { val (value, c) = it.next(); cum += c; cut = value }
+      cut
+    }
+    val cut1 = cutAtRank((total + 2) / 3)
+    val cut2 = cutAtRank((2 * total + 2) / 3)
+    val stage = when(col("quality") >= cut1, lit(0L))
+      .when(col("quality") >= cut2, lit(1L)).otherwise(lit(2L))
+    val h = md5(concat(lit("cur:"), col("doc_id").cast("string")))
+    val shard = conv(substring(h, 1, 8), 16, 10).cast("long") % nShards
+    q.select(col("doc_id"), stage.as("stage"), shard.as("shard"),
+        substring(h, 9, 8).as("__o"))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("stage"), col("shard"))
+            .orderBy(col("__o"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("stage"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  val cCurriculumPlan = QueryDef(
+    "c20_curriculum_plan",
+    (s, dir) => curriculumPlanOf(Tables.documents(s, dir), nShards = 8),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, n_chars, string_split(text, ' ') AS tk,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt
+        FROM documents),
+      scored AS (
+        SELECT doc_id,
+               ROUND(CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+                     + (len(list_filter(tk, t -> t IN ('the','a','and','of','to','in'))) / nt) * 0.25
+                     + (len(list_distinct(tk)) / nt) * 0.25, 6) AS q
+        FROM b),
+      bins AS (SELECT q, COUNT(*) AS c FROM scored GROUP BY q),
+      cum AS (SELECT q, SUM(c) OVER (ORDER BY q DESC) AS cum FROM bins),
+      tot AS (SELECT COUNT(*) AS n FROM scored),
+      cuts AS (SELECT
+          (SELECT MAX(q) FROM cum, tot WHERE cum >= (n + 2) // 3) AS cut1,
+          (SELECT MAX(q) FROM cum, tot WHERE cum >= (2 * n + 2) // 3) AS cut2),
+      st AS (
+        SELECT doc_id,
+               CASE WHEN q >= cut1 THEN 0 WHEN q >= cut2 THEN 1 ELSE 2 END AS stage,
+               CAST(('0x' || substring(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 8 AS shard,
+               substring(md5('cur:' || CAST(doc_id AS VARCHAR)), 9, 8) AS o
+        FROM scored CROSS JOIN cuts)
+      SELECT doc_id, CAST(stage AS BIGINT) AS stage, shard,
+             CAST(ROW_NUMBER() OVER (PARTITION BY stage, shard ORDER BY o, doc_id)
+               AS BIGINT) AS pos
+      FROM st ORDER BY doc_id"""))
+
   val all: Seq[QueryDef] =
     Seq(cSample, cMixAudit, cSplit, cStratified, cTokenBudget, cKAnonymity,
       cMixResample, cShardShuffle, cSnapshotDiff, cSourceCap, cEpochShardPlan,
       cDomainCap, cDsirSelect, cAnnealPlan, cBlocklistGate, cWaterFill,
-      cMixPlanChain, cClusterMix)
+      cMixPlanChain, cClusterMix, cCurriculumPlan)
 }
