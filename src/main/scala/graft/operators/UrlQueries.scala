@@ -155,13 +155,9 @@ object UrlQueries {
     idx.join(keys, Seq("canonical_url"), "left_semi")
   }
 
-  def probeUrlBatch(s: org.apache.spark.sql.SparkSession, path: String,
-                    batch: DataFrame,
-                    maxBroadcastKeys: Long = 5000000L): DataFrame = {
-    graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
-      "url-index format")
-    val b = canonBatch(batch)
-    val matched = storedMatched(s, path, b, maxBroadcastKeys)
+  /** Verdict frame from the shared staged frames (see
+    * [[ingestUrlBatch]] for why these are threaded, not recomputed). */
+  private def verdictsOf(b: DataFrame, matched: DataFrame): DataFrame = {
     val bmin = b.groupBy(col("canonical_url"))
       .agg(min(col("doc_id")).as("__batch_keep"))
     b.join(broadcast(matched), Seq("canonical_url"), "left")
@@ -172,6 +168,15 @@ object UrlQueries {
           .when(col("doc_id") === col("__batch_keep"), lit("unique"))
           .otherwise(lit("dup_in_batch")).as("status"))
       .orderBy("doc_id")
+  }
+
+  def probeUrlBatch(s: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame,
+                    maxBroadcastKeys: Long = 5000000L): DataFrame = {
+    graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
+      "url-index format")
+    val b = canonBatch(batch)
+    verdictsOf(b, storedMatched(s, path, b, maxBroadcastKeys))
   }
 
   // ---- streaming lifecycle surface (UrlIngest) -------------------------
@@ -194,14 +199,13 @@ object UrlQueries {
     * exactly what a re-sent batch under a fresh tag produces)
     * fail-stops on the increment-sized matched frame, never a full
     * index scan. */
-  def appendUrlKeepersTagged(s: org.apache.spark.sql.SparkSession, path: String,
-                             batch: DataFrame, tag: String,
-                             maxBroadcastKeys: Long = 5000000L): Unit = {
-    graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
-      "url-index format")
-    sweepUrlStreamBatch(s, path, tag) // a prior attempt must not trip the gate
-    val b = canonBatch(batch)
-    val matched = graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys))
+  /** Gate + fold from the shared staged frames: fail-stop on a batch
+    * doc id that is already a stored keeper (a re-sent batch under a
+    * fresh tag — the detectable slice of duplicate-doc ingestion,
+    * checked on the increment-sized matched frame), then publish the
+    * batch's NEW canonical keepers under the tag. */
+  private def gateAndFold(s: org.apache.spark.sql.SparkSession, path: String,
+                          b: DataFrame, matched: DataFrame, tag: String): Unit = {
     val clash = matched
       .join(broadcast(b.select(col("doc_id")).distinct()),
         matched("keeper_id") === col("doc_id"), "left_semi")
@@ -216,6 +220,37 @@ object UrlQueries {
     graft.sources.IndexStore.publishTaggedAppend(s, path, "keepers", tag) { stage =>
       newKeepers.write.mode("overwrite").parquet(stage)
     }
+  }
+
+  def appendUrlKeepersTagged(s: org.apache.spark.sql.SparkSession, path: String,
+                             batch: DataFrame, tag: String,
+                             maxBroadcastKeys: Long = 5000000L): Unit = {
+    graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
+      "url-index format")
+    sweepUrlStreamBatch(s, path, tag) // a prior attempt must not trip the gate
+    val b = canonBatch(batch)
+    gateAndFold(s, path,
+      b, graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys)), tag)
+  }
+
+  /** The streaming batch body: sweep → ONE canonicalization + ONE
+    * index scan shared by the probe and the fold (the staged frames
+    * are threaded through both, instead of probe and append each
+    * re-canonicalizing the batch and re-scanning the keeper table —
+    * at production index scale that recomputation doubles per-batch
+    * I/O), verdicts handed to the caller BEFORE the fold so a failed
+    * consumer leaves the index unappended and the replay exact. */
+  def ingestUrlBatch(s: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, tag: String,
+                     onVerdicts: DataFrame => Unit,
+                     maxBroadcastKeys: Long = 5000000L): Unit = {
+    graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
+      "url-index format")
+    sweepUrlStreamBatch(s, path, tag)
+    val b = canonBatch(batch)
+    val matched = graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys))
+    onVerdicts(verdictsOf(b, matched))
+    gateAndFold(s, path, b, matched, tag)
   }
 
   /** Batch boundary 400: canonical collisions repeat every 350 ids

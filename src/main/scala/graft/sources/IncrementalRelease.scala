@@ -143,10 +143,11 @@ object IncrementalRelease {
     val committed = versions(s, root)
     require(deltaFrom.forall(committed.contains),
       s"delta base v${deltaFrom.get} is not a committed version of $root")
-    // sweep a crashed previous attempt: uncommitted manifest dirs and
-    // orphan pool gens (gen not belonging to any committed version)
+    // sweep a crashed previous attempt: uncommitted manifest dirs, then
+    // pool files no committed manifest references (the crashed
+    // publish's fresh gens — and nothing else: see gcUnreferencedPool)
     IndexStore.vSweepUncommitted(s, root, "v", committed.toSet)
-    sweepOrphanGens(s, root, committed.toSet)
+    gcUnreferencedPool(s, root, committed)
     val next = committed.lastOption.getOrElse(0L) + 1
 
     val cols = Seq("doc_id", "text", "n_chars") ++
@@ -248,34 +249,26 @@ object IncrementalRelease {
     entries.toSeq
   }
 
-  /** Delete pool files whose gen belongs to no committed version — a
-    * crashed publish's leftovers. Never touches committed gens. */
-  private def sweepOrphanGens(s: SparkSession, root: String,
-                              committed: Set[Long]): Unit = {
+  /** Delete pool files referenced by NO manifest in `versions` — the
+    * ONE GC definition, shared by the crash sweep (versions = all
+    * committed: a crashed publish's fresh gens are referenced by
+    * nothing) and post-retention GC (versions = the retained set).
+    *
+    * MEMBERSHIP IS BY MANIFEST REFERENCE, NEVER BY GEN NUMBER: a
+    * delta-published version carries forward files from OLDER gens by
+    * reference, so after lag-one retention retires the version that
+    * CREATED a gen, its files may still compose every retained
+    * release. A gen-number sweep ("gen ∉ committed versions") would
+    * delete exactly those carried files and corrupt all retained
+    * manifests — the r18 review finding this signature replaces;
+    * IncrementalReleaseSpec's long-lineage test pins gen-1 files
+    * surviving past v1's retirement. */
+  private def gcUnreferencedPool(s: SparkSession, root: String,
+                                 versions: Seq[Long]): Unit = {
     val fs = fsOf(s, root)
     val pool = new Path(poolDir(root))
     if (!fs.exists(pool)) return
-    val it = fs.listFiles(pool, true)
-    while (it.hasNext) {
-      val f = it.next()
-      val nm = f.getPath.getName
-      if (nm.startsWith("g") && nm.endsWith(".parquet") &&
-          nm.drop(1).takeWhile(_ != '-').toLongOption.exists(!committed.contains(_)))
-        fs.delete(f.getPath, false)
-    }
-  }
-
-  /** Lag-one retention + pool garbage collection: retire versions
-    * ≤ next−2 (marker first, IndexStore's order), then delete pool
-    * files referenced by NO retained manifest. */
-  private def retain(s: SparkSession, root: String, committed: Seq[Long],
-                     next: Long): Unit = {
-    val fs = fsOf(s, root)
-    IndexStore.vRetainLagOne(s, root, "v", committed, next)
-    val retained = versions(s, root)
-    val referenced = retained.flatMap(v => readManifest(s, root, v)).toSet
-    val pool = new Path(poolDir(root))
-    if (!fs.exists(pool)) return
+    val referenced = versions.flatMap(v => readManifest(s, root, v)).toSet
     val it = fs.listFiles(pool, true)
     val doomed = scala.collection.mutable.ArrayBuffer.empty[Path]
     while (it.hasNext) {
@@ -288,5 +281,14 @@ object IncrementalRelease {
       }
     }
     doomed.foreach(fs.delete(_, false))
+  }
+
+  /** Lag-one retention + pool garbage collection: retire versions
+    * ≤ next−2 (marker first, IndexStore's order), then GC files
+    * referenced by NO retained manifest. */
+  private def retain(s: SparkSession, root: String, committed: Seq[Long],
+                     next: Long): Unit = {
+    IndexStore.vRetainLagOne(s, root, "v", committed, next)
+    gcUnreferencedPool(s, root, versions(s, root))
   }
 }

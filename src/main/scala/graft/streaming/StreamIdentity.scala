@@ -55,11 +55,25 @@ object StreamIdentity {
           "body outside a streaming query")))
 
   /** The prefix for a KNOWN id — what a restart/replay driver uses to
-    * reconstruct a running query's tags (`prefixOf(q.id.toString)`). */
+    * reconstruct a running query's tags (`prefixOf(q.id.toString)`).
+    *
+    * Ids that are already filename-safe map to themselves (query-id
+    * UUIDs — the streaming path — never pay the hash suffix). An id
+    * carrying unsafe characters is NOT silently stripped: "job 1" and
+    * "job1" collapsing to one namespace would let driver B's batch-0
+    * sweep delete driver A's committed batch-0 files — exactly the
+    * cross-incarnation un-ingestion this class exists to prevent — so
+    * the sanitized form is disambiguated with a hash of the RAW id
+    * (injective up to md5, not up to stripping). */
   def prefixOf(rawId: String): String = {
     val safe = rawId.filter(c => c.isLetterOrDigit || c == '-' || c == '_')
     require(safe.nonEmpty, s"stream id '$rawId' has no filename-safe characters")
-    s"q$safe"
+    if (safe == rawId) s"q$safe"
+    else {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(rawId.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      s"q$safe-$h"
+    }
   }
 
   /** The per-batch tag under an incarnation prefix. */

@@ -54,10 +54,11 @@ object UrlIngest {
           graft.sources.IndexStore.requireMonotonicBatch(
             b.sparkSession, indexPath, Seq("keepers"), prefix, batchId)
           val tag = StreamIdentity.batchTag(prefix, batchId)
-          UrlQueries.sweepUrlStreamBatch(b.sparkSession, indexPath, tag)
-          val verdicts = UrlQueries.probeUrlBatch(b.sparkSession, indexPath, b)
-          onVerdicts(verdicts, batchId)
-          UrlQueries.appendUrlKeepersTagged(b.sparkSession, indexPath, b, tag)
+          // one canonicalization + one index scan feed BOTH the probe
+          // and the fold (UrlQueries.ingestUrlBatch threads the staged
+          // frames); verdicts reach the caller before the fold
+          UrlQueries.ingestUrlBatch(b.sparkSession, indexPath, b, tag,
+            verdicts => onVerdicts(verdicts, batchId))
         }
       } finally b.unpersist()
     }

@@ -131,6 +131,44 @@ class IncrementalReleaseSpec extends AnyFunSuite {
     assert(rows(IncrementalRelease.readCurrent(spark, root)) == rows(day3))
   }
 
+  test("long lineage: carried gen-1 files survive past v1's retirement (GC is by reference, not gen number)") {
+    // the r18 review finding: after lag-one retention retires the
+    // version that CREATED gen 1, versions 2 and 3 still reference
+    // carried gen-1 files for untouched buckets; a gen-number-keyed
+    // crash sweep would delete them on the NEXT publish and corrupt
+    // every retained release
+    val root = newRoot()
+    // narrow daily deltas (a handful of revised docs each) so most
+    // buckets stay untouched through the whole lineage — the shape
+    // that maximizes carried gen-1 files
+    def rev(base: DataFrame, k: Int): DataFrame = base.withColumn("text",
+      when(col("doc_id") % k === 0, concat(col("text"), lit(s" rev$k")))
+        .otherwise(col("text")))
+    val d2 = rev(docs, 13)
+    val d3 = rev(d2, 17)
+    val d4 = rev(d3, 19)
+    IncrementalRelease.publishFull(docs, root) // v1: every file is gen 1
+    IncrementalRelease.publishDelta(d2, root)  // v2: carries gen-1 files
+    IncrementalRelease.publishDelta(d3, root)  // v3: retires v1 (lag-one)
+    assert(IncrementalRelease.versions(spark, root) == Seq(2L, 3L))
+    // a fourth publish runs the crash sweep over a pool whose gen-1
+    // files belong to NO live version NUMBER — they must survive
+    IncrementalRelease.publishDelta(d4, root)
+    assert(IncrementalRelease.versions(spark, root) == Seq(3L, 4L))
+    // both retained versions read back complete and equal their logical
+    // releases — v3 still resolving its carried gen-1 files
+    assert(rows(IncrementalRelease.readVersion(spark, root, 3L)) == rows(d3))
+    assert(rows(IncrementalRelease.readVersion(spark, root, 4L)) == rows(d4))
+    // and the carry is genuine: v4's manifest still lists gen-1 files
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val m4 = scala.io.Source.fromInputStream(
+      fs.open(new org.apache.hadoop.fs.Path(s"$root/v4/files.txt")), "UTF-8")
+      .getLines().toList
+    assert(m4.exists(_.matches(".*/g1-[0-9]+\\.parquet")),
+      "deep lineage must still carry first-generation files by reference")
+  }
+
   test("geometry gate: a delta with a different nBuckets fail-stops") {
     val root = newRoot()
     IncrementalRelease.publishFull(day1, root, nBuckets = 8)

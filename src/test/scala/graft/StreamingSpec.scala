@@ -733,9 +733,17 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(rewound.getMessage.contains("rewound"))
 
-    // prefix derivation: explicit ids filter to the tag charset; no id
-    // anywhere fail-stops rather than guessing a namespace
-    assert(StreamIdentity.prefixOf("a b/c") == "qabc")
+    // prefix derivation: safe ids map to themselves (query-id UUIDs);
+    // ids carrying stripped characters get a raw-id hash suffix so
+    // "job 1" and "job1" can NEVER share a namespace (a collision
+    // would re-enable the cross-incarnation sweep); no id anywhere
+    // fail-stops rather than guessing a namespace
+    assert(StreamIdentity.prefixOf("job1") == "qjob1")
+    assert(StreamIdentity.prefixOf("a b/c").startsWith("qabc-"))
+    assert(StreamIdentity.prefixOf("a b/c") != StreamIdentity.prefixOf("ab c/"))
+    assert(StreamIdentity.prefixOf("job 1") != StreamIdentity.prefixOf("job1"))
+    assert(StreamIdentity.prefixOf("a b/c") == StreamIdentity.prefixOf("a b/c"),
+      "prefix must stay deterministic for replay reconstruction")
     val none = intercept[RuntimeException] {
       StreamIdentity.incarnationPrefix(spark, None)
     }
