@@ -1698,6 +1698,9 @@ object SampleQueries {
       .when(col("quality") >= cut2, lit(1L)).otherwise(lit(2L))
     val h = md5(concat(lit("cur:"), col("doc_id").cast("string")))
     val shard = conv(substring(h, 1, 8), 16, 10).cast("long") % nShards
+    // no global sort here: the trainer-facing plan's only exchange is
+    // the (stage, shard)-keyed rank — presentation ordering lives in
+    // the QueryDef wrapper (the c8_shard_shuffle pattern)
     q.select(col("doc_id"), stage.as("stage"), shard.as("shard"),
         substring(h, 9, 8).as("__o"))
       .withColumn("pos",
@@ -1705,12 +1708,12 @@ object SampleQueries {
           Window.partitionBy(col("stage"), col("shard"))
             .orderBy(col("__o"), col("doc_id"))).cast("long"))
       .select(col("doc_id"), col("stage"), col("shard"), col("pos"))
-      .orderBy("doc_id")
   }
 
   val cCurriculumPlan = QueryDef(
     "c20_curriculum_plan",
-    (s, dir) => curriculumPlanOf(Tables.documents(s, dir), nShards = 8),
+    (s, dir) => curriculumPlanOf(Tables.documents(s, dir), nShards = 8)
+      .orderBy("doc_id"),
     Some("""
       WITH b AS (
         SELECT doc_id, n_chars, string_split(text, ' ') AS tk,

@@ -156,12 +156,26 @@ object UrlQueries {
   }
 
   /** Verdict frame from the shared staged frames (see
-    * [[ingestUrlBatch]] for why these are threaded, not recomputed). */
-  private def verdictsOf(b: DataFrame, matched: DataFrame): DataFrame = {
-    val bmin = b.groupBy(col("canonical_url"))
-      .agg(min(col("doc_id")).as("__batch_keep"))
-    b.join(broadcast(matched), Seq("canonical_url"), "left")
-      .join(broadcast(bmin), Seq("canonical_url"))
+    * [[ingestUrlBatch]] for why these are threaded, not recomputed).
+    * Both small sides (the matched index slice, the per-key batch
+    * minima) go through the MEASURED guard — they are increment-sized
+    * by construction, but "small by construction" is exactly the claim
+    * the guard discipline exists to verify: past the cap every join
+    * degrades to the scale-safe canonical-keyed shuffle. */
+  /** The measured-hint half of guardedBroadcast for a frame the caller
+    * has ALREADY staged: count the materialized blocks, hint only under
+    * the cap — no second checkpoint copy. */
+  private def hintIfSmall(staged: DataFrame, cap: Long): DataFrame =
+    if (staged.count() <= cap) broadcast(staged) else staged
+
+  private def verdictsOf(b: DataFrame, matched: DataFrame,
+                         maxBroadcastKeys: Long): DataFrame = {
+    val bmin = QueryDef.guardedBroadcast(
+      b.groupBy(col("canonical_url")).agg(min(col("doc_id")).as("__batch_keep")),
+      maxBroadcastKeys)
+    val m = hintIfSmall(matched, maxBroadcastKeys)
+    b.join(m, Seq("canonical_url"), "left")
+      .join(bmin, Seq("canonical_url"))
       .select(col("doc_id"),
         coalesce(col("keeper_id"), col("__batch_keep")).as("keeper_id"),
         when(col("keeper_id").isNotNull, lit("dup_of_stored"))
@@ -176,7 +190,9 @@ object UrlQueries {
     graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
       "url-index format")
     val b = canonBatch(batch)
-    verdictsOf(b, storedMatched(s, path, b, maxBroadcastKeys))
+    verdictsOf(b,
+      graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys)),
+      maxBroadcastKeys)
   }
 
   // ---- streaming lifecycle surface (UrlIngest) -------------------------
@@ -205,17 +221,22 @@ object UrlQueries {
     * checked on the increment-sized matched frame), then publish the
     * batch's NEW canonical keepers under the tag. */
   private def gateAndFold(s: org.apache.spark.sql.SparkSession, path: String,
-                          b: DataFrame, matched: DataFrame, tag: String): Unit = {
+                          b: DataFrame, matched: DataFrame, tag: String,
+                          maxBroadcastKeys: Long): Unit = {
+    // measured guards, never bare hints: these frames are increment-
+    // sized by construction, and the guard is what keeps that claim
+    // honest when the increment itself outgrows the broadcast cap
+    val bIds = QueryDef.guardedBroadcast(
+      b.select(col("doc_id")).distinct(), maxBroadcastKeys)
     val clash = matched
-      .join(broadcast(b.select(col("doc_id")).distinct()),
-        matched("keeper_id") === col("doc_id"), "left_semi")
+      .join(bIds, matched("keeper_id") === bIds("doc_id"), "left_semi")
       .count()
     require(clash == 0,
       s"appendUrlKeepersTagged: $clash batch doc ids are already stored " +
         s"keepers under $path — batch ids must be disjoint from ingested docs")
+    val mKeys = hintIfSmall(matched, maxBroadcastKeys).select(col("canonical_url"))
     val newKeepers = b
-      .join(broadcast(matched.select(col("canonical_url"))),
-        Seq("canonical_url"), "left_anti")
+      .join(mKeys, Seq("canonical_url"), "left_anti")
       .groupBy(col("canonical_url")).agg(min(col("doc_id")).as("keeper_id"))
     graft.sources.IndexStore.publishTaggedAppend(s, path, "keepers", tag) { stage =>
       newKeepers.write.mode("overwrite").parquet(stage)
@@ -230,7 +251,8 @@ object UrlQueries {
     sweepUrlStreamBatch(s, path, tag) // a prior attempt must not trip the gate
     val b = canonBatch(batch)
     gateAndFold(s, path,
-      b, graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys)), tag)
+      b, graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys)), tag,
+      maxBroadcastKeys)
   }
 
   /** The streaming batch body: sweep → ONE canonicalization + ONE
@@ -249,8 +271,8 @@ object UrlQueries {
     sweepUrlStreamBatch(s, path, tag)
     val b = canonBatch(batch)
     val matched = graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys))
-    onVerdicts(verdictsOf(b, matched))
-    gateAndFold(s, path, b, matched, tag)
+    onVerdicts(verdictsOf(b, matched, maxBroadcastKeys))
+    gateAndFold(s, path, b, matched, tag, maxBroadcastKeys)
   }
 
   /** Batch boundary 400: canonical collisions repeat every 350 ids

@@ -57,23 +57,24 @@ object StreamIdentity {
   /** The prefix for a KNOWN id — what a restart/replay driver uses to
     * reconstruct a running query's tags (`prefixOf(q.id.toString)`).
     *
-    * Ids that are already filename-safe map to themselves (query-id
-    * UUIDs — the streaming path — never pay the hash suffix). An id
-    * carrying unsafe characters is NOT silently stripped: "job 1" and
-    * "job1" collapsing to one namespace would let driver B's batch-0
-    * sweep delete driver A's committed batch-0 files — exactly the
-    * cross-incarnation un-ingestion this class exists to prevent — so
-    * the sanitized form is disambiguated with a hash of the RAW id
-    * (injective up to md5, not up to stripping). */
+    * `q<ascii-safe form>-<md5(raw) prefix>` — the hash suffix is
+    * UNCONDITIONAL: a sanitize-only scheme collapses "job 1" and
+    * "job1" into one namespace (driver B's batch-0 sweep then deletes
+    * driver A's committed batch-0 files — the cross-incarnation
+    * un-ingestion this class exists to prevent), and a conditional
+    * suffix reopens the same hole across branches (a safe id crafted
+    * as '<x>-<hex>' colliding with an unsafe id sanitizing to '<x>').
+    * Hashing ALWAYS makes distinct raw ids distinct prefixes up to
+    * md5, with the sanitized form kept only for operator readability.
+    * Safety is ASCII-only — `publishTaggedAppend` enforces the
+    * [A-Za-z0-9_-] tag charset, and Char.isLetterOrDigit alone would
+    * pass a non-ASCII id here only to fail every batch at the fold. */
   def prefixOf(rawId: String): String = {
-    val safe = rawId.filter(c => c.isLetterOrDigit || c == '-' || c == '_')
-    require(safe.nonEmpty, s"stream id '$rawId' has no filename-safe characters")
-    if (safe == rawId) s"q$safe"
-    else {
-      val h = java.security.MessageDigest.getInstance("MD5")
-        .digest(rawId.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-      s"q$safe-$h"
-    }
+    val safe = rawId.filter(c =>
+      (c < 0x80 && c.isLetterOrDigit) || c == '-' || c == '_')
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(rawId.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"q${if (safe.nonEmpty) safe else "id"}-$h"
   }
 
   /** The per-batch tag under an incarnation prefix. */

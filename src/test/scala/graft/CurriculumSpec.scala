@@ -57,9 +57,11 @@ class CurriculumSpec extends AnyFunSuite {
 
   test("layout invariance: repartitioned input gives the identical plan") {
     val docs = Tables.documents(spark, dir)
-    val a = SampleQueries.curriculumPlanOf(docs, 4).collect().toSeq
-    val b = SampleQueries.curriculumPlanOf(docs.repartition(7), 4).collect().toSeq
-    assert(a == b)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      SampleQueries.curriculumPlanOf(d, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(rows(docs) == rows(docs.repartition(7)))
   }
 
   test("all-equal quality degenerates to one stage, ordering still a permutation") {

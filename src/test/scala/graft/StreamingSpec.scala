@@ -733,15 +733,22 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(rewound.getMessage.contains("rewound"))
 
-    // prefix derivation: safe ids map to themselves (query-id UUIDs);
-    // ids carrying stripped characters get a raw-id hash suffix so
-    // "job 1" and "job1" can NEVER share a namespace (a collision
-    // would re-enable the cross-incarnation sweep); no id anywhere
-    // fail-stops rather than guessing a namespace
-    assert(StreamIdentity.prefixOf("job1") == "qjob1")
+    // prefix derivation: the raw-id hash suffix is UNCONDITIONAL, so
+    // distinct ids can never share a namespace — not "job 1" vs
+    // "job1" (sanitize collision), and not a safe id crafted as
+    // '<x>-<hex>' vs an unsafe id sanitizing to '<x>' (cross-branch
+    // collision of a conditional scheme); non-ASCII ids sanitize out
+    // (the tag charset is ASCII) but stay distinct via the hash; no
+    // id anywhere fail-stops rather than guessing a namespace
+    assert(StreamIdentity.prefixOf("job1").startsWith("qjob1-"))
     assert(StreamIdentity.prefixOf("a b/c").startsWith("qabc-"))
-    assert(StreamIdentity.prefixOf("a b/c") != StreamIdentity.prefixOf("ab c/"))
     assert(StreamIdentity.prefixOf("job 1") != StreamIdentity.prefixOf("job1"))
+    assert(StreamIdentity.prefixOf("a b/c") != StreamIdentity.prefixOf("ab c/"))
+    assert(StreamIdentity.prefixOf(StreamIdentity.prefixOf("job 1").drop(1))
+      != StreamIdentity.prefixOf("job 1"),
+      "a safe id equal to another id's derived form must still get its own namespace")
+    assert(StreamIdentity.prefixOf("tâche1").matches("q[A-Za-z0-9_-]+"),
+      "non-ASCII ids must yield tag-charset-safe prefixes")
     assert(StreamIdentity.prefixOf("a b/c") == StreamIdentity.prefixOf("a b/c"),
       "prefix must stay deterministic for replay reconstruction")
     val none = intercept[RuntimeException] {
