@@ -208,6 +208,29 @@ object Scaffold {
       lit("/p/"), col("doc_id").cast("string"))
   }
 
+  /** Deterministic script-bearing view for t33 (QueryDef-only
+    * scaffolding; both engines state the same closed form): the corpus
+    * is ASCII word soup, so the zh rows are ALREADY genuine lang↔script
+    * mismatches (the real-world "lang tag says zh, content is Latin"
+    * case — no injection needed); what injection adds is the other two
+    * verdict populations: every zh doc with doc_id % 3 == 0 gets a
+    * dominating Han block (repeat count = n_chars, so 4·n_chars Han
+    * codepoints provably outnumber the ≤ n_chars Latin letters — the
+    * consistent zh case), and every doc_id % 7 == 0 doc a dominating
+    * Cyrillic block (the mojibake/mislabeled case for Latin langs);
+    * doc_id % 11 == 0 docs carry a small Greek tail that moves the
+    * count columns without flipping dominance. */
+  private[graft] def scriptedText: Column = {
+    val han = expr("repeat('\u6C49\u5B57\u6587\u672C', CAST(n_chars AS INT))")
+    val cyr = expr("repeat('\u0442\u0435\u043A\u0441\u0442', CAST(n_chars AS INT))")
+    val withHan = when(col("lang") === "zh" && col("doc_id") % 3 === 0,
+      concat(col("text"), lit(" "), han)).otherwise(col("text"))
+    val withCyr = when(col("doc_id") % 7 === 0,
+      concat(withHan, lit(" "), cyr)).otherwise(withHan)
+    when(col("doc_id") % 11 === 0,
+      concat(withCyr, lit(" \u03B1\u03B2\u03B3\u03B4\u03B5"))).otherwise(withCyr)
+  }
+
   /** Deterministic MESSY-URL synthesis for d14 (QueryDef-only
     * scaffolding; both engines state the same closed form): URL-keyed
     * dedup is vacuous without colliding canonical URLs, so six

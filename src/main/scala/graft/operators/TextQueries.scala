@@ -1463,9 +1463,104 @@ object TextQueries {
              CAST(SUM(CAST(('0x' || substring(md5(cleaned), 1, 10)) AS BIGINT)) AS BIGINT) AS cleaned_digest
       FROM sc GROUP BY source ORDER BY source"""))
 
+  // ---- t33: language-script consistency audit (r18) --------------------
+
+  /** Script-consistency audit — the metadata-hygiene check between the
+    * lang tag and what the BYTES say (mislabeled crawl records, mojibake,
+    * wrong-language boilerplate under a correct tag are all caught by
+    * "the dominant script disagrees with the tag's expected script"
+    * before any model-based lang-id spends a forward pass): per doc,
+    * codepoint counts for four letter scripts (ASCII Latin, Cyrillic,
+    * Greek, Han), dominant = argmax with a FIXED precedence order on
+    * ties (latin > cyrillic > greek > han — cross-engine deterministic),
+    * expected = han for zh else latin, verdict = ok / script_mismatch.
+    *
+    * Scale shape: four literal-pattern regexp counts + the CASE chain —
+    * a pure map-side codegen pass — then ONE aggregate keyed by
+    * (lang, dominant, verdict), |langs|×4×2 rows max. The corpus is
+    * never shuffled — the t23/t18/t32 cheapest-map-pass class. */
+  private[graft] def scriptAuditOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val t = col("text")
+    val nLatin = regexp_count(t, lit("[A-Za-z]")).cast("long")
+    val nCyr = regexp_count(t, lit("[\\x{0400}-\\x{04FF}]")).cast("long")
+    val nGreek = regexp_count(t, lit("[\\x{0370}-\\x{03FF}]")).cast("long")
+    val nHan = regexp_count(t, lit("[\\x{4E00}-\\x{9FFF}]")).cast("long")
+    val dominant =
+      when(nLatin >= nCyr && nLatin >= nGreek && nLatin >= nHan, "latin")
+        .when(nCyr >= nGreek && nCyr >= nHan, "cyrillic")
+        .when(nGreek >= nHan, "greek")
+        .otherwise("han")
+    val expected = when(col("lang") === "zh", "han").otherwise("latin")
+    docs
+      .select(col("doc_id"), col("lang"),
+        nLatin.as("n_latin"), nCyr.as("n_cyrillic"),
+        nGreek.as("n_greek"), nHan.as("n_han"),
+        dominant.as("dominant_script"),
+        when(dominant =!= expected, "script_mismatch")
+          .otherwise("ok").as("verdict"))
+      .groupBy(col("lang"), col("dominant_script"), col("verdict"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_latin")).as("latin_chars"),
+        sum(col("n_cyrillic")).as("cyrillic_chars"),
+        sum(col("n_greek")).as("greek_chars"),
+        sum(col("n_han")).as("han_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+      .orderBy("lang", "dominant_script", "verdict")
+  }
+
+  val tScriptAudit = QueryDef(
+    "t33_script_audit",
+    (s, dir) => scriptAuditOf(
+      Tables.documents(s, dir).withColumn("text", Scaffold.scriptedText)),
+    Some("""
+      WITH h1 AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN lang = 'zh' AND doc_id % 3 = 0
+                    THEN text || ' ' || repeat(chr(27721) || chr(23383) || chr(25991) || chr(26412), n_chars)
+                    ELSE text END AS text
+        FROM documents),
+      h2 AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' ' || repeat(chr(1090) || chr(1077) || chr(1082) || chr(1089) || chr(1090), n_chars)
+                    ELSE text END AS text
+        FROM h1),
+      v AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 11 = 0
+                    THEN text || ' ' || chr(945) || chr(946) || chr(947) || chr(948) || chr(949)
+                    ELSE text END AS text
+        FROM h2),
+      c AS (
+        SELECT doc_id, lang,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+               CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+               CAST(len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek,
+               CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_han
+        FROM v),
+      d AS (
+        SELECT *,
+               CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND n_latin >= n_han THEN 'latin'
+                    WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_han THEN 'cyrillic'
+                    WHEN n_greek >= n_han THEN 'greek'
+                    ELSE 'han' END AS dominant_script,
+               CASE WHEN lang = 'zh' THEN 'han' ELSE 'latin' END AS expected
+        FROM c)
+      SELECT lang, dominant_script,
+             CASE WHEN dominant_script <> expected THEN 'script_mismatch' ELSE 'ok' END AS verdict,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_latin) AS BIGINT) AS latin_chars,
+             CAST(SUM(n_cyrillic) AS BIGINT) AS cyrillic_chars,
+             CAST(SUM(n_greek) AS BIGINT) AS greek_chars,
+             CAST(SUM(n_han) AS BIGINT) AS han_chars,
+             MIN(doc_id) AS min_doc_id
+      FROM d GROUP BY lang, dominant_script, verdict
+      ORDER BY lang, dominant_script, verdict"""))
+
   val all: Seq[QueryDef] = Seq(tTokenStats, tQuality, tLangId, tFingerprint,
     tLangStats, tRepetition, tVocab, tTfidf, tQualityFilter, tBigramNovelty,
     tCompression, tChunks, tSequencePack, tNgramLm, tHeavyHitters, tBm25,
     tPackAudit, tBoundarySpans, tPerplexityGate, tSftMaskPack, tKlDrift,
-    tVocabGrowth, tNormalizeScrub)
+    tVocabGrowth, tNormalizeScrub, tScriptAudit)
 }

@@ -333,6 +333,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("text#"), "d14 must not carry document text\n" + p.take(1500))
   }
 
+  test("c20's trainer-facing body has no global sort; exchanges are the histogram + the (stage, shard) rank") {
+    // the QueryDef wrapper adds a presentation orderBy for the oracle
+    // compare — the pin is on the BODY a production caller consumes
+    val body = graft.operators.SampleQueries.curriculumPlanOf(
+      graft.sources.Tables.documents(spark, dir), nShards = 8)
+    val p = body.queryExecution.executedPlan.toString
+    assert(!p.contains("rangepartitioning"),
+      "c20's body must not range-partition (global sort)\n" + p.take(2000))
+    assert("hashpartitioning\\((?!quality#|stage#)".r.findFirstIn(p).isEmpty,
+      "c20 shuffles on something other than the histogram/rank keys\n" + p.take(2500))
+  }
+
   test("c19 never shuffles the corpus: assignment map-side, rate table broadcast back") {
     val p = plan("c19_cluster_mix")
     assert(!p.contains("SortMergeJoin"),
