@@ -142,8 +142,18 @@ object PiiQueries {
   // lesson) is bounded by the entity count, not the corpus.
 
   private[graft] val ssnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  /** ABSORPTIVE card matching (the r18 review's digit-boundary
+    * finding, solved without lookarounds — RE2 has none, so the oracle
+    * could not restate them): the leading/trailing runs are `{4,}` and
+    * the bare run `{16,}`, so a card-shaped window EMBEDDED in a longer
+    * digit run absorbs the surrounding digits into one long candidate,
+    * which then FAILS luhnValid's exact-16 length gate — a 20-digit
+    * order id whose 16-digit window happens to pass Luhn is no longer
+    * extracted as a card and never corrupted by the replace fold. An
+    * exact-16 candidate can only match where it is NOT digit-embedded,
+    * which is exactly the boundary semantics lookarounds would give. */
   private[graft] val cardRe =
-    "[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}|[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}|[0-9]{16}"
+    "[0-9]{4,}-[0-9]{4}-[0-9]{4}-[0-9]{4,}|[0-9]{4,} [0-9]{4} [0-9]{4} [0-9]{4,}|[0-9]{16,}"
   private[graft] val ipv6Re = "([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}"
 
   /** Luhn validity of a card-shaped match (16 digits after separator
@@ -264,7 +274,7 @@ object PiiQueries {
       s3 AS (SELECT *, regexp_replace(t2,
                '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g') AS t3 FROM s2),
       s4 AS (SELECT *, list_filter(regexp_extract_all(t3,
-               '[0-9]{4}-[0-9]{4}-[0-9]{4}-[0-9]{4}|[0-9]{4} [0-9]{4} [0-9]{4} [0-9]{4}|[0-9]{16}'),
+               '[0-9]{4,}-[0-9]{4}-[0-9]{4}-[0-9]{4,}|[0-9]{4,} [0-9]{4} [0-9]{4} [0-9]{4,}|[0-9]{16,}'),
                $sqlLuhn) AS valid FROM s3),
       s5 AS (SELECT *, list_reduce(list_prepend(t3, list_distinct(valid)),
                (acc, c) -> replace(acc, c, '[CARD]')) AS t4 FROM s4),

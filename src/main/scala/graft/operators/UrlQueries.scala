@@ -41,7 +41,16 @@ import graft.sources.Tables
   */
 object UrlQueries {
 
-  private val trackerRe = "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+  /** Tracker removal in two anchored passes (the r18 review finding:
+    * an unanchored `(utm_...)=...` destroyed non-tracker params whose
+    * TEXT contains a tracker name — `?xgclid=1` — and its value class
+    * crossed `/` into the path). Pass 1 removes every `&tracker=value`
+    * (values stop at `&#/`); pass 2 normalizes a leading
+    * `?tracker=value[&]` to `?`; the dangling-separator strip then
+    * cleans up. Consecutive trackers work because pass 1 leaves the
+    * leading `?tracker` for pass 2. */
+  private val trackerAmpRe = "&(utm_[a-z]+|fbclid|gclid)=[^&#/]*"
+  private val trackerLeadRe = "\\?(utm_[a-z]+|fbclid|gclid)=[^&#/]*&?"
 
   /** The messy-URL injection + canonicalization restated once for BOTH
     * oracles (d14 full run, d14b stored probe) — ONE definition, the
@@ -67,12 +76,14 @@ object UrlQueries {
                    WHEN 'http' THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':80$', '')
                    ELSE lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1))
                  END, '^www[.]', '') ||
-               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                  regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*(.*)$', 1),
                  '#.*$', ''),
-                 '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                 '&(utm_[a-z]+|fbclid|gclid)=[^&#/]*', '', 'g'),
+                 '\?(utm_[a-z]+|fbclid|gclid)=[^&#/]*&?', '?', 'g'),
                  '[?&]$', ''),
-                 '([^/])/$', '\1') AS canonical_url
+                 '([^/])/$', '\1'),
+                 '^/$', '') AS canonical_url
         FROM u)"""
 
   /** Canonicalize a URL column (see object doc for the contract). */
@@ -86,10 +97,19 @@ object UrlQueries {
     val auth = regexp_replace(auth1, "^www[.]", "")
     val tail0 = regexp_extract(rest, "^[^/?#]*(.*)$", 1)
     val tail1 = regexp_replace(tail0, "#.*$", "")
-    val tail2 = regexp_replace(tail1, trackerRe, "")
+    val tail2 = regexp_replace(regexp_replace(tail1, trackerAmpRe, ""),
+      trackerLeadRe, "?")
     val tail3 = regexp_replace(tail2, "[?&]$", "")
-    val tail = regexp_replace(tail3, "([^/])/$", "$1")
-    concat(scheme, lit("://"), auth, tail)
+    val tail4 = regexp_replace(tail3, "([^/])/$", "$1")
+    // unify the empty path with the bare root slash — 'ex.com' and
+    // 'ex.com/' are the single most common crawl variant pair
+    val tail = regexp_replace(tail4, "^/$", "")
+    // a null url is a malformed ingest row: loud beats lossy (the
+    // documentsJsonl discipline) — a silent null canonical key would
+    // drop the row from every keyed join downstream
+    when(u.isNull, raise_error(lit(
+      "canonicalUrl: null url — malformed ingest row")))
+      .otherwise(concat(scheme, lit("://"), auth, tail))
   }
 
   /** Per-doc canonical mapping + global keep election (min doc_id per
@@ -162,18 +182,19 @@ object UrlQueries {
     * by construction, but "small by construction" is exactly the claim
     * the guard discipline exists to verify: past the cap every join
     * degrades to the scale-safe canonical-keyed shuffle. */
-  /** The measured-hint half of guardedBroadcast for a frame the caller
-    * has ALREADY staged: count the materialized blocks, hint only under
-    * the cap — no second checkpoint copy. */
-  private def hintIfSmall(staged: DataFrame, cap: Long): DataFrame =
-    if (staged.count() <= cap) broadcast(staged) else staged
+  /** The broadcast DECISION for the staged matched slice — one count
+    * of the materialized blocks per lifecycle call, threaded to every
+    * consumer (computing it inside each consumer would re-run the
+    * count per join — the r18 review's double-count finding). */
+  private def matchedIsSmall(staged: DataFrame, cap: Long): Boolean =
+    staged.count() <= cap
 
-  private def verdictsOf(b: DataFrame, matched: DataFrame,
+  private def verdictsOf(b: DataFrame, matched: DataFrame, mSmall: Boolean,
                          maxBroadcastKeys: Long): DataFrame = {
     val bmin = QueryDef.guardedBroadcast(
       b.groupBy(col("canonical_url")).agg(min(col("doc_id")).as("__batch_keep")),
       maxBroadcastKeys)
-    val m = hintIfSmall(matched, maxBroadcastKeys)
+    val m = if (mSmall) broadcast(matched) else matched
     b.join(m, Seq("canonical_url"), "left")
       .join(bmin, Seq("canonical_url"))
       .select(col("doc_id"),
@@ -190,8 +211,8 @@ object UrlQueries {
     graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
       "url-index format")
     val b = canonBatch(batch)
-    verdictsOf(b,
-      graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys)),
+    val matched = graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys))
+    verdictsOf(b, matched, matchedIsSmall(matched, maxBroadcastKeys),
       maxBroadcastKeys)
   }
 
@@ -222,7 +243,7 @@ object UrlQueries {
     * batch's NEW canonical keepers under the tag. */
   private def gateAndFold(s: org.apache.spark.sql.SparkSession, path: String,
                           b: DataFrame, matched: DataFrame, tag: String,
-                          maxBroadcastKeys: Long): Unit = {
+                          mSmall: Boolean, maxBroadcastKeys: Long): Unit = {
     // measured guards, never bare hints: these frames are increment-
     // sized by construction, and the guard is what keeps that claim
     // honest when the increment itself outgrows the broadcast cap
@@ -234,7 +255,8 @@ object UrlQueries {
     require(clash == 0,
       s"appendUrlKeepersTagged: $clash batch doc ids are already stored " +
         s"keepers under $path — batch ids must be disjoint from ingested docs")
-    val mKeys = hintIfSmall(matched, maxBroadcastKeys).select(col("canonical_url"))
+    val mKeys = (if (mSmall) broadcast(matched) else matched)
+      .select(col("canonical_url"))
     val newKeepers = b
       .join(mKeys, Seq("canonical_url"), "left_anti")
       .groupBy(col("canonical_url")).agg(min(col("doc_id")).as("keeper_id"))
@@ -250,9 +272,9 @@ object UrlQueries {
       "url-index format")
     sweepUrlStreamBatch(s, path, tag) // a prior attempt must not trip the gate
     val b = canonBatch(batch)
-    gateAndFold(s, path,
-      b, graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys)), tag,
-      maxBroadcastKeys)
+    val matched = graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys))
+    gateAndFold(s, path, b, matched, tag,
+      matchedIsSmall(matched, maxBroadcastKeys), maxBroadcastKeys)
   }
 
   /** The streaming batch body: sweep → ONE canonicalization + ONE
@@ -271,8 +293,10 @@ object UrlQueries {
     sweepUrlStreamBatch(s, path, tag)
     val b = canonBatch(batch)
     val matched = graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys))
-    onVerdicts(verdictsOf(b, matched, maxBroadcastKeys))
-    gateAndFold(s, path, b, matched, tag, maxBroadcastKeys)
+    // ONE count decides the broadcast hint for both consumers
+    val mSmall = matchedIsSmall(matched, maxBroadcastKeys)
+    onVerdicts(verdictsOf(b, matched, mSmall, maxBroadcastKeys))
+    gateAndFold(s, path, b, matched, tag, mSmall, maxBroadcastKeys)
   }
 
   /** Batch boundary 400: canonical collisions repeat every 350 ids

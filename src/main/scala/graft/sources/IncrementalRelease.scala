@@ -36,10 +36,11 @@ import org.apache.spark.sql.functions._
   * commit a manifest that references the previous version's files for
   * every untouched bucket. Write volume is O(changed buckets), read
   * volume of the diff is one fingerprint scan of each side — the shape
-  * a daily pipeline actually affords. The doc-level diff keys on
-  * md5(text): rows with unchanged (doc_id, text) are trusted to carry
-  * unchanged metadata (they come from the same upstream snapshot row) —
-  * the same contract c9 publishes.
+  * a daily pipeline actually affords. The doc-level fingerprint covers
+  * the FULL release contract (text, source, lang, split — separator-
+  * delimited, null-stable), so a doc whose split or governance
+  * metadata moved under unchanged text still lands in the touched set
+  * and is rewritten; nothing stale can carry forward by reference.
   *
   * Crash contract (IndexStore's versioning primitives, ONE copy):
   * uncommitted manifest dirs and orphan pool gens are swept at the next
@@ -159,10 +160,22 @@ object IncrementalRelease {
       case Some(base) =>
         // c9's diff discipline: artifact vs new logical release, reduced
         // map-side to (doc_id, fingerprint[, split]) — the join shuffles
-        // ~32 B/row at any corpus size
+        // ~32 B/row at any corpus size. The fingerprint covers the FULL
+        // release contract (text AND the governance/split columns, with
+        // explicit empty-string stands-in so concat_ws's null-skipping
+        // cannot make ('a',null) collide with (null,'a')): a doc whose
+        // split or metadata moved under unchanged text must land in the
+        // touched set, or the stale row is carried forward by reference
+        // and the artifact silently diverges from the logical release
+        // (the r18 review finding this fingerprint closes).
+        val fpr = md5(concat_ws("\u0001",
+          col("text"),
+          coalesce(col("source"), lit("")),
+          coalesce(col("lang"), lit("")),
+          col("split")))
         val o = readVersion(s, root, base)
-          .select(col("doc_id"), md5(col("text")).as("__ho"), col("split").as("__so"))
-        val n = slim.select(col("doc_id"), md5(col("text")).as("__hn"),
+          .select(col("doc_id"), fpr.as("__ho"), col("split").as("__so"))
+        val n = slim.select(col("doc_id"), fpr.as("__hn"),
           col("split").as("__sn"))
         // touched (split, bucket) pairs — BOTH sides of a diff row (a
         // custom split scheme may move a doc across splits; the content-

@@ -169,6 +169,27 @@ class IncrementalReleaseSpec extends AnyFunSuite {
       "deep lineage must still carry first-generation files by reference")
   }
 
+  test("a split/metadata move under UNCHANGED text is still a touched bucket (full-contract fingerprint)") {
+    // the r18 review finding: a text-only diff fingerprint would let a
+    // doc whose split (or source/lang) changed carry its stale row
+    // forward by reference, silently diverging the artifact from the
+    // logical release
+    val root = newRoot()
+    IncrementalRelease.publishFull(docs, root)
+    val moved = docs.withColumn("split",
+      when(col("doc_id") % 13 === 0, lit("val")).otherwise(col("split")))
+    IncrementalRelease.publishDelta(moved, root)
+    assert(IncrementalRelease.versions(spark, root) == Seq(1L, 2L))
+    assert(rows(IncrementalRelease.readCurrent(spark, root)) == rows(moved),
+      "the artifact must reflect the split move even though no text changed")
+    val movedIds = moved.filter(col("doc_id") % 13 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gotSplits = IncrementalRelease.readCurrent(spark, root)
+      .filter(col("doc_id").isin(movedIds.toSeq: _*))
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(gotSplits == Set("val"))
+  }
+
   test("geometry gate: a delta with a different nBuckets fail-stops") {
     val root = newRoot()
     IncrementalRelease.publishFull(day1, root, nBuckets = 8)

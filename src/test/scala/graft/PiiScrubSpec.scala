@@ -104,6 +104,24 @@ class PiiScrubSpec extends AnyFunSuite {
     assert(out(5L) == ((0L, 0L, 0L, 2L, 0L, 0L, "dup [CARD] twice [CARD]")))
   }
 
+  test("digit-embedded card windows are absorbed, not extracted (boundary contract)") {
+    // '4111111111111111' is Luhn-valid, but embedded in a 20-digit
+    // order id it is NOT a card — the absorptive {16,} match makes the
+    // candidate 20 digits long, the exact-16 gate rejects it, and the
+    // surrounding identifier survives uncorrupted
+    val out = scrubV2(Seq(
+      6L -> "order 41111111111111119999 end",
+      7L -> "tail 99994111111111111111 end",
+      8L -> "clean 4111111111111111 end"))
+    assert(out(6L) == ((0L, 0L, 0L, 0L, 0L, 0L,
+      "order 41111111111111119999 end")),
+      "a longer digit run must never be partially redacted")
+    assert(out(7L) == ((0L, 0L, 0L, 0L, 0L, 0L,
+      "tail 99994111111111111111 end")))
+    assert(out(8L) == ((0L, 0L, 0L, 1L, 0L, 0L, "clean [CARD] end")),
+      "an exact bounded valid card still redacts")
+  }
+
   test("v2 overlap contract: ssn counts after phones, phone shapes never re-match as ssn/card") {
     val out = scrubV2(Seq(
       6L -> "call 415-555-0123 ssn 123-45-6789",

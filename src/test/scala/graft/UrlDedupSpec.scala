@@ -58,16 +58,40 @@ class UrlDedupSpec extends AnyFunSuite {
       "https://ex.com/a?id=7&b=2"))
   }
 
-  test("trailing slash stripped except root; schemes not folded") {
+  test("trailing slash stripped; bare root unifies with the empty path; schemes not folded") {
     assert(canon(
       "https://ex.com/a/b/",
       "https://ex.com/",
+      "https://ex.com",
       "http://ex.com/a",
       "https://ex.com/a") == Seq(
       "https://ex.com/a/b",
-      "https://ex.com/",
+      "https://ex.com",
+      "https://ex.com",
       "http://ex.com/a",
       "https://ex.com/a"))
+  }
+
+  test("tracker names inside OTHER tokens are never stripped (anchored removal)") {
+    assert(canon(
+      "https://ex.com/p?xgclid=1",
+      "https://ex.com/p?xgclid=2",
+      "https://ex.com/a/gclid=b/rest",
+      "https://ex.com/p?utm_source=x&utm_medium=y&id=7") == Seq(
+      "https://ex.com/p?xgclid=1",
+      "https://ex.com/p?xgclid=2",
+      "https://ex.com/a/gclid=b/rest",
+      "https://ex.com/p?id=7"))
+  }
+
+  test("a null url fail-stops instead of silently vanishing from keyed joins") {
+    import spark.implicits._
+    val df = Seq((1L, "https://ex.com/a"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url")
+    val ex = intercept[Exception] {
+      UrlQueries.urlDedup(df).collect()
+    }
+    assert(ex.getMessage != null && ex.getMessage.contains("null url"))
   }
 
   test("idempotent: canonicalizing a canonical URL changes nothing") {
