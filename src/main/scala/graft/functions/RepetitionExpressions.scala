@@ -12,9 +12,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, St
   * kernel behind the Gopher-style within-document repetition rules
   * (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1:
   * top-n-gram character fraction for small n, duplicate-n-gram
-  * character fraction for larger n; cf. the reference's per-record
-  * cleaning pass in `R/clean_data.R`, generalized to the published
-  * corpus-filter semantics).
+  * character fraction for larger n, per the published corpus-filter
+  * semantics).
   *
   * For the document's n-grams (tokens joined by a single space —
   * gram character length therefore includes the n−1 joining spaces,

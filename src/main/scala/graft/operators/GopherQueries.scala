@@ -10,9 +10,7 @@ import graft.sources.Tables
   * (Rae et al. 2021, "Scaling Language Models: Methods, Analysis &
   * Insights from Training Gopher", §A1.1; the filter set the
   * MassiveWeb pipeline and its descendants — RefinedWeb, Dolma, FineWeb
-  * — apply before any model-based scoring; cf. the reference's
-  * per-record cleaning pass `R/clean_data.R`, generalized to the
-  * published corpus-filter semantics). Distinct from t2/t9 (this
+  * — apply before any model-based scoring). Distinct from t2/t9 (this
   * engine's own quality score / filter): t23 is the INDUSTRY-STANDARD
   * battery with the published thresholds, emitted per rule so a
   * curation run can audit which rule killed a document.

@@ -7,8 +7,7 @@ import graft.plans.Stage.StageOps
 import graft.sources.Tables
 
 /** Cross-document LINE deduplication — the CCNet/RefinedWeb line-level
-  * boilerplate filter (cf. reference's per-record cleaning pass, e.g.
-  * `R/clean_data.R`, generalized to corpus-frequency semantics): a line
+  * boilerplate filter, generalized to corpus-frequency semantics: a line
   * whose NORMALIZED form (lowercase, trimmed, inner whitespace
   * collapsed) recurs in at least max(floor, frac·corpus) DISTINCT
   * documents is page chrome ("subscribe to our newsletter"), not

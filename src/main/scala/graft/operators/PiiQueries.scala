@@ -146,12 +146,11 @@ object PiiQueries {
     * finding, solved without lookarounds — RE2 has none, so the oracle
     * could not restate them): the leading/trailing runs are `{4,}` and
     * the bare run `{16,}`, so a card-shaped window EMBEDDED in a longer
-    * digit run absorbs the surrounding digits into one long candidate,
-    * which then FAILS luhnValid's exact-16 length gate — a 20-digit
-    * order id whose 16-digit window happens to pass Luhn is no longer
-    * extracted as a card and never corrupted by the replace fold. An
-    * exact-16 candidate can only match where it is NOT digit-embedded,
-    * which is exactly the boundary semantics lookarounds would give. */
+    * digit run absorbs the surrounding digits into one long candidate.
+    * An exact-16 candidate can only match where it is NOT digit-
+    * embedded, which is exactly the boundary semantics lookarounds
+    * would give; [[cardWindows]] then decides whether an ABSORBING
+    * candidate actually contains a card (the r19 window extraction). */
   private[graft] val cardRe =
     "[0-9]{4,}-[0-9]{4}-[0-9]{4}-[0-9]{4,}|[0-9]{4,} [0-9]{4} [0-9]{4} [0-9]{4,}|[0-9]{16,}"
   private[graft] val ipv6Re = "([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}"
@@ -170,17 +169,57 @@ object PiiQueries {
     length(d) === 16 && pmod(tot, lit(10)) === 0
   }
 
+  /** The Luhn-gated redaction literal(s) of ONE card-shaped candidate
+    * (r19, closing the r18 advice's under-redaction regression: an
+    * absorbing candidate shipped an EMBEDDED Luhn-valid card in
+    * cleartext because the exact-16 gate rejected the whole run).
+    * Three shapes, each yielding a 0/1-element literal array:
+    *  - exactly 16 digits → the candidate itself, Luhn-gated (the r18
+    *    semantics, unchanged);
+    *  - an absorbing SEPARATOR form → the ONE window a true card can
+    *    align to — last 4 digits of the head run, the two fixed
+    *    4-digit middle groups, first 4 of the tail run (the middle
+    *    groups are fixed-width, so no other alignment exists);
+    *  - an absorbing BARE run → the LEFTMOST Luhn-valid 16-digit
+    *    window.
+    * The replace fold then redacts the WINDOW literal in place, so the
+    * absorbed non-card digits survive: '4111111111111111999' becomes
+    * '[CARD]999', while a 20-digit order id with no valid window still
+    * passes through untouched. Luhn runs per candidate window (a rare
+    * regexp match), so the interpreted HOF cost stays bounded by the
+    * entity count, not the corpus (the r17 d12 lesson). */
+  private def cardWindows(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val d = regexp_replace(c, "[ -]", "")
+    val sepRe = "^([0-9]+)([ -])([0-9]{4})[ -]([0-9]{4})[ -]([0-9]+)$"
+    val g1 = regexp_extract(c, sepRe, 1)
+    val sep = regexp_extract(c, sepRe, 2)
+    val g3 = regexp_extract(c, sepRe, 3)
+    val g4 = regexp_extract(c, sepRe, 4)
+    val g5 = regexp_extract(c, sepRe, 5)
+    val sepWin = concat(g1.substr(length(g1) - 3, lit(4)), sep, g3, sep,
+      g4, sep, g5.substr(lit(1), lit(4)))
+    when(length(d) === 16, filter(array(c), luhnValid(_)))
+      .when(c.rlike("[ -]"), filter(array(sepWin), luhnValid(_)))
+      .otherwise(slice(
+        filter(transform(sequence(lit(1), length(d) - 15),
+          i => d.substr(i, lit(16))), luhnValid(_)), 1, 1))
+  }
+
   /** Adds per-class counts and `redacted` under the v2 class set.
-    * Valid-card redaction folds the DISTINCT valid literals over the
-    * text — distinct 16/19-char digit tokens replaced by digit-free
-    * placeholders commute, so the fold order is immaterial (and the
-    * oracle's list_distinct needs no order guarantee). */
+    * Valid-card redaction folds the DISTINCT valid window literals
+    * over the text — digit[-separator] tokens replaced by digit-free
+    * placeholders, whose occurrences live inside disjoint candidate
+    * spans, so the fold order is immaterial for every occurrence that
+    * matters (and the oracle's list_distinct needs no order
+    * guarantee). */
   private[graft] def piiScrubV2(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, emailRe, "[EMAIL]")
     val t2 = regexp_replace(t1, phoneRe, "[PHONE]")
     val t3 = regexp_replace(t2, ssnRe, "[SSN]")
-    val valid = filter(regexp_extract_all(t3, lit(cardRe), lit(0)), luhnValid(_))
+    val valid = flatten(transform(
+      regexp_extract_all(t3, lit(cardRe), lit(0)), cardWindows(_)))
     val t4 = aggregate(array_distinct(valid), t3,
       (acc, c) => replace(acc, c, lit("[CARD]")))
     val t5 = regexp_replace(t4, ipv6Re, "[IPV6]")
@@ -193,6 +232,21 @@ object PiiQueries {
       .withColumn("n_ipv4", regexp_count(t5, lit(ipv4Re)).cast("long"))
       .withColumn("redacted", t6)
   }
+
+  // SQL restatement of [[cardWindows]] — the per-candidate window
+  // derivation, shared shapes stated once and interpolated into s4.
+  private val sqlCardSepRe =
+    "'^([0-9]+)([ -])([0-9]{4})[ -]([0-9]{4})[ -]([0-9]+)$'"
+  private def sqlSepWin: String =
+    s"substring(regexp_extract(cd, $sqlCardSepRe, 1), " +
+      s"len(regexp_extract(cd, $sqlCardSepRe, 1)) - 3, 4)" +
+      s" || regexp_extract(cd, $sqlCardSepRe, 2) || regexp_extract(cd, $sqlCardSepRe, 3)" +
+      s" || regexp_extract(cd, $sqlCardSepRe, 2) || regexp_extract(cd, $sqlCardSepRe, 4)" +
+      s" || regexp_extract(cd, $sqlCardSepRe, 2) || substring(regexp_extract(cd, $sqlCardSepRe, 5), 1, 4)"
+  private def sqlBareWins: String =
+    "list_filter(list_transform(range(1, len(regexp_replace(cd, '[ -]', '', 'g')) - 14), " +
+      "i -> substring(regexp_replace(cd, '[ -]', '', 'g'), CAST(i AS INT), 16)), " +
+      sqlLuhn + ")"
 
   private val sqlLuhn =
     """c -> len(regexp_replace(c, '[ -]', '', 'g')) = 16 AND
@@ -236,7 +290,8 @@ object PiiQueries {
                     WHEN ((doc_id % 8) + 8) % 8 = 1 THEN
                       text || ' ref code ' ||
                       (['4111-1111-1111-1112', '1234-5678-1234-5678',
-                        '5500-0055-5555-5551', '6011-0009-9013-9421'])[CAST(((doc_id % 4) + 4) % 4 AS INT) + 1]
+                        '5500-0055-5555-5551', '6011-0009-9013-9421'])[CAST(((doc_id % 4) + 4) % 4 AS INT) + 1] ||
+                      ' order 4111111111111111999 conf 994111-1111-1111-11117'
                     WHEN ((doc_id % 8) + 8) % 8 = 2 THEN
                       text || ' ssn ' ||
                       lpad(CAST(((((doc_id % 1000) + 1000) % 1000) * 37) % 1000 AS VARCHAR), 3, '0') || '-' ||
@@ -273,9 +328,17 @@ object PiiQueries {
                '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS t2 FROM s1),
       s3 AS (SELECT *, regexp_replace(t2,
                '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g') AS t3 FROM s2),
-      s4 AS (SELECT *, list_filter(regexp_extract_all(t3,
+      s4 AS (SELECT *, flatten(list_transform(regexp_extract_all(t3,
                '[0-9]{4,}-[0-9]{4}-[0-9]{4}-[0-9]{4,}|[0-9]{4,} [0-9]{4} [0-9]{4} [0-9]{4,}|[0-9]{16,}'),
-               $sqlLuhn) AS valid FROM s3),
+               cd -> CASE
+                 WHEN len(regexp_replace(cd, '[ -]', '', 'g')) = 16
+                   THEN list_filter([cd], $sqlLuhn)
+                 WHEN regexp_matches(cd, '[ -]')
+                   THEN list_filter([$sqlSepWin], $sqlLuhn)
+                 ELSE CASE WHEN len($sqlBareWins) > 0
+                           THEN [($sqlBareWins)[1]]
+                           ELSE CAST([] AS VARCHAR[]) END
+               END)) AS valid FROM s3),
       s5 AS (SELECT *, list_reduce(list_prepend(t3, list_distinct(valid)),
                (acc, c) -> replace(acc, c, '[CARD]')) AS t4 FROM s4),
       s6 AS (SELECT *, regexp_replace(t4,

@@ -1410,21 +1410,30 @@ object PipelineQueries {
     * over the derived previous snapshot, and over `documents`) and
     * diffs them — so a green p11 also re-proves, through the
     * filesystem round-trip, that EACH published version is its
-    * logical release (p10's oracle only states the current one). */
+    * logical release (p10's oracle only states the current one).
+    *
+    * `changed` is judged on the FULL release contract — text hash AND
+    * the governance columns (source, lang, split), null-safe — the
+    * same contract p10's publish diff keys on (the r18 advice finding:
+    * an md5(text)-only status reported a split/metadata-only move as
+    * `unchanged` while the publish diff rewrote it, so the audit
+    * understated what moved in a push). */
   private[graft] def releaseChangelog(prev: org.apache.spark.sql.DataFrame,
                                       cur: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val o = prev.select(col("doc_id"), md5(col("text")).as("__ho"),
-      col("source").as("__so"), col("split").as("__po"))
+      col("source").as("__so"), col("lang").as("__lo"), col("split").as("__po"))
     val n = cur.select(col("doc_id"), md5(col("text")).as("__hn"),
-      col("source").as("__sn"), col("split").as("__pn"))
+      col("source").as("__sn"), col("lang").as("__ln"), col("split").as("__pn"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(
         coalesce(col("__sn"), col("__so")).as("source"),
         coalesce(col("__pn"), col("__po")).as("split"),
         when(col("__ho").isNull, "added")
           .when(col("__hn").isNull, "removed")
-          .when(col("__ho") === col("__hn"), "unchanged")
+          .when(col("__ho") === col("__hn") && col("__so") === col("__sn") &&
+            (col("__lo") <=> col("__ln")) && col("__po") === col("__pn"),
+            "unchanged")
           .otherwise("changed").as("status"),
         col("doc_id"))
       .groupBy(col("source"), col("split"), col("status"))
@@ -1470,13 +1479,13 @@ object PipelineQueries {
       ${releaseSqlCtesOver("prev", "1")},
       ${releaseSqlCtesOver("documents", "2")},
       r1 AS (
-        SELECT doc_id, md5(text) AS h, source,
+        SELECT doc_id, md5(text) AS h, source, lang,
                CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
                     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
                     ELSE 'test' END AS split
         FROM clean1),
       r2 AS (
-        SELECT doc_id, md5(text) AS h, source,
+        SELECT doc_id, md5(text) AS h, source, lang,
                CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
                     WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
                     ELSE 'test' END AS split
@@ -1486,7 +1495,9 @@ object PipelineQueries {
                COALESCE(r2.split, r1.split) AS split,
                CASE WHEN r1.h IS NULL THEN 'added'
                     WHEN r2.h IS NULL THEN 'removed'
-                    WHEN r1.h = r2.h THEN 'unchanged'
+                    WHEN r1.h = r2.h AND r1.source = r2.source
+                         AND r1.lang IS NOT DISTINCT FROM r2.lang
+                         AND r1.split = r2.split THEN 'unchanged'
                     ELSE 'changed' END AS status,
                COALESCE(r2.doc_id, r1.doc_id) AS doc_id
         FROM r1 FULL OUTER JOIN r2 USING (doc_id))

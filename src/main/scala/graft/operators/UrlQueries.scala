@@ -10,9 +10,7 @@ import graft.sources.Tables
   * page is fetched under scheme/host case variants, default ports,
   * `www.` prefixes, tracker query params (`utm_*`, `fbclid`, `gclid`),
   * fragments, and trailing slashes, and deduping on the RAW url string
-  * misses all of them (cf. the CCNet/RefinedWeb URL-level pass; the
-  * reference's keyed-concat discipline in `R/clean_data.R`, applied to
-  * the address key instead of the record key).
+  * misses all of them (cf. the CCNet/RefinedWeb URL-level pass).
   *
   * Canonical form (fixed order, each step on the previous one's
   * output — the t18/t32 progressive discipline, stated identically in
@@ -23,8 +21,10 @@ import graft.sources.Tables
   *      http — a non-default port is identity-significant and stays);
   *   3. strip a leading `www.`;
   *   4. drop the fragment (`#...` — client-side only);
-  *   5. drop tracker params (`utm_*`, `fbclid`, `gclid`) and any
-  *      dangling `?`/`&` they leave; non-tracker params survive;
+  *   5. drop tracker params (`utm_*`, `fbclid`, `gclid`) WITHIN the
+  *      isolated query substring (values may legally contain `/`),
+  *      plus any dangling `?`/`&` they leave; non-tracker params
+  *      survive;
   *   6. strip one trailing slash unless the path is root.
   * Schemes are NOT folded (http ≠ https — different resources until
   * proven otherwise) and non-tracker query order is preserved (param
@@ -41,16 +41,21 @@ import graft.sources.Tables
   */
 object UrlQueries {
 
-  /** Tracker removal in two anchored passes (the r18 review finding:
-    * an unanchored `(utm_...)=...` destroyed non-tracker params whose
-    * TEXT contains a tracker name — `?xgclid=1` — and its value class
-    * crossed `/` into the path). Pass 1 removes every `&tracker=value`
-    * (values stop at `&#/`); pass 2 normalizes a leading
-    * `?tracker=value[&]` to `?`; the dangling-separator strip then
-    * cleans up. Consecutive trackers work because pass 1 leaves the
-    * leading `?tracker` for pass 2. */
-  private val trackerAmpRe = "&(utm_[a-z]+|fbclid|gclid)=[^&#/]*"
-  private val trackerLeadRe = "\\?(utm_[a-z]+|fbclid|gclid)=[^&#/]*&?"
+  /** Tracker removal in two anchored passes over the ISOLATED QUERY
+    * SUBSTRING (r19, the r18 advice finding: applied to the whole
+    * tail with value class `[^&#/]*`, a tracker value containing a
+    * `/` — legal inside query values per RFC 3986 §3.4 — stopped the
+    * strip mid-value and left a mangled residue key, so same-page
+    * URLs differing only in a slash-bearing tracker value neither
+    * unified nor kept their original query). The query is split off
+    * at the first `?` AFTER the fragment drop, so values stop only at
+    * `&` and path crossing is structurally impossible; the r18
+    * anchoring (no match on `?xgclid=1`) is preserved. Pass 1 removes
+    * every `&tracker=value`; pass 2 removes a LEADING `tracker=value[&]`.
+    * Consecutive trackers work because pass 1 leaves the leading one
+    * for pass 2. */
+  private val trackerAmpRe = "&(utm_[a-z]+|fbclid|gclid)=[^&]*"
+  private val trackerLeadRe = "^(utm_[a-z]+|fbclid|gclid)=[^&]*&?"
 
   /** The messy-URL injection + canonicalization restated once for BOTH
     * oracles (d14 full run, d14b stored probe) — ONE definition, the
@@ -67,24 +72,38 @@ object UrlQueries {
                  ELSE 'http://d' || CAST(doc_id % 7 AS VARCHAR) || '.com/b/' || CAST(doc_id % 50 AS VARCHAR)
                END AS url
         FROM documents),
+      c1 AS (
+        SELECT doc_id, source, url,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        FROM u),
+      c2 AS (
+        SELECT doc_id, source, url, scheme,
+               regexp_replace(
+                 CASE scheme
+                   WHEN 'https' THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':443$', '')
+                   WHEN 'http' THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':80$', '')
+                   ELSE lower(regexp_extract(rest, '^([^/?#]*)', 1))
+                 END, '^www[.]', '') AS auth,
+               regexp_replace(regexp_extract(rest, '^[^/?#]*(.*)$', 1), '#.*$', '') AS tail1
+        FROM c1),
+      c3 AS (
+        SELECT doc_id, source, url, scheme, auth,
+               regexp_extract(tail1, '^([^?]*)', 1) AS path0,
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_extract(tail1, '^[^?]*\?(.*)$', 1),
+                 '&(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+                 '^(utm_[a-z]+|fbclid|gclid)=[^&]*&?', ''),
+                 '&$', '') AS q
+        FROM c2),
       c AS (
         SELECT doc_id, source, url,
-               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' ||
-               regexp_replace(
-                 CASE lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-                   WHEN 'https' THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':443$', '')
-                   WHEN 'http' THEN regexp_replace(lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)), ':80$', '')
-                   ELSE lower(regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1))
-                 END, '^www[.]', '') ||
-               regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                 regexp_extract(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*(.*)$', 1),
-                 '#.*$', ''),
-                 '&(utm_[a-z]+|fbclid|gclid)=[^&#/]*', '', 'g'),
-                 '\?(utm_[a-z]+|fbclid|gclid)=[^&#/]*&?', '?', 'g'),
-                 '[?&]$', ''),
+               scheme || '://' || auth ||
+               regexp_replace(regexp_replace(
+                 path0 || CASE WHEN q <> '' THEN '?' || q ELSE '' END,
                  '([^/])/$', '\1'),
                  '^/$', '') AS canonical_url
-        FROM u)"""
+        FROM c3)"""
 
   /** Canonicalize a URL column (see object doc for the contract). */
   private[graft] def canonicalUrl(u: Column): Column = {
@@ -97,9 +116,16 @@ object UrlQueries {
     val auth = regexp_replace(auth1, "^www[.]", "")
     val tail0 = regexp_extract(rest, "^[^/?#]*(.*)$", 1)
     val tail1 = regexp_replace(tail0, "#.*$", "")
-    val tail2 = regexp_replace(regexp_replace(tail1, trackerAmpRe, ""),
-      trackerLeadRe, "?")
-    val tail3 = regexp_replace(tail2, "[?&]$", "")
+    // isolate path vs query at the FIRST '?' (fragment already gone),
+    // strip trackers within the query only, then reassemble — a query
+    // emptied of every param folds back to the bare path
+    val path0 = regexp_extract(tail1, "^([^?]*)", 1)
+    val query0 = regexp_extract(tail1, "^[^?]*[?](.*)$", 1)
+    val query1 = regexp_replace(regexp_replace(query0, trackerAmpRe, ""),
+      trackerLeadRe, "")
+    val query2 = regexp_replace(query1, "&$", "")
+    val tail3 = when(query2 === "", path0)
+      .otherwise(concat(path0, lit("?"), query2))
     val tail4 = regexp_replace(tail3, "([^/])/$", "$1")
     // unify the empty path with the bare root slash — 'ex.com' and
     // 'ex.com/' are the single most common crawl variant pair

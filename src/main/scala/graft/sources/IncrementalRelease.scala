@@ -37,8 +37,10 @@ import org.apache.spark.sql.functions._
   * every untouched bucket. Write volume is O(changed buckets), read
   * volume of the diff is one fingerprint scan of each side — the shape
   * a daily pipeline actually affords. The doc-level fingerprint covers
-  * the FULL release contract (text, source, lang, split — separator-
-  * delimited, null-stable), so a doc whose split or governance
+  * the FULL release contract (text, source, lang, split — every field
+  * null-coalesced AND length-prefixed, so neither null realignment nor
+  * a separator byte inside text can collide two rows), so a doc whose
+  * split or governance
   * metadata moved under unchanged text still lands in the touched set
   * and is rewritten; nothing stale can carry forward by reference.
   *
@@ -161,18 +163,23 @@ object IncrementalRelease {
         // c9's diff discipline: artifact vs new logical release, reduced
         // map-side to (doc_id, fingerprint[, split]) — the join shuffles
         // ~32 B/row at any corpus size. The fingerprint covers the FULL
-        // release contract (text AND the governance/split columns, with
-        // explicit empty-string stands-in so concat_ws's null-skipping
-        // cannot make ('a',null) collide with (null,'a')): a doc whose
+        // release contract (text AND the governance/split columns).
+        // EVERY field is coalesced to an explicit empty-string stand-in
+        // (the r18 advice finding: text and split passed raw let
+        // concat_ws's null-skipping realign fields, so (null,'s','l','p')
+        // and ('s','l','p',null) collided) and LENGTH-PREFIXED, so a
+        // separator byte inside document text cannot forge a field
+        // boundary either: a doc whose
         // split or metadata moved under unchanged text must land in the
         // touched set, or the stale row is carried forward by reference
         // and the artifact silently diverges from the logical release
         // (the r18 review finding this fingerprint closes).
-        val fpr = md5(concat_ws("\u0001",
-          col("text"),
-          coalesce(col("source"), lit("")),
-          coalesce(col("lang"), lit("")),
-          col("split")))
+        def lp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val v = coalesce(c, lit(""))
+          concat(length(v).cast("string"), lit(":"), v)
+        }
+        val fpr = md5(concat(
+          lp(col("text")), lp(col("source")), lp(col("lang")), lp(col("split"))))
         val o = readVersion(s, root, base)
           .select(col("doc_id"), fpr.as("__ho"), col("split").as("__so"))
         val n = slim.select(col("doc_id"), fpr.as("__hn"),

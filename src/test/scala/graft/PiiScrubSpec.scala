@@ -104,22 +104,36 @@ class PiiScrubSpec extends AnyFunSuite {
     assert(out(5L) == ((0L, 0L, 0L, 2L, 0L, 0L, "dup [CARD] twice [CARD]")))
   }
 
-  test("digit-embedded card windows are absorbed, not extracted (boundary contract)") {
-    // '4111111111111111' is Luhn-valid, but embedded in a 20-digit
-    // order id it is NOT a card — the absorptive {16,} match makes the
-    // candidate 20 digits long, the exact-16 gate rejects it, and the
-    // surrounding identifier survives uncorrupted
+  test("digit-embedded card windows are extracted and Luhn-gated (r19 contract)") {
+    // r19 (the r18 advice's under-redaction finding): an absorbing
+    // candidate no longer ships an embedded Luhn-valid card in
+    // cleartext — the 16-digit window is extracted, Luhn-gated and
+    // redacted IN PLACE, with the absorbed non-card digits surviving.
     val out = scrubV2(Seq(
       6L -> "order 41111111111111119999 end",
+      // BOTH offset-0 ('9999411111111111') and offset-4 windows are
+      // Luhn-valid here: the LEFTMOST valid window wins (deterministic
+      // scrubber convention; recall over alignment precision)
       7L -> "tail 99994111111111111111 end",
-      8L -> "clean 4111111111111111 end"))
-    assert(out(6L) == ((0L, 0L, 0L, 0L, 0L, 0L,
-      "order 41111111111111119999 end")),
-      "a longer digit run must never be partially redacted")
-    assert(out(7L) == ((0L, 0L, 0L, 0L, 0L, 0L,
-      "tail 99994111111111111111 end")))
+      8L -> "clean 4111111111111111 end",
+      // no 16-digit window of this run passes Luhn → untouched
+      9L -> "run 12345678901234567890123 end",
+      // separator form with digit-flanked ends: the ONE possible card
+      // alignment (last-4 of head, middles, first-4 of tail) is valid
+      10L -> "conf 994111-1111-1111-11117 end",
+      // same shape, but the aligned window fails Luhn → untouched
+      11L -> "conf 994111-1111-1111-11127 end"))
+    assert(out(6L) == ((0L, 0L, 0L, 1L, 0L, 0L, "order [CARD]9999 end")),
+      "an embedded valid card must be redacted out of the run")
+    assert(out(7L) == ((0L, 0L, 0L, 1L, 0L, 0L, "tail [CARD]1111 end")))
     assert(out(8L) == ((0L, 0L, 0L, 1L, 0L, 0L, "clean [CARD] end")),
       "an exact bounded valid card still redacts")
+    assert(out(9L) == ((0L, 0L, 0L, 0L, 0L, 0L,
+      "run 12345678901234567890123 end")),
+      "a run with no valid window must never be corrupted")
+    assert(out(10L) == ((0L, 0L, 0L, 1L, 0L, 0L, "conf 99[CARD]7 end")))
+    assert(out(11L) == ((0L, 0L, 0L, 0L, 0L, 0L,
+      "conf 994111-1111-1111-11127 end")))
   }
 
   test("v2 overlap contract: ssn counts after phones, phone shapes never re-match as ssn/card") {
