@@ -656,28 +656,82 @@ object DedupQueries {
     * EXACT-CANONICAL set so near-dup mining runs post-exact-dedup, the
     * industry curation order. Semantics identical to the dir form on
     * the raw table. */
-  def ngramPairsOf(docsIn: DataFrame, threshold: Double,
-                   probeBound: Long = 250L,
-                   corpusBound: Long = Long.MaxValue): DataFrame = {
-    require(threshold > 0.0, "inverted-index Jaccard requires threshold > 0")
+  /** The (doc_id, source, gram-set, n) frame behind [[ngramPairsOf]] —
+    * factored (r19) so the stored-probe incremental path shares the
+    * EXACT gram definition with the full mine. Materialized ONCE
+    * before any explode: the gram arrays feed both posting sides, and
+    * an un-materialized explode lets InferFiltersFromGenerate +
+    * pushdown substitute the whole gram expression into a pre-shuffle
+    * Filter (15× single-thread blowup). */
+  private[graft] def charGramDocs(docsIn: DataFrame,
+                                  corpusBound: Long): DataFrame = {
     val grams = array_distinct(
       transform(sequence(lit(1), length(col("text")) - 3),
         i => col("text").substr(i, lit(4))))
-    // materialized ONCE before the explodes: the gram arrays feed both
-    // the corpus and the probe postings, and an un-materialized explode
-    // lets InferFiltersFromGenerate + pushdown substitute the whole gram
-    // expression into a pre-shuffle Filter (15× single-thread blowup)
-    val docs = QueryDef.spread(docsIn)
+    QueryDef.spread(docsIn)
       .filter(length(col("text")) >= 4 && col("doc_id") < corpusBound)
       .select(col("doc_id"), col("source"), grams.as("g"))
       .withColumn("n", size(col("g")))
       .staged
+  }
+
+  /** The exploded probe-side postings (source, a, na, gram) of the
+    * docs under `probeBound` — the d4 universe's probe half, persisted
+    * by p12's day-1 index build and probed by every later increment. */
+  private[graft] def charGramPostings(canon: DataFrame,
+                                      probeBound: Long): DataFrame =
+    charGramDocs(canon, Long.MaxValue)
+      .filter(col("doc_id") < probeBound)
+      .select(col("source"), col("doc_id").as("a"), col("n").as("na"),
+        explode(col("g")).as("gram"))
+
+  def ngramPairsOf(docsIn: DataFrame, threshold: Double,
+                   probeBound: Long = 250L,
+                   corpusBound: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0, "inverted-index Jaccard requires threshold > 0")
+    val docs = charGramDocs(docsIn, corpusBound)
     val corpus = docs.select(col("source"), col("doc_id").as("b"),
       col("n").as("nb"), explode(col("g")).as("gram"))
     val probes = docs.filter(col("doc_id") < probeBound)
       .select(col("source"), col("doc_id").as("a"),
         col("n").as("na"), explode(col("g")).as("gram"))
     val inter = corpus.join(broadcast(probes), Seq("source", "gram"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("na").cast("long") + col("nb") - col("inter")).cast("double")
+    inter.withColumn("__jac", jac)
+      .filter(col("__jac") >= threshold)
+      .select(col("a"), col("b"), round(col("__jac"), 6).as("jaccard"))
+      .orderBy("a", "b")
+  }
+
+  /** n-gram Jaccard pairs TOUCHING an increment, probed against the
+    * STORED day-1 probe postings — the d8 stored-index discipline
+    * applied to the d4 exact-Jaccard universe (r19, VERDICT r18 #1).
+    * `storedProbeGrams` is the persisted [[charGramPostings]] of the
+    * day-1 canonical set; the increment grams ONLY its own docs and
+    * joins the postings through the measured broadcast guard —
+    * O(increment) work, the corpus is never re-shingled or re-scanned.
+    *
+    * Returns exactly the pairs of a full [[ngramPairsOf]] run over
+    * canon ∪ incrementCanon that touch the increment, PROVIDED every
+    * increment doc_id ≥ probeBound (p12's monotone-crawl-id contract):
+    * increment docs are then always the `b` side, so the stored probe
+    * postings are day-1-stable and no increment-internal pair exists
+    * in the universe on either path. */
+  def ngramPairsIncrementalStored(storedProbeGrams: DataFrame,
+                                  incrementCanon: DataFrame,
+                                  threshold: Double,
+                                  maxBroadcastPostings: Long = 10000000L)
+      : DataFrame = {
+    require(threshold > 0.0, "inverted-index Jaccard requires threshold > 0")
+    val inc = charGramDocs(incrementCanon, Long.MaxValue)
+    val corpus = inc.select(col("source"), col("doc_id").as("b"),
+      col("n").as("nb"), explode(col("g")).as("gram"))
+    val probes = QueryDef.guardedBroadcast(storedProbeGrams, maxBroadcastPostings)
+    val inter = corpus.join(probes, Seq("source", "gram"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b", "na", "nb")
       .agg(count(lit(1)).as("inter"))

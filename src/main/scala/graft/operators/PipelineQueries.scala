@@ -1189,37 +1189,26 @@ object PipelineQueries {
         DedupClusters.connectedComponents(pairs.select("a", "b")))
       .filter(col("keep")).select(col("doc_id"))
 
-  /** p9 — the release funnel with fuzzy dedup composed in as a release
-    * stage (RefinedWeb §3 / FineWeb / Dolma curation order: exact dedup,
-    * THEN near-dup dedup, then gates):
-    *
-    *   raw → exact canonical → fuzzy keep-best survivors
-    *       → quality gate (t9's 5-rule battery, p1's stage)
-    *       → held-out eval drop → 5-gram decontamination → released,
-    *
-    * one attrition row per stage, so "docs dropped by fuzzy dedup" is
-    * reported DISTINCTLY from exact dedup (stage 1→2 vs 0→1). Every
-    * stage reuses the standalone operator's own building blocks
-    * (exactCanonOf, d6's connectedComponents, d11's keepBest, t9's
-    * qualityRuleFrame, x1's contaminatedIds).
-    *
-    * Scale shape: exact dedup is the hash-keyed aggregate; near-dup
-    * mining runs over the CANONICAL set (never raw duplicates) and is
-    * whatever the edge generator costs (LSH-banded in production — d2's
-    * never-all-pairs discipline; the QueryDef uses d4's bounded
-    * exact-Jaccard universe so the WHOLE composition stays DuckDB-
-    * restatable, the d6/d11 adjudication); clustering is bounded by the
-    * edge list; the election and all joins back ride the measured
-    * broadcast guard. The corpus itself is never shuffled after canon.
-    */
-  private[graft] def fuzzyReleaseFunnelOf(
-      docsIn: org.apache.spark.sql.DataFrame,
-      pairsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      maxBroadcastEvalGrams: Long = 10000000L)
-      : org.apache.spark.sql.DataFrame = {
-    val docs0 = QueryDef.spread(docsIn)
-    val canon = exactCanonOf(docs0).staged
-    val fuzzy = canon.join(fuzzyKeepIdsOf(canon, pairsOf(canon)), "doc_id").staged
+  /** The post-canon fuzzy release stages — fuzzy keep-best → quality
+    * gate → held-out eval drop → 5-gram decontamination. ONE definition
+    * shared by p9's funnel (which counts each stage) and p12's two
+    * publishers (day-1 full publish AND the stored-index day-2
+    * assembly), so the incremental path can never drift from the
+    * funnel whose releases it publishes. `docs0` is the RAW corpus —
+    * eval docs are benchmark data and contribute grams whether or not
+    * any upstream stage kept them. */
+  private[graft] final case class FuzzyStages(
+      fuzzy: org.apache.spark.sql.DataFrame,
+      gated: org.apache.spark.sql.DataFrame,
+      kept: org.apache.spark.sql.DataFrame,
+      released: org.apache.spark.sql.DataFrame)
+
+  private[graft] def fuzzyStagesFromCanon(
+      docs0: org.apache.spark.sql.DataFrame,
+      canon: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      maxBroadcastEvalGrams: Long): FuzzyStages = {
+    val fuzzy = canon.join(fuzzyKeepIdsOf(canon, pairs), "doc_id").staged
     val keepIds = TextQueries.qualityRuleFrame(
       fuzzy.filter(size(split(col("text"), " ")) >= 2)
         .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk")))
@@ -1228,6 +1217,64 @@ object PipelineQueries {
     val kept = gated.filter(!ContaminationQueries.isEval)
     val released = kept.join(
       contaminatedIds(docs0, kept, maxBroadcastEvalGrams), Seq("doc_id"), "left_anti")
+    FuzzyStages(fuzzy, gated, kept, released)
+  }
+
+  /** The fuzzy funnel's RELEASE frame (released docs + deterministic
+    * split — the publishable contract, p4's step-4 shape) from an
+    * already-assembled canonical set and near-dup edge set. p12's
+    * day-2 path assembles (canon, pairs) from stored indexes and feeds
+    * them here, so the gates it publishes under are definitionally
+    * p9's. */
+  private[graft] def fuzzyReleasedOf(
+      docs0: org.apache.spark.sql.DataFrame,
+      canon: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      maxBroadcastEvalGrams: Long = 10000000L): org.apache.spark.sql.DataFrame =
+    fuzzyStagesFromCanon(docs0, canon, pairs, maxBroadcastEvalGrams)
+      .released.withColumn("split", SampleQueries.splitCol)
+
+  /** p9 — the crawl-shaped release funnel with URL dedup FIRST and
+    * fuzzy dedup composed in as a release stage (the order d14's own
+    * contract mandates — URL dedup is the first dedup every crawl
+    * pipeline runs, before any content pass — then RefinedWeb §3 /
+    * FineWeb / Dolma curation order: exact dedup, near-dup dedup,
+    * gates):
+    *
+    *   raw → url_deduped (d14's canonical-URL election)
+    *       → exact canonical → fuzzy keep-best survivors
+    *       → quality gate (t9's 5-rule battery, p1's stage)
+    *       → held-out eval drop → 5-gram decontamination → released,
+    *
+    * one attrition row per stage, so "docs dropped by URL dedup" and
+    * "docs dropped by fuzzy dedup" are each reported DISTINCTLY from
+    * exact dedup. Every stage reuses the standalone operator's own
+    * building blocks (UrlQueries.canonicalUrl + the min-id election,
+    * exactCanonOf, d6's connectedComponents, d11's keepBest, t9's
+    * qualityRuleFrame, x1's contaminatedIds).
+    *
+    * Scale shape: URL canonicalization is pure map-side codegen'd
+    * regex; its election is ONE canonical-keyed aggregate with min_by
+    * carrying the row (no join-back), and at 100 TB that shuffle is
+    * reusable layout for the exact-dedup stage that follows. Exact
+    * dedup is the hash-keyed aggregate; near-dup mining runs over the
+    * CANONICAL set (never raw duplicates) and is whatever the edge
+    * generator costs (LSH-banded in production — d2's never-all-pairs
+    * discipline; the QueryDef uses d4's bounded exact-Jaccard universe
+    * so the WHOLE composition stays DuckDB-restatable, the d6/d11
+    * adjudication); clustering is bounded by the edge list; the
+    * election and all joins back ride the measured broadcast guard.
+    * The corpus itself is never shuffled after canon. */
+  private[graft] def fuzzyReleaseFunnelOf(
+      docsIn: org.apache.spark.sql.DataFrame,
+      pairsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      maxBroadcastEvalGrams: Long = 10000000L)
+      : org.apache.spark.sql.DataFrame = {
+    val docs0 = QueryDef.spread(docsIn)
+    val urlKept = UrlQueries.urlCanonOf(docs0).drop("url").staged
+    val canon = exactCanonOf(urlKept).staged
+    val st = fuzzyStagesFromCanon(docs0, canon, pairsOf(canon),
+      maxBroadcastEvalGrams)
     def stageRow(id: Int, name: String,
                  df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       df.agg(count(lit(1)).as("n_docs"),
@@ -1236,25 +1283,60 @@ object PipelineQueries {
         .select(lit(id).as("stage_id"), lit(name).as("stage"),
           col("n_docs"), col("n_tokens"))
     stageRow(0, "raw", docs0)
-      .unionAll(stageRow(1, "exact_canonical", canon))
-      .unionAll(stageRow(2, "fuzzy_deduped", fuzzy))
-      .unionAll(stageRow(3, "quality_gated", gated))
-      .unionAll(stageRow(4, "heldout_dropped", kept))
-      .unionAll(stageRow(5, "released", released))
+      .unionAll(stageRow(1, "url_deduped", urlKept))
+      .unionAll(stageRow(2, "exact_canonical", canon))
+      .unionAll(stageRow(3, "fuzzy_deduped", st.fuzzy))
+      .unionAll(stageRow(4, "quality_gated", st.gated))
+      .unionAll(stageRow(5, "heldout_dropped", st.kept))
+      .unionAll(stageRow(6, "released", st.released))
       .orderBy("stage_id")
   }
 
-  val pFuzzyFunnel = QueryDef(
-    "p9_fuzzy_release_funnel",
-    (s, dir) => fuzzyReleaseFunnelOf(
-      Tables.documents(s, dir),
-      canon => DedupQueries.ngramPairsOf(canon, threshold = 0.4,
-        probeBound = 250L, corpusBound = 500L)),
-    Some("""
-      WITH RECURSIVE canon AS (
+  /** The p9/p12 funnel URL injection ([[Scaffold.messyUrlFunnel]]) +
+    * d14's shared canonicalization chain + the keep election, as the
+    * CTE prefix (no WITH keyword) both funnel oracles open with:
+    * yields `ukept` — the URL-KEPT document rows. */
+  private[graft] val funnelUrlCtes: String = s"""up0 AS (
+        SELECT doc_id, source,
+               CASE WHEN doc_id % 100 = 50 THEN 50
+                    ELSE doc_id - (CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END)
+               END AS pgn
+        FROM documents),
+      up AS (
+        SELECT doc_id, source, CAST(pgn AS VARCHAR) AS pg,
+               'd' || CAST(pgn % 7 AS VARCHAR) || '.com' AS h
+        FROM up0),
+      u AS (
+        SELECT doc_id, source,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'https://www.' || h || '/a/' || pg
+                 WHEN 1 THEN 'HTTPS://' || upper(h) || '/a/' || pg || '/'
+                 WHEN 2 THEN 'https://www.' || h || ':443/a/' || pg
+                 WHEN 3 THEN 'https://' || h || '/a/' || pg || '?utm_source=x&utm_campaign=y'
+                 WHEN 4 THEN 'https://www.' || h || '/a/' || pg || '#frag'
+                 ELSE 'http://' || h || '/b/' || pg
+               END AS url
+        FROM up),
+      ${UrlQueries.urlCanonChain},
+      uk AS (SELECT canonical_url, MIN(doc_id) AS keep_id
+             FROM c GROUP BY canonical_url),
+      ukept AS (
+        SELECT d.* FROM documents d
+        JOIN c ON d.doc_id = c.doc_id
+        JOIN uk ON c.canonical_url = uk.canonical_url
+        WHERE d.doc_id = uk.keep_id)"""
+
+  /** The from-scratch fuzzy-funnel CTE chain (post-URL stages: exact
+    * canon → d4-universe near-dup pairs → recursive CC → keep-best →
+    * t9 quality → eval drop → 5-gram decon), `ukept` in, `released`
+    * out — ONE statement shared by p9's funnel oracle (which appends
+    * stage counts) and p12's incremental-publish oracle (which appends
+    * p4's manifest tail), the releaseSqlCtesOver discipline: the
+    * equality p12 proves is against EXACTLY the funnel p9 checks. */
+  private[graft] val fuzzyFunnelSqlCtes: String = """canon AS (
         SELECT doc_id, text, source, n_chars
         FROM (SELECT doc_id, text, source, n_chars,
-                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM documents)
+                     MIN(doc_id) OVER (PARTITION BY text) AS m FROM ukept)
         WHERE doc_id = m),
       g AS (
         SELECT doc_id, source,
@@ -1329,25 +1411,39 @@ object PipelineQueries {
               WHERE len(tk) >= 5) d, UNNEST(d.g) AS u(t)),
       contam AS (SELECT DISTINCT doc_id FROM candg JOIN evalg USING (gram)),
       released AS (
-        SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM contam))"""
+
+  val pFuzzyFunnel = QueryDef(
+    "p9_fuzzy_release_funnel",
+    (s, dir) => fuzzyReleaseFunnelOf(
+      // url synthesis is QueryDef-only scaffolding — Scaffold.messyUrlFunnel
+      Tables.documents(s, dir).withColumn("url", Scaffold.messyUrlFunnel),
+      canon => DedupQueries.ngramPairsOf(canon, threshold = 0.4,
+        probeBound = 250L, corpusBound = 500L)),
+    Some(s"""
+      WITH RECURSIVE $funnelUrlCtes,
+      $fuzzyFunnelSqlCtes,
       cnt AS (
         SELECT 0 AS sid, 'raw' AS stage, COUNT(*) AS n_docs,
                CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) AS n_tokens
         FROM documents
         UNION ALL
-        SELECT 1, 'exact_canonical', COUNT(*),
+        SELECT 1, 'url_deduped', COUNT(*),
+               CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM ukept
+        UNION ALL
+        SELECT 2, 'exact_canonical', COUNT(*),
                CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM canon
         UNION ALL
-        SELECT 2, 'fuzzy_deduped', COUNT(*),
+        SELECT 3, 'fuzzy_deduped', COUNT(*),
                CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM fuzzy
         UNION ALL
-        SELECT 3, 'quality_gated', COUNT(*),
+        SELECT 4, 'quality_gated', COUNT(*),
                CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM gated
         UNION ALL
-        SELECT 4, 'heldout_dropped', COUNT(*),
+        SELECT 5, 'heldout_dropped', COUNT(*),
                CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM kept
         UNION ALL
-        SELECT 5, 'released', COUNT(*),
+        SELECT 6, 'released', COUNT(*),
                CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT) FROM released)
       SELECT CAST(sid AS INTEGER) AS stage_id, stage, n_docs, n_tokens
       FROM cnt ORDER BY stage_id"""))
@@ -1504,6 +1600,180 @@ object PipelineQueries {
       SELECT source, split, status, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
       FROM d GROUP BY source, split, status ORDER BY source, split, status"""))
 
+  // ---- p12: incremental fuzzy release (r19) ----------------------------
+
+  private[graft] def fuzzyReleaseRoot(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): String =
+    releaseRoot(s, dir) + "_fuzzy"
+
+  /** Day-1 / increment boundary for p12's QueryDef universe: crawl ids
+    * are monotone, so "yesterday's corpus" is ids < 400 and today's
+    * increment is ids ≥ 400 — every SF has both sides populated (ids
+    * run 0..499+), and the boundary sits ABOVE the funnel's near-dup
+    * probe bound (250), which is what makes the stored-probe algebra
+    * below exact. */
+  private val P12Boundary = 400L
+
+  /** p12 (r19, the r18 verdict's #1) — the daily production loop as
+    * ONE artifact: day-1 publishes the full p9 fuzzy-funnel release
+    * (URL dedup → exact canon → near-dup keep-best → quality → eval
+    * drop → decon → split) and persists one stored index per corpus-
+    * sized stage; day-2's funnel then runs with ZERO corpus-stage
+    * recomputation —
+    *
+    *   - URL stage: the increment probes d14b's stored keeper table
+    *     ([[UrlQueries.probeUrlBatch]]; kept = own keeper), never
+    *     re-canonicalizing day-1;
+    *   - exact stage: the increment's local canon drops already-stored
+    *     texts via the persisted text-hash keys (matched-slice
+    *     discipline: the index is semi-joined map-side by the
+    *     increment's guarded-broadcast hashes, then the increment
+    *     anti-joins the increment-sized matched slice) — day-1's
+    *     canonical rows re-enter by STORED ID (an id-keyed semi-join;
+    *     no text ever re-hashes or re-shuffles);
+    *   - near-dup stage: [[DedupQueries.ngramPairsIncrementalStored]]
+    *     probes the PERSISTED day-1 gram postings with increment grams
+    *     only — the d8 stored-index discipline on the d4 exact-Jaccard
+    *     universe, so the whole composition stays DuckDB-restatable —
+    *     and unions the stored day-1 pairs;
+    *
+    * and the result publishes through p10's delta lineage
+    * (fingerprint diff against the day-1 artifact, O(touched buckets)
+    * write). The monotone-id contract (increment ids > all day-1 ids ≥
+    * probe bound) is what makes each stored stage EXACT, not
+    * approximate: URL and text-hash elections are min-id and day-1
+    * keepers can never be evicted, and no increment-internal near-dup
+    * pair exists in either path's universe (a-side < probe bound <
+    * boundary).
+    *
+    * The ORACLE is the p10/d10b equality pattern, against p9's OWN
+    * shared CTE chain: the manifest of the delta-published day-2
+    * artifact must hash-equal a from-scratch p9 fuzzy release of
+    * corpus ∪ increment — proving delta-published-fuzzy ≡ re-mined-
+    * and-republished through the filesystem round-trip.
+    * FuzzyIncrementalSpec additionally pins each stored-fed stage
+    * frame-equal to its re-mined twin on the fixture.
+    *
+    * Scale shape (the 100 TB daily loop): per day the only work
+    * touching corpus-sized data is (a) one id-keyed semi-join to
+    * re-enter day-1 canon (layout, not compute — with the release pool
+    * content-keyed this is a partition-pruned read), (b) the eval-gram
+    * scan decon always pays (eval slice, 1/37 of the corpus), and (c)
+    * publishDelta's one fingerprint scan per diff side. Everything
+    * else — canonicalization, hashing, shingling, posting joins — is
+    * O(increment). The QueryDef deliberately runs the WHOLE two-day
+    * lifecycle per rep (day-1 publish included, the p10 convention);
+    * production runs day-1 once. */
+  /** Build p12's near-dup/exact stored stage index over the day-1
+    * corpus `day1` (docs WITH a url column) at `fzPath`: the canonical
+    * doc ids, their text-hash keys, the probe-side gram postings, and
+    * the mined day-1 pair set. This is the day-1 snapshot-time corpus
+    * work — the ONE place day-1 docs are canonicalized, hashed and
+    * shingled. (The URL keeper index is its own family —
+    * [[UrlQueries.initStoredUrlIndex]] — with its own format stamp.) */
+  private[graft] def initFuzzyMineIndex(s: org.apache.spark.sql.SparkSession,
+                                        fzPath: String,
+                                        day1: org.apache.spark.sql.DataFrame): Unit = {
+    val canon1b = exactCanonOf(UrlQueries.urlCanonOf(day1).drop("url")).staged
+    canon1b.select(col("doc_id")).write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, fzPath, "canonids"))
+    canon1b.select(md5(col("text")).as("__h")).write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, fzPath, "texthashes"))
+    DedupQueries.charGramPostings(canon1b, 250L).write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, fzPath, "postings"))
+    DedupQueries.ngramPairsOf(canon1b, threshold = 0.4,
+        probeBound = 250L, corpusBound = 500L).write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, fzPath, "pairs"))
+  }
+
+  /** Day-2's stored-fed stage assembly: (canonical set, near-dup pair
+    * set) of day-1 ∪ increment with ZERO corpus-stage recomputation —
+    * the URL stage probes the stored keeper table, the exact stage
+    * anti-joins the stored text-hash keys (matched-slice discipline),
+    * the near-dup stage probes the stored gram postings and unions the
+    * stored day-1 pairs. Exact, not approximate, under the monotone-id
+    * contract (see [[pIncrementalFuzzy]]); FuzzyIncrementalSpec pins
+    * each output frame-equal to its from-scratch re-mined twin. */
+  private[graft] def fuzzyStoredAssembly(
+      s: org.apache.spark.sql.SparkSession, urlPath: String, fzPath: String,
+      day1: org.apache.spark.sql.DataFrame, inc: org.apache.spark.sql.DataFrame,
+      maxBroadcastKeys: Long = 5000000L)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    def tbl(n: String) = graft.sources.IndexStore.readSwappable(s, fzPath, n)
+    val canon1 = day1.drop("url").join(tbl("canonids"), "doc_id")
+    val verdicts = UrlQueries.probeUrlBatch(s, urlPath,
+      inc.select(col("doc_id"), col("url")))
+    val incUrlKept = inc.drop("url").join(
+      verdicts.filter(col("doc_id") === col("keeper_id")).select("doc_id"),
+      "doc_id")
+    // increment-local exact canon (one row per distinct text already,
+    // so its hash projection needs no further distinct)
+    val incCanonLocal = exactCanonOf(incUrlKept).staged
+    val incHashes = QueryDef.guardedBroadcast(
+      incCanonLocal.select(md5(col("text")).as("__h")), maxBroadcastKeys)
+    val matchedH = graft.plans.Stage(
+      tbl("texthashes").join(incHashes, Seq("__h"), "left_semi"))
+    val incCanonNew = incCanonLocal.join(
+      QueryDef.guardedBroadcast(matchedH, maxBroadcastKeys),
+      md5(col("text")) === col("__h"), "left_anti").staged
+    val canon2 = canon1.unionByName(incCanonNew)
+    val incPairs = DedupQueries.ngramPairsIncrementalStored(
+      tbl("postings"), incCanonNew.filter(col("doc_id") < 500L),
+      threshold = 0.4)
+    (canon2, tbl("pairs").unionByName(incPairs))
+  }
+
+  val pIncrementalFuzzy = QueryDef(
+    "p12_incremental_fuzzy_release",
+    (s, dir) => publishGate.synchronized {
+      val docs = Tables.documents(s, dir)
+      val withUrl = docs.withColumn("url", Scaffold.messyUrlFunnel)
+      val day1 = withUrl.filter(col("doc_id") < P12Boundary)
+      val inc = withUrl.filter(col("doc_id") >= P12Boundary)
+      val root = fuzzyReleaseRoot(s, dir)
+      val srcStamp = graft.sources.IndexStore.sourceStamp(
+        s, s"$dir/documents.parquet")
+      // stored stage indexes — built once per corpus snapshot (ensure
+      // is keyed on the source stamp + the stage parameters)
+      val urlPath = graft.sources.IndexStore.indexPath(dir, "p12_urlcanon_lt400")
+      graft.sources.IndexStore.ensure(s, urlPath,
+        s"v1|corpus=(doc_id < $P12Boundary)|inject=funnelv2|src=$srcStamp") {
+        UrlQueries.initStoredUrlIndex(s, urlPath,
+          day1.select(col("doc_id"), col("url")))
+      }
+      val fzPath = graft.sources.IndexStore.indexPath(dir, "p12_fuzzyrel_lt400")
+      graft.sources.IndexStore.ensure(s, fzPath,
+        s"v1|boundary=$P12Boundary|probe=250|corpus=500|thr=0.4|inject=funnelv2|src=$srcStamp") {
+        initFuzzyMineIndex(s, fzPath, day1)
+      }
+      def tbl(n: String) = graft.sources.IndexStore.readSwappable(s, fzPath, n)
+      // day-1 publish: canon re-entered by STORED id, pairs from the
+      // stored table — no day-1 re-hash, no day-1 re-mine
+      val canon1 = day1.drop("url").join(tbl("canonids"), "doc_id")
+      graft.sources.IncrementalRelease.publishFull(
+        fuzzyReleasedOf(day1.drop("url"), canon1, tbl("pairs")), root)
+      // day-2: every corpus-sized stage input is stored-index-fed
+      val (canon2, pairs2) = fuzzyStoredAssembly(s, urlPath, fzPath, day1, inc)
+      graft.sources.IncrementalRelease.publishDelta(
+        fuzzyReleasedOf(docs, canon2, pairs2), root)
+    },
+    Some(s"""
+      WITH RECURSIVE $funnelUrlCtes,
+      $fuzzyFunnelSqlCtes,
+      a AS (
+        SELECT doc_id, text, n_chars,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'cc' THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 3, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 13, 4)) AS BIGINT) % 8
+                 AS bucket
+        FROM released)
+      SELECT split, bucket, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 10))
+               AS BIGINT)) AS BIGINT) AS digest
+      FROM a GROUP BY split, bucket ORDER BY split, bucket"""))
+
   // ---- Audit-from-published-release mode (r17) -----------------------
   // The production 100 TB shape: a release is published ONCE (p4) and
   // audited MANY times — dataset cards regenerate per consumer request,
@@ -1597,6 +1867,6 @@ object PipelineQueries {
   val all: Seq[QueryDef] =
     Seq(pCuration, pRelease, pManifest, pReleaseWrite, pReleaseReport,
       pSplitLeakage, pDomainMix, pGatedFunnel, pSftRelease, pFuzzyFunnel, pIncrementalRelease,
-      pReleaseChangelog, pReleaseReportFromRelease, pDomainMixFromRelease,
-      pSplitLeakageFromRelease)
+      pReleaseChangelog, pIncrementalFuzzy, pReleaseReportFromRelease,
+      pDomainMixFromRelease, pSplitLeakageFromRelease)
 }

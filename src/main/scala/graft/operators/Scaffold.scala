@@ -259,6 +259,42 @@ object Scaffold {
       .otherwise(concat(lit("http://"), host, lit("/b/"), page))
   }
 
+  /** Funnel-shaped messy URL injection for the p9/p12 crawl funnels
+    * (QueryDef-only scaffolding, restated verbatim in those oracles).
+    * [[messyUrl]]'s d14 key is collision-HEAVY by design (≤ 700
+    * canonical addresses per corpus — every probe status class must be
+    * populated), which would gut a funnel: the post-URL stages would
+    * see ≤ 700 docs. Here pages are per-doc UNIQUE except ids ≡ 9
+    * (mod 10), which share the preceding id's page — a realistic ~10 %
+    * crawl re-fetch rate — and the host is keyed off the PAGE (not the
+    * doc_id), so a shared page means a shared host and the pair really
+    * collides. The six surface variants are d14's (case, :443, www,
+    * trackers, fragment, trailing slash), so canonicalization is
+    * exercised, and a pair whose two variants straddle the http-b /
+    * https-a class split (ids 10k+8/10k+9 with (10k+9) % 6 ∈ {0, 5})
+    * correctly does NOT dedup — schemes are never folded. One FAR
+    * collision class on top: every id ≡ 50 (mod 100) shares page 50 —
+    * the "page refetched in every crawl" shape — which is what gives
+    * p12's stored-keeper probe a `dup_of_stored` slice at every SF
+    * (adjacent-pair collisions never straddle p12's 400 boundary);
+    * ids ≡ 50 (mod 100) are ≡ 50/150/250 (mod 300), never ≡ 5 (mod
+    * 6), so the class always matches and the collapse is real. */
+  private[graft] def messyUrlFunnel: Column = {
+    val id = col("doc_id")
+    val pg = when(id % 100 === 50, lit(50L))
+      .otherwise(id - when(id % 10 === 9, 1L).otherwise(0L))
+    val page = pg.cast("string")
+    val host = concat(lit("d"), (pg % 7).cast("string"), lit(".com"))
+    val v = id % 6
+    when(v === 0, concat(lit("https://www."), host, lit("/a/"), page))
+      .when(v === 1, concat(lit("HTTPS://"), upper(host), lit("/a/"), page, lit("/")))
+      .when(v === 2, concat(lit("https://www."), host, lit(":443/a/"), page))
+      .when(v === 3, concat(lit("https://"), host, lit("/a/"), page,
+        lit("?utm_source=x&utm_campaign=y")))
+      .when(v === 4, concat(lit("https://www."), host, lit("/a/"), page, lit("#frag")))
+      .otherwise(concat(lit("http://"), host, lit("/b/"), page))
+  }
+
   /** The deterministic "previous snapshot" for c9 (QueryDef-only
     * scaffolding; both engines state the same closed form): yesterday's
     * corpus is today's minus every 17th doc (today's "added"), plus

@@ -57,11 +57,13 @@ object UrlQueries {
   private val trackerAmpRe = "&(utm_[a-z]+|fbclid|gclid)=[^&]*"
   private val trackerLeadRe = "^(utm_[a-z]+|fbclid|gclid)=[^&]*&?"
 
-  /** The messy-URL injection + canonicalization restated once for BOTH
-    * oracles (d14 full run, d14b stored probe) — ONE definition, the
-    * d10OracleCtes discipline. */
-  private val urlOracleCtes: String = """
-      WITH u AS (
+  /** The d14 messy-URL injection — collision-HEAVY by design (host mod
+    * 7 × page mod 50 → ≤ 700 canonical addresses per corpus), right
+    * for a dedup OPERATOR test where every status class must be
+    * populated. The funnel oracles (p9/p12) inject their own
+    * funnel-shaped `u` (per-doc-unique pages, ~10 % dup rate —
+    * [[Scaffold.messyUrlFunnel]]) and reuse [[urlCanonChain]]. */
+  private[graft] val urlInjectCte: String = """u AS (
         SELECT doc_id, source,
                CASE doc_id % 6
                  WHEN 0 THEN 'https://www.d' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 50 AS VARCHAR)
@@ -71,8 +73,17 @@ object UrlQueries {
                  WHEN 4 THEN 'https://www.d' || CAST(doc_id % 7 AS VARCHAR) || '.com/a/' || CAST(doc_id % 50 AS VARCHAR) || '#frag'
                  ELSE 'http://d' || CAST(doc_id % 7 AS VARCHAR) || '.com/b/' || CAST(doc_id % 50 AS VARCHAR)
                END AS url
-        FROM documents),
-      c1 AS (
+        FROM documents)"""
+
+  /** The canonicalization chain (steps 1–6 of the object-doc contract)
+    * restated once for ALL consuming oracles — d14 full run, d14b
+    * stored probe, and the p9/p12 URL-first funnel stages (ONE
+    * definition, the d10OracleCtes discipline). Reads a CTE `u` with
+    * (doc_id, source, url); yields `c` with `canonical_url`. Stated
+    * WITHOUT the `WITH` keyword so the funnel oracles can prepend
+    * `WITH RECURSIVE` (their connected-components closure needs it);
+    * the d14 oracles use the plain-`WITH` wrapper. */
+  private[graft] val urlCanonChain: String = """c1 AS (
         SELECT doc_id, source, url,
                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
@@ -104,6 +115,9 @@ object UrlQueries {
                  '([^/])/$', '\1'),
                  '^/$', '') AS canonical_url
         FROM c3)"""
+
+  private val urlOracleCtes: String =
+    "\n      WITH " + urlInjectCte + ",\n      " + urlCanonChain
 
   /** Canonicalize a URL column (see object doc for the contract). */
   private[graft] def canonicalUrl(u: Column): Column = {
@@ -148,6 +162,20 @@ object UrlQueries {
       .withColumn("is_kept", col("doc_id") === col("__keep_id"))
       .drop("__keep_id")
   }
+
+  /** The URL-KEPT rows themselves (min-doc_id row per canonical URL) in
+    * ONE aggregate — the exactCanonOf shape applied to the address key:
+    * groupBy(canonical) with min_by carrying the whole row, so the
+    * funnel stage pays a single canonical-keyed shuffle and no join-back
+    * (r19; [[urlDedup]] keeps the join-back form because d14's audit
+    * needs `is_kept` on EVERY row, kept and dropped alike). At 100 TB
+    * the canonical key is the natural bucketing column for the
+    * downstream exact-dedup stage, so this shuffle is reusable layout. */
+  private[graft] def urlCanonOf(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs
+      .groupBy(canonicalUrl(col(urlCol)).as("__cu"))
+      .agg(min_by(struct(docs.columns.map(col): _*), col("doc_id")).as("__r"))
+      .select(col("__r.*"))
 
   // ---- d14b: stored canonical-URL index probe --------------------------
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{DedupClusters, DedupQueries, PipelineQueries}
+import graft.operators.{DedupClusters, DedupQueries, PipelineQueries, Scaffold, UrlQueries}
 import graft.sources.Tables
 
 /** p9 (r18): fuzzy dedup composed into the release funnel. The DuckDB
@@ -25,15 +25,18 @@ class FuzzyReleaseSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private val stageNames = Seq("raw", "exact_canonical", "fuzzy_deduped",
-    "quality_gated", "heldout_dropped", "released")
+  private val stageNames = Seq("raw", "url_deduped", "exact_canonical",
+    "fuzzy_deduped", "quality_gated", "heldout_dropped", "released")
 
-  test("LSH-fed production variant: funnel fuzzy stage equals chained standalone d2→d6→d11") {
+  test("LSH-fed production variant: funnel stages equal chained standalone d14→canon→d2→d6→d11") {
     val docs = Tables.documents(spark, dir)
-    val canon = PipelineQueries.exactCanonOf(docs)
+      .withColumn("url", Scaffold.messyUrlFunnel)
     // the chained standalone operators, composed BY HAND the way their
-    // standalone QueryDefs run them: d2's pair miner over the canonical
-    // set, d6's connected components, d11's keep-best election
+    // standalone QueryDefs run them: d14's canonical-URL election,
+    // exact canon, d2's pair miner over the canonical set, d6's
+    // connected components, d11's keep-best election
+    val urlKept = UrlQueries.urlCanonOf(docs).drop("url")
+    val canon = PipelineQueries.exactCanonOf(urlKept)
     val chained = DedupClusters.keepBest(canon,
         DedupClusters.connectedComponents(
           DedupQueries.minHashPairs(canon).select("a", "b")))
@@ -49,22 +52,26 @@ class FuzzyReleaseSpec extends AnyFunSuite {
       s"funnel counts must be non-increasing: $funnel")
     assert(funnel.map(_._4).sliding(2).forall(p => p.head >= p.last),
       s"funnel token counts must be non-increasing: $funnel")
+    assert(funnel(1)._3 == urlKept.count(),
+      "the composed URL stage must keep exactly d14's election")
     val canonN = canon.count()
-    assert(funnel(1)._3 == canonN)
-    assert(funnel(2)._3 == chained.length,
+    assert(funnel(2)._3 == canonN)
+    assert(funnel(3)._3 == chained.length,
       "the composed fuzzy stage must keep exactly the chained d2→d6→d11 keep set")
     assert(chained.length < canonN,
       "LSH found no near-dups to drop on the fixture — test is vacuous")
   }
 
-  test("d4-fed QueryDef variant: fuzzy drops reported distinctly from exact drops") {
+  test("d4-fed QueryDef variant: url and fuzzy drops reported distinctly from exact drops") {
     val rows = SparkEntry.queries("p9_fuzzy_release_funnel")(spark, dir)
       .collect()
       .map(r => r.getString(1) -> r.getLong(2)).toMap
-    val exactDrops = rows("raw") - rows("exact_canonical")
+    val urlDrops = rows("raw") - rows("url_deduped")
+    val exactDrops = rows("url_deduped") - rows("exact_canonical")
     val fuzzyDrops = rows("exact_canonical") - rows("fuzzy_deduped")
-    assert(exactDrops >= 0 && fuzzyDrops > 0,
-      s"fuzzy stage must drop docs on the fixture (exact=$exactDrops fuzzy=$fuzzyDrops)")
+    assert(urlDrops > 0 && exactDrops >= 0 && fuzzyDrops > 0,
+      s"url and fuzzy stages must drop docs on the fixture " +
+        s"(url=$urlDrops exact=$exactDrops fuzzy=$fuzzyDrops)")
     assert(rows("released") > 0, "the funnel released nothing — vacuous")
   }
 }
