@@ -1,9 +1,9 @@
 package graft
 
-/** Dev tool: regenerate the committed dataset-card byte sample
-  * (results/dataset_card_sf001.md) after a card change —
+/** Dev tool: regenerate the committed dataset-card byte samples
+  * (results/dataset_card_sf001.md + .json) after a card change —
   *   Test/runMain graft.CardRegenMain
-  * DatasetCardSpec pins the committed bytes against a fresh render. */
+  * DatasetCardSpec pins the committed bytes against fresh renders. */
 object CardRegenMain {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -13,6 +13,8 @@ object CardRegenMain {
     spark.sparkContext.setLogLevel("WARN")
     graft.sources.DatasetCard.write(spark, "/root/testdata/sf0.01",
       "results/dataset_card_sf001.md")
+    graft.sources.DatasetCard.writeJson(spark, "/root/testdata/sf0.01",
+      "results/dataset_card_sf001.json")
     println("card regenerated")
     spark.stop()
   }

@@ -83,4 +83,52 @@ class DatasetCardSpec extends AnyFunSuite {
       card.indexOf("## Split-leakage audit"))
     assert(section.linesIterator.count(_.startsWith("| bench_")) == n)
   }
+
+  // ---- machine-readable face (r19) ------------------------------------
+
+  private lazy val cardJson = DatasetCard.renderJson(spark, dir)
+
+  test("committed JSON sample matches a fresh render byte-exactly") {
+    val committed = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("results/dataset_card_sf001.json"))
+    assert(committed == cardJson,
+      "results/dataset_card_sf001.json is stale — regenerate via CardRegenMain")
+  }
+
+  test("JSON states exactly the markdown tables' numbers (shared CardData, field for field)") {
+    // a real parse, not string matching: the artifact's promise is that
+    // a governance consumer can json-load it
+    val m = org.json4s.jackson.JsonMethods.parse(cardJson)
+    import org.json4s._
+    implicit val fmts: Formats = DefaultFormats
+    assert((m \ "schema").extract[String] == "graft-dataset-card-v1")
+    // split statistics ≡ the markdown split table rows
+    val stats = (m \ "split_statistics").extract[Seq[Map[String, JValue]]]
+    val mdRows = stats.map { row =>
+      s"| ${row("split").extract[String]} | ${row("documents").extract[Long]} | " +
+        s"${row("tokens").extract[Long]} | ${f6(row("mean_quality").extract[Double])} | " +
+        s"${row("languages").extract[Long]} | ${row("top_language").extract[String]} | " +
+        s"${f6(row("top_share").extract[Double])} |"
+    }
+    assert(mdRows.nonEmpty)
+    mdRows.foreach(line => assert(card.contains(line),
+      s"JSON row has no byte-identical markdown twin: $line"))
+    // section row counts line up across the two faces
+    def mdCount(section: String, until: String) = {
+      val s0 = card.substring(card.indexOf(section), card.indexOf(until))
+      s0.linesIterator.count(l => l.startsWith("| ") && !l.startsWith("| split") &&
+        !l.startsWith("| benchmark") && !l.startsWith("| language") &&
+        !l.startsWith("| n |") && !l.startsWith("|---"))
+    }
+    assert((m \ "benchmark_clearance").extract[Seq[JValue]].size ==
+      mdCount("## Benchmark clearance", "## Split-leakage audit"))
+    assert((m \ "tokenizer_fertility").extract[Seq[JValue]].size ==
+      mdCount("## Tokenizer fertility", "## Decontamination gram profile"))
+    assert((m \ "decontamination_gram_profile").extract[Seq[JValue]].size ==
+      mdCount("## Decontamination gram profile", "## Content manifest"))
+    // manifest summary ≡ the markdown's closing sentence
+    val man = (m \ "content_manifest").extract[Map[String, Long]]
+    assert(card.contains(s"${man("manifest_rows")} (split, bucket) manifest rows; " +
+      s"${man("documents")} documents, ${man("total_chars")} chars total."))
+  }
 }
