@@ -145,6 +145,34 @@ class FuzzyIncrementalSpec extends AnyFunSuite {
       s"probe must only emit increment-touching pairs, got $probed")
   }
 
+  test("day-2 plans serve day-1 from parquet — no re-shingle, no re-hash (plan audit)") {
+    val day1 = mkDocs(day1Rows)
+    val (urlPath, fzPath) = freshPaths()
+    UrlQueries.initStoredUrlIndex(spark, urlPath,
+      day1.select(col("doc_id"), col("url")))
+    PipelineQueries.initFuzzyMineIndex(spark, fzPath, day1)
+    val (canon2, pairs2) =
+      PipelineQueries.fuzzyStoredAssembly(spark, urlPath, fzPath, day1,
+        mkDocs(incRows))
+    val pc = pairs2.queryExecution.executedPlan.toString
+    // the day-1 pairs are a parquet scan of the stored table (the
+    // probe postings also come from parquet, but ride the measured
+    // broadcast guard, whose stage hides the path from the final
+    // plan); the ONLY gram expansion left in the plan is the
+    // increment's own — a full re-mine would carry two explode sides
+    assert(pc.contains("pairs"),
+      "expected a scan over the stored pairs table\n" + pc.take(2000))
+    val explodes = "\\bGenerate ".r.findAllIn(pc).size
+    assert(explodes == 1,
+      s"expected exactly one gram expansion (the increment's), got $explodes\n" +
+        pc.take(2000))
+    // day-1 canon re-enters by STORED ID: an id-keyed join against the
+    // canonids parquet, with md5 appearing only on the increment branch
+    val cc = canon2.queryExecution.executedPlan.toString
+    assert(cc.contains("canonids"),
+      "expected the day-1 side to join the stored canonical ids\n" + cc.take(2000))
+  }
+
   test("testdata sf0.001: stored-fed assembly equals from-scratch, with a live dup_of_stored slice") {
     val docs = Tables.documents(spark, dir)
       .withColumn("url", Scaffold.messyUrlFunnel)
