@@ -19,9 +19,13 @@ class ReleaseChangelogSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  // artifact frames always carry lang (readVersion reads fullSchema —
+  // null when the publisher had none), so the fixture models that; a
+  // null lang on both sides is 'unchanged' under the null-safe compare
   private def rel(rows: (Long, String, String, String)*) = {
     import spark.implicits._
     rows.toSeq.toDF("doc_id", "text", "source", "split")
+      .withColumn("lang", org.apache.spark.sql.functions.lit(null: String))
   }
 
   test("classifies added / removed / changed / unchanged exactly") {
