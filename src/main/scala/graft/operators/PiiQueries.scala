@@ -169,19 +169,37 @@ object PiiQueries {
     length(d) === 16 && pmod(tot, lit(10)) === 0
   }
 
+  /** The leftmost Luhn-valid 16-digit window of a bare digit run, as a
+    * 0/1-element array (empty when the run is under 16 digits — the
+    * length guard also keeps `sequence` ascending). */
+  private def leftmostWin(r: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(length(r) >= 16, slice(
+      filter(transform(sequence(lit(1), length(r) - 15),
+        i => r.substr(i, lit(16))), luhnValid(_)), 1, 1))
+      .otherwise(array().cast("array<string>"))
+
   /** The Luhn-gated redaction literal(s) of ONE card-shaped candidate
     * (r19, closing the r18 advice's under-redaction regression: an
     * absorbing candidate shipped an EMBEDDED Luhn-valid card in
     * cleartext because the exact-16 gate rejected the whole run).
-    * Three shapes, each yielding a 0/1-element literal array:
+    * Three shapes, each yielding a small literal array:
     *  - exactly 16 digits → the candidate itself, Luhn-gated (the r18
     *    semantics, unchanged);
-    *  - an absorbing SEPARATOR form → the ONE window a true card can
-    *    align to — last 4 digits of the head run, the two fixed
-    *    4-digit middle groups, first 4 of the tail run (the middle
-    *    groups are fixed-width, so no other alignment exists);
+    *  - an absorbing SEPARATOR form → the ONE separator-crossing
+    *    window a true card can align to — last 4 digits of the head
+    *    run, the two fixed 4-digit middle groups, first 4 of the tail
+    *    run (the middle groups are fixed-width, so no other
+    *    separator-crossing alignment exists) — PLUS the leftmost
+    *    Luhn-valid bare window of the head run and of the tail run
+    *    (r19 self-review: a card bare-embedded in a long head/tail
+    *    run of a separator-form candidate is still a card; windows
+    *    crossing a separator at any other alignment cannot be a
+    *    single card's surface form and stay out of scope);
     *  - an absorbing BARE run → the LEFTMOST Luhn-valid 16-digit
-    *    window.
+    *    window (ONE redaction per run — the deterministic convention;
+    *    a run carrying two concatenated valid cards redacts the
+    *    leftmost).
     * The replace fold then redacts the WINDOW literal in place, so the
     * absorbed non-card digits survive: '4111111111111111999' becomes
     * '[CARD]999', while a 20-digit order id with no valid window still
@@ -200,19 +218,20 @@ object PiiQueries {
     val sepWin = concat(g1.substr(length(g1) - 3, lit(4)), sep, g3, sep,
       g4, sep, g5.substr(lit(1), lit(4)))
     when(length(d) === 16, filter(array(c), luhnValid(_)))
-      .when(c.rlike("[ -]"), filter(array(sepWin), luhnValid(_)))
-      .otherwise(slice(
-        filter(transform(sequence(lit(1), length(d) - 15),
-          i => d.substr(i, lit(16))), luhnValid(_)), 1, 1))
+      .when(c.rlike("[ -]"),
+        concat(leftmostWin(g1), filter(array(sepWin), luhnValid(_)),
+          leftmostWin(g5)))
+      .otherwise(leftmostWin(d))
   }
 
   /** Adds per-class counts and `redacted` under the v2 class set.
     * Valid-card redaction folds the DISTINCT valid window literals
-    * over the text — digit[-separator] tokens replaced by digit-free
-    * placeholders, whose occurrences live inside disjoint candidate
-    * spans, so the fold order is immaterial for every occurrence that
-    * matters (and the oracle's list_distinct needs no order
-    * guarantee). */
+    * over the text in SORTED order (r19 self-review: windows from
+    * different candidates can overlap in the text — one candidate's
+    * window occurring inside another candidate's span — so the fold
+    * order is observable there, and array_distinct/list_distinct make
+    * no cross-engine order promise; sorting pins one deterministic
+    * result in both engines). */
   private[graft] def piiScrubV2(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t0 = col(textCol)
     val t1 = regexp_replace(t0, emailRe, "[EMAIL]")
@@ -220,7 +239,7 @@ object PiiQueries {
     val t3 = regexp_replace(t2, ssnRe, "[SSN]")
     val valid = flatten(transform(
       regexp_extract_all(t3, lit(cardRe), lit(0)), cardWindows(_)))
-    val t4 = aggregate(array_distinct(valid), t3,
+    val t4 = aggregate(array_sort(array_distinct(valid)), t3,
       (acc, c) => replace(acc, c, lit("[CARD]")))
     val t5 = regexp_replace(t4, ipv6Re, "[IPV6]")
     val t6 = regexp_replace(t5, ipv4Re, "[IP]")
@@ -243,10 +262,12 @@ object PiiQueries {
       s" || regexp_extract(cd, $sqlCardSepRe, 2) || regexp_extract(cd, $sqlCardSepRe, 3)" +
       s" || regexp_extract(cd, $sqlCardSepRe, 2) || regexp_extract(cd, $sqlCardSepRe, 4)" +
       s" || regexp_extract(cd, $sqlCardSepRe, 2) || substring(regexp_extract(cd, $sqlCardSepRe, 5), 1, 4)"
-  private def sqlBareWins: String =
-    "list_filter(list_transform(range(1, len(regexp_replace(cd, '[ -]', '', 'g')) - 14), " +
-      "i -> substring(regexp_replace(cd, '[ -]', '', 'g'), CAST(i AS INT), 16)), " +
-      sqlLuhn + ")"
+  private def sqlWins(run: String): String =
+    s"list_filter(list_transform(range(1, len($run) - 14), " +
+      s"i -> substring($run, CAST(i AS INT), 16)), " + sqlLuhn + ")"
+  private def sqlLeftWin(run: String): String =
+    s"(CASE WHEN len($run) >= 16 AND len(${sqlWins(run)}) > 0 " +
+      s"THEN [(${sqlWins(run)})[1]] ELSE CAST([] AS VARCHAR[]) END)"
 
   private val sqlLuhn =
     """c -> len(regexp_replace(c, '[ -]', '', 'g')) = 16 AND
@@ -291,7 +312,7 @@ object PiiQueries {
                       text || ' ref code ' ||
                       (['4111-1111-1111-1112', '1234-5678-1234-5678',
                         '5500-0055-5555-5551', '6011-0009-9013-9421'])[CAST(((doc_id % 4) + 4) % 4 AS INT) + 1] ||
-                      ' order 4111111111111111999 conf 994111-1111-1111-11117'
+                      ' order 4111111111111111999 conf 994111-1111-1111-11117 id 4111111111111111999-1234-5678-9012'
                     WHEN ((doc_id % 8) + 8) % 8 = 2 THEN
                       text || ' ssn ' ||
                       lpad(CAST(((((doc_id % 1000) + 1000) % 1000) * 37) % 1000 AS VARCHAR), 3, '0') || '-' ||
@@ -334,12 +355,13 @@ object PiiQueries {
                  WHEN len(regexp_replace(cd, '[ -]', '', 'g')) = 16
                    THEN list_filter([cd], $sqlLuhn)
                  WHEN regexp_matches(cd, '[ -]')
-                   THEN list_filter([$sqlSepWin], $sqlLuhn)
-                 ELSE CASE WHEN len($sqlBareWins) > 0
-                           THEN [($sqlBareWins)[1]]
-                           ELSE CAST([] AS VARCHAR[]) END
+                   THEN list_concat(list_concat(
+                          ${sqlLeftWin(s"regexp_extract(cd, $sqlCardSepRe, 1)")},
+                          list_filter([$sqlSepWin], $sqlLuhn)),
+                          ${sqlLeftWin(s"regexp_extract(cd, $sqlCardSepRe, 5)")})
+                 ELSE ${sqlLeftWin("regexp_replace(cd, '[ -]', '', 'g')")}
                END)) AS valid FROM s3),
-      s5 AS (SELECT *, list_reduce(list_prepend(t3, list_distinct(valid)),
+      s5 AS (SELECT *, list_reduce(list_prepend(t3, list_sort(list_distinct(valid))),
                (acc, c) -> replace(acc, c, '[CARD]')) AS t4 FROM s4),
       s6 AS (SELECT *, regexp_replace(t4,
                '([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}', '[IPV6]', 'g') AS t5 FROM s5),

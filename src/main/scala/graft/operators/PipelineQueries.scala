@@ -1527,8 +1527,12 @@ object PipelineQueries {
         coalesce(col("__pn"), col("__po")).as("split"),
         when(col("__ho").isNull, "added")
           .when(col("__hn").isNull, "removed")
-          .when(col("__ho") === col("__hn") && col("__so") === col("__sn") &&
-            (col("__lo") <=> col("__ln")) && col("__po") === col("__pn"),
+          // every governance compare null-safe (r19 self-review: ===
+          // on a null-on-both-sides source/split misreported the doc
+          // as 'changed' — the same null class the publish fingerprint
+          // coalesces against)
+          .when(col("__ho") === col("__hn") && (col("__so") <=> col("__sn")) &&
+            (col("__lo") <=> col("__ln")) && (col("__po") <=> col("__pn")),
             "unchanged")
           .otherwise("changed").as("status"),
         col("doc_id"))
@@ -1591,9 +1595,9 @@ object PipelineQueries {
                COALESCE(r2.split, r1.split) AS split,
                CASE WHEN r1.h IS NULL THEN 'added'
                     WHEN r2.h IS NULL THEN 'removed'
-                    WHEN r1.h = r2.h AND r1.source = r2.source
+                    WHEN r1.h = r2.h AND r1.source IS NOT DISTINCT FROM r2.source
                          AND r1.lang IS NOT DISTINCT FROM r2.lang
-                         AND r1.split = r2.split THEN 'unchanged'
+                         AND r1.split IS NOT DISTINCT FROM r2.split THEN 'unchanged'
                     ELSE 'changed' END AS status,
                COALESCE(r2.doc_id, r1.doc_id) AS doc_id
         FROM r1 FULL OUTER JOIN r2 USING (doc_id))
@@ -1737,13 +1741,13 @@ object PipelineQueries {
       // is keyed on the source stamp + the stage parameters)
       val urlPath = graft.sources.IndexStore.indexPath(dir, "p12_urlcanon_lt400")
       graft.sources.IndexStore.ensure(s, urlPath,
-        s"v1|corpus=(doc_id < $P12Boundary)|inject=funnelv2|src=$srcStamp") {
+        s"v2|corpus=(doc_id < $P12Boundary)|inject=funnelv2|src=$srcStamp") {
         UrlQueries.initStoredUrlIndex(s, urlPath,
           day1.select(col("doc_id"), col("url")))
       }
       val fzPath = graft.sources.IndexStore.indexPath(dir, "p12_fuzzyrel_lt400")
       graft.sources.IndexStore.ensure(s, fzPath,
-        s"v1|boundary=$P12Boundary|probe=250|corpus=500|thr=0.4|inject=funnelv2|src=$srcStamp") {
+        s"v2|boundary=$P12Boundary|probe=250|corpus=500|thr=0.4|inject=funnelv2|src=$srcStamp") {
         initFuzzyMineIndex(s, fzPath, day1)
       }
       def tbl(n: String) = graft.sources.IndexStore.readSwappable(s, fzPath, n)

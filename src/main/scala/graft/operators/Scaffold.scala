@@ -82,12 +82,15 @@ object Scaffold {
         lit(" taxid 078-05-1120")))
       .when(r(id, 8) === 1,
         // one Luhn-invalid exact card (the gate must pass it through)
-        // plus the two ABSORBING shapes with an embedded valid card —
-        // a bare 19-digit run and a digit-flanked separator form — so
-        // the r19 window extraction is oracle-exercised, not spec-only
+        // plus three ABSORBING shapes with an embedded valid card —
+        // a bare 19-digit run, a digit-flanked separator form (aligned
+        // window), and a separator form whose card is bare-embedded in
+        // the HEAD run (the r19 self-review case) — so the window
+        // extraction is oracle-exercised, not spec-only
         concat(col("text"), lit(" ref code "),
           element_at(invalidCards, (r(id, 4) + 1).cast("int")),
-          lit(" order 4111111111111111999 conf 994111-1111-1111-11117")))
+          lit(" order 4111111111111111999 conf 994111-1111-1111-11117" +
+            " id 4111111111111111999-1234-5678-9012")))
       .when(r(id, 8) === 2,
         concat(col("text"), lit(" ssn "), lpad(mm(37, 1000), 3, "0"),
           lit("-"), lpad(mm(11, 100), 2, "0"), lit("-"),

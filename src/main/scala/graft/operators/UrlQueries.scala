@@ -187,7 +187,13 @@ object UrlQueries {
   // ---- d14b: stored canonical-URL index probe --------------------------
 
   private val FormatStamp = "_graft_url_format"
-  private val FormatValue = "urlcanon-v1:(canonical_url, keeper_id)"
+  // v2 (r19): tracker stripping moved to the ISOLATED query substring
+  // (values may cross '/'), changing canonical keys for slash-bearing
+  // tracker values — a keeper table persisted under v1 semantics holds
+  // incompatible keys and must be rebuilt, so the format value is the
+  // CANONICALIZATION version, not just the layout (the stamp exists to
+  // catch exactly this class of silent-probe-miss)
+  private val FormatValue = "urlcanon-v2:(canonical_url, keeper_id)"
 
   /** Build the stored canonical-URL keeper table from a corpus
     * snapshot: one row per canonical URL carrying the elected keeper
@@ -371,7 +377,7 @@ object UrlQueries {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), Scaffold.messyUrl.as("url"))
       val path = graft.sources.IndexStore.indexPath(dir, "urlcanon_ge_400")
-      val meta = "v1|corpus=(doc_id >= 400)|src=" +
+      val meta = "v2|corpus=(doc_id >= 400)|src=" +
         graft.sources.IndexStore.sourceStamp(s, s"$dir/documents.parquet")
       graft.sources.IndexStore.ensure(s, path, meta) {
         initStoredUrlIndex(s, path, docs.filter(col("doc_id") >= 400))

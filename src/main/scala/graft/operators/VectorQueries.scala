@@ -762,6 +762,15 @@ object VectorQueries {
     * two frames. Nothing probe-sized is ever collected or broadcast —
     * the trade is one extra shuffle for unbounded probe cardinality,
     * exactly the v5 ivfSearch shape on the stored index.
+    *
+    * The LUT rides the routing rows DELIBERATELY (nprobe copies per
+    * probe through the list-keyed exchange, ~1 KB each): the
+    * alternative — thin (q, list_id) routing, then re-keying the
+    * joined CANDIDATE rows by q to attach the LUT — would shuffle
+    * ~corpus·nprobe/k candidate rows per probe, orders of magnitude
+    * more bytes, and would forfeit adcShortlist's map-side bounded
+    * top-k (which shuffles only ≤shortlistN rows/probe/partition
+    * precisely because candidates stay where the list join put them).
     * RoutedProbeSpec pins it row-identical to the driver-routed path. */
   private[graft] def routedCandsDistributed(idx: PqIndex, probes: DataFrame,
                                             nprobe: Int,

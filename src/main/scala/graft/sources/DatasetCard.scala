@@ -224,4 +224,16 @@ object DatasetCard {
 
   def writeJson(s: SparkSession, dir: String, path: String): Unit =
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), renderJson(s, dir))
+
+  /** Write both faces from ONE collected CardData — the audit query
+    * family runs once, and the shared-data no-drift guarantee holds by
+    * construction rather than by determinism across two passes. */
+  def writeBoth(s: SparkSession, dir: String, mdPath: String,
+                jsonPath: String): Unit = {
+    val d = compute(s, dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(mdPath), renderMarkdown(d))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(jsonPath), renderJsonData(d))
+  }
 }

@@ -51,12 +51,16 @@ object ReleaseIngest {
 
   /** The per-batch ingest body (factored out so crash/rewind drivers —
     * tests, backfills — can invoke it outside a streaming query with an
-    * explicit prefix). Gate → publish → advance the stamp → hand the
-    * manifest to the caller. */
+    * explicit prefix). Empty-skip → gate → publish → advance the stamp
+    * → hand the manifest to the caller. */
   private[graft] def ingestReleaseBatch(s: SparkSession, root: String,
                                         batch: DataFrame, prefix: String,
                                         batchId: Long, nBuckets: Int,
                                         onManifest: (DataFrame, Long) => Unit): Unit = {
+    // spurious empty trigger — skip without advancing the stamp (see
+    // the releaseIngest doc for why "the corpus became empty" cannot
+    // ride this sink either way)
+    if (batch.isEmpty) return
     val last = IndexStore.readStamp(s, root, stampName(prefix)).map(_.toLong)
     // == is a legitimate replay (publish committed, checkpoint did not
     // advance) and converges via the empty-diff no-op; < is a rewind
@@ -79,7 +83,16 @@ object ReleaseIngest {
   /** Build the foreachBatch writer for a stream of complete logical
     * release frames (full release contract columns) against the
     * versioned root at `root`. The caller sets trigger / checkpoint
-    * options and calls `.start()`. */
+    * options and calls `.start()`.
+    *
+    * EMPTY micro-batches are skipped — deliberately, for two stacked
+    * reasons: Structured Streaming delivers spurious empty batches
+    * (trigger fires, no data), which must not advance the lineage; and
+    * the publisher itself REFUSES to commit an empty release (a
+    * zero-document artifact is a contract violation, not a snapshot),
+    * so "the corpus became empty" cannot ride this sink either way —
+    * a takedown-to-zero event is an operational action on the root,
+    * not a publishable version. ReleaseIngestSpec pins the no-op. */
   def releaseIngest(docs: DataFrame, root: String,
                     onManifest: (DataFrame, Long) => Unit,
                     nBuckets: Int = 8,
@@ -87,12 +100,11 @@ object ReleaseIngest {
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       val b = batch.persist()
       try {
-        if (!b.isEmpty) {
-          val s = b.sparkSession
-          val prefix = StreamIdentity.incarnationPrefix(s, streamId)
-          ingestReleaseBatch(s, root, b.toDF(), prefix, batchId, nBuckets,
-            onManifest)
-        }
+        val s = b.sparkSession
+        val prefix = StreamIdentity.incarnationPrefix(s, streamId)
+        // the body owns the empty-skip, so direct drivers get it too
+        ingestReleaseBatch(s, root, b.toDF(), prefix, batchId, nBuckets,
+          onManifest)
       } finally b.unpersist()
     }
 }

@@ -11,10 +11,8 @@ object CardRegenMain {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.sources.DatasetCard.write(spark, "/root/testdata/sf0.01",
-      "results/dataset_card_sf001.md")
-    graft.sources.DatasetCard.writeJson(spark, "/root/testdata/sf0.01",
-      "results/dataset_card_sf001.json")
+    graft.sources.DatasetCard.writeBoth(spark, "/root/testdata/sf0.01",
+      "results/dataset_card_sf001.md", "results/dataset_card_sf001.json")
     println("card regenerated")
     spark.stop()
   }

@@ -122,7 +122,12 @@ class PiiScrubSpec extends AnyFunSuite {
       // alignment (last-4 of head, middles, first-4 of tail) is valid
       10L -> "conf 994111-1111-1111-11117 end",
       // same shape, but the aligned window fails Luhn → untouched
-      11L -> "conf 994111-1111-1111-11127 end"))
+      11L -> "conf 994111-1111-1111-11127 end",
+      // r19 self-review: a card BARE-embedded in the HEAD run of a
+      // separator-form candidate (the aligned window fails Luhn here)
+      12L -> "conf 4111111111111111999-1234-5678-9012 end",
+      // ... and in the TAIL run
+      13L -> "x 9912-1234-5678-4111111111111111999 end"))
     assert(out(6L) == ((0L, 0L, 0L, 1L, 0L, 0L, "order [CARD]9999 end")),
       "an embedded valid card must be redacted out of the run")
     assert(out(7L) == ((0L, 0L, 0L, 1L, 0L, 0L, "tail [CARD]1111 end")))
@@ -134,6 +139,12 @@ class PiiScrubSpec extends AnyFunSuite {
     assert(out(10L) == ((0L, 0L, 0L, 1L, 0L, 0L, "conf 99[CARD]7 end")))
     assert(out(11L) == ((0L, 0L, 0L, 0L, 0L, 0L,
       "conf 994111-1111-1111-11127 end")))
+    assert(out(12L) == ((0L, 0L, 0L, 1L, 0L, 0L,
+      "conf [CARD]999-1234-5678-9012 end")),
+      "a card bare-embedded in a separator form's head run must redact")
+    assert(out(13L) == ((0L, 0L, 0L, 1L, 0L, 0L,
+      "x 9912-1234-5678-[CARD]999 end")),
+      "a card bare-embedded in a separator form's tail run must redact")
   }
 
   test("v2 overlap contract: ssn counts after phones, phone shapes never re-match as ssn/card") {

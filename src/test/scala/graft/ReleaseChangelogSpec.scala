@@ -47,6 +47,16 @@ class ReleaseChangelogSpec extends AnyFunSuite {
     assert(out.size == 4)
   }
 
+  test("null governance fields on both sides are 'unchanged' (null-safe compare)") {
+    // r19 self-review: === on a null-on-both-sides source/split
+    // misreported the doc as 'changed' — every governance compare is <=>
+    val f = rel((1L, "same", "s", "train"))
+      .withColumn("source", org.apache.spark.sql.functions.lit(null: String))
+    val out = PipelineQueries.releaseChangelog(f, f)
+      .collect().map(r => (r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq(("unchanged", 1L)), s"got $out")
+  }
+
   test("statuses partition the union of both releases' doc ids") {
     val prev = rel((1L, "a", "s", "train"), (2L, "b", "s", "train"))
     val cur = rel((2L, "b2", "s", "train"), (3L, "c", "s", "train"))

@@ -107,6 +107,16 @@ class ReleaseIngestSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("rewound"))
     assert(IncrementalRelease.versions(spark, root) == Seq(1L, 2L))
 
+    // an EMPTY batch is a spurious trigger, not a snapshot: the body
+    // must skip it entirely (the publisher refuses empty releases by
+    // contract) — driven directly, the ingest-body way the rewind case
+    // is driven above
+    graft.streaming.ReleaseIngest.ingestReleaseBatch(
+      spark, root, day2.limit(0), prefix, 7L, 8,
+      (_, _) => fail("an empty batch must never publish"))
+    assert(IncrementalRelease.versions(spark, root) == Seq(1L, 2L),
+      "an empty batch must leave the lineage untouched")
+
     // a FRESH incarnation (new checkpoint) legitimately continues the
     // lineage: its batch 0 publishes the next delta
     graft.streaming.ReleaseIngest.ingestReleaseBatch(
