@@ -711,26 +711,45 @@ object DedupQueries {
     * STORED day-1 probe postings — the d8 stored-index discipline
     * applied to the d4 exact-Jaccard universe (r19, VERDICT r18 #1).
     * `storedProbeGrams` is the persisted [[charGramPostings]] of the
-    * day-1 canonical set; the increment grams ONLY its own docs and
-    * joins the postings through the measured broadcast guard —
+    * already-ingested canonical set; the increment grams ONLY its own
+    * docs and joins the postings through the measured broadcast guard —
     * O(increment) work, the corpus is never re-shingled or re-scanned.
     *
     * Returns exactly the pairs of a full [[ngramPairsOf]] run over
-    * canon ∪ incrementCanon that touch the increment, PROVIDED every
-    * increment doc_id ≥ probeBound (p12's monotone-crawl-id contract):
-    * increment docs are then always the `b` side, so the stored probe
-    * postings are day-1-stable and no increment-internal pair exists
-    * in the universe on either path. */
+    * canon ∪ incrementCanon (at `probeBound`) that touch the increment:
+    * cross-boundary pairs come from the stored postings, and increment-
+    * INTERNAL pairs (possible once the probe bound exceeds increment
+    * ids — the day-N growing-corpus universe) from the increment's own
+    * probe-side postings, unioned in before the join. Exactness rests
+    * on the monotone-crawl-id contract — every increment doc_id must
+    * exceed every ingested doc_id, or a pair (a∈increment, b∈stored,
+    * a<b) would be silently missing from both probe paths — so the
+    * contract is ENFORCED here (r19 advice: fail-stop, never a doc
+    * comment) with one increment-sized min aggregate against the
+    * caller-supplied `storedMaxId` (the max ingested canonical id; the
+    * postings alone can't witness it — they only hold docs under the
+    * probe bound). */
   def ngramPairsIncrementalStored(storedProbeGrams: DataFrame,
+                                  storedMaxId: Long,
                                   incrementCanon: DataFrame,
                                   threshold: Double,
+                                  probeBound: Long = 250L,
                                   maxBroadcastPostings: Long = 10000000L)
       : DataFrame = {
     require(threshold > 0.0, "inverted-index Jaccard requires threshold > 0")
+    val minInc = incrementCanon.agg(min(col("doc_id"))).head()
+    require(minInc.isNullAt(0) || minInc.getLong(0) > storedMaxId,
+      s"ngramPairsIncrementalStored: increment min doc_id ${minInc.get(0)} " +
+        s"<= stored max id $storedMaxId — the monotone-crawl-id contract is " +
+        "violated and the incremental pair set would be silently incomplete")
     val inc = charGramDocs(incrementCanon, Long.MaxValue)
     val corpus = inc.select(col("source"), col("doc_id").as("b"),
       col("n").as("nb"), explode(col("g")).as("gram"))
-    val probes = QueryDef.guardedBroadcast(storedProbeGrams, maxBroadcastPostings)
+    val incProbes = inc.filter(col("doc_id") < probeBound)
+      .select(col("source"), col("doc_id").as("a"), col("n").as("na"),
+        explode(col("g")).as("gram"))
+    val probes = QueryDef.guardedBroadcast(
+      storedProbeGrams.unionByName(incProbes), maxBroadcastPostings)
     val inter = corpus.join(probes, Seq("source", "gram"))
       .filter(col("a") < col("b"))
       .groupBy("a", "b", "na", "nb")

@@ -113,13 +113,34 @@ object PipelineQueries {
   private def contaminatedIds(
       docs: org.apache.spark.sql.DataFrame,
       pre: org.apache.spark.sql.DataFrame,
-      maxBroadcastEvalGrams: Long): org.apache.spark.sql.DataFrame = {
-    val evalG = QueryDef.spread(docs).filter(ContaminationQueries.isEval)
+      maxBroadcastEvalGrams: Long): org.apache.spark.sql.DataFrame =
+    contaminatedIdsByGrams(pre, evalGramsOf(docs), maxBroadcastEvalGrams)
+
+  /** The deduped 5-gram set of `docs`'s held-out eval slice — the
+    * decon probe side, factored out (r20) so p12's stored-index path
+    * can persist day-1's grams once and union each increment's own:
+    * eval membership is per-doc deterministic, so
+    * evalGramsOf(a ∪ b) ≡ (evalGramsOf(a) ∪ evalGramsOf(b)).distinct —
+    * the fold algebra the stored `evalgrams` table rests on. Built
+    * from the RAW corpus (never a funnel stage): eval docs are
+    * benchmark data and contribute grams whether or not any upstream
+    * stage kept them. */
+  private[graft] def evalGramsOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    QueryDef.spread(docs).filter(ContaminationQueries.isEval)
       .select(split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 5)
       .select(ContaminationQueries.wordNgrams(col("tk"), 5).as("g"))
       .staged
       .select(explode(col("g")).as("gram")).distinct()
+
+  /** [[contaminatedIds]] with the eval-gram frame supplied directly —
+    * the seat p12's day-2 path feeds from the stored day-1 gram table
+    * plus the increment's own grams, so decon never re-scans day-1. */
+  private[graft] def contaminatedIdsByGrams(
+      pre: org.apache.spark.sql.DataFrame,
+      evalG: org.apache.spark.sql.DataFrame,
+      maxBroadcastEvalGrams: Long): org.apache.spark.sql.DataFrame = {
     val candG = QueryDef.spread(pre)
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 5)
@@ -1207,6 +1228,19 @@ object PipelineQueries {
       docs0: org.apache.spark.sql.DataFrame,
       canon: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame,
+      maxBroadcastEvalGrams: Long): FuzzyStages =
+    fuzzyStagesFromCanonGrams(evalGramsOf(docs0), canon, pairs,
+      maxBroadcastEvalGrams)
+
+  /** [[fuzzyStagesFromCanon]] with the decon probe side supplied as a
+    * GRAM frame instead of the raw corpus — p12's day-2 seat: the
+    * stored day-1 gram table unioned with the increment's own grams
+    * ([[fuzzyStoredEvalGrams]]), so the post-canon stages never touch
+    * raw day-1 either. */
+  private[graft] def fuzzyStagesFromCanonGrams(
+      evalGrams: org.apache.spark.sql.DataFrame,
+      canon: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
       maxBroadcastEvalGrams: Long): FuzzyStages = {
     val fuzzy = canon.join(fuzzyKeepIdsOf(canon, pairs), "doc_id").staged
     val keepIds = TextQueries.qualityRuleFrame(
@@ -1216,23 +1250,10 @@ object PipelineQueries {
     val gated = fuzzy.join(keepIds, "doc_id").staged
     val kept = gated.filter(!ContaminationQueries.isEval)
     val released = kept.join(
-      contaminatedIds(docs0, kept, maxBroadcastEvalGrams), Seq("doc_id"), "left_anti")
+      contaminatedIdsByGrams(kept, evalGrams, maxBroadcastEvalGrams),
+      Seq("doc_id"), "left_anti")
     FuzzyStages(fuzzy, gated, kept, released)
   }
-
-  /** The fuzzy funnel's RELEASE frame (released docs + deterministic
-    * split — the publishable contract, p4's step-4 shape) from an
-    * already-assembled canonical set and near-dup edge set. p12's
-    * day-2 path assembles (canon, pairs) from stored indexes and feeds
-    * them here, so the gates it publishes under are definitionally
-    * p9's. */
-  private[graft] def fuzzyReleasedOf(
-      docs0: org.apache.spark.sql.DataFrame,
-      canon: org.apache.spark.sql.DataFrame,
-      pairs: org.apache.spark.sql.DataFrame,
-      maxBroadcastEvalGrams: Long = 10000000L): org.apache.spark.sql.DataFrame =
-    fuzzyStagesFromCanon(docs0, canon, pairs, maxBroadcastEvalGrams)
-      .released.withColumn("split", SampleQueries.splitCol)
 
   /** p9 — the crawl-shaped release funnel with URL dedup FIRST and
     * fuzzy dedup composed in as a release stage (the order d14's own
@@ -1633,8 +1654,9 @@ object PipelineQueries {
     *     discipline: the index is semi-joined map-side by the
     *     increment's guarded-broadcast hashes, then the increment
     *     anti-joins the increment-sized matched slice) — day-1's
-    *     canonical rows re-enter by STORED ID (an id-keyed semi-join;
-    *     no text ever re-hashes or re-shuffles);
+    *     canonical rows re-enter from the PUBLISHED ARTIFACT plus the
+    *     stored canon remainder (no raw day-1 scan; no text ever
+    *     re-hashes or re-shuffles);
     *   - near-dup stage: [[DedupQueries.ngramPairsIncrementalStored]]
     *     probes the PERSISTED day-1 gram postings with increment grams
     *     only — the d8 stored-index discipline on the d4 exact-Jaccard
@@ -1658,53 +1680,122 @@ object PipelineQueries {
     * FuzzyIncrementalSpec additionally pins each stored-fed stage
     * frame-equal to its re-mined twin on the fixture.
     *
-    * Scale shape (the 100 TB daily loop): per day the only work
-    * touching corpus-sized data is (a) one id-keyed semi-join to
-    * re-enter day-1 canon (layout, not compute — with the release pool
-    * content-keyed this is a partition-pruned read), (b) the eval-gram
-    * scan decon always pays (eval slice, 1/37 of the corpus), and (c)
+    * Scale shape (the 100 TB daily loop): day-N's plan touches NO raw
+    * day-1 bytes at all (r20, the r19 verdict's #2) — corpus text
+    * re-enters from the PUBLISHED artifact plus the attrition-sized
+    * stored `canonrest` remainder, decon probes the STORED eval-gram
+    * table unioned with the increment's own grams, and the only
+    * corpus-sized work left is the release-pool read itself plus
     * publishDelta's one fingerprint scan per diff side. Everything
     * else — canonicalization, hashing, shingling, posting joins — is
-    * O(increment). The QueryDef deliberately runs the WHOLE two-day
-    * lifecycle per rep (day-1 publish included, the p10 convention);
-    * production runs day-1 once. */
+    * O(increment). FuzzyIncrementalSpec trace-gates the steady-state
+    * day-2 plan: zero FileSourceScan roots outside the release dir and
+    * the index store. Day-over-day continuation is
+    * [[appendFuzzyMineIndex]] (the fold — day-3 probes corpus ∪ day-2);
+    * the QueryDef keeps the two-day shape so its oracle stays the
+    * from-scratch p9 twin, and the three-day fold chain is pinned in
+    * FuzzyIncrementalSpec. The QueryDef deliberately runs the WHOLE
+    * two-day lifecycle per rep (day-1 publish included, the p10
+    * convention); production runs day-1 once. */
+  /** The fuzzy-mine index family's stage parameters — the d4-universe
+    * geometry every table under `fzPath` was built with. Stamped at
+    * init and REQUIRED by the assembly and the fold: probing postings
+    * built under one bound with pairs mined under another is silent
+    * wrongness, exactly the class the d8 geometry stamp exists for. */
+  private[graft] final case class FuzzyMineParams(
+      threshold: Double = 0.4,
+      probeBound: Long = 250L,
+      corpusBound: Long = 500L) {
+    def stamp: String =
+      s"fuzzymine-v3:thr=$threshold|probe=$probeBound|corpus=$corpusBound"
+  }
+
+  private val FuzzyGeometryStamp = "_graft_fuzzymine_geometry"
+
+  private def requireFuzzyGeometry(s: org.apache.spark.sql.SparkSession,
+                                   fzPath: String, p: FuzzyMineParams): Unit =
+    graft.sources.IndexStore.requireStamp(s, fzPath, FuzzyGeometryStamp,
+      p.stamp, "fuzzy-mine index geometry")
+
   /** Build p12's near-dup/exact stored stage index over the day-1
     * corpus `day1` (docs WITH a url column) at `fzPath`: the canonical
-    * doc ids, their text-hash keys, the probe-side gram postings, and
-    * the mined day-1 pair set. This is the day-1 snapshot-time corpus
-    * work — the ONE place day-1 docs are canonicalized, hashed and
-    * shingled. (The URL keeper index is its own family —
-    * [[UrlQueries.initStoredUrlIndex]] — with its own format stamp.) */
+    * doc ids, their text-hash keys, the probe-side gram postings, the
+    * mined day-1 pair set, the deduped eval-slice 5-grams (so day-N
+    * decon never re-scans day-1 — [[fuzzyStoredEvalGrams]]), and the
+    * canon REMAINDER (canonical docs the day-1 release dropped —
+    * keep-best losers, quality fails, eval docs, decon hits), which is
+    * what lets day-2 re-enter the FULL canonical set from the
+    * published artifact plus this attrition-sized table instead of the
+    * raw corpus ([[fuzzyStoredAssembly]]). This is the day-1
+    * snapshot-time corpus work — the ONE place day-1 docs are
+    * canonicalized, hashed and shingled. (The URL keeper index is its
+    * own family — [[UrlQueries.initStoredUrlIndex]] — with its own
+    * format stamp.) */
   private[graft] def initFuzzyMineIndex(s: org.apache.spark.sql.SparkSession,
                                         fzPath: String,
-                                        day1: org.apache.spark.sql.DataFrame): Unit = {
+                                        day1: org.apache.spark.sql.DataFrame,
+                                        params: FuzzyMineParams = FuzzyMineParams(),
+                                        maxBroadcastEvalGrams: Long = 10000000L): Unit = {
+    graft.sources.IndexStore.clearStamp(s, fzPath, FuzzyGeometryStamp)
     val canon1b = exactCanonOf(UrlQueries.urlCanonOf(day1).drop("url")).staged
     canon1b.select(col("doc_id")).write.mode("overwrite")
       .parquet(graft.sources.IndexStore.resetTablePath(s, fzPath, "canonids"))
     canon1b.select(md5(col("text")).as("__h")).write.mode("overwrite")
       .parquet(graft.sources.IndexStore.resetTablePath(s, fzPath, "texthashes"))
-    DedupQueries.charGramPostings(canon1b, 250L).write.mode("overwrite")
+    DedupQueries.charGramPostings(canon1b, params.probeBound).write.mode("overwrite")
       .parquet(graft.sources.IndexStore.resetTablePath(s, fzPath, "postings"))
-    DedupQueries.ngramPairsOf(canon1b, threshold = 0.4,
-        probeBound = 250L, corpusBound = 500L).write.mode("overwrite")
+    DedupQueries.ngramPairsOf(canon1b, threshold = params.threshold,
+        probeBound = params.probeBound, corpusBound = params.corpusBound)
+      .write.mode("overwrite")
       .parquet(graft.sources.IndexStore.resetTablePath(s, fzPath, "pairs"))
+    evalGramsOf(day1).write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, fzPath, "evalgrams"))
+    // the remainder needs day-1's RELEASED set — computed here from the
+    // just-written tables (one scan each, not a re-mine), so the family
+    // invariant `canonrest = canon − released` holds from init on
+    def tbl(n: String) = graft.sources.IndexStore.readSwappable(s, fzPath, n)
+    val rel1 = fuzzyStagesFromCanonGrams(tbl("evalgrams"), canon1b,
+      tbl("pairs"), maxBroadcastEvalGrams).released
+    canon1b.join(rel1.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite")
+      .parquet(graft.sources.IndexStore.resetTablePath(s, fzPath, "canonrest"))
+    graft.sources.IndexStore.writeStamp(s, fzPath, FuzzyGeometryStamp, params.stamp)
   }
 
-  /** Day-2's stored-fed stage assembly: (canonical set, near-dup pair
-    * set) of day-1 ∪ increment with ZERO corpus-stage recomputation —
+  /** Day-N's stored-fed stage outputs: the full-corpus canonical set
+    * and pair set, plus the O(increment) pieces ([[appendFuzzyMineIndex]]
+    * folds them so day-N+1 probes corpus ∪ this increment). */
+  private[graft] final case class FuzzyAssembly(
+      canon: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      incCanonNew: org.apache.spark.sql.DataFrame,
+      incPairs: org.apache.spark.sql.DataFrame)
+
+  /** Day-N's stored-fed stage assembly: (canonical set, near-dup pair
+    * set) of corpus ∪ increment with ZERO corpus-stage recomputation —
     * the URL stage probes the stored keeper table, the exact stage
     * anti-joins the stored text-hash keys (matched-slice discipline),
     * the near-dup stage probes the stored gram postings and unions the
-    * stored day-1 pairs. Exact, not approximate, under the monotone-id
-    * contract (see [[pIncrementalFuzzy]]); FuzzyIncrementalSpec pins
-    * each output frame-equal to its from-scratch re-mined twin. */
+    * stored pair table. Corpus text re-enters from the PUBLISHED
+    * artifact (release-sized, content-bucketed, already funnel-shaped)
+    * plus the stored `canonrest` remainder — never the raw corpus
+    * (r20, VERDICT r19 #2): released ⊆ canon and canonrest = canon −
+    * released at the last publish, so their union IS the canonical
+    * set, column-exact through the parquet round-trip. Exact, not
+    * approximate, under the monotone-id contract (see
+    * [[pIncrementalFuzzy]], enforced in
+    * [[DedupQueries.ngramPairsIncrementalStored]]);
+    * FuzzyIncrementalSpec pins each output frame-equal to its
+    * from-scratch re-mined twin, across a three-day fold chain. */
   private[graft] def fuzzyStoredAssembly(
       s: org.apache.spark.sql.SparkSession, urlPath: String, fzPath: String,
-      day1: org.apache.spark.sql.DataFrame, inc: org.apache.spark.sql.DataFrame,
-      maxBroadcastKeys: Long = 5000000L)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      relRoot: String, inc: org.apache.spark.sql.DataFrame,
+      params: FuzzyMineParams = FuzzyMineParams(),
+      maxBroadcastKeys: Long = 5000000L): FuzzyAssembly = {
+    requireFuzzyGeometry(s, fzPath, params)
     def tbl(n: String) = graft.sources.IndexStore.readSwappable(s, fzPath, n)
-    val canon1 = day1.drop("url").join(tbl("canonids"), "doc_id")
+    val canon1 = graft.sources.IncrementalRelease.readCurrent(s, relRoot)
+      .drop("split").unionByName(tbl("canonrest"))
     val verdicts = UrlQueries.probeUrlBatch(s, urlPath,
       inc.select(col("doc_id"), col("url")))
     val incUrlKept = inc.drop("url").join(
@@ -1721,10 +1812,102 @@ object PipelineQueries {
       QueryDef.guardedBroadcast(matchedH, maxBroadcastKeys),
       md5(col("text")) === col("__h"), "left_anti").staged
     val canon2 = canon1.unionByName(incCanonNew)
+    // max ingested id: witnesses the monotone-id contract inside the
+    // incremental probe (the postings can't — they only hold docs
+    // under the probe bound). One column-pruned scan of the id table;
+    // a 100 TB deployment would carry it as an index stamp instead.
+    val maxStoredRow = tbl("canonids").agg(max(col("doc_id"))).head()
+    val storedMaxId =
+      if (maxStoredRow.isNullAt(0)) Long.MinValue else maxStoredRow.getLong(0)
     val incPairs = DedupQueries.ngramPairsIncrementalStored(
-      tbl("postings"), incCanonNew.filter(col("doc_id") < 500L),
-      threshold = 0.4)
-    (canon2, tbl("pairs").unionByName(incPairs))
+      tbl("postings"), storedMaxId,
+      incCanonNew.filter(col("doc_id") < params.corpusBound),
+      threshold = params.threshold, probeBound = params.probeBound)
+    FuzzyAssembly(canon2, tbl("pairs").unionByName(incPairs),
+      incCanonNew, incPairs)
+  }
+
+  /** Day-N's decon probe side with zero day-1 re-scan: the stored
+    * eval-gram table unioned with the increment's own grams (exact —
+    * eval membership is per-doc deterministic, so the gram set of a
+    * union is the union of gram sets). */
+  private[graft] def fuzzyStoredEvalGrams(
+      s: org.apache.spark.sql.SparkSession, fzPath: String,
+      incRaw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.sources.IndexStore.readSwappable(s, fzPath, "evalgrams")
+      .unionByName(evalGramsOf(incRaw)).distinct()
+
+  /** The fuzzy funnel's RELEASE frame (released docs + deterministic
+    * split — the publishable contract, p4's step-4 shape) from an
+    * already-assembled canonical set, near-dup edge set, and decon
+    * gram frame — both p12 publishers' seat: day-1 feeds the stored
+    * day-1 tables, day-N feeds [[fuzzyStoredAssembly]] +
+    * [[fuzzyStoredEvalGrams]], so the gates either day publishes under
+    * are definitionally p9's. */
+  private[graft] def fuzzyReleasedByGrams(
+      evalGrams: org.apache.spark.sql.DataFrame,
+      canon: org.apache.spark.sql.DataFrame,
+      pairs: org.apache.spark.sql.DataFrame,
+      maxBroadcastEvalGrams: Long = 10000000L): org.apache.spark.sql.DataFrame =
+    fuzzyStagesFromCanonGrams(evalGrams, canon, pairs, maxBroadcastEvalGrams)
+      .released.withColumn("split", SampleQueries.splitCol)
+
+  /** Fold a published day's increment back into the fuzzy-mine index —
+    * the append lifecycle every sibling stored family already has
+    * (d8 `appendStoredIndex`, d10b/d12b, d14b/UrlIngest), closing the
+    * r19 verdict's #1: after this, day-N+1's [[fuzzyStoredAssembly]]
+    * probes corpus ∪ this increment with zero recomputation (day-3
+    * has something exact to probe). Appends are O(increment) and
+    * log-structured — ids, hashes, probe-side postings, the day's
+    * mined pairs, and the increment's new eval grams (anti-joined so
+    * the table stays a distinct set) — except `canonrest`, which is
+    * REPLACED (attrition-sized, atomic versioned swap): the remainder
+    * is `canon − released` and a previously-released doc can LEAVE the
+    * release (outvoted by a new keep-best arrival, or newly
+    * contaminated by an increment eval doc), so it must re-enter the
+    * remainder or day-N+2's canon re-entry silently loses it.
+    *
+    * Gate: the monotone-id contract is enforced (min increment id >
+    * max ingested id) before any write — it is what makes every stored
+    * stage exact. Maintainer-owned batch path (the d8 convention): a
+    * crash mid-fold can leave partial appends; re-running the fold
+    * trips this gate loudly rather than double-appending. Call with
+    * `released` = the day's PUBLISHED release frame (the one handed to
+    * `publishDelta`) and `incRaw` = the raw increment (eval grams come
+    * from raw docs — benchmark data contributes grams whether or not
+    * any stage kept it). The URL keeper fold is its own family call —
+    * [[UrlQueries.appendUrlKeepersTagged]]. */
+  private[graft] def appendFuzzyMineIndex(
+      s: org.apache.spark.sql.SparkSession, fzPath: String,
+      asm: FuzzyAssembly, incRaw: org.apache.spark.sql.DataFrame,
+      released: org.apache.spark.sql.DataFrame,
+      params: FuzzyMineParams = FuzzyMineParams()): Unit = {
+    requireFuzzyGeometry(s, fzPath, params)
+    def tbl(n: String) = graft.sources.IndexStore.readSwappable(s, fzPath, n)
+    val maxStoredRow = tbl("canonids").agg(max(col("doc_id"))).head()
+    val minIncRow = asm.incCanonNew.agg(min(col("doc_id"))).head()
+    require(minIncRow.isNullAt(0) || maxStoredRow.isNullAt(0) ||
+        minIncRow.getLong(0) > maxStoredRow.getLong(0),
+      s"appendFuzzyMineIndex: increment min doc_id ${minIncRow.get(0)} <= " +
+        s"stored max id ${maxStoredRow.get(0)} under $fzPath — the " +
+        "monotone-id contract is violated (double fold, or out-of-order " +
+        "ingest); refusing to append")
+    def dataPath(n: String) =
+      graft.sources.IndexStore.tableDataPath(s, fzPath, n)
+    asm.incCanonNew.select(col("doc_id"))
+      .write.mode("append").parquet(dataPath("canonids"))
+    asm.incCanonNew.select(md5(col("text")).as("__h"))
+      .write.mode("append").parquet(dataPath("texthashes"))
+    DedupQueries.charGramPostings(asm.incCanonNew, params.probeBound)
+      .write.mode("append").parquet(dataPath("postings"))
+    asm.incPairs.write.mode("append").parquet(dataPath("pairs"))
+    evalGramsOf(incRaw)
+      .join(tbl("evalgrams"), Seq("gram"), "left_anti")
+      .write.mode("append").parquet(dataPath("evalgrams"))
+    graft.sources.IndexStore.replaceTable(s, fzPath, "canonrest") { (_, dst) =>
+      asm.canon.join(released.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .write.parquet(dst)
+    }
   }
 
   val pIncrementalFuzzy = QueryDef(
@@ -1747,19 +1930,25 @@ object PipelineQueries {
       }
       val fzPath = graft.sources.IndexStore.indexPath(dir, "p12_fuzzyrel_lt400")
       graft.sources.IndexStore.ensure(s, fzPath,
-        s"v2|boundary=$P12Boundary|probe=250|corpus=500|thr=0.4|inject=funnelv2|src=$srcStamp") {
+        s"v3|boundary=$P12Boundary|probe=250|corpus=500|thr=0.4|inject=funnelv2|src=$srcStamp") {
         initFuzzyMineIndex(s, fzPath, day1)
       }
       def tbl(n: String) = graft.sources.IndexStore.readSwappable(s, fzPath, n)
-      // day-1 publish: canon re-entered by STORED id, pairs from the
-      // stored table — no day-1 re-hash, no day-1 re-mine
+      // day-1 publish: canon re-entered by STORED id, pairs and eval
+      // grams from the stored tables — no day-1 re-hash, no re-mine,
+      // no eval re-scan (snapshot day is the last time raw day-1 text
+      // is canonicalized; publishing it is the day's job)
       val canon1 = day1.drop("url").join(tbl("canonids"), "doc_id")
       graft.sources.IncrementalRelease.publishFull(
-        fuzzyReleasedOf(day1.drop("url"), canon1, tbl("pairs")), root)
-      // day-2: every corpus-sized stage input is stored-index-fed
-      val (canon2, pairs2) = fuzzyStoredAssembly(s, urlPath, fzPath, day1, inc)
+        fuzzyReleasedByGrams(tbl("evalgrams"), canon1, tbl("pairs")), root)
+      // day-2: every corpus-sized stage input is stored-index-fed, and
+      // day-1 TEXT re-enters from the published artifact + the stored
+      // canon remainder — the steady-state plan touches no raw day-1
+      // bytes at all (FuzzyIncrementalSpec trace-gates the scan roots)
+      val asm = fuzzyStoredAssembly(s, urlPath, fzPath, root, inc)
       graft.sources.IncrementalRelease.publishDelta(
-        fuzzyReleasedOf(docs, canon2, pairs2), root)
+        fuzzyReleasedByGrams(fuzzyStoredEvalGrams(s, fzPath, inc),
+          asm.canon, asm.pairs), root)
     },
     Some(s"""
       WITH RECURSIVE $funnelUrlCtes,

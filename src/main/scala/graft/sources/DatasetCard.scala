@@ -229,8 +229,8 @@ object DatasetCard {
     * family runs once, and the shared-data no-drift guarantee holds by
     * construction rather than by determinism across two passes. */
   def writeBoth(s: SparkSession, dir: String, mdPath: String,
-                jsonPath: String): Unit = {
-    val d = compute(s, dir)
+                jsonPath: String, topDomains: Int = 10): Unit = {
+    val d = compute(s, dir, topDomains)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(mdPath), renderMarkdown(d))
     java.nio.file.Files.writeString(

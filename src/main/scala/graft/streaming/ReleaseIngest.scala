@@ -38,7 +38,23 @@ import graft.sources.{IncrementalRelease, IndexStore}
   *     checkpointed query id ([[StreamIdentity]] — stable across
   *     restarts of the same checkpoint, fresh for a fresh one; a fresh
   *     incarnation legitimately starts over at batch 0 and publishes
-  *     its snapshot as the next delta).
+  *     its snapshot as the next delta — which also means the rewind
+  *     gate is PER-INCARNATION: a fresh checkpoint fed an older
+  *     snapshot is indistinguishable from a legitimate new snapshot
+  *     and publishes it. Deployments that need cross-incarnation
+  *     regression protection must carry a snapshot watermark in the
+  *     data and gate upstream; the stamp cannot see content age).
+  *
+  * Notification semantics — `onManifest` is AT-LEAST-ONCE per version,
+  * NOT exactly-once: the callback fires after the batch stamp, so a
+  * crash between the stamp and the callback replays as `==`, whose
+  * re-publish no-ops via the empty diff and then fires `onManifest`
+  * again with the same manifest. (Skipping the callback on `==` would
+  * flip the failure mode to ZERO notifications for that version — the
+  * crash window between stamp and callback would swallow it — which is
+  * strictly worse for the dashboards/triggers this hook feeds.) Make
+  * `onManifest` side effects idempotent, keyed by the manifest's
+  * version or the batchId it receives.
   *
   * Scale shape: identical to p10's — the stream adds NO corpus-sized
   * state of its own (no streaming state store; the artifact IS the
@@ -52,7 +68,8 @@ object ReleaseIngest {
   /** The per-batch ingest body (factored out so crash/rewind drivers —
     * tests, backfills — can invoke it outside a streaming query with an
     * explicit prefix). Empty-skip → gate → publish → advance the stamp
-    * → hand the manifest to the caller. */
+    * → hand the manifest to the caller (at-least-once per version —
+    * see the object doc's Notification semantics). */
   private[graft] def ingestReleaseBatch(s: SparkSession, root: String,
                                         batch: DataFrame, prefix: String,
                                         batchId: Long, nBuckets: Int,

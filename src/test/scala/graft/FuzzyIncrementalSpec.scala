@@ -7,19 +7,24 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{DedupQueries, PipelineQueries, Scaffold, UrlQueries}
-import graft.sources.Tables
+import graft.operators.PipelineQueries.FuzzyMineParams
+import graft.sources.{IncrementalRelease, IndexStore, Tables}
 
-/** p12 (r19): the incremental fuzzy release's stored-fed day-2 stage
-  * assembly. The DuckDB oracle proves the END of the composition
-  * (delta-published manifest ≡ from-scratch p9 publish of corpus ∪
-  * increment); what it cannot state is that each STORED-FED STAGE
-  * frame equals its re-mined twin — the algebra the whole operator
-  * rests on: URL keepers probed not re-elected, text hashes anti-
-  * joined not re-shuffled, gram postings probed not re-shingled, and
-  * the stored day-1 pair table unioned not re-mined. Pinned here on a
+/** p12 (r19/r20): the incremental fuzzy release's stored-fed day-N
+  * stage assembly and the fuzzy-mine index FOLD. The DuckDB oracle
+  * proves the END of the composition (delta-published manifest ≡
+  * from-scratch p9 publish of corpus ∪ increment); what it cannot
+  * state is that each STORED-FED STAGE frame equals its re-mined twin
+  * — the algebra the whole operator rests on: URL keepers probed not
+  * re-elected, text hashes anti-joined not re-shuffled, gram postings
+  * probed not re-shingled, the stored pair table unioned not re-mined,
+  * and (r20) day-1 TEXT re-entered from the published artifact + the
+  * stored canon remainder, never the raw corpus. Pinned here on a
   * fixture that PLANTS every cross-boundary shape (the real testdata
-  * has no cross-boundary exact dup below sf0.1), and once more on the
-  * real sf0.001 scaffold.
+  * has no cross-boundary exact dup below sf0.1), once more on the real
+  * sf0.001 scaffold, and — for the day-N fold ([[PipelineQueries.
+  * appendFuzzyMineIndex]], the r19 verdict's #1) — across a THREE-day
+  * chain whose day-3 dups exist only against day-2's folded increment.
   */
 class FuzzyIncrementalSpec extends AnyFunSuite {
 
@@ -40,9 +45,21 @@ class FuzzyIncrementalSpec extends AnyFunSuite {
       .select("doc_id", "text", "lang", "source", "n_chars", "url")
   }
 
+  /** A text that PASSES t9's quality battery (30–1000 tokens, ≥2
+    * stopwords, avg word length in [3,10], no token/bigram repetition)
+    * with per-doc-unique payload words (k<docIdx*1000+i*17> — ranges
+    * never overlap across docIdx), so cross-doc 4-gram Jaccard stays
+    * ~0.05 unless a near-dup is PLANTED by suffixing a shared base. */
+  private def qualText(docIdx: Long, extra: String = ""): String =
+    "the quick " + (0 until 36).map(i => s"k${docIdx * 1000 + i * 17}")
+      .mkString(" ") + " of and" + (if (extra.isEmpty) "" else " " + extra)
+
   // day-1 corpus: two of its docs form a near-dup pair (10, 11); the
   // rest are distinct. All ids < the 250 probe bound, so every day-1
   // canonical doc is probe-side — the p12 monotone-id geometry.
+  // 20/21 carry quality-passing text so the day-1 RELEASE (the
+  // artifact day-2 re-enters from) is non-empty; everything else lands
+  // in the stored canon remainder.
   private val base10 =
     "the shared corpus passage about spark engines and their shuffle behavior at scale"
   private val base12 =
@@ -57,7 +74,10 @@ class FuzzyIncrementalSpec extends AnyFunSuite {
         (12L, base12, "https://ex12.com/p/12")) ++
       (13L to 19L).map(i =>
         (i, s"closing day one document $i with marker $i$i$i and padding words",
-          s"https://ex$i.com/p/$i"))
+          s"https://ex$i.com/p/$i")) ++
+      Seq(
+        (20L, qualText(20L), "https://ex20.com/p/20"),
+        (21L, qualText(21L), "https://ex21.com/p/21"))
 
   // increment: ids ≥ 400 (≥ the probe bound, > all day-1 ids — the
   // monotone-crawl-id contract), planting every cross-boundary shape
@@ -86,31 +106,37 @@ class FuzzyIncrementalSpec extends AnyFunSuite {
     (407L, "a plainly unique increment document with nothing shared at all",
       "https://ex407.com/p/407"))
 
-  private def freshPaths(): (String, String) = {
+  private def freshPaths(): (String, String, String) = {
     val tmp = Files.createTempDirectory("graft_fuzzyincr").toString
-    (s"$tmp/url", s"$tmp/fz")
+    (s"$tmp/url", s"$tmp/fz", s"$tmp/rel")
   }
 
+  /** Day-1 init + publish, then the day-2 stored-fed assembly — the
+    * QueryDef's exact flow — plus the from-scratch twin. */
   private def assembleAndTwin(day1: DataFrame, inc: DataFrame)
       : (Seq[Long], Seq[Long], Seq[(Long, Long, Double)], Seq[(Long, Long, Double)]) = {
-    val (urlPath, fzPath) = freshPaths()
+    val (urlPath, fzPath, root) = freshPaths()
     UrlQueries.initStoredUrlIndex(spark, urlPath,
       day1.select(col("doc_id"), col("url")))
     PipelineQueries.initFuzzyMineIndex(spark, fzPath, day1)
-    val (canon2, pairs2) =
-      PipelineQueries.fuzzyStoredAssembly(spark, urlPath, fzPath, day1, inc)
+    def tbl(n: String) = IndexStore.readSwappable(spark, fzPath, n)
+    val canon1 = day1.drop("url").join(tbl("canonids"), "doc_id")
+    IncrementalRelease.publishFull(PipelineQueries.fuzzyReleasedByGrams(
+      tbl("evalgrams"), canon1, tbl("pairs")), root)
+    val asm = PipelineQueries.fuzzyStoredAssembly(spark, urlPath, fzPath, root, inc)
     val all = day1.unionByName(inc)
     val canonFS =
       PipelineQueries.exactCanonOf(UrlQueries.urlCanonOf(all).drop("url"))
     val pairsFS = DedupQueries.ngramPairsOf(canonFS, threshold = 0.4,
       probeBound = 250L, corpusBound = 500L)
-    def ids(df: DataFrame) =
-      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
-    def ps(df: DataFrame) = df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
-      .sortBy(p => (p._1, p._2)).toSeq
-    (ids(canon2), ids(canonFS), ps(pairs2), ps(pairsFS))
+    (ids(asm.canon), ids(canonFS), ps(asm.pairs), ps(pairsFS))
   }
+
+  private def ids(df: DataFrame) =
+    df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+  private def ps(df: DataFrame) = df.collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+    .sortBy(p => (p._1, p._2)).toSeq
 
   test("stored-fed day-2 assembly equals the from-scratch re-mine on the planted fixture") {
     val (c2, cFS, p2, pFS) = assembleAndTwin(mkDocs(day1Rows), mkDocs(incRows))
@@ -133,44 +159,32 @@ class FuzzyIncrementalSpec extends AnyFunSuite {
 
   test("increment probe alone never returns day-1-internal pairs") {
     val day1 = mkDocs(day1Rows)
-    val (_, fzPath) = freshPaths()
+    val (_, fzPath, _) = freshPaths()
     PipelineQueries.initFuzzyMineIndex(spark, fzPath, day1)
     val incCanon = PipelineQueries.exactCanonOf(
       UrlQueries.urlCanonOf(mkDocs(incRows)).drop("url"))
     val probed = DedupQueries.ngramPairsIncrementalStored(
-        graft.sources.IndexStore.readSwappable(spark, fzPath, "postings"),
-        incCanon, threshold = 0.4)
+        IndexStore.readSwappable(spark, fzPath, "postings"),
+        storedMaxId = 21L, incCanon, threshold = 0.4, probeBound = 250L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(probed.nonEmpty && probed.forall(_._2 >= 400L),
       s"probe must only emit increment-touching pairs, got $probed")
   }
 
-  test("day-2 plans serve day-1 from parquet — no re-shingle, no re-hash (plan audit)") {
+  test("incremental probe fail-stops on a monotone-id contract violation") {
     val day1 = mkDocs(day1Rows)
-    val (urlPath, fzPath) = freshPaths()
-    UrlQueries.initStoredUrlIndex(spark, urlPath,
-      day1.select(col("doc_id"), col("url")))
+    val (_, fzPath, _) = freshPaths()
     PipelineQueries.initFuzzyMineIndex(spark, fzPath, day1)
-    val (canon2, pairs2) =
-      PipelineQueries.fuzzyStoredAssembly(spark, urlPath, fzPath, day1,
-        mkDocs(incRows))
-    val pc = pairs2.queryExecution.executedPlan.toString
-    // the day-1 pairs are a parquet scan of the stored table (the
-    // probe postings also come from parquet, but ride the measured
-    // broadcast guard, whose stage hides the path from the final
-    // plan); the ONLY gram expansion left in the plan is the
-    // increment's own — a full re-mine would carry two explode sides
-    assert(pc.contains("pairs"),
-      "expected a scan over the stored pairs table\n" + pc.take(2000))
-    val explodes = "\\bGenerate ".r.findAllIn(pc).size
-    assert(explodes == 1,
-      s"expected exactly one gram expansion (the increment's), got $explodes\n" +
-        pc.take(2000))
-    // day-1 canon re-enters by STORED ID: an id-keyed join against the
-    // canonids parquet, with md5 appearing only on the increment branch
-    val cc = canon2.queryExecution.executedPlan.toString
-    assert(cc.contains("canonids"),
-      "expected the day-1 side to join the stored canonical ids\n" + cc.take(2000))
+    val incCanon = PipelineQueries.exactCanonOf(
+      UrlQueries.urlCanonOf(mkDocs(incRows)).drop("url"))
+    // an increment claiming ids BELOW the stored max would silently
+    // lose (a∈increment, b∈stored) pairs — the probe must refuse
+    val e = intercept[IllegalArgumentException] {
+      DedupQueries.ngramPairsIncrementalStored(
+        IndexStore.readSwappable(spark, fzPath, "postings"),
+        storedMaxId = 401L, incCanon, threshold = 0.4, probeBound = 250L)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
   }
 
   test("testdata sf0.001: stored-fed assembly equals from-scratch, with a live dup_of_stored slice") {
@@ -186,5 +200,138 @@ class FuzzyIncrementalSpec extends AnyFunSuite {
     // day-1 keeper 50, so the stored keeper probe must drop it
     assert(c2.contains(50L) && !c2.contains(450L),
       "scaffold far collision (450 → keeper 50) must be a dup_of_stored drop")
+  }
+
+  test("steady-state day-2 trace scans only the published artifact + index store (r19 verdict #2)") {
+    // the L83 executed-trace gate applied to p12's day-2: day-1 TEXT
+    // must re-enter from the release pool + the stored canon remainder
+    // — ZERO raw-corpus FileSourceScan. The increment arrives as its
+    // own files (production shape), written to a tmp dir here.
+    val docs = Tables.documents(spark, dir)
+      .withColumn("url", Scaffold.messyUrlFunnel)
+    val day1 = docs.filter(col("doc_id") < 400L)
+    val (urlPath, fzPath, root) = freshPaths()
+    val incDir = root + "_incoming"
+    docs.filter(col("doc_id") >= 400L).write.parquet(incDir)
+    val inc = spark.read.parquet(incDir)
+    UrlQueries.initStoredUrlIndex(spark, urlPath,
+      day1.select(col("doc_id"), col("url")))
+    PipelineQueries.initFuzzyMineIndex(spark, fzPath, day1)
+    def tbl(n: String) = IndexStore.readSwappable(spark, fzPath, n)
+    val canon1 = day1.drop("url").join(tbl("canonids"), "doc_id")
+    IncrementalRelease.publishFull(PipelineQueries.fuzzyReleasedByGrams(
+      tbl("evalgrams"), canon1, tbl("pairs")), root)
+    val roots = org.apache.spark.sql.graft.Bridge.scannedFileRoots(spark) {
+      val asm = PipelineQueries.fuzzyStoredAssembly(spark, urlPath, fzPath, root, inc)
+      PipelineQueries.fuzzyReleasedByGrams(
+        PipelineQueries.fuzzyStoredEvalGrams(spark, fzPath, inc),
+        asm.canon, asm.pairs).collect()
+    }
+    // positive evidence first (the PlanAuditSpec discipline): an
+    // under-captured trace must fail here, never pass by omission
+    assert(roots.exists(_.contains("/rel")),
+      s"day-2 trace shows no release-pool scan — capture broken?\n${roots.mkString("\n")}")
+    assert(roots.exists(_.contains("/fz")),
+      s"day-2 trace shows no index-store scan — capture broken?\n${roots.mkString("\n")}")
+    val raw = roots.filter(_.contains("/root/testdata"))
+    assert(raw.isEmpty,
+      s"day-2 steady state rescans the raw corpus: ${raw.mkString(", ")}")
+  }
+
+  test("three-day fold chain: day-3 stored-fed equals the from-scratch re-mine of all three days") {
+    // the r19 verdict's #1 — the fuzzy-mine index now has the append
+    // lifecycle every sibling family has. Growing-bound universe
+    // (probe bound ∞): every ingested canonical doc is probe-side for
+    // future increments, so day-2-internal pairs and day-3-vs-day-2
+    // pairs both EXIST and must be found without re-mining anything.
+    val P = FuzzyMineParams(threshold = 0.4,
+      probeBound = Long.MaxValue, corpusBound = Long.MaxValue)
+    val day1 = mkDocs((0L to 5L).map(i =>
+      (i, qualText(i), s"https://threeday$i.com/p/$i")) :+
+      (6L, qualText(2L, "planted trailing marker"), "https://threeday6.com/p/6"))
+    val inc2 = mkDocs(Seq(
+      (400L, qualText(400L), "https://threeday400.com/p/400"),
+      (401L, qualText(401L), "https://threeday401.com/p/401"),
+      // day-2 INTERNAL near-dup pair (both sides under the ∞ probe
+      // bound) — the generalized incremental probe must emit it
+      (402L, qualText(401L, "second fetch variant words"),
+        "https://threeday402.com/p/402"),
+      // cross-boundary exact dup of day-1 doc 1
+      (403L, qualText(1L), "https://threeday403.com/p/403"),
+      // cross-boundary URL dup of day-1 doc 2
+      (404L, qualText(404L), "HTTPS://WWW.THREEDAY2.COM:443/p/2/")))
+    val inc3 = mkDocs(Seq(
+      (800L, qualText(800L), "https://threeday800.com/p/800"),
+      // near-dup ONLY against day-2's folded increment (doc 400) —
+      // without the fold, day-3 has nothing exact to probe for this
+      (801L, qualText(400L, "closing extra words"),
+        "https://threeday801.com/p/801"),
+      // exact dup of a day-2 text → needs the FOLDED text hashes
+      (802L, qualText(401L), "https://threeday802.com/p/802"),
+      // URL dup of a day-2 address → needs the FOLDED URL keepers
+      (803L, qualText(803L), "https://www.threeday400.com/p/400/"),
+      // near-dup of a day-1 doc — still found across the fold
+      (804L, qualText(2L, "other ending entirely"),
+        "https://threeday804.com/p/804")))
+    val (urlPath, fzPath, root) = freshPaths()
+    UrlQueries.initStoredUrlIndex(spark, urlPath,
+      day1.select(col("doc_id"), col("url")))
+    PipelineQueries.initFuzzyMineIndex(spark, fzPath, day1, P)
+    def tbl(n: String) = IndexStore.readSwappable(spark, fzPath, n)
+    val canon1 = day1.drop("url").join(tbl("canonids"), "doc_id")
+    IncrementalRelease.publishFull(PipelineQueries.fuzzyReleasedByGrams(
+      tbl("evalgrams"), canon1, tbl("pairs")), root)
+    // ---- day 2: assemble, publish, FOLD --------------------------------
+    val asm2 = PipelineQueries.fuzzyStoredAssembly(
+      spark, urlPath, fzPath, root, inc2, P)
+    assert(ps(asm2.incPairs).exists(p => p._1 == 401L && p._2 == 402L),
+      "day-2-internal near-dup pair must come from the generalized probe")
+    val rel2 = PipelineQueries.fuzzyReleasedByGrams(
+      PipelineQueries.fuzzyStoredEvalGrams(spark, fzPath, inc2),
+      asm2.canon, asm2.pairs)
+    IncrementalRelease.publishDelta(rel2, root)
+    PipelineQueries.appendFuzzyMineIndex(spark, fzPath, asm2, inc2, rel2, P)
+    UrlQueries.appendUrlKeepersTagged(spark, urlPath,
+      inc2.select(col("doc_id"), col("url")), tag = "day2")
+    // a double fold is a pipeline bug — the monotone gate must refuse
+    val e = intercept[IllegalArgumentException] {
+      PipelineQueries.appendFuzzyMineIndex(spark, fzPath, asm2, inc2, rel2, P)
+    }
+    assert(e.getMessage.contains("monotone"), e.getMessage)
+    // ---- day 3: assemble against corpus ∪ day-2, zero recomputation ----
+    val asm3 = PipelineQueries.fuzzyStoredAssembly(
+      spark, urlPath, fzPath, root, inc3, P)
+    val rel3 = PipelineQueries.fuzzyReleasedByGrams(
+      PipelineQueries.fuzzyStoredEvalGrams(spark, fzPath, inc3),
+      asm3.canon, asm3.pairs)
+    // ---- from-scratch twin over all three days --------------------------
+    val all = day1.unionByName(inc2).unionByName(inc3)
+    val canonFS =
+      PipelineQueries.exactCanonOf(UrlQueries.urlCanonOf(all).drop("url"))
+    val pairsFS = DedupQueries.ngramPairsOf(canonFS, threshold = P.threshold,
+      probeBound = P.probeBound, corpusBound = P.corpusBound)
+    val relFS = PipelineQueries.fuzzyReleasedByGrams(
+      PipelineQueries.evalGramsOf(all), canonFS, pairsFS)
+    val c3 = ids(asm3.canon)
+    val p3 = ps(asm3.pairs)
+    assert(c3 == ids(canonFS),
+      "day-3 stored-fed canon must equal the three-day from-scratch canon")
+    assert(p3 == ps(pairsFS),
+      "day-3 stored ∪ probed pairs must equal the three-day re-mine")
+    def relRows(df: DataFrame) = df.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(relRows(rel3) == relRows(relFS),
+      "day-3 release must equal the from-scratch three-day release")
+    // each planted fold-dependent shape actually fired:
+    assert(p3.exists(p => p._1 == 400L && p._2 == 801L),
+      "near-dup that exists ONLY against day-2's folded increment must surface")
+    assert(!c3.contains(802L),
+      "exact dup of a day-2 text must be dropped by the FOLDED hash table")
+    assert(!c3.contains(803L),
+      "URL dup of a day-2 address must be dropped by the FOLDED keeper table")
+    assert(p3.exists(p => p._1 == 2L && p._2 == 804L),
+      "near-dup against day-1 must still surface across the fold")
+    assert(p3.exists(p => p._1 == 2L && p._2 == 6L),
+      "the day-1-internal pair must carry through both folds")
   }
 }
