@@ -151,33 +151,8 @@ object PiiQueries {
     * embedded, which is exactly the boundary semantics lookarounds
     * would give; [[cardWindows]] then decides whether an ABSORBING
     * candidate actually contains a card (the r19 window extraction). */
-  private[graft] val cardRe =
-    "[0-9]{4,}-[0-9]{4}-[0-9]{4}-[0-9]{4,}|[0-9]{4,} [0-9]{4} [0-9]{4} [0-9]{4,}|[0-9]{16,}"
+  private[graft] val cardRe = graft.functions.CardLuhnWindows.CardReString
   private[graft] val ipv6Re = "([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}"
-
-  /** Luhn validity of a card-shaped match (16 digits after separator
-    * removal; 1-based odd positions = doubled, the standard check). */
-  private[graft] def luhnValid(c: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    val d = regexp_replace(c, "[ -]", "")
-    val tot = aggregate(sequence(lit(1), lit(16)), lit(0), (acc, i) => {
-      val dig = d.substr(i, lit(1)).cast("int")
-      val dbl = when(pmod(i, lit(2)) === 1,
-        when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2)).otherwise(dig)
-      acc + dbl
-    })
-    length(d) === 16 && pmod(tot, lit(10)) === 0
-  }
-
-  /** The leftmost Luhn-valid 16-digit window of a bare digit run, as a
-    * 0/1-element array (empty when the run is under 16 digits — the
-    * length guard also keeps `sequence` ascending). */
-  private def leftmostWin(r: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
-    when(length(r) >= 16, slice(
-      filter(transform(sequence(lit(1), length(r) - 15),
-        i => r.substr(i, lit(16))), luhnValid(_)), 1, 1))
-      .otherwise(array().cast("array<string>"))
 
   /** The Luhn-gated redaction literal(s) of ONE card-shaped candidate
     * (r19, closing the r18 advice's under-redaction regression: an
@@ -200,28 +175,47 @@ object PiiQueries {
     *    window (ONE redaction per run — the deterministic convention;
     *    a run carrying two concatenated valid cards redacts the
     *    leftmost).
+    *
+    * KNOWN RESIDUAL (r19 advice, deliberately retained): the
+    * one-window-per-run convention means a bare run holding TWO
+    * concatenated Luhn-valid cards ships the second in cleartext, and
+    * `n_cards` counts per-candidate window occurrences, so the same
+    * card literal surfacing in two candidates counts twice. Both are
+    * oracle-matched conventions (the DuckDB restatement shares them
+    * verbatim) and pinned in PiiScrubSpec; closing them would need a
+    * bounded leftmost-greedy repeat loop restated in both engines,
+    * which buys recall only for adversarial digit runs no real corpus
+    * injection produces. A production deployment scrubbing hostile
+    * text should iterate the scrub to a fixed point instead (the
+    * scrub is idempotent — also pinned in PiiScrubSpec).
     * The replace fold then redacts the WINDOW literal in place, so the
     * absorbed non-card digits survive: '4111111111111111999' becomes
     * '[CARD]999', while a 20-digit order id with no valid window still
     * passes through untouched. Luhn runs per candidate window (a rare
     * regexp match), so the interpreted HOF cost stays bounded by the
     * entity count, not the corpus (the r17 d12 lesson). */
-  private def cardWindows(c: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    val d = regexp_replace(c, "[ -]", "")
-    val sepRe = "^([0-9]+)([ -])([0-9]{4})[ -]([0-9]{4})[ -]([0-9]+)$"
-    val g1 = regexp_extract(c, sepRe, 1)
-    val sep = regexp_extract(c, sepRe, 2)
-    val g3 = regexp_extract(c, sepRe, 3)
-    val g4 = regexp_extract(c, sepRe, 4)
-    val g5 = regexp_extract(c, sepRe, 5)
-    val sepWin = concat(g1.substr(length(g1) - 3, lit(4)), sep, g3, sep,
-      g4, sep, g5.substr(lit(1), lit(4)))
-    when(length(d) === 16, filter(array(c), luhnValid(_)))
-      .when(c.rlike("[ -]"),
-        concat(leftmostWin(g1), filter(array(sepWin), luhnValid(_)),
-          leftmostWin(g5)))
-      .otherwise(leftmostWin(d))
+  /** Extraction + window derivation run as ONE native kernel pass
+    * ([[graft.functions.CardLuhnWindows]], r20): the r19 Column form —
+    * `flatten(transform(regexp_extract_all(t, cardRe), cardWindows))`
+    * with interpreted HOF lambdas — re-evaluated a regex per group
+    * reference and a 16-step `aggregate` Luhn per window;
+    * ProbeT31Parts put ~0.3 s of t31's wall in that machinery. Same
+    * regex engine (java.util.regex), same candidate pattern, same
+    * window semantics; PiiScrubSpec and the t31 oracle hash pin the
+    * parity. */
+  private def validCardWindows(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.functions.CardLuhnWindows.cardLuhnWindows(t)
+
+  /** The card extraction + fold ALONE over an already-SSN-scrubbed
+    * column (dev-probe seat — ProbeT31Parts decomposes t31's wall time
+    * per class pass; keeping the derivation here means the probe can
+    * never drift from [[piiScrubV2]]'s actual card stage). */
+  private[graft] def cardFoldForProbe(df: DataFrame, textCol: String): DataFrame = {
+    val t3 = col(textCol)
+    val valid = validCardWindows(t3)
+    df.withColumn("t4", aggregate(array_sort(array_distinct(valid)), t3,
+      (acc, c) => replace(acc, c, lit("[CARD]"))))
   }
 
   /** Adds per-class counts and `redacted` under the v2 class set.
@@ -237,8 +231,7 @@ object PiiQueries {
     val t1 = regexp_replace(t0, emailRe, "[EMAIL]")
     val t2 = regexp_replace(t1, phoneRe, "[PHONE]")
     val t3 = regexp_replace(t2, ssnRe, "[SSN]")
-    val valid = flatten(transform(
-      regexp_extract_all(t3, lit(cardRe), lit(0)), cardWindows(_)))
+    val valid = validCardWindows(t3)
     val t4 = aggregate(array_sort(array_distinct(valid)), t3,
       (acc, c) => replace(acc, c, lit("[CARD]")))
     val t5 = regexp_replace(t4, ipv6Re, "[IPV6]")

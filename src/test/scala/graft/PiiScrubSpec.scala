@@ -147,6 +147,22 @@ class PiiScrubSpec extends AnyFunSuite {
       "a card bare-embedded in a separator form's tail run must redact")
   }
 
+  test("known residual: two concatenated valid cards redact leftmost-only; iterating converges (r20 pin)") {
+    // the r19 advice finding, retained as a documented convention (see
+    // the cardWindows scaladoc): ONE window per bare run means the
+    // second of two concatenated valid cards ships in cleartext on a
+    // single pass — and a second pass catches it (fixed-point
+    // convergence is the deployment remedy for adversarial runs).
+    val twoCards = "pay 41111111111111115500005555555559 end"
+    val once = scrubV2(Seq(14L -> twoCards))
+    assert(once(14L) == ((0L, 0L, 0L, 1L, 0L, 0L,
+      "pay [CARD]5500005555555559 end")),
+      "single pass redacts the LEFTMOST valid window only — the documented residual")
+    val twice = scrubV2(Seq(14L -> once(14L)._7))
+    assert(twice(14L)._7 == "pay [CARD][CARD] end",
+      "a second pass must redact the surviving card (fixed-point remedy)")
+  }
+
   test("v2 overlap contract: ssn counts after phones, phone shapes never re-match as ssn/card") {
     val out = scrubV2(Seq(
       6L -> "call 415-555-0123 ssn 123-45-6789",
