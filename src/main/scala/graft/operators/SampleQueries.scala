@@ -90,7 +90,7 @@ object SampleQueries {
     * p1 curation pipeline, so the release split can never drift from
     * the standalone split operator. (The DuckDB oracle SQL necessarily
     * restates it as a CASE.) */
-  private[operators] def splitCol: org.apache.spark.sql.Column = {
+  private[graft] def splitCol: org.apache.spark.sql.Column = {
     val splitBucket = substring(md5(col("doc_id").cast("string")), 3, 2)
     when(splitBucket < "cc", "train")
       .when(splitBucket < "e6", "val").otherwise("test")

@@ -50,6 +50,28 @@ object DedupIngest {
     * `DedupQueries.initStoredIndex` — the geometry stamp there must
     * match `(k, bands)` here, enforced per batch). The caller sets
     * trigger/checkpoint options and calls `.start()`. */
+  /** The per-batch dedup body (factored r20 so the composed crawl
+    * front-door — [[CrawlIngest]] — and direct drivers share it):
+    * sweep a crashed prior attempt → probe → hand pairs to the caller
+    * → tagged index fold. */
+  private[graft] def ingestDedupBatch(s: org.apache.spark.sql.SparkSession,
+                                      indexPath: String, batch: DataFrame,
+                                      prefix: String, batchId: Long,
+                                      k: Int, bands: Int, threshold: Double,
+                                      onPairs: (DataFrame, Long) => Unit): Unit = {
+    graft.sources.IndexStore.requireMonotonicBatch(
+      s, indexPath, Seq("ids", "sig", "bands"), prefix, batchId)
+    val tag = StreamIdentity.batchTag(prefix, batchId)
+    // heal a crashed prior attempt of THIS batch before probing:
+    // its partial rows are phantom corpus docs to the probe and
+    // would trip the disjointness gate on the replay
+    DedupQueries.sweepStreamBatch(s, indexPath, tag)
+    val pairs = DedupQueries.probeStoredIndex(
+      s, indexPath, batch, k, bands, threshold)
+    onPairs(pairs, batchId)
+    DedupQueries.appendStoredIndexTagged(s, indexPath, batch, tag, k, bands)
+  }
+
   def dedupIngest(docs: DataFrame, indexPath: String,
                   onPairs: (DataFrame, Long) => Unit,
                   k: Int = 16, bands: Int = 4,
@@ -65,17 +87,8 @@ object DedupIngest {
           // id), so a fresh-checkpoint restart can never sweep a prior
           // incarnation's committed batch — see StreamIdentity
           val prefix = StreamIdentity.incarnationPrefix(b.sparkSession, streamId)
-          graft.sources.IndexStore.requireMonotonicBatch(
-            b.sparkSession, indexPath, Seq("ids", "sig", "bands"), prefix, batchId)
-          val tag = StreamIdentity.batchTag(prefix, batchId)
-          // heal a crashed prior attempt of THIS batch before probing:
-          // its partial rows are phantom corpus docs to the probe and
-          // would trip the disjointness gate on the replay
-          DedupQueries.sweepStreamBatch(b.sparkSession, indexPath, tag)
-          val pairs = DedupQueries.probeStoredIndex(
-            b.sparkSession, indexPath, b, k, bands, threshold)
-          onPairs(pairs, batchId)
-          DedupQueries.appendStoredIndexTagged(b.sparkSession, indexPath, b, tag, k, bands)
+          ingestDedupBatch(b.sparkSession, indexPath, b.toDF(), prefix,
+            batchId, k, bands, threshold, onPairs)
         }
       } finally b.unpersist()
     }

@@ -82,6 +82,43 @@ object GateIngest {
       org.apache.spark.sql.types.StructField(n,
         org.apache.spark.sql.types.LongType, nullable = true)))
 
+  /** The per-batch gate body (factored r20 so the composed crawl
+    * front-door — [[CrawlIngest]] — and direct drivers share it):
+    * gate + scrub → hand survivors to the caller → tagged audit row. */
+  private[graft] def ingestGateBatch(s: org.apache.spark.sql.SparkSession,
+                                     auditPath: String, batch: DataFrame,
+                                     prefix: String, batchId: Long,
+                                     minQuality: Double,
+                                     onKept: (DataFrame, Long) => Unit): Unit = {
+    graft.sources.IndexStore.requireMonotonicBatch(
+      s, auditPath, Seq(auditTable), prefix, batchId)
+    val g = graft.plans.Stage(gateFrame(batch, minQuality))
+    val kept = g.filter(col("kept"))
+    // hand off the CALLER's columns only, text scrubbed — no
+    // gate internals ride into the corpus landing zone
+    onKept(kept.withColumn("text", col("redacted"))
+      .drop(internalCols: _*), batchId)
+    // one audit row; tokens_kept counts the PRE-redaction text so
+    // the attrition math is about the gate, not the placeholders
+    val row = g.agg(
+      count(lit(1)).as("n_in"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(!col("passes_gopher"), 1L).otherwise(0L)).as("drop_gopher"),
+      sum(when(col("passes_gopher") && !col("kept"), 1L).otherwise(0L))
+        .as("drop_quality"),
+      sum(size(split(col("text"), " ")).cast("long")).as("tokens_in"),
+      sum(when(col("kept"), size(split(col("text"), " ")).cast("long"))
+        .otherwise(0L)).as("tokens_kept"),
+      sum(when(col("kept") &&
+        (col("n_emails") + col("n_phones") + col("n_ipv4")) > 0, 1L)
+        .otherwise(0L)).as("pii_docs"))
+      .withColumn("batch_id", lit(batchId))
+    IndexStore.publishTaggedAppend(s, auditPath, auditTable,
+      StreamIdentity.batchTag(prefix, batchId)) { stage =>
+      row.coalesce(1).write.mode("overwrite").parquet(stage)
+    }
+  }
+
   /** Build the foreachBatch writer for a streaming `(doc_id, text)`
     * frame. `auditPath` must be an initialized IndexStore dir (any
     * existing index path, or a fresh dir — the audit table is created
@@ -100,33 +137,8 @@ object GateIngest {
           // un-namespaced, a fresh checkpoint's batch 0 would sweep away
           // the previous incarnation's committed b0 audit row
           val prefix = StreamIdentity.incarnationPrefix(s, streamId)
-          graft.sources.IndexStore.requireMonotonicBatch(
-            s, auditPath, Seq(auditTable), prefix, batchId)
-          val g = graft.plans.Stage(gateFrame(b.toDF(), minQuality))
-          val kept = g.filter(col("kept"))
-          // hand off the CALLER's columns only, text scrubbed — no
-          // gate internals ride into the corpus landing zone
-          onKept(kept.withColumn("text", col("redacted"))
-            .drop(internalCols: _*), batchId)
-          // one audit row; tokens_kept counts the PRE-redaction text so
-          // the attrition math is about the gate, not the placeholders
-          val row = g.agg(
-            count(lit(1)).as("n_in"),
-            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
-            sum(when(!col("passes_gopher"), 1L).otherwise(0L)).as("drop_gopher"),
-            sum(when(col("passes_gopher") && !col("kept"), 1L).otherwise(0L))
-              .as("drop_quality"),
-            sum(size(split(col("text"), " ")).cast("long")).as("tokens_in"),
-            sum(when(col("kept"), size(split(col("text"), " ")).cast("long"))
-              .otherwise(0L)).as("tokens_kept"),
-            sum(when(col("kept") &&
-              (col("n_emails") + col("n_phones") + col("n_ipv4")) > 0, 1L)
-              .otherwise(0L)).as("pii_docs"))
-            .withColumn("batch_id", lit(batchId))
-          IndexStore.publishTaggedAppend(s, auditPath, auditTable,
-            StreamIdentity.batchTag(prefix, batchId)) { stage =>
-            row.coalesce(1).write.mode("overwrite").parquet(stage)
-          }
+          ingestGateBatch(s, auditPath, b.toDF(), prefix, batchId,
+            minQuality, onKept)
         }
       } finally b.unpersist()
     }
