@@ -5,11 +5,13 @@ import java.util.Locale
 import org.apache.spark.sql.SparkSession
 
 /** The dataset card — the governance artifact every public data release
-  * ships (the HuggingFace dataset README shape): split statistics,
-  * domain mix, benchmark clearance, split-leakage audit and the
-  * content-manifest summary, rendered as ONE deterministic markdown
-  * document for humans AND (r19) a typed JSON artifact for governance
-  * consumers that parse instead of scrape.
+  * ships (the HuggingFace dataset README shape): split statistics, a
+  * "changes since previous version" section (r20 — p11's release
+  * changelog, so a card reader sees what a push moved, not only the
+  * current state), domain mix, benchmark clearance, split-leakage
+  * audit and the content-manifest summary, rendered as ONE
+  * deterministic markdown document for humans AND (r19) a typed JSON
+  * artifact for governance consumers that parse instead of scrape.
   *
   * Every table is computed FROM THE PUBLISHED RELEASE through the r17
   * audit-from-published-release family (p5f/p5cf/x4f/p6f + the p4
@@ -37,6 +39,7 @@ object DatasetCard {
   private[graft] final case class CardData(
       topDomains: Int,
       splitStats: Seq[(String, Long, Long, Double, Long, String, Double)],
+      changelog: Seq[(String, String, String, Long, Long)],
       domainMix: Seq[(String, String, Long, Long, Double)],
       clearance: Seq[(String, String, Long, Long, Boolean)],
       leaks: Seq[(String, String, Long, Long, Long)],
@@ -52,6 +55,13 @@ object DatasetCard {
       .releaseReportOf(PipelineQueries.releaseFrame(s, dir))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getDouble(3), r.getLong(4), r.getString(5), r.getDouble(6))).toSeq
+    // "what changed since the last push" (r20, the r19 verdict's #5) —
+    // p11's own changelog body verbatim, so the card's section can
+    // never disagree with the audit operator (DatasetCardSpec
+    // cross-checks the rows against p11's output)
+    val changelog = PipelineQueries.pReleaseChangelog.fn(s, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
     val mix = PipelineQueries.domainMixOf(PipelineQueries.releaseFrame(s, dir),
         new graft.functions.SuffixRules(
           graft.operators.SampleQueries.storedSuffixRules(s, dir)))
@@ -75,7 +85,8 @@ object DatasetCard {
         r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
     val man = ReleaseWriter.manifestOf(ReleaseWriter.readRelease(
         s, PipelineQueries.publishedReleaseDir(s, dir))).collect()
-    CardData(topDomains, splitStats, mix, clearance, leaks, fertility, decon,
+    CardData(topDomains, splitStats, changelog, mix, clearance, leaks,
+      fertility, decon,
       man.length, man.map(_.getLong(2)).sum, man.map(_.getLong(3)).sum)
   }
 
@@ -97,6 +108,13 @@ object DatasetCard {
     sb ++= "|---|---|---|---|---|---|---|\n"
     d.splitStats.foreach { case (split, docs, toks, q, nl, topL, topS) =>
       sb ++= s"| $split | $docs | $toks | ${f6(q)} | $nl | $topL | ${f6(topS)} |\n"
+    }
+
+    sb ++= "\n## Changes since previous version\n\n"
+    sb ++= "| source | split | status | documents | min doc id |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    d.changelog.foreach { case (src, split, status, docs, minId) =>
+      sb ++= s"| $src | $split | $status | $docs | $minId |\n"
     }
 
     sb ++= s"\n## Domain mix (top ${d.topDomains} by token share)\n\n"
@@ -177,6 +195,11 @@ object DatasetCard {
         "languages" -> nl.toString, "top_language" -> jstr(topL),
         "top_share" -> f6(topS)))
     }
+    val changelog = d.changelog.map { case (src, split, status, docs, minId) =>
+      jobj(Seq("source" -> jstr(src), "split" -> jstr(split),
+        "status" -> jstr(status), "documents" -> docs.toString,
+        "min_doc_id" -> minId.toString))
+    }
     val mix = d.domainMix.map { case (split, dom, docs, toks, share) =>
       jobj(Seq("split" -> jstr(split), "domain" -> jstr(dom),
         "documents" -> docs.toString, "tokens" -> toks.toString,
@@ -209,6 +232,7 @@ object DatasetCard {
        |  "schema": "graft-dataset-card-v1",
        |  "source_mode": "audit-from-published-release",
        |  "split_statistics": ${jarr(splitStats, "    ")},
+       |  "changes_since_previous": ${jarr(changelog, "    ")},
        |  "domain_mix": {"top": ${d.topDomains}, "rows": ${jarr(mix, "    ")}},
        |  "benchmark_clearance": ${jarr(clearance, "    ")},
        |  "split_leakage": ${jarr(leaks, "    ")},

@@ -34,12 +34,27 @@ class DatasetCardSpec extends AnyFunSuite {
   }
 
   test("sections present in fixed order") {
-    val idx = Seq("# Dataset card", "## Split statistics", "## Domain mix",
+    val idx = Seq("# Dataset card", "## Split statistics",
+      "## Changes since previous version", "## Domain mix",
       "## Benchmark clearance", "## Split-leakage audit",
       "## Tokenizer fertility", "## Decontamination gram profile",
       "## Content manifest")
       .map(card.indexOf)
     assert(idx.forall(_ >= 0) && idx == idx.sorted, s"section order broke: $idx")
+  }
+
+  test("changelog rows equal p11's own output (r20)") {
+    val want = SparkEntry.queries("p11_release_changelog")(spark, dir)
+      .collect().map { r =>
+        s"| ${r.getString(0)} | ${r.getString(1)} | ${r.getString(2)} | " +
+          s"${r.getLong(3)} | ${r.getLong(4)} |"
+      }
+    assert(want.nonEmpty)
+    want.foreach(line => assert(card.contains(line), s"missing row: $line"))
+    // every status class is live on the sf0.01 scaffold — the section
+    // is not a vacuous table
+    for (status <- Seq("added", "removed", "changed", "unchanged"))
+      assert(want.exists(_.contains(s"| $status |")), s"no '$status' row")
   }
 
   test("fertility rows equal t26f's own output") {
@@ -113,6 +128,16 @@ class DatasetCardSpec extends AnyFunSuite {
     assert(mdRows.nonEmpty)
     mdRows.foreach(line => assert(card.contains(line),
       s"JSON row has no byte-identical markdown twin: $line"))
+    // changelog rows ≡ the markdown section rows (r20)
+    val chg = (m \ "changes_since_previous").extract[Seq[Map[String, JValue]]]
+    assert(chg.nonEmpty)
+    chg.foreach { row =>
+      val line = s"| ${row("source").extract[String]} | " +
+        s"${row("split").extract[String]} | ${row("status").extract[String]} | " +
+        s"${row("documents").extract[Long]} | ${row("min_doc_id").extract[Long]} |"
+      assert(card.contains(line),
+        s"JSON changelog row has no byte-identical markdown twin: $line")
+    }
     // section row counts line up across the two faces
     def mdCount(section: String, until: String) = {
       val s0 = card.substring(card.indexOf(section), card.indexOf(until))
