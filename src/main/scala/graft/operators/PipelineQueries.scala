@@ -1706,6 +1706,15 @@ object PipelineQueries {
       threshold: Double = 0.4,
       probeBound: Long = 250L,
       corpusBound: Long = 500L) {
+    // internal coherence (r20 review): postings are filtered by
+    // probeBound alone while the full-mine universe is additionally
+    // corpus-bounded — probeBound > corpusBound would persist probe
+    // rows the from-scratch twin excludes, and every later increment
+    // would emit extra pairs SILENTLY (the stamp only proves
+    // same-params probing, not that the params make sense)
+    require(probeBound <= corpusBound,
+      s"fuzzy-mine geometry requires probeBound ($probeBound) <= " +
+        s"corpusBound ($corpusBound)")
     def stamp: String =
       s"fuzzymine-v3:thr=$threshold|probe=$probeBound|corpus=$corpusBound"
   }
@@ -1781,8 +1790,15 @@ object PipelineQueries {
     * plus the stored `canonrest` remainder — never the raw corpus
     * (r20, VERDICT r19 #2): released ⊆ canon and canonrest = canon −
     * released at the last publish, so their union IS the canonical
-    * set, column-exact through the parquet round-trip. Exact, not
-    * approximate, under the monotone-id contract (see
+    * set, column-exact through the parquet round-trip. CONTRACT the
+    * artifact re-entry imposes (r20 review — the old id-keyed join did
+    * not): the corpus must carry exactly the release contract columns
+    * (`doc_id, text, n_chars` plus the `source`/`lang` governance
+    * metadata) — the pool reads back with ReleaseWriter.fullSchema, so
+    * an extra corpus column (dropped by the publish slim) or a missing
+    * meta column (null-filled by the read schema) makes the strict
+    * unionByName with `canonrest` throw at assembly — loud, by design.
+    * Exact, not approximate, under the monotone-id contract (see
     * [[pIncrementalFuzzy]], enforced in
     * [[DedupQueries.ngramPairsIncrementalStored]]);
     * FuzzyIncrementalSpec pins each output frame-equal to its
@@ -1867,22 +1883,40 @@ object PipelineQueries {
     * contaminated by an increment eval doc), so it must re-enter the
     * remainder or day-N+2's canon re-entry silently loses it.
     *
-    * Gate: the monotone-id contract is enforced (min increment id >
-    * max ingested id) before any write — it is what makes every stored
-    * stage exact. Maintainer-owned batch path (the d8 convention): a
-    * crash mid-fold can leave partial appends; re-running the fold
-    * trips this gate loudly rather than double-appending. Call with
-    * `released` = the day's PUBLISHED release frame (the one handed to
-    * `publishDelta`) and `incRaw` = the raw increment (eval grams come
-    * from raw docs — benchmark data contributes grams whether or not
-    * any stage kept it). The URL keeper fold is its own family call —
+    * Gates (both fail-stop BEFORE any write — the silent-wrongness
+    * classes this family refuses to document away): (1) the
+    * monotone-id contract (min increment id > max ingested id), which
+    * is what makes every stored stage exact; (2) `released` must BE
+    * the artifact currently committed under `relRoot` — the fold runs
+    * AFTER the day's `publishDelta`, and canonrest := canon − released
+    * only holds against the release the NEXT day actually re-enters
+    * from (r20 review: a fold before the publish, or with a frame that
+    * differs from the artifact, would silently drop every newly
+    * released doc from day-N+1's canonical set). Maintainer-owned
+    * batch path (the d8 convention): a crash mid-fold can leave
+    * partial appends; re-running the fold trips the monotone gate
+    * loudly rather than double-appending. `incRaw` is the raw
+    * increment (eval grams come from raw docs — benchmark data
+    * contributes grams whether or not any stage kept it). The URL
+    * keeper fold is its own family call —
     * [[UrlQueries.appendUrlKeepersTagged]]. */
   private[graft] def appendFuzzyMineIndex(
-      s: org.apache.spark.sql.SparkSession, fzPath: String,
+      s: org.apache.spark.sql.SparkSession, fzPath: String, relRoot: String,
       asm: FuzzyAssembly, incRaw: org.apache.spark.sql.DataFrame,
       released: org.apache.spark.sql.DataFrame,
       params: FuzzyMineParams = FuzzyMineParams()): Unit = {
     requireFuzzyGeometry(s, fzPath, params)
+    val pubIds = graft.sources.IncrementalRelease.readCurrent(s, relRoot)
+      .select(col("doc_id"))
+    val relIds = released.select(col("doc_id"))
+    val missing = relIds.join(pubIds, Seq("doc_id"), "left_anti").limit(1).count()
+    val extra = pubIds.join(relIds, Seq("doc_id"), "left_anti").limit(1).count()
+    require(missing == 0L && extra == 0L,
+      s"appendFuzzyMineIndex: `released` does not match the artifact " +
+        s"committed under $relRoot (missing=$missing extra=$extra sides " +
+        "populated) — the fold must run AFTER the day's publishDelta, with " +
+        "the published frame; refusing to rewrite canonrest against a " +
+        "release the next day will not re-enter from")
     def tbl(n: String) = graft.sources.IndexStore.readSwappable(s, fzPath, n)
     val maxStoredRow = tbl("canonids").agg(max(col("doc_id"))).head()
     val minIncRow = asm.incCanonNew.agg(min(col("doc_id"))).head()

@@ -351,10 +351,15 @@ object UrlQueries {
     * at production index scale that recomputation doubles per-batch
     * I/O), verdicts handed to the caller BEFORE the fold so a failed
     * consumer leaves the index unappended and the replay exact. */
+  /** Returns the same verdict frame handed to `onVerdicts` (anchored
+    * to the staged pre-fold state, so evaluating it after this call
+    * cannot see the fold's own appends) — composed lifecycles build
+    * their downstream plan from the return value; side-effecting
+    * consumers keep the before-the-fold callback. */
   def ingestUrlBatch(s: org.apache.spark.sql.SparkSession, path: String,
                      batch: DataFrame, tag: String,
                      onVerdicts: DataFrame => Unit,
-                     maxBroadcastKeys: Long = 5000000L): Unit = {
+                     maxBroadcastKeys: Long = 5000000L): DataFrame = {
     graft.sources.IndexStore.requireStamp(s, path, FormatStamp, FormatValue,
       "url-index format")
     sweepUrlStreamBatch(s, path, tag)
@@ -362,8 +367,10 @@ object UrlQueries {
     val matched = graft.plans.Stage(storedMatched(s, path, b, maxBroadcastKeys))
     // ONE count decides the broadcast hint for both consumers
     val mSmall = matchedIsSmall(matched, maxBroadcastKeys)
-    onVerdicts(verdictsOf(b, matched, mSmall, maxBroadcastKeys))
+    val verdicts = verdictsOf(b, matched, mSmall, maxBroadcastKeys)
+    onVerdicts(verdicts)
     gateAndFold(s, path, b, matched, tag, mSmall, maxBroadcastKeys)
+    verdicts
   }
 
   /** Batch boundary 400: canonical collisions repeat every 350 ids

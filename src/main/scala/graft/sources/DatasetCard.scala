@@ -228,8 +228,12 @@ object DatasetCard {
     }
     val manifest = jobj(Seq("manifest_rows" -> d.manifestRows.toString,
       "documents" -> d.nDocs.toString, "total_chars" -> d.nChars.toString))
+    // schema tag bumped v1 → v2 with the changes_since_previous field
+    // (r20 review: a governance artifact that adds a top-level field
+    // without a version signal breaks closed-schema validators
+    // silently — the ensure-meta discipline applies to the card too)
     s"""{
-       |  "schema": "graft-dataset-card-v1",
+       |  "schema": "graft-dataset-card-v2",
        |  "source_mode": "audit-from-published-release",
        |  "split_statistics": ${jarr(splitStats, "    ")},
        |  "changes_since_previous": ${jarr(changelog, "    ")},

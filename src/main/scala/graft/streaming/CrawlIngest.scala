@@ -74,38 +74,36 @@ object CrawlIngest {
                                       threshold: Double = 0.5,
                                       nBuckets: Int = 8,
                                       onVerdicts: (DataFrame, Long) => Unit = (_, _) => (),
+                                      onKept: (DataFrame, Long) => Unit = (_, _) => (),
                                       onPairs: (DataFrame, Long) => Unit = (_, _) => (),
                                       onManifest: (DataFrame, Long) => Unit = (_, _) => ()): Unit = {
     val tag = StreamIdentity.batchTag(prefix, batchId)
     // ---- 1. URL stage: probe + keeper fold (first-crawled wins) ------
     graft.sources.IndexStore.requireMonotonicBatch(
       s, urlIndexPath, Seq("keepers"), prefix, batchId)
-    var urlKeptIds: DataFrame = null
-    UrlQueries.ingestUrlBatch(s, urlIndexPath,
+    val verdicts = UrlQueries.ingestUrlBatch(s, urlIndexPath,
       batch.select(col("doc_id"), col("url")), tag,
-      verdicts => {
-        onVerdicts(verdicts, batchId)
-        urlKeptIds = verdicts.filter(col("doc_id") === col("keeper_id"))
-          .select(col("doc_id"))
-      })
-    val urlKept = batch.drop("url").join(urlKeptIds, "doc_id")
+      v => onVerdicts(v, batchId))
+    val urlKept = batch.drop("url").join(
+      verdicts.filter(col("doc_id") === col("keeper_id")).select(col("doc_id")),
+      "doc_id")
     // ---- 2. gate + scrub (audit row appends under the same tag) ------
-    var scrubbed: DataFrame = null
-    GateIngest.ingestGateBatch(s, gateAuditPath, urlKept, prefix, batchId,
-      minQuality, (kept, _) => scrubbed = kept)
+    val scrubbed = GateIngest.ingestGateBatch(s, gateAuditPath, urlKept,
+      prefix, batchId, minQuality, (kept, id) => onKept(kept, id))
     val survivorsIn = graft.plans.Stage(
       scrubbed.withColumn("n_chars", length(col("text")).cast("long")))
     // ---- 3. near-dup stage: probe + index fold (keep-first drop) -----
-    var dropIds: DataFrame = null
-    DedupIngest.ingestDedupBatch(s, dedupIndexPath, survivorsIn, prefix,
-      batchId, k, bands, threshold, (pairs, _) => {
-        onPairs(pairs, batchId)
-        // pairs are a<b normalized; under monotone ids the greater side
-        // is always the newer doc — keep-first drops it
-        dropIds = pairs.select(col("b").as("doc_id")).distinct()
-      })
-    val survivors = survivorsIn.join(dropIds, Seq("doc_id"), "left_anti")
-      .withColumn("split", SampleQueries.splitCol)
+    val pairs = DedupIngest.ingestDedupBatch(s, dedupIndexPath, survivorsIn,
+      prefix, batchId, k, bands, threshold, (p, id) => onPairs(p, id))
+    // pairs are a<b normalized; under monotone ids the greater side
+    // is always the newer doc — keep-first drops it
+    val dropIds = pairs.select(col("b").as("doc_id")).distinct()
+    // staged: the emptiness gate, the prior-release anti-join and the
+    // publish each evaluate this frame — unstaged, the whole
+    // gate→signatures→verify plan would re-execute per consumer
+    val survivors = graft.plans.Stage(
+      survivorsIn.join(dropIds, Seq("doc_id"), "left_anti")
+        .withColumn("split", SampleQueries.splitCol))
     // ---- 4. release: append-only delta publish -----------------------
     val prior =
       if (IncrementalRelease.versions(s, releaseRoot).nonEmpty)
@@ -137,6 +135,7 @@ object CrawlIngest {
                   k: Int = 16, bands: Int = 4, threshold: Double = 0.5,
                   nBuckets: Int = 8,
                   onVerdicts: (DataFrame, Long) => Unit = (_, _) => (),
+                  onKept: (DataFrame, Long) => Unit = (_, _) => (),
                   onPairs: (DataFrame, Long) => Unit = (_, _) => (),
                   onManifest: (DataFrame, Long) => Unit = (_, _) => (),
                   streamId: Option[String] = None): DataStreamWriter[Row] =
@@ -148,7 +147,7 @@ object CrawlIngest {
           val prefix = StreamIdentity.incarnationPrefix(s, streamId)
           ingestCrawlBatch(s, urlIndexPath, gateAuditPath, dedupIndexPath,
             releaseRoot, b.toDF(), prefix, batchId, minQuality, k, bands,
-            threshold, nBuckets, onVerdicts, onPairs, onManifest)
+            threshold, nBuckets, onVerdicts, onKept, onPairs, onManifest)
         }
       } finally b.unpersist()
     }

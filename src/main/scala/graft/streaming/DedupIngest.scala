@@ -53,12 +53,15 @@ object DedupIngest {
   /** The per-batch dedup body (factored r20 so the composed crawl
     * front-door — [[CrawlIngest]] — and direct drivers share it):
     * sweep a crashed prior attempt → probe → hand pairs to the caller
-    * → tagged index fold. */
+    * → tagged index fold. Returns the same pair frame handed to
+    * `onPairs` (its file listing is pinned at probe time, so
+    * evaluating it after this call cannot see the fold's own
+    * appends). */
   private[graft] def ingestDedupBatch(s: org.apache.spark.sql.SparkSession,
                                       indexPath: String, batch: DataFrame,
                                       prefix: String, batchId: Long,
                                       k: Int, bands: Int, threshold: Double,
-                                      onPairs: (DataFrame, Long) => Unit): Unit = {
+                                      onPairs: (DataFrame, Long) => Unit): DataFrame = {
     graft.sources.IndexStore.requireMonotonicBatch(
       s, indexPath, Seq("ids", "sig", "bands"), prefix, batchId)
     val tag = StreamIdentity.batchTag(prefix, batchId)
@@ -70,6 +73,7 @@ object DedupIngest {
       s, indexPath, batch, k, bands, threshold)
     onPairs(pairs, batchId)
     DedupQueries.appendStoredIndexTagged(s, indexPath, batch, tag, k, bands)
+    pairs
   }
 
   def dedupIngest(docs: DataFrame, indexPath: String,
@@ -89,6 +93,7 @@ object DedupIngest {
           val prefix = StreamIdentity.incarnationPrefix(b.sparkSession, streamId)
           ingestDedupBatch(b.sparkSession, indexPath, b.toDF(), prefix,
             batchId, k, bands, threshold, onPairs)
+          ()
         }
       } finally b.unpersist()
     }

@@ -84,20 +84,23 @@ object GateIngest {
 
   /** The per-batch gate body (factored r20 so the composed crawl
     * front-door — [[CrawlIngest]] — and direct drivers share it):
-    * gate + scrub → hand survivors to the caller → tagged audit row. */
+    * gate + scrub → hand survivors to the caller → tagged audit row.
+    * Returns the same scrubbed-survivor frame handed to `onKept`
+    * (composed lifecycles build their downstream plan from it). */
   private[graft] def ingestGateBatch(s: org.apache.spark.sql.SparkSession,
                                      auditPath: String, batch: DataFrame,
                                      prefix: String, batchId: Long,
                                      minQuality: Double,
-                                     onKept: (DataFrame, Long) => Unit): Unit = {
+                                     onKept: (DataFrame, Long) => Unit): DataFrame = {
     graft.sources.IndexStore.requireMonotonicBatch(
       s, auditPath, Seq(auditTable), prefix, batchId)
     val g = graft.plans.Stage(gateFrame(batch, minQuality))
     val kept = g.filter(col("kept"))
     // hand off the CALLER's columns only, text scrubbed — no
     // gate internals ride into the corpus landing zone
-    onKept(kept.withColumn("text", col("redacted"))
-      .drop(internalCols: _*), batchId)
+    val handOff = kept.withColumn("text", col("redacted"))
+      .drop(internalCols: _*)
+    onKept(handOff, batchId)
     // one audit row; tokens_kept counts the PRE-redaction text so
     // the attrition math is about the gate, not the placeholders
     val row = g.agg(
@@ -117,6 +120,7 @@ object GateIngest {
       StreamIdentity.batchTag(prefix, batchId)) { stage =>
       row.coalesce(1).write.mode("overwrite").parquet(stage)
     }
+    handOff
   }
 
   /** Build the foreachBatch writer for a streaming `(doc_id, text)`
@@ -139,6 +143,7 @@ object GateIngest {
           val prefix = StreamIdentity.incarnationPrefix(s, streamId)
           ingestGateBatch(s, auditPath, b.toDF(), prefix, batchId,
             minQuality, onKept)
+          ()
         }
       } finally b.unpersist()
     }

@@ -59,6 +59,7 @@ object UrlIngest {
           // frames); verdicts reach the caller before the fold
           UrlQueries.ingestUrlBatch(b.sparkSession, indexPath, b, tag,
             verdicts => onVerdicts(verdicts, batchId))
+          ()
         }
       } finally b.unpersist()
     }

@@ -116,7 +116,7 @@ class DatasetCardSpec extends AnyFunSuite {
     val m = org.json4s.jackson.JsonMethods.parse(cardJson)
     import org.json4s._
     implicit val fmts: Formats = DefaultFormats
-    assert((m \ "schema").extract[String] == "graft-dataset-card-v1")
+    assert((m \ "schema").extract[String] == "graft-dataset-card-v2")
     // split statistics ≡ the markdown split table rows
     val stats = (m \ "split_statistics").extract[Seq[Map[String, JValue]]]
     val mdRows = stats.map { row =>

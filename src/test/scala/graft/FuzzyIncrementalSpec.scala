@@ -47,11 +47,24 @@ class FuzzyIncrementalSpec extends AnyFunSuite {
 
   /** A text that PASSES t9's quality battery (30–1000 tokens, ≥2
     * stopwords, avg word length in [3,10], no token/bigram repetition)
-    * with per-doc-unique payload words (k<docIdx*1000+i*17> — ranges
-    * never overlap across docIdx), so cross-doc 4-gram Jaccard stays
-    * ~0.05 unless a near-dup is PLANTED by suffixing a shared base. */
+    * with per-doc-unique payload words, COLLISION-FREE at the 4-char
+    * gram level: each word is a 6-char md5-derived per-doc tag + a
+    * 2-letter per-position code, so every gram contains doc-tag chars
+    * and cross-doc 4-gram Jaccard stays far under the 0.4 threshold.
+    * (An earlier numeric scheme — k<docIdx*1000+i*17> — shared
+    * digit-suffix grams like "017 " across docs and pushed UNPLANNED
+    * pairs past the threshold, which made day-2 docs lose keep-best
+    * elections to day-1 docs and silently emptied the planted release
+    * delta — caught by the r20 fold gate; a low-entropy letter
+    * encoding had the same flaw through runs of 'a's.) Near-dups are
+    * PLANTED by suffixing a shared base. */
+  private def docTag(i: Long): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(6)
   private def qualText(docIdx: Long, extra: String = ""): String =
-    "the quick " + (0 until 36).map(i => s"k${docIdx * 1000 + i * 17}")
+    "the quick " + (0 until 36).map(i =>
+        docTag(docIdx) + ('a' + i % 6).toChar + ('a' + i / 6).toChar)
       .mkString(" ") + " of and" + (if (extra.isEmpty) "" else " " + extra)
 
   // day-1 corpus: two of its docs form a near-dup pair (10, 11); the
@@ -289,13 +302,24 @@ class FuzzyIncrementalSpec extends AnyFunSuite {
     val rel2 = PipelineQueries.fuzzyReleasedByGrams(
       PipelineQueries.fuzzyStoredEvalGrams(spark, fzPath, inc2),
       asm2.canon, asm2.pairs)
+    // vacuity guard: the planted day-2 docs must actually RELEASE
+    // (the r20 fixture bug: unplanned gram collisions made every
+    // increment doc lose its election and the delta was empty)
+    assert(ids(rel2).exists(_ >= 400L),
+      s"no day-2 doc released — fixture degenerated: ${ids(rel2)}")
+    // folding BEFORE the day's publish must fail-stop: canonrest would
+    // be rewritten against a release day-3 never re-enters from
+    val pre = intercept[IllegalArgumentException] {
+      PipelineQueries.appendFuzzyMineIndex(spark, fzPath, root, asm2, inc2, rel2, P)
+    }
+    assert(pre.getMessage.contains("publishDelta"), pre.getMessage)
     IncrementalRelease.publishDelta(rel2, root)
-    PipelineQueries.appendFuzzyMineIndex(spark, fzPath, asm2, inc2, rel2, P)
+    PipelineQueries.appendFuzzyMineIndex(spark, fzPath, root, asm2, inc2, rel2, P)
     UrlQueries.appendUrlKeepersTagged(spark, urlPath,
       inc2.select(col("doc_id"), col("url")), tag = "day2")
     // a double fold is a pipeline bug — the monotone gate must refuse
     val e = intercept[IllegalArgumentException] {
-      PipelineQueries.appendFuzzyMineIndex(spark, fzPath, asm2, inc2, rel2, P)
+      PipelineQueries.appendFuzzyMineIndex(spark, fzPath, root, asm2, inc2, rel2, P)
     }
     assert(e.getMessage.contains("monotone"), e.getMessage)
     // ---- day 3: assemble against corpus ∪ day-2, zero recomputation ----
