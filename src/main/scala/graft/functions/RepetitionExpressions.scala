@@ -351,6 +351,97 @@ case class GopherStats(left: Expression, right: Expression, stopwords: Array[Str
   }
 }
 
+/** Per-document statistics behind the t9 five-rule quality battery —
+  * one linear pass over the token array (r21 optimization round):
+  *
+  *   max_count       — max multiplicity of any token (the r_top_token
+  *                     numerator)
+  *   stop_hits       — stop-lexicon token OCCURRENCES (t9's
+  *                     `size(filter(tk, isStop))`; NOT WordRuleKernel's
+  *                     distinct-word count)
+  *   distinct_bigrams — distinct adjacent-token bigrams joined by a
+  *                     single space (the r_repeated_bigrams numerator)
+  *
+  * Why a kernel: the old qualityRuleFrame computed max_count as
+  * explode → groupBy(doc, tok) → groupBy(doc) max → join-back — two
+  * corpus-keyed exchanges plus a broadcast join on EVERY battery call
+  * (p1/p3/p4/the p5 family/p6/p7/p9/p12/x4/x5/t9 all run it), for a statistic
+  * that is a per-row hash-map pass. This kernel makes the whole
+  * battery a zero-shuffle scan→project pipeline (guide §2.4: remove
+  * shuffles outright), and replaces the `filter`/`transform` HOFs
+  * (CodegenFallback — interpreted per row) for the other two
+  * statistics in the same single pass. The per-row maps are
+  * distinct-token/bigram-sized and die with the row. */
+object QualityRuleKernel {
+  def stats(tokens: ArrayData): InternalRow = {
+    val len = tokens.numElements()
+    val words = new Array[String](len)
+    var i = 0
+    while (i < len) {
+      words(i) = if (tokens.isNullAt(i)) "" else tokens.getUTF8String(i).toString
+      i += 1
+    }
+    val counts = new java.util.HashMap[String, Array[Long]]()
+    var maxC = 0L
+    i = 0
+    while (i < len) {
+      val c = counts.get(words(i))
+      val v = if (c == null) { counts.put(words(i), Array(1L)); 1L }
+      else { c(0) += 1L; c(0) }
+      if (v > maxC) maxC = v
+      i += 1
+    }
+    var stops = 0L
+    var s = 0
+    while (s < QualityRuleKernel.stopwords.length) {
+      val c = counts.get(QualityRuleKernel.stopwords(s))
+      if (c != null) stops += c(0)
+      s += 1
+    }
+    val bigrams = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i + 1 < len) {
+      sb.setLength(0)
+      sb.append(words(i)).append(' ').append(words(i + 1))
+      bigrams.add(sb.toString)
+      i += 1
+    }
+    InternalRow(maxC, stops, bigrams.size.toLong)
+  }
+
+  /** t9's stop lexicon — a construction-time constant of the battery
+    * (kept here so the static codegen call needs no reference object). */
+  private[graft] val stopwords: Array[String] =
+    Array("the", "a", "and", "of", "to", "in")
+}
+
+/** struct(max_count, stop_hits, distinct_bigrams) — see
+  * [[QualityRuleKernel]]. */
+case class QualityRuleStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"quality_rule_stats expects array<string>, got $t")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_count", LongType, nullable = false),
+    StructField("stop_hits", LongType, nullable = false),
+    StructField("distinct_bigrams", LongType, nullable = false)))
+
+  override protected def withNewChildInternal(c: Expression): QualityRuleStats =
+    copy(child = c)
+
+  override def nullSafeEval(a: Any): Any =
+    QualityRuleKernel.stats(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      x => s"graft.functions.QualityRuleKernel.stats($x)")
+}
+
 object RepetitionExpressions {
   private val B = org.apache.spark.sql.graft.Bridge
 
@@ -371,4 +462,9 @@ object RepetitionExpressions {
     * (tokens, lines) — see [[GopherKernel]]. */
   def gopherStats(tokens: Column, lines: Column, stopwords: Seq[String]): Column =
     B.toColumn(GopherStats(B.toExpression(tokens), B.toExpression(lines), stopwords.toArray))
+
+  /** Column wrapper: the t9 battery statistics struct over tokens —
+    * see [[QualityRuleKernel]]. */
+  def qualityRuleStats(tokens: Column): Column =
+    B.toColumn(QualityRuleStats(B.toExpression(tokens)))
 }

@@ -46,9 +46,19 @@ object DedupClusters {
         greatest(col("a"), col("b")).cast("long").as("dst"))
       .distinct()
       .cache()
-    val nEdges = undirected.count() // also materializes the cache
+    // ONE action probes the route AND (on the local route) fetches the
+    // edges: collect truncated at gate+1 — `length <= gate` means the
+    // probe IS the complete edge set, so the old count-then-collect
+    // pair (two passes over the mined edge plan) collapses into one
+    // (r21, guide §1.2: don't compute things twice). The cache keeps
+    // the distributed route's edge-doubling read warm, exactly as
+    // before; the collected array is bounded by gate+1 rows either way.
+    val gate = math.min(maxLocalEdges, Int.MaxValue.toLong - 1).toInt
+    val probe = undirected.limit(gate + 1).collect()
     val out =
-      if (nEdges <= maxLocalEdges) localCC(undirected)
+      if (probe.length <= gate)
+        localCC(undirected.sparkSession,
+          probe.map(r => (r.getLong(0), r.getLong(1))))
       else distributedCC(undirected, maxIter)
     undirected.unpersist()
     out
@@ -77,15 +87,24 @@ object DedupClusters {
     parent.keys.toArray.map(k => (k, find(k)))
   }
 
-  private def localCC(undirected: DataFrame): DataFrame = {
-    val spark = undirected.sparkSession
-    val edges = undirected.collect().map(r => (r.getLong(0), r.getLong(1)))
+  /** Row bound under which the local route emits a LocalRelation:
+    * downstream measured-broadcast guards (QueryDef.guardedBroadcast)
+    * read a LocalRelation's size off the plan with ZERO Spark jobs, so
+    * keeping small labelings literal kills the stage+count ceremony in
+    * every consumer (r21). Above it, parallelize as before — a
+    * near-gate result must not embed millions of rows into every
+    * downstream plan. */
+  private val LocalRelationRows = 100000
+
+  private def localCC(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
     val labeled = unionFindMinLabel(edges).sortBy(_._1)
-    // parallelize (not a LocalRelation literal) so a near-gate result
-    // doesn't embed millions of rows into every downstream plan
-    spark.createDataFrame(spark.sparkContext.parallelize(labeled.toSeq,
-        math.max(1, math.min(spark.sparkContext.defaultParallelism, labeled.length / 100000 + 1))))
-      .toDF("doc_id", "cluster_id")
+    import spark.implicits._
+    if (labeled.length <= LocalRelationRows)
+      labeled.toSeq.toDF("doc_id", "cluster_id")
+    else
+      spark.createDataFrame(spark.sparkContext.parallelize(labeled.toSeq,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism, labeled.length / 100000 + 1))))
+        .toDF("doc_id", "cluster_id")
   }
 
   private def distributedCC(undirected: DataFrame, maxIter: Int): DataFrame = {
@@ -210,13 +229,28 @@ object DedupClusters {
     val q = docs.select(col("doc_id"),
       TextQueries.qualityExpr(split(col("text"), " "), col("n_chars"))
         .as("quality"))
-    val cl = QueryDef.guardedBroadcast(
-      clusters.select("doc_id", "cluster_id"), broadcastRows)
-    val canon = QueryDef.guardedBroadcast(
-      q.join(cl, "doc_id")
-        .groupBy("cluster_id")
-        .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
-          .as("canonical_id")), broadcastRows)
+    val clFrame = clusters.select("doc_id", "cluster_id")
+    // When the labeling is a LocalRelation (the union-find route), its
+    // size is on the plan — and it BOUNDS the election table too
+    // (#clusters <= #labeled docs), so both broadcasts are provably
+    // under the guard with zero measuring jobs (r21; the measured path
+    // below is byte-identical for distributed labelings).
+    val clLocalRows = clFrame.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        Some(lr.data.length.toLong)
+      case _ => None
+    }
+    val boundedLocal = clLocalRows.exists(_ <= broadcastRows)
+    val cl =
+      if (boundedLocal) broadcast(clFrame)
+      else QueryDef.guardedBroadcast(clFrame, broadcastRows)
+    val election = q.join(cl, "doc_id")
+      .groupBy("cluster_id")
+      .agg(max_by(col("doc_id"), struct(col("quality"), -col("doc_id")))
+        .as("canonical_id"))
+    val canon =
+      if (boundedLocal) broadcast(election)
+      else QueryDef.guardedBroadcast(election, broadcastRows)
     q.join(cl, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .join(canon, Seq("cluster_id"), "left")

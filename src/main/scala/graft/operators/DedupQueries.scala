@@ -734,12 +734,23 @@ object DedupQueries {
                                   incrementCanon: DataFrame,
                                   threshold: Double,
                                   probeBound: Long = 250L,
-                                  maxBroadcastPostings: Long = 10000000L)
+                                  maxBroadcastPostings: Long = 10000000L,
+                                  incMinId: Option[Long] = None)
       : DataFrame = {
     require(threshold > 0.0, "inverted-index Jaccard requires threshold > 0")
-    val minInc = incrementCanon.agg(min(col("doc_id"))).head()
-    require(minInc.isNullAt(0) || minInc.getLong(0) > storedMaxId,
-      s"ngramPairsIncrementalStored: increment min doc_id ${minInc.get(0)} " +
+    // Monotone-id gate. `incMinId` lets a caller that already measured
+    // the increment's min doc_id (fuzzyStoredAssembly fuses it into its
+    // stored-max probe) supply it — the r20 ADVICE #4 finding: the
+    // in-function aggregate is an EAGER driver action at plan-
+    // construction time, a whole Spark job even when the returned pair
+    // frame is never executed. Callers pass Long.MaxValue for a known-
+    // empty increment (vacuously monotone, matching the null check).
+    val minInc = incMinId.getOrElse {
+      val r = incrementCanon.agg(min(col("doc_id"))).head()
+      if (r.isNullAt(0)) Long.MaxValue else r.getLong(0)
+    }
+    require(minInc > storedMaxId,
+      s"ngramPairsIncrementalStored: increment min doc_id $minInc " +
         s"<= stored max id $storedMaxId — the monotone-crawl-id contract is " +
         "violated and the incremental pair set would be silently incomplete")
     val inc = charGramDocs(incrementCanon, Long.MaxValue)

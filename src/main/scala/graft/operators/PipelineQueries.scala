@@ -1822,23 +1822,34 @@ object PipelineQueries {
     val incCanonLocal = exactCanonOf(incUrlKept).staged
     val incHashes = QueryDef.guardedBroadcast(
       incCanonLocal.select(md5(col("text")).as("__h")), maxBroadcastKeys)
-    val matchedH = graft.plans.Stage(
-      tbl("texthashes").join(incHashes, Seq("__h"), "left_semi"))
-    val incCanonNew = incCanonLocal.join(
-      QueryDef.guardedBroadcast(matchedH, maxBroadcastKeys),
+    // guardedBroadcast stages its argument internally — no outer Stage
+    // (the old double checkpoint materialized the matched slice twice, r21)
+    val matchedH = QueryDef.guardedBroadcast(
+      tbl("texthashes").join(incHashes, Seq("__h"), "left_semi"),
+      maxBroadcastKeys)
+    val incCanonNew = incCanonLocal.join(matchedH,
       md5(col("text")) === col("__h"), "left_anti").staged
     val canon2 = canon1.unionByName(incCanonNew)
     // max ingested id: witnesses the monotone-id contract inside the
     // incremental probe (the postings can't — they only hold docs
     // under the probe bound). One column-pruned scan of the id table;
     // a 100 TB deployment would carry it as an index stamp instead.
-    val maxStoredRow = tbl("canonids").agg(max(col("doc_id"))).head()
+    // The increment-side min (over the SAME mining-bounded frame the
+    // probe consumes) rides the SAME action — one job witnesses both
+    // contract ends instead of two (r21, closes the r20 ADVICE #4
+    // eager-probe finding). An empty mining frame passes the gate
+    // vacuously, exactly as the old in-function null check did.
+    val incForMine = incCanonNew.filter(col("doc_id") < params.corpusBound)
+    val bounds = tbl("canonids").agg(max(col("doc_id")).as("__mx"))
+      .crossJoin(incForMine.agg(min(col("doc_id")).as("__mn"))).head()
     val storedMaxId =
-      if (maxStoredRow.isNullAt(0)) Long.MinValue else maxStoredRow.getLong(0)
+      if (bounds.isNullAt(0)) Long.MinValue else bounds.getLong(0)
+    val incMinId =
+      if (bounds.isNullAt(1)) Long.MaxValue else bounds.getLong(1)
     val incPairs = DedupQueries.ngramPairsIncrementalStored(
-      tbl("postings"), storedMaxId,
-      incCanonNew.filter(col("doc_id") < params.corpusBound),
-      threshold = params.threshold, probeBound = params.probeBound)
+      tbl("postings"), storedMaxId, incForMine,
+      threshold = params.threshold, probeBound = params.probeBound,
+      incMinId = Some(incMinId))
     FuzzyAssembly(canon2, tbl("pairs").unionByName(incPairs),
       incCanonNew, incPairs)
   }
@@ -1908,7 +1919,11 @@ object PipelineQueries {
     requireFuzzyGeometry(s, fzPath, params)
     val pubIds = graft.sources.IncrementalRelease.readCurrent(s, relRoot)
       .select(col("doc_id"))
-    val relIds = released.select(col("doc_id"))
+    // `released` is typically the day's full funnel plan — staged ONCE
+    // here so the two artifact-equality gates and the canonrest rewrite
+    // below consume a materialized id set instead of re-running the
+    // funnel three times (r21, closes the r20 ADVICE #1 finding)
+    val relIds = graft.plans.Stage(released.select(col("doc_id")))
     val missing = relIds.join(pubIds, Seq("doc_id"), "left_anti").limit(1).count()
     val extra = pubIds.join(relIds, Seq("doc_id"), "left_anti").limit(1).count()
     require(missing == 0L && extra == 0L,
@@ -1935,11 +1950,16 @@ object PipelineQueries {
     DedupQueries.charGramPostings(asm.incCanonNew, params.probeBound)
       .write.mode("append").parquet(dataPath("postings"))
     asm.incPairs.write.mode("append").parquet(dataPath("pairs"))
-    evalGramsOf(incRaw)
-      .join(tbl("evalgrams"), Seq("gram"), "left_anti")
+    // materialize the anti-joined new-gram frame BEFORE appending into
+    // the table its own plan reads (r21, closes the r20 ADVICE #2
+    // finding: the old shape only worked because the scan's file
+    // listing was pinned at plan creation — a fragile
+    // read-from-write-target pattern)
+    graft.plans.Stage(
+      evalGramsOf(incRaw).join(tbl("evalgrams"), Seq("gram"), "left_anti"))
       .write.mode("append").parquet(dataPath("evalgrams"))
     graft.sources.IndexStore.replaceTable(s, fzPath, "canonrest") { (_, dst) =>
-      asm.canon.join(released.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      asm.canon.join(relIds, Seq("doc_id"), "left_anti")
         .write.parquet(dst)
     }
   }

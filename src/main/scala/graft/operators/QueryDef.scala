@@ -61,10 +61,21 @@ object QueryDef {
     * shuffle join. Either path is exact — the guard bounds memory, not
     * accuracy.
     */
-  def guardedBroadcast(small: DataFrame, maxRows: Long): DataFrame = {
-    val m = graft.plans.Stage(small)
-    if (m.count() <= maxRows) broadcast(m) else m
-  }
+  def guardedBroadcast(small: DataFrame, maxRows: Long): DataFrame =
+    small.queryExecution.optimizedPlan match {
+      // already driver-local (a LocalRelation — e.g. the union-find
+      // route of DedupClusters, or a literal lookup table): the row
+      // count is on the plan, so the measure costs ZERO Spark jobs and
+      // the stage+count ceremony below would only re-materialize data
+      // the driver already holds (r21). The guard itself is unchanged —
+      // the bound is still compared before any broadcast hint.
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.data.length <= maxRows =>
+        broadcast(small)
+      case _ =>
+        val m = graft.plans.Stage(small)
+        if (m.count() <= maxRows) broadcast(m) else m
+    }
 
   /** Measured max-group-population probe — the skew twin of
     * [[guardedBroadcast]]: one aggregate with map-side partials down to

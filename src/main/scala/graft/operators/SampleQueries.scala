@@ -316,10 +316,16 @@ object SampleQueries {
 
   private[graft] def tokenBudgetSelect(base: org.apache.spark.sql.DataFrame,
                                            budget: Long): org.apache.spark.sql.DataFrame = {
-    val bins = base.groupBy("quality").agg(sum("n_tokens").as("tot"))
+    // per-bin id bounds ride the SAME aggregate as the token totals, so
+    // the crossing bin's [lo, hi] needs no second driver action (r21 —
+    // the old shape ran a separate min/max job against the staged base
+    // per call; c15 pays this twice per run)
+    val bins = base.groupBy("quality")
+      .agg(sum("n_tokens").as("tot"),
+        min("doc_id").as("lo"), max("doc_id").as("hi"))
       .orderBy(col("quality").desc).collect()
-      .map(r => (r.getDouble(0), r.getLong(1)))
-    crossingBin(bins.toSeq, budget) match {
+      .map(r => (r.getDouble(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    crossingBin(bins.toSeq.map { case (q, (tot, _, _)) => (q, tot) }, budget) match {
       case None => base // the whole corpus fits the budget
       case Some((qc, brem)) =>
         val full = base.filter(col("quality") > qc)
@@ -332,11 +338,8 @@ object SampleQueries {
         // quality value, and only the final ≤ subBinFanout-id leaf
         // pays the window cumsum.
         val bin = base.filter(col("quality") === qc)
-        val bounds = bin.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head
-        val boundary =
-          if (bounds.isNullAt(0)) bin // unreachable: crossing bin is nonempty
-          else tokenBudgetRefine(bin, bounds.getLong(0), bounds.getLong(1), brem)
-        full.unionByName(boundary)
+        val (_, lo, hi) = bins.find(_._1 == qc).map(b => b._2).get
+        full.unionByName(tokenBudgetRefine(bin, lo, hi, brem))
     }
   }
 

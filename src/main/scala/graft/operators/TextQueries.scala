@@ -39,8 +39,12 @@ object TextQueries {
   /** The t2 stopword lexicon — ONE definition shared by t2, the t16
     * classifier features and the c5/p2 quality-token frame, so the
     * quality rule can never drift between its consumers (same
-    * discipline as SampleQueries.splitCol). */
-  private[graft] val stopwords = Seq("the", "a", "and", "of", "to", "in")
+    * discipline as SampleQueries.splitCol). Canonical array lives in
+    * [[graft.functions.QualityRuleKernel]] (the t9 battery's native
+    * kernel makes a static codegen call and cannot carry a reference
+    * object cheaply); this is the same object, not a copy. */
+  private[graft] val stopwords: Seq[String] =
+    graft.functions.QualityRuleKernel.stopwords.toSeq
 
   /** The rule's two ratio sub-expressions, exposed alongside it: the
     * t16 classifier's FEATURES are these same quantities, so they must
@@ -291,26 +295,33 @@ object TextQueries {
     * explode → two-level-aggregate shape (a nested count-per-distinct-
     * token HOF would be quadratic in document length). */
   private[operators] def qualityRuleFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val stop = Seq("the", "a", "and", "of", "to", "in")
-    val stopArr = array(stop.map(lit): _*)
+    // ONE native kernel pass per row (r21 optimization round —
+    // QualityRuleKernel): max token multiplicity, stop-lexicon
+    // occurrences and distinct adjacent bigrams all come from a single
+    // per-row hash-map pass, making the battery a zero-shuffle
+    // scan→project pipeline. The old shape computed max_c as
+    // explode → groupBy(doc, tok) → groupBy(doc) max → join-back —
+    // two corpus-keyed exchanges plus a broadcast join per battery
+    // call, paid by every release-stack query (guide §2.4). The
+    // explode path also silently DROPPED docs with an empty token
+    // array (no exploded rows → inner join); every caller pre-filters
+    // size(tk) >= 2, and the explicit filter keeps that contract
+    // for any future caller.
     val ruleNames = Seq("r_word_count", "r_mean_word_len", "r_stopwords",
       "r_top_token", "r_repeated_bigrams")
-    val top = docs.select(col("doc_id"), explode(col("tk")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("max_c"))
     val tokCol = col("tk")
     val ntA = size(tokCol)
-    docs.join(top, "doc_id")
+    docs.filter(size(col("tk")) >= 1)
+      .select(col("doc_id"), col("n_chars"), col("tk"),
+        graft.functions.RepetitionExpressions.qualityRuleStats(tokCol).as("__qs"))
       .select(
         col("doc_id"),
         (ntA >= 30 && ntA <= 1000).as("r_word_count"),
         ((col("n_chars") - (ntA - 1).cast("double")) / ntA.cast("double"))
           .between(3.0, 10.0).as("r_mean_word_len"),
-        (size(filter(tokCol, t => array_contains(stopArr, t))) >= 2).as("r_stopwords"),
-        (col("max_c").cast("double") / ntA.cast("double") <= 0.2).as("r_top_token"),
-        (lit(1.0) - size(array_distinct(transform(sequence(lit(0), ntA - 2),
-          i => concat_ws(" ", element_at(tokCol, i + 1), element_at(tokCol, i + 2)))))
-          .cast("double") /
+        (col("__qs.stop_hits") >= 2).as("r_stopwords"),
+        (col("__qs.max_count").cast("double") / ntA.cast("double") <= 0.2).as("r_top_token"),
+        (lit(1.0) - col("__qs.distinct_bigrams").cast("double") /
           (ntA - 1).cast("double") <= 0.3).as("r_repeated_bigrams"))
       .withColumn("n_rules_passed",
         ruleNames.map(n => col(n).cast("long")).reduce(_ + _))

@@ -35,12 +35,12 @@ class FixturePinSpec extends AnyFunSuite {
     "g1_panel_summary"         -> "ec263564355c1e5a81565545027cba56",
     "q29_sketch_stats"         -> "04077381830a72d04d535c0f065ad8fb",
     // repinned each time the driver regenerates /root/testdata (last:
-    // r18 round start) — q30's orders/events input moves per
+    // r21 round start) — q30's orders/events input moves per
     // regeneration while documents/embeddings stay identical, so this
     // is the one pin expected to drift at round boundaries; ProbeMain
     // pins reported the new hash STABLE across reps, every other pin
     // held
-    "q30_sketch_union"         -> "7991473430476d2b3ef76565c6b7c732",
+    "q30_sketch_union"         -> "f4db291c34db0d42b5f523a0af066701",
     "s3_logistic_irls"         -> "3142949dbddbd4c5163a2c857e2cb0c4",
     "t11_compression_ratio"    -> "068631635d8d574890409ff69d985229",
     // t16 left the pin set in r16: frozen stored coefficients made the
