@@ -72,12 +72,36 @@ object ProfileR21 {
           println(s"[explain] wrote ${n}_$suffix.txt (${txt.length} chars)")
         }
 
-      case "q" =>
+      case "jobs" =>
+        // one warm + one traced run; prints every job's callsite +
+        // description so redundant actions are attributable to code
         val name = args(1)
-        val fn = SparkEntry.queries(name)
-        val reps = args.lift(2).map(_.toInt).getOrElse(2)
-        phase(s"$name warm")(fn(spark, sfDir).count())
-        (1 to reps).foreach { i => phase(s"$name rep$i")(fn(spark, sfDir).count()) }
+        val fn = SparkEntry.queries.collectFirst {
+          case (n, f) if n == name || n.startsWith(name + "_") => f }.get
+        fn(spark, sfDir).count()
+        val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val jl = new SparkListener {
+          override def onJobStart(j: SparkListenerJobStart): Unit = {
+            val cs = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+            val nt = j.stageInfos.map(_.numTasks).sum
+            lines.add(f"[job] ${j.jobId}%4d stages=${j.stageInfos.size}%2d tasks=$nt%4d  $cs")
+            ()
+          }
+        }
+        spark.sparkContext.addSparkListener(jl)
+        fn(spark, sfDir).count()
+        Thread.sleep(300)
+        lines.forEach(l => println(l))
+
+      case "q" =>
+        // q <name> [<name> ...] — several queries per JVM so startup is
+        // paid once; 2 timed reps each after an untimed-by-name warm
+        args.drop(1).foreach { name =>
+          val fn = SparkEntry.queries.collectFirst {
+            case (n, f) if n == name || n.startsWith(name + "_") => f }.get
+          phase(s"$name warm")(fn(spark, sfDir).count())
+          (1 to 2).foreach { i => phase(s"$name rep$i")(fn(spark, sfDir).count()) }
+        }
 
       case "p12" =>
         import graft.operators.{PipelineQueries => PQ, UrlQueries, Scaffold}

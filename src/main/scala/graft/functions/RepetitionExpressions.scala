@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType, StructField, StructType}
 
 /** One-pass n-gram REPETITION statistics over a token array — the
   * kernel behind the Gopher-style within-document repetition rules
@@ -414,6 +414,33 @@ object QualityRuleKernel {
     * (kept here so the static codegen call needs no reference object). */
   private[graft] val stopwords: Array[String] =
     Array("the", "a", "and", "of", "to", "in")
+
+  /** The five-rule keep verdict in ONE kernel call — the funnel's
+    * quality gate as a row predicate (r21). The old funnel shape
+    * computed keepIds = battery→filter→select(doc_id) and JOINED the
+    * canonical set back on doc_id: at toy scale AQE broadcasts the id
+    * set, but keepIds is corpus-sized by construction, so at 100 TB
+    * that join degrades to a full corpus exchange (document bytes
+    * shuffled on doc_id) for what is a per-row decision — the exact
+    * shape guide §2.4 says to remove. Thresholds and arithmetic mirror
+    * TextQueries' rule expressions LITERALLY (Catalyst codegen
+    * evaluates the same Java double ops this method runs, so the
+    * verdicts are bit-identical; QualityKeepParitySpec pins the
+    * equality against the battery frame, and every funnel oracle
+    * re-proves it end-to-end). Early exits short-circuit rules the
+    * conjunction already decided — same boolean, and the hash-map pass
+    * is skipped entirely for docs outside the word-count bounds. */
+  def keep(tokens: ArrayData, nChars: Long): Boolean = {
+    val nt = tokens.numElements()
+    if (nt < 30 || nt > 1000) return false // r_word_count
+    val ntd = nt.toDouble
+    val mwl = (nChars.toDouble - (nt - 1).toDouble) / ntd
+    if (!(mwl >= 3.0 && mwl <= 10.0)) return false // r_mean_word_len
+    val st = stats(tokens)
+    if (st.getLong(1) < 2L) return false // r_stopwords
+    if (st.getLong(0).toDouble / ntd > 0.2) return false // r_top_token
+    1.0 - st.getLong(2).toDouble / (nt - 1).toDouble <= 0.3 // r_repeated_bigrams
+  }
 }
 
 /** struct(max_count, stop_hits, distinct_bigrams) — see
@@ -442,6 +469,31 @@ case class QualityRuleStats(child: Expression)
       x => s"graft.functions.QualityRuleKernel.stats($x)")
 }
 
+/** boolean keep verdict of the t9 battery over (tokens, n_chars) —
+  * see [[QualityRuleKernel.keep]]. */
+case class QualityRuleKeep(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"quality_rule_keep expects (array<string>, bigint), got ($l, $r)")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "quality_rule_keep"
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QualityRuleKeep =
+    copy(left = l, right = r)
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    QualityRuleKernel.keep(t.asInstanceOf[ArrayData], n.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, n) => s"graft.functions.QualityRuleKernel.keep($t, $n)")
+}
+
 object RepetitionExpressions {
   private val B = org.apache.spark.sql.graft.Bridge
 
@@ -467,4 +519,12 @@ object RepetitionExpressions {
     * see [[QualityRuleKernel]]. */
   def qualityRuleStats(tokens: Column): Column =
     B.toColumn(QualityRuleStats(B.toExpression(tokens)))
+
+  /** Column wrapper: the t9 battery KEEP verdict over (tokens,
+    * n_chars) — see [[QualityRuleKernel.keep]]. */
+  def qualityRuleKeep(tokens: Column, nChars: Column): Column =
+    // long cast: a no-op on the contract's LONG n_chars, and it admits
+    // integer-typed fixture frames (the expression itself is strict)
+    B.toColumn(QualityRuleKeep(B.toExpression(tokens),
+      B.toExpression(nChars.cast("long"))))
 }

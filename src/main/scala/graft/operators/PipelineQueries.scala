@@ -72,16 +72,18 @@ object PipelineQueries {
       // join — without the stage break the corpus-wide aggregate would
       // re-execute per consumer
       val canon = exactCanonOf(docs).staged
-      // 2. quality gate: only keep==true survives (docs under t9's
-      // 2-token floor never reach the battery — they fail the release)
-      val keepIds = TextQueries.qualityRuleFrame(
-        canon.filter(size(split(col("text"), " ")) >= 2)
-          .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk")))
-        .filter(col("keep")).select(col("doc_id"))
+      // 2. quality gate — ONE kernel predicate per row (r21): the old
+      // keepIds = battery→filter→select(doc_id)→join-back re-keyed the
+      // corpus on a corpus-sized id set (a full document exchange at
+      // scale, guide §2.4); TextQueries.qualityKeepExpr is the same
+      // five rules as one row filter (t9's sub-2-token drop is
+      // subsumed by the 30-token word-count floor).
       // eval docs (x1's held-out predicate) are benchmark data — they
       // are never part of the release themselves
       // staged: pre feeds the candidate gram pass AND the left-anti base
-      canon.join(keepIds, "doc_id").filter(!ContaminationQueries.isEval)
+      canon.filter(TextQueries.qualityKeepExpr(
+          split(col("text"), " "), col("n_chars")))
+        .filter(!ContaminationQueries.isEval)
         .staged
   }
 
@@ -359,17 +361,21 @@ object PipelineQueries {
     val flagged = hashed.join(minIds, "__h")
       .withColumn("is_canon", col("doc_id") === col("__m")).drop("__m", "__h")
       .staged
-    val qOk = TextQueries.qualityRuleFrame(
-        flagged.filter(col("is_canon") && size(split(col("text"), " ")) >= 2)
-          .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk")))
-      .filter(col("keep")).select(col("doc_id"), lit(true).as("q_ok"))
-    val pre = flagged.filter(col("is_canon")).join(qOk, "doc_id")
+    // q_ok as a row PREDICATE, not a join (r21): the old left-join of
+    // the corpus against a corpus-sized qOk id set was a full exchange
+    // at scale for a per-row verdict; the kernel predicate computes it
+    // in place (true ⇔ canonical AND battery-kept; null otherwise —
+    // exactly the left-join's null pattern, since qOk listed only
+    // canonical battery-kept ids)
+    val qOkCol = when(col("is_canon") && TextQueries.qualityKeepExpr(
+      split(col("text"), " "), col("n_chars")), lit(true))
+    val pre = flagged.filter(qOkCol.isNotNull)
       .filter(!ContaminationQueries.isEval)
       .staged
     val contaminated = contaminatedIds(docs, pre, maxBroadcastEvalGrams)
       .withColumn("is_contam", lit(true))
     flagged
-      .join(qOk, Seq("doc_id"), "left")
+      .withColumn("q_ok", qOkCol)
       .join(contaminated, Seq("doc_id"), "left")
       .withColumn("status",
         when(!col("is_canon"), "dropped_duplicate")
@@ -1195,20 +1201,25 @@ object PipelineQueries {
                AS loss_frac
       FROM packs GROUP BY source ORDER BY source"""))
 
-  /** Near-dup survivors of the canonical set (r18, the r17 verdict's
-    * top item): cluster the near-dup `pairs` into components (d6's
-    * operator) and elect d11's quality-best doc per cluster — the
-    * doc_ids that survive FUZZY dedup. One definition, parameterized by
-    * the edge set, so the funnel below and the LSH-fed production
-    * variant (FuzzyReleaseSpec pins it ≡ chaining the standalone
-    * d2→d6→d11 operators) cannot drift from the standalone chain: this
-    * IS the standalone chain, applied. */
-  private[graft] def fuzzyKeepIdsOf(
+  /** The fuzzy-dedup election, consumed from its DROP side (r18
+    * operator, r21 shape): cluster the near-dup `pairs` into components
+    * (d6's operator), elect d11's quality-best doc per cluster, and
+    * return the doc_ids fuzzy dedup DROPS — cluster election losers
+    * only, bounded by the CLUSTERED docs (edge-list-sized, orders of
+    * magnitude under the corpus). The funnel consumes this side:
+    * `canon ANTI-JOIN losers` keeps the corpus un-shuffled (the loser
+    * set rides the measured broadcast guard), where the old
+    * keeper-id-set join back re-keyed every document on doc_id at scale
+    * (guide §2.4). keepBest emits exactly one row per doc with a
+    * non-null verdict, so keepers ≡ canon ∖ losers — and this IS still
+    * the standalone d2→d6→d11 chain applied (FuzzyReleaseSpec pins the
+    * funnel against chaining the standalone operators). */
+  private[graft] def fuzzyDropIdsOf(
       canon: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     DedupClusters.keepBest(canon,
         DedupClusters.connectedComponents(pairs.select("a", "b")))
-      .filter(col("keep")).select(col("doc_id"))
+      .filter(!col("keep")).select(col("doc_id"))
 
   /** The post-canon fuzzy release stages — fuzzy keep-best → quality
     * gate → held-out eval drop → 5-gram decontamination. ONE definition
@@ -1242,12 +1253,17 @@ object PipelineQueries {
       canon: org.apache.spark.sql.DataFrame,
       pairs: org.apache.spark.sql.DataFrame,
       maxBroadcastEvalGrams: Long): FuzzyStages = {
-    val fuzzy = canon.join(fuzzyKeepIdsOf(canon, pairs), "doc_id").staged
-    val keepIds = TextQueries.qualityRuleFrame(
-      fuzzy.filter(size(split(col("text"), " ")) >= 2)
-        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("tk")))
-      .filter(col("keep")).select(col("doc_id"))
-    val gated = fuzzy.join(keepIds, "doc_id").staged
+    // keep-best survivors via the DROP side (r21): the loser id set is
+    // cluster-bounded and broadcast-guarded; anti-joining it never
+    // re-keys the corpus (the old keeper-id inner join did, at scale)
+    val fuzzy = canon.join(
+      QueryDef.guardedBroadcast(fuzzyDropIdsOf(canon, pairs), 10000000L),
+      Seq("doc_id"), "left_anti").staged
+    // quality gate as the kernel row predicate (r21) — see
+    // preCandidatesOf: the old keepIds join-back re-keyed the corpus
+    // on a corpus-sized id set per day
+    val gated = fuzzy.filter(TextQueries.qualityKeepExpr(
+      split(col("text"), " "), col("n_chars"))).staged
     val kept = gated.filter(!ContaminationQueries.isEval)
     val released = kept.join(
       contaminatedIdsByGrams(kept, evalGrams, maxBroadcastEvalGrams),

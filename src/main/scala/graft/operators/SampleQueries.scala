@@ -1042,11 +1042,21 @@ object SampleQueries {
   private[graft] def annealPlanOf(docs: org.apache.spark.sql.DataFrame,
                                   annealBudget: Long, mainBudget: Long)
       : org.apache.spark.sql.DataFrame = {
+    import graft.plans.Stage.StageOps
     val base = qualityTokenFrame(docs)
+    // anneal staged: it feeds the anti-join probe AND the final union —
+    // and it is budget-bounded, so the checkpoint is tiny (r21)
     val anneal = tokenBudgetSelect(base, annealBudget)
       .select(col("doc_id"), col("n_tokens"), col("quality"))
+      .staged
+    // remainder staged: the main-phase tokenBudgetSelect executes its
+    // input once per driver probe plus once per output branch (bins
+    // aggregate, kept-bins read, crossing-bin refinement) — unstaged,
+    // each execution re-ran the anti-join and the whole anneal subplan
+    // (r21, guide §1.2: 3–5 redundant passes per c15 run)
     val remainder = base
       .join(anneal.select("doc_id"), Seq("doc_id"), "left_anti")
+      .staged
     val u = round(conv(substring(
         md5(concat(col("doc_id").cast("string"), lit(":c15"))), 1, 8),
       16, 10).cast("double") / lit(4294967296.0), 6)

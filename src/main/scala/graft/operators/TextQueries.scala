@@ -294,7 +294,7 @@ object TextQueries {
     * per-row codegen expressions; the top-token mass uses t6's LINEAR
     * explode → two-level-aggregate shape (a nested count-per-distinct-
     * token HOF would be quadratic in document length). */
-  private[operators] def qualityRuleFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def qualityRuleFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // ONE native kernel pass per row (r21 optimization round —
     // QualityRuleKernel): max token multiplicity, stop-lexicon
     // occurrences and distinct adjacent bigrams all come from a single
@@ -327,6 +327,22 @@ object TextQueries {
         ruleNames.map(n => col(n).cast("long")).reduce(_ + _))
       .withColumn("keep", col("n_rules_passed") === 5)
   }
+
+  /** The battery's `keep` gate as ONE row predicate (r21) — the seat
+    * for funnel callers that only consume the verdict: the old shape
+    * (battery → filter(keep) → select(doc_id) → join back on doc_id)
+    * re-keys the corpus on a corpus-sized id set, a full document
+    * exchange at scale for a per-row decision.
+    * [[graft.functions.QualityRuleKernel.keep]] applies the SAME five
+    * rules in one kernel call (bit-identical Java double arithmetic;
+    * QualityKeepParitySpec pins it against [[qualityRuleFrame]], and
+    * the battery's own size>=1 row-drop is subsumed by r_word_count's
+    * 30-token floor). t9/t16 keep the full battery frame — they report
+    * per-rule verdicts, not just the gate. */
+  private[graft] def qualityKeepExpr(tk: org.apache.spark.sql.Column,
+                                     nChars: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.functions.RepetitionExpressions.qualityRuleKeep(tk, nChars)
 
   /** Gopher-style rule-battery quality filter: the hard keep/drop gates
     * of the pretraining-data playbook (word-count bounds, mean-word-length

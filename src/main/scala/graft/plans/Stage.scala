@@ -36,6 +36,26 @@ object Stage {
   @volatile private var warnedGc = false
 
   def apply(df: DataFrame): DataFrame =
+    // Idempotent on an ALREADY-materialized frame (r21): a frame whose
+    // whole plan is one checkpoint/RDD scan (LogicalRDD root — exactly
+    // what both branches below return) or a driver-local literal
+    // (LocalRelation) is already "computed once"; re-checkpointing it
+    // copies every block for zero sharing benefit. Callers routinely
+    // compose staged frames into guards that stage again
+    // (x5's evalG.staged → guardedBroadcast re-staged each of its three
+    // per-n rounds), so the seam itself now recognizes its own output.
+    // Any transformation ON TOP of a checkpoint (even a select) still
+    // stages normally — only the bare scan is a no-op. Matched on the
+    // OPTIMIZED plan (computed anyway before any materialization):
+    // `Seq(..).toDF(names)` analyzes as Project-over-LocalRelation and
+    // only folds to a bare LocalRelation after optimization.
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => df
+      case _ => materialize(df)
+    }
+
+  private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.conf.getOption("spark.graft.reliableCheckpoint").contains("true")) {
       // Assert (loudly), don't just document, the GC precondition: without
       // cleanCheckpoints=true on the SparkConf the checkpoint dir grows one

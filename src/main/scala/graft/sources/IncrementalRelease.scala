@@ -155,11 +155,18 @@ object IncrementalRelease {
 
     val cols = Seq("doc_id", "text", "n_chars") ++
       ReleaseWriter.MetaCols.filter(docs.columns.contains) ++ Seq("split")
-    val slim = graft.plans.Stage(docs.select(cols.map(col): _*))
+    // Stage the release slice only on the DELTA path, where it feeds
+    // two consumers (the fingerprint diff and the touched-bucket
+    // rewrite). A FULL publish consumes it exactly once — the gen-file
+    // write — so staging there materialized the entire release an extra
+    // time per publish for zero sharing (r21, guide §1.2: one pass per
+    // day-1 rebuild saved at any scale).
+    lazy val slimLazy = docs.select(cols.map(col): _*)
 
     val (toWrite, carried): (DataFrame, Seq[String]) = deltaFrom match {
-      case None => (slim, Seq.empty)
+      case None => (slimLazy, Seq.empty)
       case Some(base) =>
+        val slim = graft.plans.Stage(slimLazy)
         // c9's diff discipline: artifact vs new logical release, reduced
         // map-side to (doc_id, fingerprint[, split]) — the join shuffles
         // ~32 B/row at any corpus size. The fingerprint covers the FULL

@@ -55,13 +55,31 @@ class StageSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.reliableCheckpoint", "true")
     try {
       import graft.plans.Stage.StageOps
-      import spark.implicits._
-      // staging must WARN (non-fatally) and still materialize correctly
-      val out = Seq(1, 2, 3).toDF("x").staged.collect().map(_.getInt(0)).sorted
-      assert(out.sameElements(Array(1, 2, 3)))
+      // staging must WARN (non-fatally) and still materialize correctly.
+      // spark.range, not a Seq.toDF literal: Stage is idempotent on
+      // LocalRelations (r21) and a literal would skip the warn path
+      // this test exists to exercise
+      val out = spark.range(1, 4).toDF("x").staged.collect().map(_.getLong(0)).sorted
+      assert(out.sameElements(Array(1L, 2L, 3L)))
     } finally {
       spark.conf.unset("spark.graft.reliableCheckpoint")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
     }
+  }
+
+  test("Stage is idempotent on already-materialized and driver-local frames") {
+    import graft.plans.Stage.StageOps
+    import spark.implicits._
+    // a checkpointed frame re-staged must come back as the SAME frame
+    // (no second materialization job) — the x5 evalG.staged →
+    // guardedBroadcast(Stage(...)) composition (r21)
+    val once = spark.range(1, 10).toDF("x").staged
+    assert(graft.plans.Stage(once) eq once)
+    // a LocalRelation is driver-local data — nothing to materialize
+    val local = Seq(1, 2, 3).toDF("x")
+    assert(graft.plans.Stage(local) eq local)
+    // but any transformation ON TOP of a checkpoint still stages
+    val derived = once.filter($"x" > 3)
+    assert(!(graft.plans.Stage(derived) eq derived))
   }
 }
